@@ -1,0 +1,118 @@
+"""LakeTable: snapshots, RTAS, append, merge, delete, update, maintenance."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.tables import LakeCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_rtas_and_read(catalog, spark):
+    df = spark.createDataFrame([Row(id=i, v=f"x{i}") for i in range(10)])
+    t = catalog.create_or_replace("db.t", df, key=["id"], n_buckets=4)
+    assert t.read().count() == 10
+    assert t.snapshot().operation == "create_or_replace"
+    # replace
+    df2 = spark.createDataFrame([Row(id=1, v="only")])
+    t.create_or_replace(df2, key=["id"], n_buckets=4)
+    assert _rows(t.read()) == {(1, "only")}
+    # time travel back to v0
+    assert t.read(version=0).count() == 10
+
+
+def test_append_and_compact(catalog, spark):
+    df = spark.createDataFrame([Row(id=i, v=i * 1.0) for i in range(5)])
+    t = catalog.create_or_replace("db.a", df, key=["id"], n_buckets=2)
+    for _ in range(3):
+        t.append(spark.createDataFrame([Row(id=99, v=9.9)]))
+    assert t.read().count() == 8
+    res = t.rewrite_data_files(min_input_dirs=2)
+    assert res["rewritten_buckets"] >= 1
+    assert t.read().count() == 8
+    t.expire_snapshots(keep_last=1)
+    removed = t.remove_orphan_files()
+    assert removed["orphan_dirs_removed"] >= 1
+    assert t.read().count() == 8
+
+
+def test_merge_upsert(catalog, spark):
+    base = spark.createDataFrame([Row(id=i, v=f"old{i}") for i in range(100)])
+    t = catalog.create_or_replace("db.m", base, key=["id"], n_buckets=8)
+    src = spark.createDataFrame(
+        [Row(id=5, v="new5"), Row(id=50, v="new50"), Row(id=1000, v="ins")]
+    )
+    snap = t.merge(src)
+    # only buckets containing ids 5/50/1000 were rewritten
+    assert len(snap.summary["affected_buckets"]) <= 3
+    got = dict((r.id, r.v) for r in t.read().collect())
+    assert got[5] == "new5" and got[50] == "new50" and got[1000] == "ins"
+    assert got[7] == "old7"
+    assert len(got) == 101
+
+
+def test_merge_rejects_duplicate_keys(catalog, spark):
+    t = catalog.create_or_replace(
+        "db.dup", spark.createDataFrame([Row(id=1, v="a")]), key=["id"]
+    )
+    src = spark.createDataFrame([Row(id=2, v="x"), Row(id=2, v="y")])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge(src)
+
+
+def test_delete_keys_and_where(catalog, spark):
+    base = spark.createDataFrame([Row(id=i, v=i) for i in range(20)])
+    t = catalog.create_or_replace("db.d", base, key=["id"], n_buckets=4)
+    t.delete_keys(spark.createDataFrame([Row(id=3), Row(id=4)]))
+    assert t.read().count() == 18
+    t.delete_where(F.col("v") >= 15)
+    assert t.read().count() == 13
+    assert t.read().filter("id in (3,4) or v >= 15").count() == 0
+
+
+def test_update_where(catalog, spark):
+    base = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(5)])
+    t = catalog.create_or_replace("db.u", base, key=["id"])
+    t.update_where("id >= 3", {"v": "'patched'"})
+    got = dict((r.id, r.v) for r in t.read().collect())
+    assert got == {0: "v0", 1: "v1", 2: "v2", 3: "patched", 4: "patched"}
+
+
+def test_concurrent_appends(catalog, spark):
+    """Append-only ledger pattern: parallel appends must all land."""
+    import threading
+
+    t = catalog.create_or_replace(
+        "db.c", spark.createDataFrame([Row(id=0, v=0)]), key=None
+    )
+    errs = []
+
+    def add(i):
+        try:
+            t.append(spark.createDataFrame([Row(id=i, v=i)]))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=add, args=(i,)) for i in range(1, 7)]
+    [th.start() for th in threads]
+    [th.join() for th in threads]
+    assert not errs
+    assert t.read().count() == 7
+
+
+def test_schema_alignment_on_merge(catalog, spark):
+    """Source columns are cast to target types (SimplifyCasts pin parity)."""
+    base = spark.createDataFrame([Row(id=1, amount=1.5)])
+    t = catalog.create_or_replace("db.s", base, key=["id"])
+    src = spark.createDataFrame([Row(id="2", amount="2.5")])  # strings in
+    t.merge(src)
+    got = {(r.id, r.amount) for r in t.read().collect()}
+    assert got == {(1, 1.5), (2, 2.5)}
