@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (TPC-H Q1 shape) on sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 plus the
+training-data operators (dedup / similarity / text analysis).
+``oracle_sql()`` — matching DuckDB SQL per query (keys without an entry
+get the driver's weaker rows-only check).
 """
 
 from __future__ import annotations
@@ -13,26 +13,75 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from datalake_iceberg_spark.queries import analytics, dedup, similarity, textops
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return analytics.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- analytic core (SURVEY §2.3-2.9 shapes) ---
+        "q1_pricing_summary": analytics.q1_pricing_summary,
+        "q3_shipping_priority": analytics.q3_shipping_priority,
+        "q5_regional_revenue": analytics.q5_regional_revenue,
+        "q10_returned_items": analytics.q10_returned_items,
+        "top_parts_per_brand": analytics.top_parts_per_brand,
+        "dedup_latest_events": analytics.dedup_latest_events,
+        "purge_keep_latest": analytics.purge_keep_latest,
+        "semi_anti_join_events": analytics.semi_anti_join_events,
+        "batch_stats_events": analytics.batch_stats_events,
+        "hourly_rollup_events": analytics.hourly_rollup_events,
+        "surrogate_key_orders": analytics.surrogate_key_orders,
+        "merge_upsert_orders": analytics.merge_upsert_orders,
+        "grouping_sets_revenue": analytics.grouping_sets_revenue,
+        "sessionize_events": analytics.sessionize_events,
+        # --- text analysis ---
+        "token_stats": textops.token_stats,
+        "quality_score": textops.quality_score,
+        "lang_id": textops.lang_id,
+        "doc_fingerprint": textops.fingerprint,
+        # --- deduplication ---
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_signatures": dedup.minhash_signatures,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash": dedup.simhash,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # --- similarity search ---
+        "knn_bruteforce": similarity.knn_bruteforce,
+        "ann_lsh_buckets": similarity.ann_lsh_buckets,
+        "centroid_similarity": similarity.centroid_similarity,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": analytics.Q1_SQL,
+        "q3_shipping_priority": analytics.Q3_SQL,
+        "q5_regional_revenue": analytics.Q5_SQL,
+        "q10_returned_items": analytics.Q10_SQL,
+        "top_parts_per_brand": analytics.TOP_PARTS_SQL,
+        "dedup_latest_events": analytics.DEDUP_LATEST_SQL,
+        "purge_keep_latest": analytics.PURGE_KEEP_LATEST_SQL,
+        "semi_anti_join_events": analytics.SEMI_ANTI_SQL,
+        "batch_stats_events": analytics.BATCH_STATS_SQL,
+        "hourly_rollup_events": analytics.HOURLY_ROLLUP_SQL,
+        "surrogate_key_orders": analytics.SURROGATE_KEY_SQL,
+        "merge_upsert_orders": analytics.MERGE_UPSERT_SQL,
+        "grouping_sets_revenue": analytics.GROUPING_SETS_SQL,
+        "sessionize_events": analytics.SESSIONIZE_SQL,
+        "token_stats": textops.TOKEN_STATS_SQL,
+        "quality_score": textops.QUALITY_SCORE_SQL,
+        "lang_id": textops.LANG_ID_SQL,
+        "doc_fingerprint": textops.FINGERPRINT_SQL,
+        "exact_dedup": dedup.EXACT_DEDUP_SQL,
+        "minhash_signatures": dedup.MINHASH_SIG_SQL,
+        "minhash_lsh_pairs": dedup.MINHASH_LSH_SQL,
+        "simhash": dedup.SIMHASH_SQL,
+        "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
+        "ann_lsh_buckets": similarity.ANN_LSH_SQL,
+        "centroid_similarity": similarity.CENTROID_SIM_SQL,
+    }

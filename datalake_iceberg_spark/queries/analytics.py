@@ -1,0 +1,541 @@
+"""Analytic query suite over the TESTDATA star schema.
+
+TPC-H-shaped queries adapted to the available columns, plus the
+reference's own relational idioms (dedup-latest window WF1, keep-latest
+purge J3/A3, semi/anti-join deletes J2, batch stats A1) re-expressed as
+standalone queries so the driver's DuckDB oracle can grade them.
+
+Oracle-parity rules used throughout:
+- money values are converted to **exact integer cents** via
+  ``floor(x*100 + 0.5)`` (IEEE-deterministic in both engines), all
+  aggregation runs in exact int64, and outputs divide back to double —
+  bit-identical across engines with no decimal-rounding-mode hazards;
+- `events.ts` is nanosecond parquet, which Spark 4 cannot read natively:
+  ``load_events`` reads it as int64 (``nanosAsLong``) and truncates to
+  microseconds; oracles shadow the ``events`` view with the same
+  truncation (``EVENTS_CTE``);
+- every computed column is aliased identically in Spark and SQL, and
+  top-k queries carry deterministic tiebreakers.
+
+Scale notes: every query is a declarative DataFrame plan — Catalyst
+pushes filters/column pruning into the parquet scan, AQE picks
+broadcast joins for the small dims (region/nation/customer at any SF)
+and handles skew. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.queries import load
+
+
+def cents(col: Column | str) -> Column:
+    """Dollars-as-double → exact integer cents. ``floor(x*100 + 0.5)`` is
+    deterministic IEEE arithmetic — identical in Spark and DuckDB,
+    avoiding cross-engine decimal rounding-mode differences."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
+
+
+def cents_sql(expr: str) -> str:
+    return f"CAST(FLOOR({expr} * 100 + 0.5) AS BIGINT)"
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) — illegal for Spark's
+    vectorized reader. Read ns as long, truncate to µs (matches the
+    oracle's ``epoch_ns // 1000``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+EVENTS_CTE = """events_us AS (
+  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+         user_id, event_type, value, props
+  FROM events
+)"""
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: big scan + 4-group aggregate. The flagship query.
+
+    revenue/charge accumulate in cents × integer percent (exact int64);
+    one shuffle for the aggregate, partial map-side combine free."""
+    li = load(spark, sf_dir, "lineitem")
+    price_c = cents("l_extendedprice")
+    disc_pct = cents("l_discount")        # 0.05 -> 5
+    tax_pct = cents("l_tax")
+    qty_c = cents("l_quantity")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty_c).cast("double") / 100.0).alias("sum_qty"),
+            (F.sum(price_c).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_pct)).cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(price_c * (100 - disc_pct) * (100 + tax_pct)).cast("double") / 1000000.0).alias("sum_charge"),
+            (F.sum(qty_c).cast("double") / 100.0 / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM({cents_sql('l_quantity')}) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(SUM({cents_sql('l_extendedprice')}) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')}) * (100 + {cents_sql('l_tax')})) AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(SUM({cents_sql('l_quantity')}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+_REV_SPARK = lambda: cents("l_extendedprice") * (100 - cents("l_discount"))  # noqa: E731
+_REV_SQL = f"{cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})"
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join + agg + top-10.
+
+    ``customer`` is small at every SF relative to lineitem — broadcast;
+    orders⋈lineitem is the real shuffle and AQE sizes it."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(_REV_SPARK()).cast("double") / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. All dims broadcast; the single
+    shuffle is lineitem⋈orders (the agg reuses its partitioning)."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg((F.sum(_REV_SPARK()).cast("double") / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = f"""
+SELECT r_name, n_name,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY r_name, n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-06-01")) & (F.col("o_orderdate") < F.lit("1996-06-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
+        .agg((F.sum(_REV_SPARK()).cast("double") / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name, c_mktsegment,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 priciest parts per brand — rank window (O3/WF family)."""
+    part = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc(cents("p_retailprice")), F.asc("p_partkey")
+    )
+    return (
+        part.withColumn("price_rank", F.row_number().over(w))
+        .filter(F.col("price_rank") <= 3)
+        .select(
+            "p_brand", "p_partkey", "p_name",
+            (cents("p_retailprice").cast("double") / 100.0).alias("retailprice"),
+            "price_rank",
+        )
+        .orderBy("p_brand", "price_rank")
+    )
+
+
+TOP_PARTS_SQL = f"""
+SELECT p_brand, p_partkey, p_name,
+       CAST({cents_sql('p_retailprice')} AS DOUBLE) / 100.0 AS retailprice, price_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY {cents_sql('p_retailprice')} DESC, p_partkey ASC) AS price_rank
+  FROM part
+) t
+WHERE price_rank <= 3
+ORDER BY p_brand, price_rank
+"""
+
+
+def dedup_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WF1, the reference's load-bearing idiom (``cdc_pipeline.py:199-204``):
+    latest event per user, ``row_number`` over desc ordering, keep row 1.
+    One shuffle on the key; no driver round-trip."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id", "event_id", "ts", "event_type",
+            (cents("value").cast("double") / 100.0).alias("value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+DEDUP_LATEST_SQL = f"""
+WITH {EVENTS_CTE}
+SELECT user_id, event_id, ts, event_type,
+       CAST({cents_sql('value')} AS DOUBLE) / 100.0 AS value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS __rn
+  FROM events_us
+) t
+WHERE __rn = 1
+ORDER BY user_id
+"""
+
+
+def purge_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's retention purge (W6/J3, ``watermark.py:421-438``):
+    rows older than a cutoff are deleted *except* each key's latest.
+    Returns survivors; anti-join expressed as a window filter —
+    equivalent plan, one shuffle."""
+    ev = load_events(spark, sf_dir)
+    cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("ts") >= cutoff) | (F.col("__rn") == 1))
+        .select("event_id", "user_id", "ts", "event_type")
+        .orderBy("event_id")
+    )
+
+
+PURGE_KEEP_LATEST_SQL = f"""
+WITH {EVENTS_CTE}
+SELECT event_id, user_id, ts, event_type
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS __rn
+  FROM events_us
+) t
+WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' OR __rn = 1
+ORDER BY event_id
+"""
+
+
+def semi_anti_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3: customers that have 'purchase' events (semi) but no 'error'
+    events (anti) — the reference's DELETE WHERE EXISTS / NOT IN shapes."""
+    cust = load(spark, sf_dir, "customer")
+    ev = load_events(spark, sf_dir)
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id")
+    return (
+        cust.join(purchasers, cust.c_custkey == purchasers.user_id, "left_semi")
+        .join(erroring, cust.c_custkey == erroring.user_id, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+SEMI_ANTI_SQL = f"""
+WITH {EVENTS_CTE}
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM events_us WHERE event_type = 'purchase' AND user_id = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM events_us WHERE event_type = 'error' AND user_id = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def batch_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the reference's one-pass batch metrics
+    (``cdc_pipeline.py:317-322``) over events, grouped by type."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("max_event_ts"),
+            F.min("event_id").alias("min_offset"),
+            F.max("event_id").alias("max_offset"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+BATCH_STATS_SQL = f"""
+WITH {EVENTS_CTE}
+SELECT event_type,
+       COUNT(*) AS event_count,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_event_ts,
+       MIN(event_id) AS min_offset,
+       MAX(event_id) AS max_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events_us
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def hourly_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch equivalent of the streaming windowed
+    agg): events per hour × type. At scale this is the hypertable-rollup
+    pattern — partial aggregation map-side, single shuffle on (hour, type)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+HOURLY_ROLLUP_SQL = f"""
+WITH {EVENTS_CTE}
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM({cents_sql('value')}) AS DOUBLE) / 100.0 AS sum_value
+FROM events_us
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def surrogate_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 + key derivation: ``id_iceberg = md5(concat_ws('|', pk))`` with
+    string trim — the reference's batch-ingest projection
+    (``mysql_to_iceberg.py:57-60``). md5 hex is identical across engines."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderkey"),
+            F.md5(F.concat_ws("|", F.col("o_orderkey").cast("string"),
+                              F.col("o_custkey").cast("string"))).alias("id_iceberg"),
+            F.trim(F.col("o_orderpriority")).alias("o_orderpriority"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+SURROGATE_KEY_SQL = """
+SELECT o_orderkey,
+       md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR))) AS id_iceberg,
+       trim(o_orderpriority) AS o_orderpriority
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 MERGE semantics as a standalone relational query: source =
+    deduped-latest change rows derived from events; target = orders.
+    Result = target ⟕anti source ∪ source (update-all/insert-all) —
+    exactly the plan ``LakeTable.merge`` executes per bucket."""
+    orders = load(spark, sf_dir, "orders")
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    source = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            (F.col("user_id") * 10).alias("o_orderkey"),
+            F.col("user_id").alias("o_custkey"),
+            F.lit("M").alias("o_orderstatus"),
+            (cents("value").cast("double") / 100.0).alias("o_totalprice"),
+            F.col("ts").alias("o_orderdate"),
+            F.lit("MERGED").alias("o_orderpriority"),
+        )
+    )
+    target = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (cents("o_totalprice").cast("double") / 100.0).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+    )
+    return (
+        target.join(source, on="o_orderkey", how="left_anti")
+        .unionByName(source)
+        .orderBy("o_orderkey", "o_custkey")
+    )
+
+
+MERGE_UPSERT_SQL = f"""
+WITH {EVENTS_CTE},
+source AS (
+  SELECT user_id * 10 AS o_orderkey, user_id AS o_custkey, 'M' AS o_orderstatus,
+         CAST({cents_sql('value')} AS DOUBLE) / 100.0 AS o_totalprice,
+         ts AS o_orderdate, 'MERGED' AS o_orderpriority
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS __rn
+    FROM events_us WHERE event_type = 'purchase'
+  ) WHERE __rn = 1
+),
+target AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST({cents_sql('o_totalprice')} AS DOUBLE) / 100.0 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders
+)
+SELECT * FROM (
+  SELECT t.* FROM target t ANTI JOIN source s ON t.o_orderkey = s.o_orderkey
+  UNION ALL
+  SELECT * FROM source
+)
+ORDER BY o_orderkey, o_custkey
+"""
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate — beyond-reference coverage (§2.5 notes it absent).
+    Revenue by (status, priority), (status), and grand total."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM({cents_sql('o_totalprice')}) AS DOUBLE) / 100.0 AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session assignment: a new session starts after a >30 min gap per
+    user (lag + cumulative sum windows). The batch form of the streaming
+    session-window operator; one shuffle on user_id, both windows reuse
+    the same partitioning."""
+    ev = load_events(spark, sf_dir)
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts")), 1).over(by_user)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_sess)
+        .withColumn("session_seq", F.sum("new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH {EVENTS_CTE},
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+  FROM events_us
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""

@@ -1,0 +1,293 @@
+"""Deduplication operators over ``documents``: exact, MinHash-LSH,
+SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- **Exact**: hash-groupBy on a normalized-content digest — one shuffle
+  keyed by md5, minimal row width (digest + doc_id) after projection.
+- **MinHash-LSH**: shingle → k independent min-hashes → band buckets →
+  candidate pairs only within a bucket. The self-join is on band-hash
+  (tiny keys), never all-pairs; at scale band buckets bound join fanout
+  and skewed buckets split under AQE.
+- **SimHash**: 32-bit signature as exact integer; near-dup = equal
+  signature (or banded prefix). One shuffle.
+- **n-gram Jaccard**: exact verify step for LSH candidates — shingle
+  sets joined per candidate pair, not all-pairs.
+
+All hashing is md5-based (identical hex in Spark and DuckDB) so every
+step is oracle-checkable — no engine-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.queries import load
+
+N_HASHES = 8          # minhash signature length
+BAND_SIZE = 2         # rows per band -> 4 bands
+SHINGLE_N = 3         # word shingles
+
+
+def _norm_text():
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized content hash; survivor = min doc_id.
+    Returns (content_md5, survivor_doc_id, n_copies)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(_norm_text()).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("survivor_doc_id")
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS content_md5,
+       MIN(doc_id) AS survivor_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY survivor_doc_id
+"""
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word-SHINGLE_N-grams per doc via sequence+transform —
+    array ops stay in codegen; explode is the only row expansion."""
+    toks = F.split(_norm_text(), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - SHINGLE_N, F.lit(-1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_N)))
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature: for hash seed i, sig_i = min(md5(i || '|' || shingle)).
+
+    md5-hex string min is a valid exchangeable hash-min (uniform over hex
+    strings) and is engine-portable. Output: doc_id + N_HASHES columns.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def _shingle_sql() -> str:
+    return f"""
+  SELECT DISTINCT doc_id, array_to_string(norm_tokens[i:i+{SHINGLE_N - 1}], ' ') AS shingle
+  FROM (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS norm_tokens
+    FROM documents
+  ) t, UNNEST(generate_series(1, GREATEST(len(norm_tokens) - {SHINGLE_N - 1}, 0))) AS u(i)
+  WHERE length(array_to_string(norm_tokens[i:i+{SHINGLE_N - 1}], ' ')) > 0
+"""
+
+
+MINHASH_SIG_SQL = f"""
+WITH shingles AS ({_shingle_sql()})
+SELECT doc_id,
+       {", ".join(f"MIN(md5(concat_ws('|', '{i}', shingle))) AS sig_{i}" for i in range(N_HASHES))}
+FROM shingles
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band (band = md5 of BAND_SIZE
+    consecutive signature values). Join happens per band bucket — the
+    scale path (no all-pairs)."""
+    sig = minhash_signatures(spark, sf_dir)
+    n_bands = N_HASHES // BAND_SIZE
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"sig_{b * BAND_SIZE + j}") for j in range(BAND_SIZE)],
+            )
+        ).alias("band_hash")
+        for b in range(n_bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band_hash")
+    ).distinct()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_BAND_EXPRS_SQL = ", ".join(
+    "md5(concat_ws('|', '{b}', {cols})) AS band_{b}".format(
+        b=b,
+        cols=", ".join(f"sig_{b * BAND_SIZE + j}" for j in range(BAND_SIZE)),
+    )
+    for b in range(N_HASHES // BAND_SIZE)
+)
+
+MINHASH_LSH_SQL = f"""
+WITH shingles AS ({_shingle_sql()}),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(md5(concat_ws('|', '{i}', shingle))) AS sig_{i}" for i in range(N_HASHES))}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  SELECT DISTINCT doc_id, band_hash FROM (
+    SELECT doc_id, unnest([{", ".join(f"band_{b}" for b in range(N_HASHES // BAND_SIZE))}]) AS band_hash
+    FROM (SELECT doc_id, {_BAND_EXPRS_SQL} FROM sigs)
+  )
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash as an exact integer.
+
+    Bit b of a token = parity of the b-th hex char of md5(token); the
+    signature bit is the sign of the weighted bit sum over the doc's
+    distinct tokens. Pure integer arithmetic — portable and exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split(_norm_text(), " ")).alias("tok"))
+        .where(F.length("tok") > 0)
+        .distinct()
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    bit_terms = [
+        F.sum(
+            (F.ascii(F.substring(F.col("h"), b + 1, 1)) % 2) * 2 - 1
+        ).alias(f"bal_{b}")
+        for b in range(32)
+    ]
+    balances = toks.groupBy("doc_id").agg(*bit_terms)
+    sig = sum(
+        F.when(F.col(f"bal_{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(32)
+    )
+    return balances.select("doc_id", sig.alias("simhash32")).orderBy("doc_id")
+
+
+SIMHASH_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+bal AS (
+  SELECT doc_id,
+         {BAL_COLS}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, ({SIG_EXPR}) AS simhash32
+FROM bal ORDER BY doc_id
+""".format(
+    BAL_COLS=", ".join(
+        f"SUM((ascii(substr(h, {b + 1}, 1)) % 2) * 2 - 1) AS bal_{b}" for b in range(32)
+    ),
+    SIG_EXPR=" + ".join(
+        f"CAST(CASE WHEN bal_{b} > 0 THEN {2 ** b} ELSE 0 END AS BIGINT)" for b in range(32)
+    ),
+)
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity for LSH candidate pairs ≥ 0.2.
+
+    The verify stage of near-dup detection: intersection via shingle
+    join *restricted to candidate pairs*, union by inclusion-exclusion.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    cands = minhash_lsh_pairs(spark, sf_dir)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cands.join(a, cands.doc_a == F.col("a.doc_id"))
+        .join(b, (cands.doc_b == F.col("b.doc_id"))
+              & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+        4,
+    )
+    return (
+        inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
+        .join(sb, inter.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            F.col("n_inter").alias("n_common_shingles"),
+            jac.cast("decimal(9,4)").alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH shingles AS ({_shingle_sql()}),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(md5(concat_ws('|', '{i}', shingle))) AS sig_{i}" for i in range(N_HASHES))}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  SELECT DISTINCT doc_id, band_hash FROM (
+    SELECT doc_id, unnest([{", ".join(f"band_{b}" for b in range(N_HASHES // BAND_SIZE))}]) AS band_hash
+    FROM (SELECT doc_id, {_BAND_EXPRS_SQL} FROM sigs)
+  )
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, n_inter AS n_common_shingles,
+       CAST(ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS DECIMAL(9,4)) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS DECIMAL(9,4)) >= 0.2
+ORDER BY doc_a, doc_b
+"""

@@ -1,0 +1,192 @@
+"""Embedding similarity search over the ``embeddings`` table.
+
+- ``knn_bruteforce``: exact cosine top-k for a fixed query set — the
+  correctness baseline. Dot products via ``F.zip_with`` +
+  ``F.aggregate`` (JVM higher-order functions, no Python). The
+  query set is broadcast; candidates never shuffle.
+- ``ann_lsh``: random-hyperplane LSH variant — the 100 TB path. Each
+  vector gets a sign-bit bucket from deterministic hyperplanes; only
+  same-bucket pairs are scored. Bucketing is a projection; the join is
+  bucket-local.
+- ``centroid_similarity``: label-centroid cosine — the IVF coarse
+  quantizer building block (group → avg vector → score).
+
+Oracle parity: scores are computed in double and rounded to 6 dp;
+DuckDB mirrors with UNNEST-based dot products (exact same operand
+order per element; |error| ≪ rounding grain at 64 dims).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.queries import load
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < N_QUERIES form the query set
+N_PLANES = 8
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-K: every query (vec_id < N_QUERIES) against all
+    other vectors. Query side broadcast; rank window per query."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id",
+                F.col("cosine").cast("decimal(9,6)").alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+KNN_BRUTEFORCE_SQL = f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         ROUND(
+           list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cosine
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, cand_id, CAST(cosine AS DECIMAL(9,6)) AS cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def _hyperplane(plane_idx: int, dim: int = 64):
+    """Deterministic pseudo-random hyperplane: component j ∈ {-1, +1}
+    from parity of md5 hex — portable, no RNG state."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.ascii(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.lit(str(plane_idx)), j.cast("string"))),
+                    1, 1,
+                )
+            ) % 2
+        ).cast("double") * 2 - 1,
+    )
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector: N_PLANES sign bits
+    packed into an int. Vectors in the same bucket are ANN candidates.
+    Output: (vec_id, label, bucket)."""
+    emb = load(spark, sf_dir, "embeddings")
+    bits = [
+        F.when(_dot(F.col("embedding"), _hyperplane(p)) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        for p in range(N_PLANES)
+    ]
+    bucket = sum(bits).cast("int")
+    return emb.select("vec_id", "label", bucket.alias("bucket")).orderBy("vec_id")
+
+
+_PLANE_DOT_SQL = (
+    "list_sum(list_transform(list_zip(embedding, "
+    "list_transform(generate_series(0, 63), "
+    "j -> CAST((ascii(substr(md5(concat_ws('_', '{p}', CAST(j AS VARCHAR))), 1, 1)) % 2) "
+    "AS DOUBLE) * 2 - 1)), x -> CAST(x[1] AS DOUBLE) * x[2]))"
+)
+
+ANN_LSH_SQL = """
+SELECT vec_id, label,
+       CAST({bits} AS INT) AS bucket
+FROM embeddings
+ORDER BY vec_id
+""".format(
+    bits=" + ".join(
+        f"(CASE WHEN {_PLANE_DOT_SQL.format(p=p)} > 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+)
+
+
+def centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid → cosine of each vector to its own centroid.
+    The IVF coarse-quantizer shape: trains centroids with one groupBy
+    (map-side partial agg), scores with a broadcast join."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim_idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    centroids = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda s: s.cv).alias("centroid"))
+    )
+    joined = emb.join(F.broadcast(centroids), "label")
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("centroid"))
+        / (_norm(F.col("embedding")) * _norm(F.col("centroid"))),
+        4,
+    )
+    return joined.select(
+        "vec_id", "label", cos.cast("decimal(9,4)").alias("centroid_cosine")
+    ).orderBy("vec_id")
+
+
+CENTROID_SIM_SQL = """
+WITH exploded AS (
+  SELECT label, g.i AS pos, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS g(i)
+),
+centroids AS (
+  SELECT label, list(cv ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, AVG(v) AS cv FROM exploded GROUP BY label, pos)
+  GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       CAST(ROUND(
+         list_sum(list_transform(list_zip(e.embedding, c.centroid),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         4) AS DECIMAL(9,4)) AS centroid_cosine
+FROM embeddings e JOIN centroids c ON e.label = c.label
+ORDER BY e.vec_id
+"""

@@ -1,0 +1,201 @@
+"""Text-analysis operators over the ``documents`` table.
+
+The training-data-pipeline surface the reference lacks: token counting,
+quality scoring, language ID, document fingerprinting. All pure JVM
+built-ins (split/regexp/length/md5) — no Python on the hot path, so at
+100 TB these run inside whole-stage codegen with only the final
+aggregation shuffling.
+
+Oracle parity: each transform uses constructs with identical semantics
+in DuckDB (regexp_replace / string splits on single spaces / md5 hex /
+exact integer arithmetic), and ratios divide exact ints as IEEE doubles
+then round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.queries import load
+
+# deterministic tiny stopword sets per language (marker-word heuristic)
+LANG_MARKERS = {
+    "en": ["the", "a", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+    "zh": ["de", "shi", "le"],
+}
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def _token_count():
+    # texts are single-space separated; count = words in non-empty text
+    return F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), " ")))
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + char stats per document."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _token_count().alias("n_tokens"),
+        F.length("text").alias("text_len"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).alias("n_alpha"),
+    ).orderBy("doc_id")
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split(trim(text), ' ')) END AS n_tokens,
+       length(text) AS text_len,
+       length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword-ratio quality heuristic; `keep` flag for filtering.
+
+    The classic pre-training quality gate shape (C4/Gopher-style rules,
+    simplified to deterministic arithmetic): token count bounds, mean
+    word length bounds, stopword-hit requirement.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = _token_count()
+    stop_hits = sum(
+        F.when(F.contains(F.col("text"), F.lit(f" {w} "))
+               | F.startswith(F.col("text"), F.lit(f"{w} "))
+               | F.endswith(F.col("text"), F.lit(f" {w}")), 1).otherwise(0)
+        for w in STOPWORDS
+    )
+    mean_word_len = F.round(
+        (F.length(F.regexp_replace("text", " ", "")).cast("double"))
+        / F.greatest(n_tokens, F.lit(1)),
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_word_len.cast("decimal(18,4)").alias("mean_word_len"),
+        stop_hits.cast("int").alias("stopword_hits"),
+        (
+            (n_tokens >= 10) & (n_tokens <= 100000)
+            & (mean_word_len >= 2.0) & (mean_word_len <= 12.0)
+            & (stop_hits >= 1)
+        ).cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+_STOP_HITS_SQL = " + ".join(
+    "(CASE WHEN contains(text, ' {w} ') OR starts_with(text, '{w} ') "
+    "OR ends_with(text, ' {w}') THEN 1 ELSE 0 END)".format(w=w)
+    for w in STOPWORDS
+)
+
+QUALITY_SCORE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split(trim(text), ' ')) END AS n_tokens,
+         ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+                               ELSE len(string_split(trim(text), ' ')) END, 1), 4) AS mwl,
+         {_STOP_HITS_SQL} AS stopword_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(mwl AS DECIMAL(18,4)) AS mean_word_len,
+       CAST(stopword_hits AS INT) AS stopword_hits,
+       CAST(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                  AND mwl >= 2.0 AND mwl <= 12.0
+                  AND stopword_hits >= 1 THEN 1 ELSE 0 END AS INT) AS keep
+FROM base
+ORDER BY doc_id
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language scoring: count hits per language's marker set,
+    predict argmax (ties broken by language code). N-gram-heuristic shape
+    — at scale this is one codegen'd projection, no shuffle before agg."""
+    docs = load(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    scores = [
+        sum(
+            F.when(F.contains(padded, F.lit(f" {w} ")), 1).otherwise(0)
+            for w in words
+        ).alias(f"score_{lang}")
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    df = docs.select("doc_id", "lang", *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.coalesce(
+        *[F.when((F.col(f"score_{lg}") == best) & (best > 0), F.lit(lg)) for lg in langs],
+        F.lit("und"),
+    )
+    return df.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    ).orderBy("doc_id")
+
+
+_LANG_SCORE_SQL = {
+    lang: " + ".join(
+        "(CASE WHEN contains(' ' || text || ' ', ' {w} ') THEN 1 ELSE 0 END)".format(w=w)
+        for w in words
+    )
+    for lang, words in sorted(LANG_MARKERS.items())
+}
+_LANGS = sorted(LANG_MARKERS)
+_BEST_SQL = "GREATEST({})".format(", ".join(f"score_{lg}" for lg in _LANGS))
+_PRED_SQL = "COALESCE({}, 'und')".format(
+    ", ".join(
+        f"CASE WHEN score_{lg} = best AND best > 0 THEN '{lg}' END" for lg in _LANGS
+    )
+)
+
+LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{expr} AS score_{lang}" for lang, expr in _LANG_SCORE_SQL.items())}
+  FROM documents
+), best AS (
+  SELECT *, {_BEST_SQL} AS best FROM scored
+)
+SELECT doc_id, lang AS labeled_lang, {_PRED_SQL} AS predicted_lang
+FROM best
+ORDER BY doc_id
+"""
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of normalized text plus a 32-bit
+    content hash derived from the hex digest (portable rolling-hash
+    stand-in — exact integer arithmetic both engines)."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    digest = F.md5(norm)
+    h32 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    return docs.select(
+        "doc_id",
+        digest.alias("content_md5"),
+        h32.alias("fingerprint32"),
+    ).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = """
+WITH d AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS content_md5
+  FROM documents
+)
+SELECT doc_id, content_md5,
+       CAST(('0x' || substr(content_md5, 1, 8))::BIGINT AS BIGINT) AS fingerprint32
+FROM d
+ORDER BY doc_id
+"""
