@@ -1,0 +1,121 @@
+"""Table-maintenance service.
+
+Rebuilds the reference's maintenance driver (``src/utils/maintenance.py``
++ ``src/iceberg_maintenance.py``): compaction, snapshot expiry, orphan
+cleanup — interval-gated via the maintenance watermark, every run
+recorded success/failed/skipped, exceptions never propagate (the
+reference swallows and records, ``maintenance.py:66-304``).
+
+The Iceberg procedures map onto LakeTable maintenance:
+- ``rewrite_data_files``      -> ``LakeTable.rewrite_data_files`` (M1)
+- ``expire_snapshots``        -> ``LakeTable.expire_snapshots`` (M2)
+- ``remove_orphan_files``     -> ``LakeTable.remove_orphan_files`` (M4)
+(M3 position-delete rewrite has no analogue: LakeTable is copy-on-write,
+so there are no delete files to compact — documented gap, not a stub.)
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from datalake_iceberg_spark.ops.watermark import WatermarkStore
+from datalake_iceberg_spark.tables import LakeCatalog
+
+COMPACTION = "rewrite_data_files"
+EXPIRE = "expire_snapshots"
+ORPHANS = "remove_orphan_files"
+
+
+class ProcessedTableTracker:
+    """Tracks tables modified during a run so the compaction phase only
+    visits them (reference ``maintenance.py:24-42``)."""
+
+    def __init__(self):
+        self._tables: set[str] = set()
+
+    def mark(self, name: str) -> None:
+        self._tables.add(name)
+
+    def modified(self) -> list[str]:
+        return sorted(self._tables)
+
+
+class MaintenanceService:
+    def __init__(self, catalog: LakeCatalog, store: WatermarkStore, dag_id: str = "maintenance"):
+        self.catalog = catalog
+        self.store = store
+        self.dag_id = dag_id
+
+    def _run_recorded(self, table_name: str, procedure: str, fn) -> dict:
+        """Run one procedure; record success/failed; never raise
+        (reference policy at ``maintenance.py:66-304``)."""
+        schema, _, tbl = table_name.rpartition(".")
+        started = datetime.now(timezone.utc).replace(tzinfo=None)
+        try:
+            result = fn() or {}
+            self.store.append_maintenance(
+                self.dag_id, schema or "default", tbl, procedure,
+                started_at=started, status="success",
+                rewritten_files_count=result.get("rewritten_dirs", 0),
+                added_files_count=result.get("rewritten_buckets", 0),
+            )
+            return {"status": "success", **result}
+        except Exception as e:  # noqa: BLE001 — record, don't propagate
+            self.store.append_maintenance(
+                self.dag_id, schema or "default", tbl, procedure,
+                started_at=started, status="failed", error_message=str(e)[:500],
+            )
+            return {"status": "failed", "error": str(e)}
+
+    def _record_skipped(self, table_name: str, procedure: str) -> dict:
+        schema, _, tbl = table_name.rpartition(".")
+        started = datetime.now(timezone.utc).replace(tzinfo=None)
+        self.store.append_maintenance(
+            self.dag_id, schema or "default", tbl, procedure,
+            started_at=started, status="skipped",
+        )
+        return {"status": "skipped"}
+
+    def run_compaction(
+        self, table_name: str, interval_sec: int = 14_400,
+        last_completed: datetime | None = None, min_input_dirs: int = 2,
+        expire_keep_last: int = 5,
+    ) -> dict:
+        """Compaction then snapshot expiry, interval-gated. Expiry is
+        skipped when compaction failed (reference ``maintenance.py:131-147``)."""
+        if not WatermarkStore.should_run(last_completed, interval_sec):
+            return self._record_skipped(table_name, COMPACTION)
+        t = self.catalog.table(table_name)
+        res = self._run_recorded(
+            table_name, COMPACTION, lambda: t.rewrite_data_files(min_input_dirs)
+        )
+        if res["status"] == "success":
+            self._run_recorded(
+                table_name, EXPIRE, lambda: t.expire_snapshots(keep_last=expire_keep_last)
+            )
+        else:
+            self._record_skipped(table_name, EXPIRE)
+        return res
+
+    def run_orphan_cleanup(self, table_name: str) -> dict:
+        t = self.catalog.table(table_name)
+        return self._run_recorded(table_name, ORPHANS, t.remove_orphan_files)
+
+    def run_all(
+        self, schema: str = "default", compaction_interval_sec: int = 14_400
+    ) -> dict[str, dict]:
+        """The maintenance driver's 3-step flow
+        (``src/iceberg_maintenance.py:65-92``): purge watermarks →
+        compaction per tracked table → orphan cleanup per discovered table."""
+        out: dict[str, dict] = {}
+        self.store.purge_cdc()
+        self.store.purge_maintenance()
+        last_map = self.store.last_completed_map(COMPACTION)
+        for name in self.catalog.list_tables(schema):
+            sch, _, tbl = name.rpartition(".")
+            last = last_map.get((sch or "default", tbl))
+            out[name] = self.run_compaction(
+                name, interval_sec=compaction_interval_sec, last_completed=last
+            )
+            self.run_orphan_cleanup(name)
+        return out
