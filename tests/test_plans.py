@@ -1,0 +1,67 @@
+"""Physical-plan quality gates: these queries must keep the plan shapes
+that survive a 100× scale-up — filters pushed into the parquet scan,
+small dims broadcast (no shuffle of the fact table against them),
+column pruning, and whole-stage codegen on the hot path."""
+
+from datalake_iceberg_spark.queries import analytics, dedup
+
+
+def _explain(df) -> str:
+    from io import StringIO
+    import contextlib
+
+    buf = StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    text = _explain(analytics.q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters" in text and "l_shipdate" in text.split("PushedFilters")[1][:200]
+    # column pruning: o_comment-style unused columns absent; ReadSchema minimal
+    read_schema = text.split("ReadSchema")[1][:400]
+    assert "l_orderkey" not in read_schema  # not needed by q1
+    assert "BatchEvalPython" not in text  # hot path stays JVM-side
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    text = _explain(analytics.q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in text
+    # the selective customer filter must reach the scan
+    assert "c_mktsegment" in text
+
+
+def test_q5_single_fact_shuffle(spark, sf_dir):
+    text = _explain(analytics.q5_regional_revenue(spark, sf_dir))
+    assert text.count("BroadcastHashJoin") >= 3  # cust/sup/nation/region sides
+    # lineitem⋈orders may be SMJ or (under AQE at small SF) broadcast — both fine;
+    # what must NOT happen is a cartesian or nested-loop join
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_dedup_latest_single_shuffle(spark, sf_dir):
+    text = _explain(analytics.dedup_latest_events(spark, sf_dir))
+    # exactly one hash shuffle for the window partitioning (formatted mode
+    # puts "Arguments: hashpartitioning(...)" on its own line); the final
+    # rangepartitioning exchange is the presentation ORDER BY, which is fine
+    n_hash = text.count("hashpartitioning(")
+    assert n_hash == 1, text
+    # WindowGroupLimit pushes the rank<=1 limit below the shuffle (partial);
+    # formatted output lists each operator twice (tree + detail section)
+    assert text.count("WindowGroupLimit") >= 2, text
+
+
+def test_exact_dedup_partial_aggregation(spark, sf_dir):
+    text = _explain(dedup.exact_dedup(spark, sf_dir))
+    # map-side partial agg before the shuffle (HashAggregate appears
+    # twice per grouping: partial + final)
+    assert text.count("HashAggregate") >= 2
+
+
+def test_knn_no_python_udf(spark, sf_dir):
+    from datalake_iceberg_spark.queries import similarity
+
+    text = _explain(similarity.knn_bruteforce(spark, sf_dir))
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
