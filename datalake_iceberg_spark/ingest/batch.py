@@ -39,12 +39,17 @@ def prepare_snapshot(
     event_ts: Column | None = None,
     utc_normalize: bool = False,
 ) -> DataFrame:
+    from datalake_iceberg_spark.functions.keys import AUDIT_COL
+
     for old, new in (rename_map or {}).items():
         df = df.withColumnRenamed(old, new)
     df = trim_string_columns(df)
     if utc_normalize:
         df = normalize_timestamps_utc(df)
-    df = with_audit_columns(df, event_ts)
+    # The parquet-promote path carries the source's DMS timestamp through
+    # the rename (parquet_to_iceberg.py:79-82) — don't stamp over it.
+    if event_ts is not None or AUDIT_COL not in df.columns:
+        df = with_audit_columns(df, event_ts)
     return surrogate_key(df, primary_key)
 
 
