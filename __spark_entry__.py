@@ -13,7 +13,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from datalake_iceberg_spark.queries import analytics, dedup, similarity, textops
+from datalake_iceberg_spark.queries import (
+    analytics,
+    dedup,
+    multimodal,
+    similarity,
+    textops,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -53,6 +59,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": similarity.knn_bruteforce,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
         "centroid_similarity": similarity.centroid_similarity,
+        "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
+        "ivf_ann_topk": similarity.ivf_ann_topk,
+        # --- multimodal (binary columns + Pandas-UDF decode seam) ---
+        "mm_asset_stats": multimodal.mm_asset_stats,
+        "mm_frame_sample": multimodal.mm_frame_sample,
+        "mm_decode_features": multimodal.mm_decode_features,  # rows-only check
     }
 
 
@@ -84,4 +96,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
         "ann_lsh_buckets": similarity.ANN_LSH_SQL,
         "centroid_similarity": similarity.CENTROID_SIM_SQL,
+        "embedding_neardup_pairs": similarity.EMBEDDING_NEARDUP_SQL,
+        "ivf_ann_topk": similarity.IVF_ANN_SQL,
+        "mm_asset_stats": multimodal.MM_ASSET_STATS_SQL,
+        "mm_frame_sample": multimodal.MM_FRAME_SAMPLE_SQL,
+        # mm_decode_features: mapInPandas decode — not SQL-expressible,
+        # driver records the rows-only check.
     }

@@ -130,6 +130,94 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic asset table derived from the ``documents`` table:
+    payload = UTF-8 bytes of the text, modality round-robins on doc_id.
+    Stands in for a real blob column so the multimodal plumbing is
+    driver-checkable at any scale factor."""
+    from datalake_iceberg_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents")
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    payload = F.encode(F.col("text"), "utf-8")
+    nbytes = F.octet_length(F.col("text"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        F.concat(modality, F.lit("/bin")).alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.when(modality == "image", (32 + F.pmod(F.col("doc_id"), F.lit(64))).cast("int")).alias("width"),
+            F.when(modality == "image", (32 + F.pmod(F.col("doc_id") * 7, F.lit(64))).cast("int")).alias("height"),
+            F.when(modality != "image", (nbytes * 10).cast("long")).alias("duration_ms"),
+            F.when(modality == "audio", F.lit(16000)).otherwise(F.lit(None).cast("int")).alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def mm_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality metadata rollup over the derived asset table —
+    metadata/pruning path (payload column never read)."""
+    assets = assets_from_documents(spark, sf_dir)
+    return (
+        assets.groupBy("modality")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.avg(F.coalesce(F.col("meta.width"), F.lit(0))).alias("avg_width"),
+            F.sum(F.coalesce(F.col("meta.duration_ms"), F.lit(0))).alias("total_duration_ms"),
+        )
+        .orderBy("modality")
+    )
+
+
+MM_ASSET_STATS_SQL = """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         ['image', 'audio', 'video'][(doc_id % 3) + 1] AS modality,
+         octet_length(encode(text)) AS n_bytes,
+         CASE WHEN doc_id % 3 = 0 THEN 32 + doc_id % 64 ELSE 0 END AS width,
+         CASE WHEN doc_id % 3 != 0 THEN octet_length(encode(text)) * 10 ELSE 0 END AS duration_ms
+  FROM documents
+)
+SELECT modality, COUNT(*) AS n_assets, SUM(n_bytes) AS total_bytes,
+       AVG(width) AS avg_width, SUM(duration_ms) AS total_duration_ms
+FROM assets GROUP BY modality ORDER BY modality
+"""
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out (explode) over derived assets, capped
+    to every-5s frames. Output: (asset_id, frame_idx, frame_ts_ms)."""
+    assets = assets_from_documents(spark, sf_dir)
+    plan = frame_sample_plan(assets, every_ms=5000)
+    return plan.select("asset_id", "frame_idx", "frame_ts_ms").orderBy(
+        "asset_id", "frame_idx"
+    )
+
+
+MM_FRAME_SAMPLE_SQL = """
+WITH videos AS (
+  SELECT doc_id AS asset_id, octet_length(encode(text)) * 10 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT asset_id, CAST(g.f AS INT) AS frame_idx, CAST(g.f * 5000 AS BIGINT) AS frame_ts_ms
+FROM videos, UNNEST(generate_series(0, GREATEST(CAST(duration_ms / 5000 AS INT) - 1, 0))) AS g(f)
+ORDER BY asset_id, frame_idx
+"""
+
+
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode over the derived assets (mapInPandas seam) —
+    genuinely non-SQL-expressible; the driver records a rows-only check.
+    Output: (asset_id, modality, n_bytes, feature array<float>)."""
+    assets = assets_from_documents(spark, sf_dir)
+    return decode_assets(assets).orderBy("asset_id")
+
+
 def synthetic_assets(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic asset table for tests/benches (payload = seeded bytes)."""
     rows = []

@@ -170,6 +170,185 @@ def centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+NEARDUP_TAU = 0.30
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the scale path: LSH-bucket
+    self-join (candidates share an ``N_PLANES``-bit sign bucket) then
+    exact cosine ≥ τ. At 100 TB the bucket column becomes the table's
+    hidden-partition key so the self-join is co-located and never
+    all-pairs; here the candidate set is |bucket|² not n².
+    Output: (a_id, b_id, cosine)."""
+    emb = load(spark, sf_dir, "embeddings")
+    bits = [
+        F.when(_dot(F.col("embedding"), _hyperplane(p)) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        for p in range(N_PLANES)
+    ]
+    withb = emb.select(
+        F.col("vec_id"), F.col("embedding"), sum(bits).cast("int").alias("bucket")
+    )
+    a = withb.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "bucket"
+    )
+    b = withb.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), "bucket"
+    )
+    cos = _dot(F.col("a_emb"), F.col("b_emb")) / (
+        _norm(F.col("a_emb")) * _norm(F.col("b_emb"))
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= NEARDUP_TAU)
+        .select("a_id", "b_id", F.col("cosine").cast("decimal(9,6)").alias("cosine"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_PLANE_DOT_SQL.format(p=p)} > 0 THEN {2 ** p} ELSE 0 END)"
+    for p in range(N_PLANES)
+)
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         ROUND(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cosine
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, CAST(cosine AS DECIMAL(9,6)) AS cosine
+FROM pairs WHERE cosine >= {NEARDUP_TAU}
+ORDER BY a_id, b_id
+"""
+
+N_PROBE_CELLS = 2
+IVF_TOP_K = 3
+
+
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: label-centroids are the coarse cells (the trained
+    quantizer); each query probes its ``N_PROBE_CELLS`` nearest cells and
+    scores only vectors inside them. At 100 TB the table is clustered by
+    cell id, so a probe reads ~nprobe/ncells of the data instead of all
+    of it; centroids are tiny and broadcast. Output per query:
+    (query_id, cand_id, cosine, rank)."""
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    centroids = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pairs", lambda s: s.cv).alias("centroid"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # coarse probe: rank cells per query by centroid cosine, keep nprobe
+    cell_scores = F.broadcast(q).crossJoin(F.broadcast(centroids)).select(
+        "query_id", "q_emb", "cell",
+        (
+            _dot(F.col("q_emb"), F.col("centroid"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("centroid")))
+        ).alias("cell_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    probed = (
+        cell_scores.withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= N_PROBE_CELLS)
+        .select("query_id", "q_emb", "cell")
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = (
+        F.broadcast(probed)
+        .join(cand, "cell")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "cand_id",
+                F.col("cosine").cast("decimal(9,6)").alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+IVF_ANN_SQL = f"""
+WITH exploded AS (
+  SELECT label, g.i AS pos, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS g(i)
+),
+centroids AS (
+  SELECT label AS cell, list(cv ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, AVG(v) AS cv FROM exploded GROUP BY label, pos)
+  GROUP BY label
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+cell_scores AS (
+  SELECT q.query_id, q.q_emb, c.cell,
+         list_sum(list_transform(list_zip(q.q_emb, c.centroid),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cell_cos
+  FROM queries q CROSS JOIN centroids c
+),
+probed AS (
+  SELECT query_id, q_emb, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cell_cos DESC, cell ASC) AS cell_rank
+    FROM cell_scores
+  ) WHERE cell_rank <= {N_PROBE_CELLS}
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS cand_id,
+         ROUND(
+           list_sum(list_transform(list_zip(p.q_emb, e.embedding),
+                                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(p.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cosine
+  FROM probed p JOIN embeddings e ON p.cell = e.label
+  WHERE p.query_id != e.vec_id
+)
+SELECT query_id, cand_id, CAST(cosine AS DECIMAL(9,6)) AS cosine, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {IVF_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 CENTROID_SIM_SQL = """
 WITH exploded AS (
   SELECT label, g.i AS pos, CAST(embedding[g.i + 1] AS DOUBLE) AS v
