@@ -1,0 +1,255 @@
+"""Spark event-log performance analyzer (ops tool, offline).
+
+Re-implements the diagnostic surface of the reference's
+``src/analyze_spark_eventlog.py`` (1,170 LoC) as a compact pure-Python
+module. Same health model and numeric verdict bands
+(``analyze_spark_eventlog.py:408-492,605-774,896-974``):
+
+- **Task skew** per stage: ``max(duration) / median(duration)`` — flag
+  when > 3× (``:416``).
+- **GC overhead**: ``jvmGcTime / executorRunTime`` — healthy < 5%
+  (``:456-458``).
+- **CPU efficiency**: ``executorCpuTime / executorRunTime`` — bands
+  <50% low, 50-80% balanced, >80% cpu-bound (``:934-941``).
+- **Shuffle fetch-wait**: ``shuffleReadFetchWaitTime / executorRunTime``
+  — bands 5% / 20% (``:959-965``).
+- **Spill**: any ``memoryBytesSpilled``/``diskBytesSpilled`` is a
+  finding — the target band is zero spill (``:681-684``).
+
+Input: a Spark event-log file (JSON lines; the ``spark.eventLog.dir``
+output). zstd-compressed logs are handled when the ``zstandard``
+package is present; plain and ``.gz`` always work.
+
+This is an offline driver tool — plain Python by design, like the
+reference (SURVEY §2.1 S14): the event log is a few MB of JSON and
+never worth a cluster roundtrip.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import statistics
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Iterator
+
+SKEW_RATIO_WARN = 3.0
+GC_FRACTION_WARN = 0.05
+CPU_EFF_LOW = 0.50
+CPU_EFF_HIGH = 0.80
+SHUFFLE_WAIT_WARN = 0.05
+SHUFFLE_WAIT_CRITICAL = 0.20
+
+
+def read_event_lines(path: str | Path) -> Iterator[str]:
+    p = Path(path)
+    if p.is_dir():
+        # Spark event-log v2 layout: a directory of rolled event files
+        # (events_1_<app>, events_2_<app>, ...) plus an appstatus marker.
+        parts = sorted(
+            (f for f in p.iterdir() if f.name.startswith("events_")),
+            key=lambda f: int(f.name.split("_")[1]),
+        )
+        for part in parts:
+            yield from read_event_lines(part)
+        return
+    if p.suffix == ".gz":
+        with gzip.open(p, "rt") as f:
+            yield from f
+    elif p.suffix in (".zst", ".zstd"):
+        try:
+            import zstandard  # type: ignore
+        except ImportError as e:  # pragma: no cover
+            raise ImportError("zstd event logs need the 'zstandard' package") from e
+        with open(p, "rb") as f:
+            reader = zstandard.ZstdDecompressor().stream_reader(f)
+            buf = b""
+            while chunk := reader.read(1 << 20):
+                buf += chunk
+                while (nl := buf.find(b"\n")) >= 0:
+                    yield buf[: nl + 1].decode()
+                    buf = buf[nl + 1 :]
+            if buf:
+                yield buf.decode()
+    else:
+        with open(p) as f:
+            yield from f
+
+
+def parse_events(path: str | Path) -> Iterator[dict[str, Any]]:
+    for line in read_event_lines(path):
+        line = line.strip()
+        if line:
+            yield json.loads(line)
+
+
+@dataclass
+class TaskRecord:
+    stage_id: int
+    duration_ms: float
+    run_time_ms: float
+    cpu_time_ms: float
+    gc_time_ms: float
+    fetch_wait_ms: float
+    shuffle_read_bytes: int
+    shuffle_write_bytes: int
+    mem_spill_bytes: int
+    disk_spill_bytes: int
+    input_bytes: int
+    output_bytes: int
+
+
+@dataclass
+class StageStats:
+    stage_id: int
+    name: str = ""
+    n_tasks: int = 0
+    total_duration_ms: float = 0.0
+    max_duration_ms: float = 0.0
+    median_duration_ms: float = 0.0
+    skew_ratio: float = 0.0
+    gc_fraction: float = 0.0
+    cpu_efficiency: float = 0.0
+    shuffle_wait_fraction: float = 0.0
+    shuffle_read_bytes: int = 0
+    shuffle_write_bytes: int = 0
+    mem_spill_bytes: int = 0
+    disk_spill_bytes: int = 0
+    input_bytes: int = 0
+    output_bytes: int = 0
+    findings: list[str] = field(default_factory=list)
+
+
+def _task_record(ev: dict[str, Any]) -> TaskRecord | None:
+    info = ev.get("Task Info") or {}
+    metrics = ev.get("Task Metrics") or {}
+    if not metrics or info.get("Failed"):
+        return None
+    sr = metrics.get("Shuffle Read Metrics") or {}
+    sw = metrics.get("Shuffle Write Metrics") or {}
+    return TaskRecord(
+        stage_id=ev.get("Stage ID", -1),
+        duration_ms=(info.get("Finish Time", 0) - info.get("Launch Time", 0)),
+        run_time_ms=metrics.get("Executor Run Time", 0),
+        cpu_time_ms=metrics.get("Executor CPU Time", 0) / 1e6,  # ns → ms
+        gc_time_ms=metrics.get("JVM GC Time", 0),
+        fetch_wait_ms=sr.get("Fetch Wait Time", 0),
+        shuffle_read_bytes=sr.get("Remote Bytes Read", 0) + sr.get("Local Bytes Read", 0),
+        shuffle_write_bytes=sw.get("Shuffle Bytes Written", 0),
+        mem_spill_bytes=metrics.get("Memory Bytes Spilled", 0),
+        disk_spill_bytes=metrics.get("Disk Bytes Spilled", 0),
+        input_bytes=(metrics.get("Input Metrics") or {}).get("Bytes Read", 0),
+        output_bytes=(metrics.get("Output Metrics") or {}).get("Bytes Written", 0),
+    )
+
+
+def analyze_stages(events: Iterator[dict[str, Any]]) -> list[StageStats]:
+    tasks: dict[int, list[TaskRecord]] = {}
+    names: dict[int, str] = {}
+    for ev in events:
+        kind = ev.get("Event")
+        if kind == "SparkListenerTaskEnd":
+            rec = _task_record(ev)
+            if rec is not None:
+                tasks.setdefault(rec.stage_id, []).append(rec)
+        elif kind == "SparkListenerStageCompleted":
+            si = ev.get("Stage Info") or {}
+            names[si.get("Stage ID", -1)] = si.get("Stage Name", "")
+
+    out: list[StageStats] = []
+    for stage_id in sorted(tasks):
+        recs = tasks[stage_id]
+        durations = [r.duration_ms for r in recs]
+        run_time = sum(r.run_time_ms for r in recs) or 1.0
+        st = StageStats(
+            stage_id=stage_id,
+            name=names.get(stage_id, ""),
+            n_tasks=len(recs),
+            total_duration_ms=sum(durations),
+            max_duration_ms=max(durations),
+            median_duration_ms=statistics.median(durations),
+            gc_fraction=sum(r.gc_time_ms for r in recs) / run_time,
+            cpu_efficiency=sum(r.cpu_time_ms for r in recs) / run_time,
+            shuffle_wait_fraction=sum(r.fetch_wait_ms for r in recs) / run_time,
+            shuffle_read_bytes=sum(r.shuffle_read_bytes for r in recs),
+            shuffle_write_bytes=sum(r.shuffle_write_bytes for r in recs),
+            mem_spill_bytes=sum(r.mem_spill_bytes for r in recs),
+            disk_spill_bytes=sum(r.disk_spill_bytes for r in recs),
+            input_bytes=sum(r.input_bytes for r in recs),
+            output_bytes=sum(r.output_bytes for r in recs),
+        )
+        st.skew_ratio = (
+            st.max_duration_ms / st.median_duration_ms if st.median_duration_ms > 0 else 0.0
+        )
+        if st.n_tasks >= 4 and st.skew_ratio > SKEW_RATIO_WARN:
+            st.findings.append(
+                f"task skew {st.skew_ratio:.1f}x > {SKEW_RATIO_WARN}x — "
+                "consider salting / AQE skew-join"
+            )
+        if st.gc_fraction > GC_FRACTION_WARN:
+            st.findings.append(
+                f"GC {st.gc_fraction:.1%} > {GC_FRACTION_WARN:.0%} — memory pressure"
+            )
+        if st.shuffle_wait_fraction > SHUFFLE_WAIT_CRITICAL:
+            st.findings.append(
+                f"shuffle fetch wait {st.shuffle_wait_fraction:.1%} critical (> "
+                f"{SHUFFLE_WAIT_CRITICAL:.0%})"
+            )
+        elif st.shuffle_wait_fraction > SHUFFLE_WAIT_WARN:
+            st.findings.append(
+                f"shuffle fetch wait {st.shuffle_wait_fraction:.1%} elevated"
+            )
+        if st.mem_spill_bytes or st.disk_spill_bytes:
+            st.findings.append(
+                f"spill: mem={st.mem_spill_bytes} disk={st.disk_spill_bytes} "
+                "— target is zero; raise partitions or executor memory"
+            )
+        out.append(st)
+    return out
+
+
+def cpu_verdict(efficiency: float) -> str:
+    if efficiency < CPU_EFF_LOW:
+        return "io-or-shuffle-bound"
+    if efficiency <= CPU_EFF_HIGH:
+        return "balanced"
+    return "cpu-bound"
+
+
+def analyze_eventlog(path: str | Path) -> dict[str, Any]:
+    """Full-application report: per-stage stats + app-level verdicts."""
+    events = list(parse_events(path))
+    stages = analyze_stages(iter(events))
+    app = {"app_name": None, "duration_ms": None, "executors": 0}
+    start_ts = end_ts = None
+    for ev in events:
+        if ev.get("Event") == "SparkListenerApplicationStart":
+            app["app_name"] = ev.get("App Name")
+            start_ts = ev.get("Timestamp")
+        elif ev.get("Event") == "SparkListenerApplicationEnd":
+            end_ts = ev.get("Timestamp")
+        elif ev.get("Event") == "SparkListenerExecutorAdded":
+            app["executors"] += 1
+    if start_ts is not None and end_ts is not None:
+        app["duration_ms"] = end_ts - start_ts
+
+    total_run = sum(s.total_duration_ms for s in stages) or 1.0
+    weighted_cpu = (
+        sum(s.cpu_efficiency * s.total_duration_ms for s in stages) / total_run
+    )
+    report = {
+        "app": app,
+        "n_stages": len(stages),
+        "cpu_efficiency": round(weighted_cpu, 4),
+        "cpu_verdict": cpu_verdict(weighted_cpu),
+        "total_spill_bytes": sum(s.mem_spill_bytes + s.disk_spill_bytes for s in stages),
+        "max_skew_ratio": round(max((s.skew_ratio for s in stages), default=0.0), 2),
+        "findings": [
+            {"stage_id": s.stage_id, "name": s.name[:80], "findings": s.findings}
+            for s in stages
+            if s.findings
+        ],
+        "stages": stages,
+    }
+    return report

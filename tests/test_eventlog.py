@@ -1,0 +1,128 @@
+"""Event-log analyzer: synthetic-log unit checks + a real log produced
+by a subprocess Spark app with eventLog enabled."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from datalake_iceberg_spark.ops import eventlog as el
+
+
+def _task_end(stage, dur, run, cpu_ms, gc=0, wait=0, mem_spill=0, disk_spill=0):
+    return {
+        "Event": "SparkListenerTaskEnd",
+        "Stage ID": stage,
+        "Task Info": {"Launch Time": 1000, "Finish Time": 1000 + dur, "Failed": False},
+        "Task Metrics": {
+            "Executor Run Time": run,
+            "Executor CPU Time": cpu_ms * 1e6,  # ns
+            "JVM GC Time": gc,
+            "Memory Bytes Spilled": mem_spill,
+            "Disk Bytes Spilled": disk_spill,
+            "Shuffle Read Metrics": {
+                "Fetch Wait Time": wait,
+                "Remote Bytes Read": 10,
+                "Local Bytes Read": 5,
+            },
+            "Shuffle Write Metrics": {"Shuffle Bytes Written": 20},
+            "Input Metrics": {"Bytes Read": 100},
+            "Output Metrics": {"Bytes Written": 0},
+        },
+    }
+
+
+def _write_log(path, events):
+    with open(path, "w") as f:
+        for ev in events:
+            f.write(json.dumps(ev) + "\n")
+
+
+def test_skew_and_gc_findings(tmp_path):
+    events = (
+        [{"Event": "SparkListenerApplicationStart", "App Name": "t", "Timestamp": 0}]
+        + [_task_end(1, 100, 100, 90) for _ in range(7)]
+        + [_task_end(1, 1000, 1000, 900, gc=200)]  # straggler + heavy GC
+        + [
+            {
+                "Event": "SparkListenerStageCompleted",
+                "Stage Info": {"Stage ID": 1, "Stage Name": "shuffle at q1"},
+            },
+            {"Event": "SparkListenerApplicationEnd", "Timestamp": 5000},
+        ]
+    )
+    log = tmp_path / "app.log"
+    _write_log(log, events)
+    report = el.analyze_eventlog(log)
+    assert report["app"]["app_name"] == "t" and report["app"]["duration_ms"] == 5000
+    (stage,) = report["stages"]
+    assert stage.n_tasks == 8
+    assert stage.skew_ratio == 10.0
+    joined = " ".join(stage.findings)
+    assert "task skew" in joined and "GC" in joined
+
+
+def test_spill_and_wait_findings(tmp_path):
+    events = [
+        _task_end(2, 100, 100, 50, wait=30, mem_spill=1024),
+        _task_end(2, 100, 100, 50, wait=30, disk_spill=2048),
+    ]
+    log = tmp_path / "app2.log"
+    _write_log(log, events)
+    report = el.analyze_eventlog(log)
+    (stage,) = report["stages"]
+    joined = " ".join(stage.findings)
+    assert "spill" in joined and "critical" in joined
+    assert report["total_spill_bytes"] == 3072
+
+
+def test_cpu_verdict_bands():
+    assert el.cpu_verdict(0.3) == "io-or-shuffle-bound"
+    assert el.cpu_verdict(0.6) == "balanced"
+    assert el.cpu_verdict(0.95) == "cpu-bound"
+
+
+def test_failed_tasks_excluded(tmp_path):
+    bad = _task_end(3, 50, 50, 40)
+    bad["Task Info"]["Failed"] = True
+    log = tmp_path / "app3.log"
+    _write_log(log, [bad, _task_end(3, 60, 60, 40)])
+    report = el.analyze_eventlog(log)
+    assert report["stages"][0].n_tasks == 1
+
+
+_SUBPROC = r"""
+import glob, sys
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[2]")
+  .appName("eventlog-probe")
+  .config("spark.eventLog.enabled", "true")
+  .config("spark.eventLog.dir", sys.argv[1])
+  .config("spark.eventLog.compress", "false")
+  .config("spark.sql.shuffle.partitions", "4")
+  .config("spark.ui.enabled", "false")
+  .getOrCreate())
+df = spark.read.parquet(sys.argv[2] + "/orders.parquet")
+df.groupBy("o_custkey").count().orderBy(F.desc("count")).collect()
+spark.stop()
+"""
+
+
+@pytest.mark.slow
+def test_real_eventlog_roundtrip(tmp_path, sf_dir):
+    log_dir = tmp_path / "evlogs"
+    log_dir.mkdir()
+    subprocess.run(
+        [sys.executable, "-c", _SUBPROC, str(log_dir), sf_dir],
+        check=True,
+        capture_output=True,
+        timeout=300,
+    )
+    logs = [p for p in log_dir.iterdir() if not p.name.endswith(".inprogress")]
+    assert logs, "no event log produced"
+    report = el.analyze_eventlog(logs[0])
+    assert report["app"]["app_name"] == "eventlog-probe"
+    assert report["n_stages"] >= 2  # scan+partial agg, final agg (+ sort)
+    assert all(s.n_tasks >= 1 for s in report["stages"])
+    assert report["cpu_verdict"] in ("io-or-shuffle-bound", "balanced", "cpu-bound")
