@@ -1,0 +1,114 @@
+"""Event-time streaming extension: watermark windows, late-data drop,
+within-watermark dedup, custom stateful operator."""
+
+import os
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.streaming import event_time as et
+
+SCHEMA = "key string, value double, ts timestamp"
+
+
+def _ts(h, m):
+    return datetime(2024, 3, 1, h, m, tzinfo=timezone.utc)
+
+
+def _write_batch(spark, path, rows, name):
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/{name}")
+    # distinct mtimes so the file source orders batches deterministically
+    time.sleep(1.1)
+
+
+def _file_stream(spark, path, max_files=1):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+
+
+def test_windowed_aggregate_counts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(
+        spark,
+        src,
+        [("a", 1.0, _ts(10, 5)), ("a", 2.0, _ts(10, 20)), ("b", 5.0, _ts(11, 40))],
+        "b1",
+    )
+    stream = _file_stream(spark, src, max_files=10)
+    out = et.windowed_aggregate(
+        stream, "ts", "1 hour", watermark="30 minutes", keys=["key"],
+        aggs=[F.sum("value").alias("total")],
+    )
+    et.run_to_memory(out, "win1", str(tmp_path / "ck1"), output_mode="complete")
+    rows = {
+        (r.key, r.window.start.hour): (r.n_events, r.total)
+        for r in spark.sql("SELECT * FROM win1").collect()
+    }
+    assert rows == {("a", 10): (2, 3.0), ("b", 11): (1, 5.0)}
+
+
+def test_late_rows_dropped_in_append_mode(spark, tmp_path):
+    src = str(tmp_path / "late_src")
+    ck = str(tmp_path / "ck2")
+    collected = []
+
+    def _drain():
+        stream = _file_stream(spark, src, max_files=10)
+        out = et.windowed_aggregate(
+            stream, "ts", "1 hour", watermark="30 minutes",
+            aggs=[F.sum("value").alias("total")],
+        )
+        et.drain_to_list(out, ck, collected, output_mode="append")
+
+    # run 1: events up to 12:00 → checkpointed watermark 11:30
+    _write_batch(
+        spark, src,
+        [("a", 1.0, _ts(9, 10)), ("a", 1.0, _ts(12, 0))],
+        "b1",
+    )
+    _drain()
+    # run 2: a 9:20 straggler arrives — behind the watermark, dropped
+    _write_batch(spark, src, [("a", 100.0, _ts(9, 20))], "b2")
+    _drain()
+    rows = {r.window.start.hour: r.total for r in collected}
+    # the 9:00 window closed when the watermark hit 11:30 — it emitted
+    # with only the on-time row, and the straggler didn't resurrect it
+    assert rows.get(9) == 1.0
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "dd_src")
+    _write_batch(
+        spark, src,
+        [("k1", 1.0, _ts(10, 0)), ("k1", 1.0, _ts(10, 1)), ("k2", 2.0, _ts(10, 2))],
+        "b1",
+    )
+    _write_batch(spark, src, [("k1", 1.0, _ts(10, 3)), ("k3", 3.0, _ts(10, 4))], "b2")
+    stream = _file_stream(spark, src, max_files=1)
+    out = et.dedup_within_watermark(stream, ["key"], "ts", watermark="1 hour")
+    et.run_to_memory(out, "dd1", str(tmp_path / "ck3"))
+    keys = [r.key for r in spark.sql("SELECT * FROM dd1").collect()]
+    assert sorted(keys) == ["k1", "k2", "k3"]
+
+
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    src = str(tmp_path / "st_src")
+    _write_batch(spark, src, [("a", 1.0, _ts(10, 0)), ("a", 3.0, _ts(10, 1))], "b1")
+    _write_batch(spark, src, [("a", 5.0, _ts(10, 2)), ("b", 7.0, _ts(10, 3))], "b2")
+    stream = _file_stream(spark, src, max_files=1)
+    out = et.stateful_running_stats(stream, "key", "value")
+    et.run_to_memory(out, "st1", str(tmp_path / "ck4"), output_mode="update")
+    # update mode emits one row per key per batch; the LAST emission per
+    # key carries the accumulated state
+    rows = spark.sql("SELECT * FROM st1").collect()
+    last = {}
+    for r in rows:
+        last[r.key] = (r.n, r.total, r.vmax)
+    assert last["a"] == (3, 9.0, 5.0)
+    assert last["b"] == (1, 7.0, 7.0)
