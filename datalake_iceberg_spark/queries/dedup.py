@@ -58,17 +58,23 @@ ORDER BY survivor_doc_id
 """
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """Distinct word-SHINGLE_N-grams per doc via sequence+transform —
-    array ops stay in codegen; explode is the only row expansion."""
+def _shingle_array():
+    """Word-SHINGLE_N-grams per doc as an array column (multiset — NOT
+    deduped: ``array_distinct`` is O(n²) per row and MinHash is
+    duplicate-invariant, min over a multiset == min over its set)."""
     toks = F.split(_norm_text(), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - SHINGLE_N, F.lit(-1)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_N)))
-    return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
-        .where(F.length("shingle") > 0)
-        .distinct()
-    )
+    return F.filter(sh, lambda s: F.length(s) > 0)
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct row-per-shingle form — for the Jaccard verify stage,
+    where set semantics matter; dedup is a hash shuffle (O(n)), not a
+    per-row array_distinct (O(n²))."""
+    return docs.select(
+        "doc_id", F.explode(_shingle_array()).alias("shingle")
+    ).distinct()
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,9 +82,16 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     md5-hex string min is a valid exchangeable hash-min (uniform over hex
     strings) and is engine-portable. Output: doc_id + N_HASHES columns.
+
+    Plan note (measured, sf0.1): the tempting zero-shuffle variant —
+    ``array_min(transform(...))`` per row — is ~10× SLOWER, because
+    higher-order-function lambdas are not codegen-supported (interpreted,
+    no subexpression elimination). The relational explode → groupBy with
+    8 map-side partial mins is the fast Spark plan: one shuffle of tiny
+    (doc_id, 8×min) partial rows.
     """
     docs = load(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    sh = docs.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
     aggs = [
         F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(f"sig_{i}")
         for i in range(N_HASHES)
@@ -124,6 +137,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_hash")
         for b in range(n_bands)
     ]
+    # the distinct() is a no-op set-wise (band index is baked into the
+    # hash) but load-bearing plan-wise: its exchange is the
+    # materialization point both self-join legs reuse (ReusedExchange) —
+    # without it the whole signature pipeline is computed twice
     banded = sig.select(
         "doc_id", F.explode(F.array(*bands)).alias("band_hash")
     ).distinct()
@@ -173,19 +190,23 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct tokens. Pure integer arithmetic — portable and exact.
     """
     docs = load(spark, sf_dir, "documents")
-    toks = (
-        docs.select("doc_id", F.explode(F.split(_norm_text(), " ")).alias("tok"))
-        .where(F.length("tok") > 0)
-        .distinct()
-        .withColumn("h", F.md5(F.col("tok")))
+    # distinct tokens + their md5, per row via array HOFs — zero shuffles
+    # (vs explode → distinct → groupBy, which shuffles the token set twice)
+    tok_arr = F.array_distinct(
+        F.filter(F.split(_norm_text(), " "), lambda t: F.length(t) > 0)
     )
-    bit_terms = [
-        F.sum(
-            (F.ascii(F.substring(F.col("h"), b + 1, 1)) % 2) * 2 - 1
-        ).alias(f"bal_{b}")
+    hashes = F.transform(tok_arr, lambda t: F.md5(t))
+    doc_h = docs.where(F.size(tok_arr) > 0).select(
+        "doc_id", hashes.alias("hs")
+    )
+    def _bit_merge(b):
+        return lambda acc, x: acc + (F.ascii(F.substring(x, b + 1, 1)) % 2) * 2 - 1
+
+    bit_bal = [
+        F.aggregate(F.col("hs"), F.lit(0), _bit_merge(b)).alias(f"bal_{b}")
         for b in range(32)
     ]
-    balances = toks.groupBy("doc_id").agg(*bit_terms)
+    balances = doc_h.select("doc_id", *bit_bal)
     sig = sum(
         F.when(F.col(f"bal_{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
         for b in range(32)
