@@ -35,6 +35,10 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "centroid_similarity",
     "quality_score",
+    "embedding_neardup_pairs",
+    "ivf_ann_topk",
+    "mm_asset_stats",
+    "mm_decode_features",
 ]
 
 
