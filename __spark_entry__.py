@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from datalake_iceberg_spark.queries import (
     analytics,
+    asof,
     dedup,
     multimodal,
     similarity,
@@ -44,6 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_orders": analytics.merge_upsert_orders,
         "grouping_sets_revenue": analytics.grouping_sets_revenue,
         "sessionize_events": analytics.sessionize_events,
+        "asof_purchase_click": asof.asof_purchase_click,
+        "errors_context_window": asof.errors_context_window,
         # --- text analysis ---
         "token_stats": textops.token_stats,
         "quality_score": textops.quality_score,
@@ -84,6 +87,8 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert_orders": analytics.MERGE_UPSERT_SQL,
         "grouping_sets_revenue": analytics.GROUPING_SETS_SQL,
         "sessionize_events": analytics.SESSIONIZE_SQL,
+        "asof_purchase_click": asof.ASOF_PURCHASE_CLICK_SQL,
+        "errors_context_window": asof.ERRORS_CONTEXT_SQL,
         "token_stats": textops.TOKEN_STATS_SQL,
         "quality_score": textops.QUALITY_SCORE_SQL,
         "lang_id": textops.LANG_ID_SQL,

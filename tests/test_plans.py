@@ -60,6 +60,26 @@ def test_exact_dedup_partial_aggregation(spark, sf_dir):
     assert text.count("HashAggregate") >= 2
 
 
+def test_asof_join_single_hash_shuffle_no_nested_loop(spark, sf_dir):
+    from datalake_iceberg_spark.queries import asof
+
+    text = _explain(asof.asof_purchase_click(spark, sf_dir))
+    # the as-of must NOT plan as an inequality join
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+    # union + window carry-forward: exactly one hash shuffle on the key
+    assert text.count("hashpartitioning(") == 1, text
+
+
+def test_range_join_binned_is_equi_join(spark, sf_dir):
+    from datalake_iceberg_spark.queries import asof
+
+    text = _explain(asof.errors_context_window(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+    assert "SortMergeJoin" in text or "BroadcastHashJoin" in text or "ShuffledHashJoin" in text
+
+
 def test_knn_no_python_udf(spark, sf_dir):
     from datalake_iceberg_spark.queries import similarity
 
