@@ -35,6 +35,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "q5_regional_revenue": analytics.q5_regional_revenue,
         "q10_returned_items": analytics.q10_returned_items,
+        "q4_priority_semijoin": analytics.q4_priority_semijoin,
+        "q6_forecast_revenue": analytics.q6_forecast_revenue,
+        "q7_volume_shipping": analytics.q7_volume_shipping,
+        "q14_promo_revenue": analytics.q14_promo_revenue,
+        "q18_large_volume": analytics.q18_large_volume,
+        "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
+        "q22_dormant_customers": analytics.q22_dormant_customers,
         "top_parts_per_brand": analytics.top_parts_per_brand,
         "dedup_latest_events": analytics.dedup_latest_events,
         "purge_keep_latest": analytics.purge_keep_latest,
@@ -77,6 +84,13 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": analytics.Q3_SQL,
         "q5_regional_revenue": analytics.Q5_SQL,
         "q10_returned_items": analytics.Q10_SQL,
+        "q4_priority_semijoin": analytics.Q4_SQL,
+        "q6_forecast_revenue": analytics.Q6_SQL,
+        "q7_volume_shipping": analytics.Q7_SQL,
+        "q14_promo_revenue": analytics.Q14_SQL,
+        "q18_large_volume": analytics.Q18_SQL,
+        "q19_disjunctive_revenue": analytics.Q19_SQL,
+        "q22_dormant_customers": analytics.Q22_SQL,
         "top_parts_per_brand": analytics.TOP_PARTS_SQL,
         "dedup_latest_events": analytics.DEDUP_LATEST_SQL,
         "purge_keep_latest": analytics.PURGE_KEEP_LATEST_SQL,

@@ -539,3 +539,251 @@ FROM sessions
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq
 """
+
+
+# --- TPC-H-shape extensions (adapted to available columns; the tables
+# carry no partsupp/commitdate/shipmode, so q2/q4/q11/q12/q16/q20 keep
+# their join/agg SHAPE but use predicates the data supports) ---
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate. The whole predicate
+    set must reach the parquet scan (PushedFilters) — zero joins, one
+    partial+final agg, the pushdown litmus test."""
+    li = load(spark, sf_dir, "lineitem")
+    revenue = F.sum(cents(F.col("l_extendedprice") * F.col("l_discount")))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg((revenue.cast("double") / 100.0).alias("revenue"))
+    )
+
+
+Q6_SQL = f"""
+SELECT CAST(SUM({cents_sql('l_extendedprice * l_discount')}) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join orders→lineitem, then priority
+    rollup. Catalyst plans the EXISTS as a left-semi hash join."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    windowed = orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    big_items = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        windowed.join(big_items, windowed.o_orderkey == big_items.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact⋈dim with conditional aggregation ratio.
+    The part dim broadcasts; revenue arithmetic in exact cents."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    disc_price = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = li.filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0)))
+            .cast("double")
+            * 100.0
+            / F.sum(disc_price).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+Q14_SQL = f"""
+SELECT ROUND(
+  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {cents_sql('l_extendedprice * (1 - l_discount)')} ELSE 0 END) AS DOUBLE)
+  * 100.0 / CAST(SUM({cents_sql('l_extendedprice * (1 - l_discount)')}) AS DOUBLE),
+  6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: agg-subquery keyed filter (orders whose total
+    quantity > 250) joined back to customer. The HAVING subquery output
+    is tiny → broadcast back against orders."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            (cents("o_totalprice").cast("double") / 100.0).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST({cents_sql('o_totalprice')} AS DOUBLE) / 100.0 AS o_totalprice,
+       total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs join predicates. Catalyst extracts
+    the common join key (equi) and CNF-pushes the brand/size filters to
+    the part scan; the OR never degrades to a nested loop."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm = lambda brand, qlo, qhi, smax: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+        & (F.col("p_size") <= smax)
+    )
+    revenue = F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    return joined.filter(
+        arm("Brand#23", 1, 11, 5) | arm("Brand#15", 10, 20, 10) | arm("Brand#5", 20, 30, 15)
+    ).agg((revenue.cast("double") / 100.0).alias("revenue"))
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM({cents_sql('l_extendedprice * (1 - l_discount)')}) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#23' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+   OR (p_brand = 'Brand#15' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+   OR (p_brand = 'Brand#5'  AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two nation legs (supplier vs customer) over the
+    fact, grouped by nation pair and ship year. Nation/customer/supplier
+    all broadcast; the only big shuffle is the final group-by."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    revenue = F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    return (
+        li.filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg((revenue.cast("double") / 100.0).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({cents_sql('l_extendedprice * (1 - l_discount)')}) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (global avg positive
+    balance) + anti-join (customers with no orders since 2000), rolled
+    up by nation. The scalar agg broadcasts as a literal-like 1-row
+    relation; the anti-join is the null-aware NOT EXISTS plan."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(cents("c_acctbal")).alias("avg_cents"))
+    )
+    recent = orders.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(cents("c_acctbal") > F.col("avg_cents"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return (
+        rich.join(F.broadcast(nation), rich.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(cents("c_acctbal")).cast("double") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q22_SQL = f"""
+SELECT n_name, COUNT(*) AS numcust,
+       CAST(SUM({cents_sql('c_acctbal')}) AS DOUBLE) / 100.0 AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE {cents_sql('c_acctbal')} > (
+        SELECT AVG({cents_sql('c_acctbal')}) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+ORDER BY n_name
+"""
