@@ -46,9 +46,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    import tempfile
+
     import __spark_entry__ as entrymod
 
-    spark = create_spark_session(app_name="bench")
+    # event logging on: after the run, the engine's own analyzer grades
+    # the bench against BASELINE.md's health bands (skew/GC/spill/wait)
+    evlog_dir = tempfile.mkdtemp(prefix="bench_evlog_")
+    spark = create_spark_session(
+        app_name="bench",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": evlog_dir,
+            "spark.eventLog.compress": "false",
+        },
+    )
     qs = entrymod.queries()
 
     # warmup: JVM + codegen + parquet footer caches
@@ -63,14 +75,37 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    spark.stop()
+
+    health = {}
+    try:
+        from pathlib import Path
+
+        from datalake_iceberg_spark.ops import eventlog as el
+
+        logs = [p for p in Path(evlog_dir).iterdir() if not p.name.endswith(".inprogress")]
+        if logs:
+            report = el.analyze_eventlog(logs[0])
+            health = {
+                "cpu_efficiency": report["cpu_efficiency"],
+                "cpu_verdict": report["cpu_verdict"],
+                "total_spill_bytes": report["total_spill_bytes"],
+                "max_skew_ratio": report["max_skew_ratio"],
+                "n_stage_findings": len(report["findings"]),
+            }
+            for f in report["findings"][:10]:
+                print(f"# health: stage {f['stage_id']} {f['findings']}", file=sys.stderr)
+    except Exception as ex:  # health grading must never fail the bench
+        print(f"# health analysis skipped: {ex}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "health": health,
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -118,6 +118,7 @@ class StageStats:
     disk_spill_bytes: int = 0
     input_bytes: int = 0
     output_bytes: int = 0
+    significant: bool = False
     findings: list[str] = field(default_factory=list)
 
 
@@ -182,29 +183,35 @@ def analyze_stages(events: Iterator[dict[str, Any]]) -> list[StageStats]:
         st.skew_ratio = (
             st.max_duration_ms / st.median_duration_ms if st.median_duration_ms > 0 else 0.0
         )
-        if st.n_tasks >= 4 and st.skew_ratio > SKEW_RATIO_WARN:
-            st.findings.append(
-                f"task skew {st.skew_ratio:.1f}x > {SKEW_RATIO_WARN}x — "
-                "consider salting / AQE skew-join"
-            )
-        if st.gc_fraction > GC_FRACTION_WARN:
-            st.findings.append(
-                f"GC {st.gc_fraction:.1%} > {GC_FRACTION_WARN:.0%} — memory pressure"
-            )
-        if st.shuffle_wait_fraction > SHUFFLE_WAIT_CRITICAL:
-            st.findings.append(
-                f"shuffle fetch wait {st.shuffle_wait_fraction:.1%} critical (> "
-                f"{SHUFFLE_WAIT_CRITICAL:.0%})"
-            )
-        elif st.shuffle_wait_fraction > SHUFFLE_WAIT_WARN:
-            st.findings.append(
-                f"shuffle fetch wait {st.shuffle_wait_fraction:.1%} elevated"
-            )
+        # any spill is a finding regardless of stage size (zero-spill band)
         if st.mem_spill_bytes or st.disk_spill_bytes:
             st.findings.append(
                 f"spill: mem={st.mem_spill_bytes} disk={st.disk_spill_bytes} "
                 "— target is zero; raise partitions or executor memory"
             )
+        # significance gate for ratio metrics, as in the reference: skew
+        # on sub-second stages is noise (analyze_spark_eventlog.py:475),
+        # and GC/wait ratios over near-zero run time are meaningless
+        st.significant = st.max_duration_ms >= 1000 and run_time >= 1000
+        if st.significant:
+            if st.n_tasks >= 4 and st.skew_ratio > SKEW_RATIO_WARN:
+                st.findings.append(
+                    f"task skew {st.skew_ratio:.1f}x > {SKEW_RATIO_WARN}x — "
+                    "consider salting / AQE skew-join"
+                )
+            if st.gc_fraction > GC_FRACTION_WARN:
+                st.findings.append(
+                    f"GC {st.gc_fraction:.1%} > {GC_FRACTION_WARN:.0%} — memory pressure"
+                )
+            if st.shuffle_wait_fraction > SHUFFLE_WAIT_CRITICAL:
+                st.findings.append(
+                    f"shuffle fetch wait {st.shuffle_wait_fraction:.1%} critical (> "
+                    f"{SHUFFLE_WAIT_CRITICAL:.0%})"
+                )
+            elif st.shuffle_wait_fraction > SHUFFLE_WAIT_WARN:
+                st.findings.append(
+                    f"shuffle fetch wait {st.shuffle_wait_fraction:.1%} elevated"
+                )
         out.append(st)
     return out
 
@@ -244,7 +251,9 @@ def analyze_eventlog(path: str | Path) -> dict[str, Any]:
         "cpu_efficiency": round(weighted_cpu, 4),
         "cpu_verdict": cpu_verdict(weighted_cpu),
         "total_spill_bytes": sum(s.mem_spill_bytes + s.disk_spill_bytes for s in stages),
-        "max_skew_ratio": round(max((s.skew_ratio for s in stages), default=0.0), 2),
+        "max_skew_ratio": round(
+            max((s.skew_ratio for s in stages if s.significant), default=0.0), 2
+        ),
         "findings": [
             {"stage_id": s.stage_id, "name": s.name[:80], "findings": s.findings}
             for s in stages

@@ -65,8 +65,8 @@ def test_skew_and_gc_findings(tmp_path):
 
 def test_spill_and_wait_findings(tmp_path):
     events = [
-        _task_end(2, 100, 100, 50, wait=30, mem_spill=1024),
-        _task_end(2, 100, 100, 50, wait=30, disk_spill=2048),
+        _task_end(2, 2000, 2000, 1000, wait=600, mem_spill=1024),
+        _task_end(2, 2000, 2000, 1000, wait=600, disk_spill=2048),
     ]
     log = tmp_path / "app2.log"
     _write_log(log, events)

@@ -3,17 +3,26 @@ that survive a 100× scale-up — filters pushed into the parquet scan,
 small dims broadcast (no shuffle of the fact table against them),
 column pruning, and whole-stage codegen on the hot path."""
 
+from datalake_iceberg_spark import plans
 from datalake_iceberg_spark.queries import analytics, dedup
 
+_explain = plans.explain_text
 
-def _explain(df) -> str:
-    from io import StringIO
-    import contextlib
 
-    buf = StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+def test_lint_plan_q5(spark, sf_dir):
+    rep = plans.lint_plan(analytics.q5_regional_revenue(spark, sf_dir))
+    assert not rep.cartesian
+    assert rep.broadcast_joins >= 3
+    assert rep.pushed_filters  # date predicate reaches the scan
+    assert not rep.python_eval
+
+
+def test_lint_plan_flags_python_eval(spark, sf_dir):
+    from datalake_iceberg_spark.queries import multimodal
+
+    rep = plans.lint_plan(multimodal.mm_decode_features(spark, sf_dir), allow_python=False)
+    assert rep.python_eval  # mapInPandas decode is the known Python seam
+    assert any("Python" in f for f in rep.findings)
 
 
 def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
