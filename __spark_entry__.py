@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from datalake_iceberg_spark.queries import (
     analytics,
+    approx,
     asof,
     dedup,
     multimodal,
@@ -54,6 +55,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": analytics.sessionize_events,
         "asof_purchase_click": asof.asof_purchase_click,
         "errors_context_window": asof.errors_context_window,
+        "value_percentiles": approx.value_percentiles,
+        # approximate sketches: estimates are implementation-defined, so
+        # these take the driver's rows-only check; tolerance vs exact is
+        # graded in tests/test_approx.py
+        "approx_distinct_users": approx.approx_distinct_users,
+        "approx_value_quantiles": approx.approx_value_quantiles,
         # --- text analysis ---
         "token_stats": textops.token_stats,
         "quality_score": textops.quality_score,
@@ -103,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": analytics.SESSIONIZE_SQL,
         "asof_purchase_click": asof.ASOF_PURCHASE_CLICK_SQL,
         "errors_context_window": asof.ERRORS_CONTEXT_SQL,
+        "value_percentiles": approx.VALUE_PERCENTILES_SQL,
         "token_stats": textops.TOKEN_STATS_SQL,
         "quality_score": textops.QUALITY_SCORE_SQL,
         "lang_id": textops.LANG_ID_SQL,

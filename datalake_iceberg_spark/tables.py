@@ -497,3 +497,23 @@ class LakeCatalog:
             f"{schema}.{t}" for t in os.listdir(d)
             if os.path.exists(os.path.join(d, t, "metadata", "_current"))
         )
+
+
+def copy_table(
+    source: LakeCatalog,
+    target: LakeCatalog,
+    name: str,
+    target_name: str | None = None,
+    version: int | None = None,
+) -> LakeTable:
+    """Catalog-to-catalog table copy (the reference's dual-catalog
+    migration flow, ``tests/00.session_multi_catalog.ipynb``: prod →
+    qa with independent credentials per catalog). Copies one snapshot's
+    data through a full scan + RTAS, preserving key/bucket layout."""
+    src = source.table(name)
+    snap = src.snapshot(version)
+    df = src.read(version)
+    dst = target.table(target_name or name)
+    dst.create_or_replace(df, key=snap.key, n_buckets=snap.n_buckets,
+                          properties=dict(snap.properties))
+    return dst

@@ -1,0 +1,48 @@
+"""Catalog semantics the reference pins: case-sensitive table identity
+(tb_lower vs TB_UPPER are distinct tables), and dual-catalog migration."""
+
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.tables import LakeCatalog, copy_table
+
+
+def _df(spark, tag, n=10):
+    return spark.range(n).select(
+        F.col("id").alias("pk"), F.lit(tag).alias("src")
+    )
+
+
+def test_case_sensitive_table_identity(spark, tmp_path):
+    """The reference runs spark.sql.caseSensitive=true because source
+    schemas carry tb_lower / TB_UPPER / TB_COMPOSITE_KEY side by side
+    (submit-command/kafka_to_iceberg.sh:21)."""
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    cat.create_or_replace("store.tb_lower", _df(spark, "lower"), key=["pk"])
+    cat.create_or_replace("store.TB_UPPER", _df(spark, "UPPER", n=5), key=["pk"])
+    assert cat.table("store.tb_lower").read().count() == 10
+    assert cat.table("store.TB_UPPER").read().count() == 5
+    assert {r.src for r in cat.table("store.TB_UPPER").read().collect()} == {"UPPER"}
+    assert sorted(cat.list_tables("store")) == ["store.TB_UPPER", "store.tb_lower"]
+    # case-sensitive column identity survives round-trip
+    both = spark.createDataFrame([(1, "a", "b")], "pk long, col string, COL string")
+    t = cat.create_or_replace("store.TB_COMPOSITE_KEY", both, key=["pk"])
+    assert [c for c in t.read().columns] == ["pk", "col", "COL"]
+
+
+def test_dual_catalog_migration(spark, tmp_path):
+    prod = LakeCatalog(spark, str(tmp_path / "prod"))
+    qa = LakeCatalog(spark, str(tmp_path / "qa"))
+    t = prod.create_or_replace("db.users", _df(spark, "v0"), key=["pk"], n_buckets=4)
+    t.merge(_df(spark, "v1", n=3))  # version 1 modifies 3 rows
+
+    # copy current version
+    dst = copy_table(prod, qa, "db.users")
+    assert dst.read().count() == 10
+    assert dst.read().filter(F.col("src") == "v1").count() == 3
+    # layout preserved
+    assert dst.snapshot().key == ["pk"] and dst.snapshot().n_buckets == 4
+
+    # copy a historical version under a new name
+    dst0 = copy_table(prod, qa, "db.users", target_name="db.users_v0", version=0)
+    assert dst0.read().filter(F.col("src") == "v1").count() == 0
+    assert sorted(qa.list_tables("db")) == ["db.users", "db.users_v0"]
