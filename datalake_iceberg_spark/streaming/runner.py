@@ -55,6 +55,12 @@ class SourceConfig:
     schema: T.StructType | str | None = None  # envelope schema (required for json)
     key_cols: list[str] = field(default_factory=list)
     max_files_per_trigger: int | None = None  # rate cap (maxOffsetsPerTrigger analogue)
+    options: dict = field(default_factory=dict)  # extra reader options
+    # wire-decode seam applied to the stream before the CDC pipeline —
+    # e.g. cdc.debezium.parse_json_envelope for raw Debezium bytes, or
+    # from_avro when the spark-avro jar is deployed (the analogue of the
+    # reference's in-stream Confluent decode, cdc_pipeline.py:406-410)
+    pre_transform: "object | None" = None
 
 
 class StopSignal:
@@ -132,7 +138,12 @@ class CdcStreamRunner:
             reader = reader.schema(schema)
         if source.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", source.max_files_per_trigger)
-        return reader.load(source.path)
+        for k, v in source.options.items():
+            reader = reader.option(k, v)
+        stream = reader.load(source.path)
+        if source.pre_transform is not None:
+            stream = source.pre_transform(stream)
+        return stream
 
     # ------------------------------------------------------------- batch
     def _process_batch(

@@ -1,0 +1,93 @@
+"""Full-path integration: raw Debezium-JSON bytes on disk → streaming
+decode (pre_transform seam) → CDC pipeline → lake table, with
+exactly-once incremental drains and watermark ledger records."""
+
+import json
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datalake_iceberg_spark.cdc import debezium as dz
+from datalake_iceberg_spark.functions.keys import surrogate_key
+from datalake_iceberg_spark.ops.watermark import WatermarkStore
+from datalake_iceberg_spark.streaming.runner import CdcStreamRunner, SourceConfig
+from datalake_iceberg_spark.tables import LakeCatalog
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("pk", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+
+
+def _msg(op, pk, name, amount, ts_ms):
+    p = {"pk": pk, "name": name, "amount": amount}
+    return {
+        "before": p if op == "d" else None,
+        "after": None if op == "d" else p,
+        "source": {"version": "2.5", "connector": "mysql", "name": "local",
+                   "ts_ms": ts_ms, "snapshot": "false", "db": "store", "table": "tb"},
+        "op": op,
+        "ts_ms": ts_ms,
+    }
+
+
+def _write_batch(spark, src_dir, msgs, offsets, name):
+    rows = [(json.dumps(m).encode(), o) for m, o in zip(msgs, offsets)]
+    spark.createDataFrame(rows, "value binary, offset long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src_dir}/{name}")
+    time.sleep(1.1)
+
+
+def test_debezium_stream_to_lake_exactly_once(spark, tmp_path):
+    wh, src_dir = str(tmp_path / "wh"), str(tmp_path / "src")
+    cat = LakeCatalog(spark, wh)
+    store = WatermarkStore(cat)
+    store.ensure_tables()
+
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], PAYLOAD
+    )
+    target = cat.create_or_replace(
+        "store.tb", surrogate_key(base, ["pk"]), key=["id_iceberg"]
+    )
+
+    runner = CdcStreamRunner(
+        spark, store=store, checkpoint_root=str(tmp_path / "ck"), dag_id="it"
+    )
+    source = SourceConfig(
+        name="store.tb",
+        path=src_dir,
+        format="parquet",
+        schema="value binary, offset long",
+        key_cols=["pk"],
+        options={"recursiveFileLookup": "true"},
+        pre_transform=lambda df: dz.parse_json_envelope(df, PAYLOAD),
+    )
+
+    # drain 1: update pk=2 twice (later offset wins), insert pk=4, delete pk=3
+    _write_batch(
+        spark, src_dir,
+        [_msg("u", 2, "b2", 2.5, 1000), _msg("u", 2, "b3", 2.7, 1001),
+         _msg("c", 4, "d", 4.0, 1002), _msg("d", 3, "c", 3.0, 1003)],
+        [10, 11, 12, 13], "b1",
+    )
+    runner.run_source(source, target, timeout_sec=120)
+    state = {r.pk: (r.name, r.amount) for r in target.read().collect()}
+    assert state == {1: ("a", 1.0), 2: ("b3", 2.7), 4: ("d", 4.0)}
+
+    # drain 2: only the new file is processed (exactly-once via checkpoint)
+    _write_batch(spark, src_dir, [_msg("u", 1, "a9", 9.9, 2000)], [14], "b2")
+    runner.run_source(source, target, timeout_sec=120)
+    state = {r.pk: (r.name, r.amount) for r in target.read().collect()}
+    assert state == {1: ("a9", 9.9), 2: ("b3", 2.7), 4: ("d", 4.0)}
+
+    # ledger recorded both drains for this source
+    cdc_rows = store.cdc().read().filter(F.col("table_name") == "tb").collect()
+    assert len(cdc_rows) >= 2
+    assert any(r.event_count == 4 for r in cdc_rows)
+    assert any(r.event_count == 1 for r in cdc_rows)
