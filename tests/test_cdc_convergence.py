@@ -1,0 +1,91 @@
+"""MERGE-idempotence / convergence properties (SURVEY §5): a randomized
+CDC event stream applied through the pipeline must converge to the
+offset-order replay state — regardless of how events are batched,
+duplicated, or (within-batch) shuffled."""
+
+import random
+
+import pytest
+from pyspark.sql import types as T
+
+from datalake_iceberg_spark.cdc import pipeline as cdc
+from datalake_iceberg_spark.functions.keys import surrogate_key
+from datalake_iceberg_spark.tables import LakeCatalog
+from datalake_iceberg_spark.testing import datagen
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("pk", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("active", T.BooleanType()),
+    ]
+)
+KEYS = ["pk"]
+
+
+def _fresh_table(spark, tmp_path, tag):
+    cat = LakeCatalog(spark, str(tmp_path / f"wh_{tag}"))
+    empty = spark.createDataFrame([], SCHEMA)
+    return cat.create_or_replace(
+        f"db.t_{tag}", surrogate_key(empty, KEYS), key=["id_iceberg"]
+    )
+
+
+def _apply_batches(spark, table, batches):
+    for batch in batches:
+        if not batch:
+            continue
+        env = datagen.envelope_df(spark, SCHEMA, KEYS, batch)
+        upserts, deletes = cdc.transform_and_dedup(env, table, KEYS)
+        cdc.apply_cdc_changes(table, upserts, deletes)
+
+
+def _table_state(table):
+    return {
+        (r.pk,): {"pk": r.pk, "name": r.name, "amount": r.amount, "active": r.active}
+        for r in table.read().collect()
+    }
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_stream_converges_to_replay_state(spark, tmp_path, seed):
+    events = list(datagen.generate_envelope_stream(SCHEMA, KEYS, 120, seed=seed))
+    expected = datagen.expected_final_state(events, KEYS)
+
+    table = _fresh_table(spark, tmp_path, f"replay{seed}")
+    # batch arbitrarily: 3 uneven micro-batches, events in offset order
+    batches = [events[:50], events[50:55], events[55:]]
+    _apply_batches(spark, table, batches)
+    assert _table_state(table) == expected
+
+
+def test_duplicated_and_shuffled_batches_converge(spark, tmp_path):
+    """At-least-once delivery: re-delivered events and arbitrary
+    within-batch arrival order must not change the final state (the
+    dedup-latest + keyed-MERGE contract the reference relies on)."""
+    events = list(datagen.generate_envelope_stream(SCHEMA, KEYS, 100, seed=13))
+    expected = datagen.expected_final_state(events, KEYS)
+
+    rng = random.Random(99)
+    b1 = events[:60]
+    b1_shuffled = sorted(b1, key=lambda e: rng.random())
+    replay_of_b1_tail = events[40:60]  # duplicate delivery of old events
+    b2 = events[60:]
+    b2_shuffled = sorted(b2, key=lambda e: rng.random())
+
+    table = _fresh_table(spark, tmp_path, "dup")
+    _apply_batches(spark, table, [b1_shuffled, replay_of_b1_tail + b2_shuffled])
+    assert _table_state(table) == expected
+
+
+def test_exact_replay_is_idempotent(spark, tmp_path):
+    """Applying the whole stream twice = applying it once... for every
+    key whose final op is an upsert. (A trailing delete replayed is also
+    a delete — still idempotent.)"""
+    events = list(datagen.generate_envelope_stream(SCHEMA, KEYS, 80, seed=5))
+    expected = datagen.expected_final_state(events, KEYS)
+    table = _fresh_table(spark, tmp_path, "idem")
+    _apply_batches(spark, table, [events])
+    _apply_batches(spark, table, [events])  # full redelivery
+    assert _table_state(table) == expected
