@@ -262,3 +262,30 @@ def analyze_eventlog(path: str | Path) -> dict[str, Any]:
         "stages": stages,
     }
     return report
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI: ``python -m datalake_iceberg_spark.ops.eventlog <log-path>``
+    — prints the report as JSON (the reference ships the analyzer as a
+    standalone CLI too, ``src/analyze_spark_eventlog.py``)."""
+    import argparse
+    import dataclasses
+    import json as _json
+    import sys
+
+    ap = argparse.ArgumentParser(description="Spark event-log health analyzer")
+    ap.add_argument("path", help="event-log file or v2 rolling directory")
+    ap.add_argument("--stages", action="store_true", help="include per-stage rows")
+    ns = ap.parse_args(argv)
+    report = analyze_eventlog(ns.path)
+    if ns.stages:
+        report["stages"] = [dataclasses.asdict(s) for s in report["stages"]]
+    else:
+        report.pop("stages")
+    _json.dump(report, sys.stdout, indent=2, default=str)
+    print()
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

@@ -76,16 +76,19 @@ def decode_assets(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                decoder = _DECODERS.get(r["modality"], _fake_decode)
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+            # itertuples, not iterrows: no per-row Series construction
+            for asset_id, modality, payload in pdf[
+                ["asset_id", "modality", "payload"]
+            ].itertuples(index=False, name=None):
+                decoder = _DECODERS.get(modality, _fake_decode)
+                payload = bytes(payload) if payload is not None else b""
                 stats = decoder(payload)
                 digest = hashlib.md5(payload).digest()
                 feature = [
                     (digest[i % len(digest)] / 255.0) * stats.get("mean_intensity", 1.0)
                     for i in range(feature_dim)
                 ]
-                rows.append((r["asset_id"], r["modality"], len(payload), feature))
+                rows.append((asset_id, modality, len(payload), feature))
             yield pd.DataFrame(rows, columns=["asset_id", "modality", "n_bytes", "feature"])
 
     return df.select("asset_id", "modality", "payload").mapInPandas(run, out_schema)

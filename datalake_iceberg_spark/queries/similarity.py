@@ -148,7 +148,6 @@ def centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     The IVF coarse-quantizer shape: trains centroids with one groupBy
     (map-side partial agg), scores with a broadcast join."""
     emb = load(spark, sf_dir, "embeddings")
-    dim_idx = F.sequence(F.lit(0), F.size("embedding") - 1)
     exploded = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
     )

@@ -130,17 +130,24 @@ class CdcStreamRunner:
 
     # ------------------------------------------------------------- source
     def _read_stream(self, source: SourceConfig) -> DataFrame:
+        """File-backed sources take ``path``; ``format="kafka"`` takes
+        broker/subscribe via ``options`` instead (the reference's source,
+        ``cdc_pipeline.py:384-395`` — ``subscribe``,
+        ``kafka.bootstrap.servers``, ``maxOffsetsPerTrigger``,
+        ``startingOffsets``, ``failOnDataLoss``) and the wire decode
+        plugs in through ``pre_transform``."""
         reader = self.spark.readStream.format(source.format)
-        if source.schema is not None:
+        if source.format != "kafka" and source.schema is not None:
             schema = source.schema
             if isinstance(schema, str):
                 schema = T.StructType.fromDDL(schema)
             reader = reader.schema(schema)
         if source.max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", source.max_files_per_trigger)
+            cap = "maxOffsetsPerTrigger" if source.format == "kafka" else "maxFilesPerTrigger"
+            reader = reader.option(cap, source.max_files_per_trigger)
         for k, v in source.options.items():
             reader = reader.option(k, v)
-        stream = reader.load(source.path)
+        stream = reader.load() if source.format == "kafka" else reader.load(source.path)
         if source.pre_transform is not None:
             stream = source.pre_transform(stream)
         return stream
