@@ -74,6 +74,48 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
+    # DML throughput on the lakehouse core (the reference's actual
+    # workload: snapshot RTAS + keyed CDC merge/delete), at the same SF
+    dml: dict[str, float] = {}
+    try:
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from datalake_iceberg_spark.functions.keys import surrogate_key
+        from datalake_iceberg_spark.tables import LakeCatalog
+
+        wh = tempfile.mkdtemp(prefix="bench_dml_wh_")
+        cat = LakeCatalog(spark, wh)
+        orders = surrogate_key(
+            spark.read.parquet(f"{sf_dir}/orders.parquet"), ["o_orderkey"]
+        )
+        t0 = time.perf_counter()
+        table = cat.create_or_replace("bench.orders", orders, key=["id_iceberg"])
+        dml["rtas_orders"] = round(time.perf_counter() - t0, 3)
+
+        upd = orders.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+            "o_orderpriority", F.lit("BENCH")
+        )
+        t0 = time.perf_counter()
+        table.merge(upd, assert_unique_key=False)
+        dml["merge_1pct"] = round(time.perf_counter() - t0, 3)
+
+        dels = orders.filter(F.col("o_orderkey") % 100 == 1).select("id_iceberg")
+        t0 = time.perf_counter()
+        table.delete_keys(dels)
+        dml["delete_1pct"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        table.rewrite_data_files(min_input_dirs=1)
+        table.expire_snapshots(keep_last=1)
+        dml["compact_expire"] = round(time.perf_counter() - t0, 3)
+        for name, sec in dml.items():
+            print(f"# dml {name}: {sec:.3f}s", file=sys.stderr)
+        shutil.rmtree(wh, ignore_errors=True)
+    except Exception as ex:  # DML bench must never fail the headline run
+        print(f"# dml bench skipped: {ex}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     spark.stop()
 
@@ -103,6 +145,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "dml": dml,
         "sf": sf,
         "health": health,
     }))

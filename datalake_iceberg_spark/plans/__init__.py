@@ -65,7 +65,14 @@ def has_python_eval(text: str) -> bool:
 
 
 def has_cartesian(text: str) -> bool:
-    return "CartesianProduct" in text or "BroadcastNestedLoopJoin" in text
+    """Both-sides-large cartesian — never acceptable."""
+    return "CartesianProduct" in text
+
+
+def has_nested_loop(text: str) -> bool:
+    """Broadcast nested-loop — acceptable ONLY when one side is
+    deliberately tiny (scalar subquery, small broadcast cross join)."""
+    return "BroadcastNestedLoopJoin" in text
 
 
 @dataclass
@@ -77,6 +84,7 @@ class PlanReport:
     pushed_filters: list[str]
     python_eval: bool
     cartesian: bool
+    nested_loop: bool
     findings: list[str] = field(default_factory=list)
 
 
@@ -97,9 +105,14 @@ def lint_plan(
         pushed_filters=pushed_filters(text),
         python_eval=has_python_eval(text),
         cartesian=has_cartesian(text),
+        nested_loop=has_nested_loop(text),
     )
     if rep.cartesian:
-        rep.findings.append("cartesian/nested-loop join — quadratic at scale")
+        rep.findings.append("CartesianProduct — quadratic at scale")
+    if rep.nested_loop:
+        rep.findings.append(
+            "BroadcastNestedLoopJoin — acceptable only against a tiny broadcast side"
+        )
     if max_hash_shuffles is not None and rep.hash_shuffles > max_hash_shuffles:
         rep.findings.append(
             f"{rep.hash_shuffles} hash shuffles > budget {max_hash_shuffles}"

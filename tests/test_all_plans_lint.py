@@ -1,0 +1,31 @@
+"""Every query on the driver surface must pass the plan lint: no
+cartesian/nested-loop joins anywhere, and Python evaluation only in the
+declared multimodal decode seam."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from datalake_iceberg_spark import plans
+
+QUERIES = entrymod.queries()
+
+# the one intentional Python seam (Arrow-batched mapInPandas decode)
+PYTHON_SEAMS = {"mm_decode_features"}
+
+# declared tiny-side broadcast cross joins (the canonical Spark plan for
+# scalar subqueries and bounded query sets — NOT data×data cartesians):
+#   knn_bruteforce: 10-row query set × candidates (exact baseline)
+#   ivf_ann_topk:   10-row query set × ~10 centroids (coarse probe)
+#   q22:            1-row scalar avg × customer
+SMALL_CROSS = {"knn_bruteforce", "ivf_ann_topk", "q22_dormant_customers"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_plan_lint(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    rep = plans.lint_plan(df, expect_pushdown=False, allow_python=name in PYTHON_SEAMS)
+    assert not rep.cartesian, f"{name}: CartesianProduct\n{rep}"
+    if name not in SMALL_CROSS:
+        assert not rep.nested_loop, f"{name}: undeclared nested-loop join\n{rep}"
+    if name not in PYTHON_SEAMS:
+        assert not rep.python_eval, f"{name}: unexpected Python evaluation"
