@@ -94,20 +94,38 @@ ORDER BY query_id, rank
 """
 
 
-def _hyperplane(plane_idx: int, dim: int = 64):
+def _hyperplane_signs(plane_idx: int, dim: int = 64) -> list[int]:
     """Deterministic pseudo-random hyperplane: component j ∈ {-1, +1}
-    from parity of md5 hex — portable, no RNG state."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            F.ascii(
-                F.substring(
-                    F.md5(F.concat_ws("_", F.lit(str(plane_idx)), j.cast("string"))),
-                    1, 1,
-                )
-            ) % 2
-        ).cast("double") * 2 - 1,
-    )
+    from parity of md5 hex — portable, no RNG state. Computed in Python
+    (hashlib md5 == Spark md5 == DuckDB md5 on the same string), so the
+    plane is a plan-time CONSTANT, not 64 interpreted md5 calls per row."""
+    import hashlib
+
+    signs = []
+    for j in range(dim):
+        h = hashlib.md5(f"{plane_idx}_{j}".encode()).hexdigest()
+        signs.append((ord(h[0]) % 2) * 2 - 1)
+    return signs
+
+
+def _plane_dot(emb_col, plane_idx: int, dim: int = 64):
+    """dot(embedding, hyperplane) as a flat ±element sum — stays in
+    whole-stage codegen (the zip_with/aggregate HOF form is interpreted
+    and re-evaluated per band expression: ~500 md5s per row per leg)."""
+    signs = _hyperplane_signs(plane_idx, dim)
+    terms = [
+        F.element_at(emb_col, j + 1).cast("double") * signs[j] for j in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _hyperplane(plane_idx: int, dim: int = 64):
+    """Hyperplane as a literal array column (for callers that want the
+    vector itself)."""
+    return F.array(*[F.lit(float(s)) for s in _hyperplane_signs(plane_idx, dim)])
 
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,7 +134,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (vec_id, label, bucket)."""
     emb = load(spark, sf_dir, "embeddings")
     bits = [
-        F.when(_dot(F.col("embedding"), _hyperplane(p)) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        F.when(_plane_dot(F.col("embedding"), p) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
         for p in range(N_PLANES)
     ]
     bucket = sum(bits).cast("int")
@@ -181,7 +199,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (a_id, b_id, cosine)."""
     emb = load(spark, sf_dir, "embeddings")
     bits = [
-        F.when(_dot(F.col("embedding"), _hyperplane(p)) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        F.when(_plane_dot(F.col("embedding"), p) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
         for p in range(N_PLANES)
     ]
     withb = emb.select(
