@@ -37,21 +37,30 @@ def _token_count():
     ).otherwise(F.size(F.split(F.trim(F.col("text")), " ")))
 
 
+# BPE-style pre-tokenizer pattern (the GPT-2 shape, simplified to the
+# POSIX-portable subset both engines share): letter runs, digit runs,
+# and single non-alphanumeric marks each count as one token.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token count + char stats per document."""
+    """Whitespace token count, BPE-ish regex token count (the LLM
+    budget estimator), and char stats per document."""
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         _token_count().alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)).alias("n_bpe_tokens"),
         F.length("text").alias("text_len"),
         F.length(F.regexp_replace("text", "[^a-z]", "")).alias("n_alpha"),
     ).orderBy("doc_id")
 
 
-TOKEN_STATS_SQL = """
+TOKEN_STATS_SQL = f"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len(string_split(trim(text), ' ')) END AS n_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
        length(text) AS text_len,
        length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
 FROM documents
