@@ -46,3 +46,29 @@ def test_dual_catalog_migration(spark, tmp_path):
     dst0 = copy_table(prod, qa, "db.users", target_name="db.users_v0", version=0)
     assert dst0.read().filter(F.col("src") == "v1").count() == 0
     assert sorted(qa.list_tables("db")) == ["db.users", "db.users_v0"]
+
+
+def test_point_lookup_prunes_buckets(spark, tmp_path):
+    from datalake_iceberg_spark.tables import bucket_expr
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_lookup"))
+    df = spark.range(1000).select(
+        F.col("id").alias("pk"), (F.col("id") * 2).alias("v")
+    )
+    t = cat.create_or_replace("db.pts", df, key=["pk"], n_buckets=16)
+
+    keys = spark.createDataFrame([(7,), (423,), (999,)], "pk long")
+    out = t.lookup(keys).collect()
+    assert {(r.pk, r.v) for r in out} == {(7, 14), (423, 846), (999, 1998)}
+
+    # pruning is real: the affected-bucket set is smaller than the table
+    affected = t._affected_buckets(keys, t.snapshot())
+    assert 1 <= len(affected) <= 3 < 16
+
+    # lookup of an absent key returns nothing
+    assert t.lookup(spark.createDataFrame([(123456,)], "pk long")).count() == 0
+
+    # time-travel lookup sees the old value
+    t.update_where("pk = 7", {"v": 0})
+    assert t.lookup(keys).filter(F.col("pk") == 7).first().v == 0
+    assert t.lookup(keys, version=0).filter(F.col("pk") == 7).first().v == 14
