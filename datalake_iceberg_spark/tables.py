@@ -40,7 +40,7 @@ import os
 import shutil
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from typing import Any
 
@@ -79,6 +79,11 @@ class Snapshot:
     buckets: dict[str, list[str]]  # bucket id (str) -> relative data dirs
     properties: dict[str, str]
     summary: dict[str, Any]
+    # per-dir column stats for data skipping (dir -> col -> [min, max]),
+    # harvested from parquet footers at commit time (Iceberg-manifest
+    # analogue). Older manifests without stats load fine (empty = no
+    # skipping for those dirs).
+    stats: dict[str, dict[str, list]] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=1, sort_keys=True)
@@ -103,6 +108,9 @@ class LakeTable:
         self.location = location.rstrip("/")
         self.meta_dir = os.path.join(self.location, "metadata")
         self.data_dir = os.path.join(self.location, "data")
+        # rel_dir -> {col: [min, max]} harvested by _write_bucketed,
+        # attached to the snapshot by _commit
+        self._pending_stats: dict[str, dict[str, list]] = {}
 
     # ------------------------------------------------------------------ meta
     def exists(self) -> bool:
@@ -137,8 +145,16 @@ class LakeTable:
         for attempt in range(COMMIT_RETRIES + 1):
             parent = self.snapshot() if self.exists() else None
             snap = build_snapshot(parent)
+            # carry forward / attach per-dir column stats for the dirs
+            # that survive into this snapshot (data-skipping manifests)
+            inherited = dict(parent.stats) if parent else {}
+            inherited.update(self._pending_stats)
+            snap.stats = {
+                d: inherited[d] for d in snap.all_dirs() if d in inherited
+            }
             try:
                 self._write_manifest(snap)
+                self._pending_stats = {}
                 return snap
             except FileExistsError:
                 if attempt == COMMIT_RETRIES:
@@ -176,10 +192,53 @@ class LakeTable:
             out: dict[str, list[str]] = {}
             for entry in sorted(os.listdir(abs_dir)):
                 if entry.startswith("_bucket="):
-                    out[entry.split("=", 1)[1]] = [f"{rel}/{entry}"]
+                    bucket_rel = f"{rel}/{entry}"
+                    out[entry.split("=", 1)[1]] = [bucket_rel]
+                    self._harvest_stats(bucket_rel)
             return out
         df.write.mode("overwrite").parquet(abs_dir)
+        self._harvest_stats(rel)
         return {"0": [rel]}
+
+    def _harvest_stats(self, rel_dir: str) -> None:
+        """Per-column min/max from the parquet FOOTERS of a data dir —
+        no data pages read (the Iceberg manifest-stats analogue; on a
+        cluster this metadata comes back with the write tasks). Only
+        JSON-portable scalar types are kept; any error degrades to
+        no-stats (= no skipping) for the dir, never a failed commit."""
+        try:
+            import pyarrow.parquet as pq
+
+            abs_dir = os.path.join(self.location, rel_dir)
+            mins: dict[str, Any] = {}
+            maxs: dict[str, Any] = {}
+            for fname in os.listdir(abs_dir):
+                if not fname.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(abs_dir, fname)).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        st = col.statistics
+                        name = col.path_in_schema
+                        if st is None or not st.has_min_max or "." in name:
+                            continue
+                        lo, hi = st.min, st.max
+                        if isinstance(lo, bytes) or isinstance(hi, bytes):
+                            continue
+                        if hasattr(lo, "isoformat"):
+                            lo, hi = lo.isoformat(), hi.isoformat()
+                        if name not in mins or lo < mins[name]:
+                            mins[name] = lo
+                        if name not in maxs or hi > maxs[name]:
+                            maxs[name] = hi
+            if mins:
+                self._pending_stats[rel_dir] = {
+                    c: [mins[c], maxs[c]] for c in mins if c in maxs
+                }
+        except Exception:  # noqa: BLE001 — stats are best-effort
+            pass
 
     def _read_dirs(self, rel_dirs: list[str]) -> DataFrame:
         if not rel_dirs:
@@ -195,6 +254,51 @@ class LakeTable:
         if not paths:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*paths)
+
+    @staticmethod
+    def _dir_may_match(dstats: dict[str, list], filters) -> bool:
+        for col, op, value in filters:
+            if col not in dstats:
+                continue
+            lo, hi = dstats[col]
+            v = value.isoformat() if hasattr(value, "isoformat") else value
+            try:
+                if op in (">", ">=") and (hi < v or (op == ">" and hi <= v)):
+                    return False
+                if op in ("<", "<=") and (lo > v or (op == "<" and lo >= v)):
+                    return False
+                if op in ("=", "==") and (v < lo or v > hi):
+                    return False
+            except TypeError:
+                continue  # incomparable types → can't prune
+        return True
+
+    def candidate_dirs(self, filters, version: int | None = None) -> list[str]:
+        """Data-skipping: dirs whose footer min/max could satisfy the
+        conjunction of ``(col, op, value)`` filters."""
+        snap = self.snapshot(version)
+        return [
+            d
+            for d in snap.all_dirs()
+            if self._dir_may_match(snap.stats.get(d, {}), filters)
+        ]
+
+    def scan(self, filters, version: int | None = None) -> DataFrame:
+        """Filtered scan with manifest-level data skipping: directories
+        whose column stats can't satisfy the predicate are never listed
+        (on top of parquet's own row-group pruning). ``filters`` is a
+        conjunction of ``(col, op, value)``, op ∈ {<, <=, >, >=, =}.
+        The exact predicate is re-applied on the surviving data."""
+        dirs = self.candidate_dirs(filters, version)
+        df = self._read_dirs(dirs)
+        ops = {
+            ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
+            "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
+            "=": lambda c, v: c == v, "==": lambda c, v: c == v,
+        }
+        for col, op, value in filters:
+            df = df.filter(ops[op](F.col(col), F.lit(value)))
+        return df
 
     def read_buckets(self, bucket_ids: list[int], version: int | None = None) -> DataFrame:
         """Bucket-pruned scan — the point-lookup / merge-target path."""

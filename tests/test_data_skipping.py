@@ -1,0 +1,63 @@
+"""Manifest-level data skipping: parquet-footer min/max stats harvested
+at commit time prune whole directories from filtered scans."""
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.tables import LakeCatalog
+
+
+def _batch(spark, lo, hi, day):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("pk"),
+        F.col("id").cast("double").alias("v"),
+        F.lit(datetime(2024, 1, day, tzinfo=timezone.utc)).alias("ts"),
+    )
+
+
+def test_scan_skips_disjoint_dirs(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = cat.create_or_replace("db.facts", _batch(spark, 0, 100, 1))
+    t.append(_batch(spark, 100, 200, 2))
+    t.append(_batch(spark, 200, 300, 3))
+    snap = t.snapshot()
+    assert len(snap.all_dirs()) == 3
+    # stats recorded for every dir
+    assert set(snap.stats) == set(snap.all_dirs())
+    assert all("pk" in s and "v" in s for s in snap.stats.values())
+
+    # range filter on pk prunes to one dir
+    cands = t.candidate_dirs([("pk", ">=", 120), ("pk", "<", 180)])
+    assert len(cands) == 1
+    out = t.scan([("pk", ">=", 120), ("pk", "<", 180)])
+    assert out.count() == 60
+    assert out.agg(F.min("pk"), F.max("pk")).first() == (120, 179)
+
+    # equality filter
+    assert len(t.candidate_dirs([("pk", "=", 250)])) == 1
+    assert t.scan([("pk", "=", 250)]).count() == 1
+
+    # timestamp filter prunes by day
+    cands_ts = t.candidate_dirs([("ts", ">=", datetime(2024, 1, 3))])
+    assert len(cands_ts) == 1
+    assert t.scan([("ts", ">=", datetime(2024, 1, 3))]).count() == 100
+
+    # unprunable filter (no stats column) keeps everything and still
+    # returns the right answer
+    assert t.scan([("v", "<", 50.0)]).count() == 50
+
+
+def test_skipping_survives_dml(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "wh2"))
+    t = cat.create_or_replace("db.keyed", _batch(spark, 0, 100, 1), key=["pk"], n_buckets=4)
+    t.append(_batch(spark, 100, 200, 2))
+    snap = t.snapshot()
+    # bucketed dirs carry stats too
+    assert set(snap.stats) == set(snap.all_dirs())
+    # merge rewrites some buckets; stats follow the surviving dirs
+    t.merge(_batch(spark, 0, 10, 5))
+    snap2 = t.snapshot()
+    assert set(snap2.stats) == set(snap2.all_dirs())
+    total = t.scan([("pk", "<", 1000)]).count()
+    assert total == 200
