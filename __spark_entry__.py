@@ -21,6 +21,7 @@ from datalake_iceberg_spark.queries import (
     multimodal,
     similarity,
     textops,
+    tpch_ext,
 )
 
 
@@ -43,6 +44,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume": analytics.q18_large_volume,
         "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
         "q22_dormant_customers": analytics.q22_dormant_customers,
+        "q2_min_cost_supplier": tpch_ext.q2_min_cost_supplier,
+        "q8_market_share": tpch_ext.q8_market_share,
+        "q9_nation_profit": tpch_ext.q9_nation_profit,
+        "q12_priority_shipping": tpch_ext.q12_priority_shipping,
+        "q13_order_distribution": tpch_ext.q13_order_distribution,
+        "q15_top_supplier": tpch_ext.q15_top_supplier,
+        "q16_supplier_part_count": tpch_ext.q16_supplier_part_count,
+        "q17_small_qty_revenue": tpch_ext.q17_small_qty_revenue,
+        "q20_volume_suppliers": tpch_ext.q20_volume_suppliers,
+        "q21_waiting_suppliers": tpch_ext.q21_waiting_suppliers,
         "top_parts_per_brand": analytics.top_parts_per_brand,
         "dedup_latest_events": analytics.dedup_latest_events,
         "purge_keep_latest": analytics.purge_keep_latest,
@@ -98,6 +109,16 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume": analytics.Q18_SQL,
         "q19_disjunctive_revenue": analytics.Q19_SQL,
         "q22_dormant_customers": analytics.Q22_SQL,
+        "q2_min_cost_supplier": tpch_ext.Q2_SQL,
+        "q8_market_share": tpch_ext.Q8_SQL,
+        "q9_nation_profit": tpch_ext.Q9_SQL,
+        "q12_priority_shipping": tpch_ext.Q12_SQL,
+        "q13_order_distribution": tpch_ext.Q13_SQL,
+        "q15_top_supplier": tpch_ext.Q15_SQL,
+        "q16_supplier_part_count": tpch_ext.Q16_SQL,
+        "q17_small_qty_revenue": tpch_ext.Q17_SQL,
+        "q20_volume_suppliers": tpch_ext.Q20_SQL,
+        "q21_waiting_suppliers": tpch_ext.Q21_SQL,
         "top_parts_per_brand": analytics.TOP_PARTS_SQL,
         "dedup_latest_events": analytics.DEDUP_LATEST_SQL,
         "purge_keep_latest": analytics.PURGE_KEEP_LATEST_SQL,
