@@ -45,9 +45,13 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     other vectors. Query side broadcast; rank window per query."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -57,7 +61,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_id",
             F.round(
                 _dot(F.col("q_emb"), F.col("c_emb"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+                / (F.col("q_nrm") * F.col("c_nrm")),
                 6,
             ).alias("cosine"),
         )
@@ -109,17 +113,20 @@ def _hyperplane_signs(plane_idx: int, dim: int = 64) -> list[int]:
 
 
 def _plane_dot(emb_col, plane_idx: int, dim: int = 64):
-    """dot(embedding, hyperplane) as a flat ±element sum — stays in
-    whole-stage codegen (the zip_with/aggregate HOF form is interpreted
-    and re-evaluated per band expression: ~500 md5s per row per leg)."""
-    signs = _hyperplane_signs(plane_idx, dim)
-    terms = [
-        F.element_at(emb_col, j + 1).cast("double") * signs[j] for j in range(dim)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    """dot(embedding, hyperplane) where the hyperplane is a LITERAL
+    array constant (Python-computed signs, no per-row md5). The HOF
+    fold is interpreted, but the expression tree stays tiny — an
+    unrolled 64-term ``element_at`` sum is codegen-able yet inflates
+    the task binary to ~1.6 MB × 8 planes × 2 join legs and costs more
+    in plan/codegen time than it saves executing (measured 5.7 s → 0.9 s
+    at sf0.01 for the neardup self-join). FP order is identical to the
+    unrolled form: ``0.0 + t1 + … + t64`` left-assoc."""
+    plane = F.array(*[F.lit(float(s)) for s in _hyperplane_signs(plane_idx, dim)])
+    return F.aggregate(
+        F.zip_with(emb_col, plane, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def _hyperplane(plane_idx: int, dim: int = 64):
@@ -202,18 +209,23 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(_plane_dot(F.col("embedding"), p) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
         for p in range(N_PLANES)
     ]
+    # norm computed ONCE per vector pre-join (O(n)), not per candidate
+    # pair (O(sum |bucket|^2)); dot/(a_nrm*b_nrm) keeps the exact FP
+    # operand order of the inline form, so oracle parity is unchanged.
     withb = emb.select(
-        F.col("vec_id"), F.col("embedding"), sum(bits).cast("int").alias("bucket")
+        F.col("vec_id"), F.col("embedding"),
+        sum(bits).cast("int").alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
     )
     a = withb.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "bucket"
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"),
+        "bucket", F.col("nrm").alias("a_nrm"),
     )
     b = withb.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), "bucket"
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"),
+        "bucket", F.col("nrm").alias("b_nrm"),
     )
-    cos = _dot(F.col("a_emb"), F.col("b_emb")) / (
-        _norm(F.col("a_emb")) * _norm(F.col("b_emb"))
-    )
+    cos = _dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
     return (
         a.join(b, "bucket")
         .where(F.col("a_id") < F.col("b_id"))
@@ -274,11 +286,12 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
     )
     # coarse probe: rank cells per query by centroid cosine, keep nprobe
     cell_scores = F.broadcast(q).crossJoin(F.broadcast(centroids)).select(
-        "query_id", "q_emb", "cell",
+        "query_id", "q_emb", "q_nrm", "cell",
         (
             _dot(F.col("q_emb"), F.col("centroid"))
             / (_norm(F.col("q_emb")) * _norm(F.col("centroid")))
@@ -288,12 +301,13 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = (
         cell_scores.withColumn("cell_rank", F.row_number().over(wq))
         .filter(F.col("cell_rank") <= N_PROBE_CELLS)
-        .select("query_id", "q_emb", "cell")
+        .select("query_id", "q_emb", "q_nrm", "cell")
     )
     cand = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("cell"),
         F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
     )
     scored = (
         F.broadcast(probed)
@@ -303,7 +317,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "cand_id",
             F.round(
                 _dot(F.col("q_emb"), F.col("c_emb"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+                / (F.col("q_nrm") * F.col("c_nrm")),
                 6,
             ).alias("cosine"),
         )
