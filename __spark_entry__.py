@@ -19,6 +19,7 @@ from datalake_iceberg_spark.queries import (
     asof,
     dedup,
     multimodal,
+    pipeline_ops,
     similarity,
     textops,
     tpch_ext,
@@ -73,6 +74,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": approx.approx_distinct_users,
         "approx_value_quantiles": approx.approx_value_quantiles,
         # --- text analysis ---
+        "props_json_stats": pipeline_ops.props_json_stats,
+        "hash_split_stats": pipeline_ops.hash_split_stats,
+        "bigram_counts": pipeline_ops.bigram_counts,
+        "regex_term_scan": pipeline_ops.regex_term_scan,
+        "tfidf_top_terms": pipeline_ops.tfidf_top_terms,
         "token_stats": textops.token_stats,
         "quality_score": textops.quality_score,
         "lang_id": textops.lang_id,
@@ -132,6 +138,11 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_click": asof.ASOF_PURCHASE_CLICK_SQL,
         "errors_context_window": asof.ERRORS_CONTEXT_SQL,
         "value_percentiles": approx.VALUE_PERCENTILES_SQL,
+        "props_json_stats": pipeline_ops.PROPS_JSON_SQL,
+        "hash_split_stats": pipeline_ops.HASH_SPLIT_SQL,
+        "bigram_counts": pipeline_ops.BIGRAM_SQL,
+        "regex_term_scan": pipeline_ops.REGEX_SCAN_SQL,
+        "tfidf_top_terms": pipeline_ops.TFIDF_SQL,
         "token_stats": textops.TOKEN_STATS_SQL,
         "quality_score": textops.QUALITY_SCORE_SQL,
         "lang_id": textops.LANG_ID_SQL,
