@@ -25,6 +25,9 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_regional_revenue",
     "q10_returned_items",
+    "q9_nation_profit",
+    "q13_order_distribution",
+    "q21_waiting_suppliers",
     "dedup_latest_events",
     "hourly_rollup_events",
     "sessionize_events",
@@ -35,6 +38,8 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "centroid_similarity",
     "quality_score",
+    "tfidf_top_terms",
+    "bigram_counts",
     "embedding_neardup_pairs",
     "ivf_ann_topk",
     "mm_asset_stats",
