@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash": dedup.simhash,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dup_clusters": dedup.dup_clusters,
         # --- similarity search ---
         "knn_bruteforce": similarity.knn_bruteforce,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": dedup.MINHASH_LSH_SQL,
         "simhash": dedup.SIMHASH_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "dup_clusters": dedup.DUP_CLUSTERS_SQL,
         "knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
         "ann_lsh_buckets": similarity.ANN_LSH_SQL,
         "centroid_similarity": similarity.CENTROID_SIM_SQL,

@@ -199,6 +199,104 @@ ORDER BY doc_a, doc_b
 """
 
 
+MAX_CC_ITERS = 50
+
+
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the LSH
+    candidate-pair graph, cluster id = min doc_id in the component.
+    The end-game of near-dup detection — every doc gets a cluster label
+    and a cluster size (1 = unique).
+
+    Implementation: iterative min-label propagation as a driver loop of
+    DataFrame joins, with ``localCheckpoint`` per round to truncate
+    lineage (the standard Spark pattern for iterative graph algorithms;
+    the edge list is checkpointed once and reused every round).
+    Converges in O(component diameter) rounds — LSH duplicate clusters
+    are near-cliques, so 2-3 rounds in practice. At 100 TB the same
+    loop holds (each round is one shuffle of (node, label) keyed by
+    node); for adversarially long chains switch to large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce"), which bounds
+    rounds at O(log n) with identical per-round shape.
+
+    Oracle: DuckDB recursive CTE computing min reachable id — an
+    independent fixpoint formulation of the same components.
+    Output: (doc_id, cluster_id, cluster_size) for every document.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    edges = minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    for _ in range(MAX_CC_ITERS):
+        neigh_min = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = (
+            labels.join(neigh_min, labels.doc_id == neigh_min.dst, "left")
+            .select(
+                labels.doc_id,
+                F.least(labels.label, F.coalesce(F.col("nmin"), labels.label)).alias("label"),
+                labels.label.alias("prev"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter(F.col("label") < F.col("prev")).count()
+        labels = stepped.drop("prev")
+        if changed == 0:
+            break
+    else:  # pragma: no cover - convergence guard
+        raise RuntimeError(f"label propagation did not converge in {MAX_CC_ITERS} rounds")
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(F.broadcast(sizes), "label")
+        .select(
+            "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE shingles AS ({_shingle_sql()}),
+sigs AS (
+  SELECT doc_id,
+         {_SIG_COLS_SQL}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  SELECT DISTINCT doc_id, band_hash FROM (
+    SELECT doc_id, unnest([{", ".join(f"band_{b}" for b in range(N_HASHES // BAND_SIZE))}]) AS band_hash
+    FROM (SELECT doc_id, {_BAND_EXPRS_SQL} FROM sigs)
+  )
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cands
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cands
+),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.id
+),
+comp AS (SELECT id AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id, cluster_size
+FROM comp JOIN (SELECT cluster_id AS cid, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+  ON cluster_id = cid
+ORDER BY doc_id
+"""
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash as an exact integer.
 
