@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_orders": analytics.merge_upsert_orders,
         "grouping_sets_revenue": analytics.grouping_sets_revenue,
         "sessionize_events": analytics.sessionize_events,
+        "rolling_revenue_7d": analytics.rolling_revenue_7d,
+        "pivot_status_by_priority": analytics.pivot_status_by_priority,
         "asof_purchase_click": asof.asof_purchase_click,
         "errors_context_window": asof.errors_context_window,
         "value_percentiles": approx.value_percentiles,
@@ -136,6 +138,8 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert_orders": analytics.MERGE_UPSERT_SQL,
         "grouping_sets_revenue": analytics.GROUPING_SETS_SQL,
         "sessionize_events": analytics.SESSIONIZE_SQL,
+        "rolling_revenue_7d": analytics.ROLLING_REVENUE_SQL,
+        "pivot_status_by_priority": analytics.PIVOT_STATUS_SQL,
         "asof_purchase_click": asof.ASOF_PURCHASE_CLICK_SQL,
         "errors_context_window": asof.ERRORS_CONTEXT_SQL,
         "value_percentiles": approx.VALUE_PERCENTILES_SQL,

@@ -541,6 +541,70 @@ ORDER BY user_id, session_seq
 """
 
 
+def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per customer — a RANGE window frame over
+    event time (absent from the reference, SURVEY §2.6 notes no frame
+    specs). The frame key is an integer day number so Spark's
+    ``rangeBetween`` and DuckDB's ``RANGE BETWEEN n PRECEDING`` agree
+    exactly, ties (same-day orders) included as frame peers by both.
+    One shuffle on o_custkey; the sort rides the window exchange."""
+    orders = load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(day.cast("long")).rangeBetween(-6, 0)
+    return (
+        orders.select(
+            "o_custkey", "o_orderdate",
+            F.sum(cents("o_totalprice")).over(w).alias("rolling_c"),
+        )
+        .select(
+            "o_custkey", "o_orderdate",
+            (F.col("rolling_c").cast("double") / 100.0).alias("revenue_7d"),
+        )
+        .orderBy("o_custkey", "o_orderdate")
+    )
+
+
+ROLLING_REVENUE_SQL = f"""
+SELECT o_custkey, o_orderdate,
+       CAST(SUM({cents_sql('o_totalprice')}) OVER (
+              PARTITION BY o_custkey
+              ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS revenue_7d
+FROM orders
+ORDER BY o_custkey, o_orderdate
+"""
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority × status as columns. The status
+    values are DECLARED (not discovered) so the plan needs no pre-scan
+    and the output schema is stable at any SF — the scale-safe pivot."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_partial"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PIVOT_STATUS_SQL = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # --- TPC-H-shape extensions (adapted to available columns; the tables
 # carry no partsupp/commitdate/shipmode, so q2/q4/q11/q12/q16/q20 keep
 # their join/agg SHAPE but use predicates the data supports) ---
