@@ -61,11 +61,22 @@ ORDER BY survivor_doc_id
 def _shingle_array():
     """Word-SHINGLE_N-grams per doc as an array column (multiset — NOT
     deduped: ``array_distinct`` is O(n²) per row and MinHash is
-    duplicate-invariant, min over a multiset == min over its set)."""
+    duplicate-invariant, min over a multiset == min over its set).
+
+    Built as zip_with over SHINGLE_N shifted slices — one linear pass
+    per doc. The index-based form (transform over sequence + slice(i))
+    re-walks the token array per index: quadratic per document, ~3×
+    slower end-to-end on the minhash pipeline at sf0.1."""
     toks = F.split(_norm_text(), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - SHINGLE_N, F.lit(-1)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_N)))
-    return F.filter(sh, lambda s: F.length(s) > 0)
+    m = F.greatest(F.size(toks) - (SHINGLE_N - 1), F.lit(1))
+    out = F.slice(toks, 1, m)
+    for j in range(1, SHINGLE_N):
+        out = F.zip_with(
+            out, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(F.size(toks) >= SHINGLE_N, out).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
