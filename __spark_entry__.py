@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": tpch_ext.q2_min_cost_supplier,
         "q8_market_share": tpch_ext.q8_market_share,
         "q9_nation_profit": tpch_ext.q9_nation_profit,
+        "q11_important_stock": tpch_ext.q11_important_stock,
         "q12_priority_shipping": tpch_ext.q12_priority_shipping,
         "q13_order_distribution": tpch_ext.q13_order_distribution,
         "q15_top_supplier": tpch_ext.q15_top_supplier,
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "q2_min_cost_supplier": tpch_ext.Q2_SQL,
         "q8_market_share": tpch_ext.Q8_SQL,
         "q9_nation_profit": tpch_ext.Q9_SQL,
+        "q11_important_stock": tpch_ext.Q11_SQL,
         "q12_priority_shipping": tpch_ext.Q12_SQL,
         "q13_order_distribution": tpch_ext.Q13_SQL,
         "q15_top_supplier": tpch_ext.Q15_SQL,

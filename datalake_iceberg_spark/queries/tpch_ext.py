@@ -180,6 +180,51 @@ ORDER BY nation, o_year DESC
 """
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose shipped value from one nation's suppliers
+    exceeds a fraction (1/10000) of that nation's total — the group-vs-
+    global-scalar HAVING. The threshold test is an int64 cross-multiply
+    (``value·10000 > total``), and the 1-row total broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    national = li.join(
+        F.broadcast(
+            sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+            .select("s_suppkey")
+        ),
+        li.l_suppkey == F.col("s_suppkey"),
+    )
+    per_part = national.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(cents("l_extendedprice")).alias("value_c")
+    )
+    total = per_part.agg(F.sum("value_c").alias("total_c"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") * 10000 > F.col("total_c"))
+        .select(
+            "p_partkey", (F.col("value_c").cast("double") / 100.0).alias("value")
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey, SUM({cents_sql('l_extendedprice')}) AS value_c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+  GROUP BY 1
+)
+SELECT p_partkey, CAST(value_c AS DOUBLE) / 100.0 AS value
+FROM per_part
+WHERE value_c * 10000 > (SELECT SUM(value_c) FROM per_part)
+ORDER BY value DESC, p_partkey
+"""
+
+
 def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12 shape: conditional counts of critical-priority orders per
     line status (shipmode stand-in) for one ship year."""
