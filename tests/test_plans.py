@@ -94,3 +94,51 @@ def test_knn_no_python_udf(spark, sf_dir):
 
     text = _explain(similarity.knn_bruteforce(spark, sf_dir))
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_q6_full_predicate_pushdown(spark, sf_dir):
+    from datalake_iceberg_spark.queries import analytics as a
+
+    text = _explain(a.q6_forecast_revenue(spark, sf_dir))
+    pushed = text.split("PushedFilters")[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    # pure scan-filter-agg: no join operator of any kind
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in text
+
+
+def test_q11_broadcast_threshold_no_cartesian_blowup(spark, sf_dir):
+    from datalake_iceberg_spark.queries import tpch_ext
+
+    text = _explain(tpch_ext.q11_important_stock(spark, sf_dir))
+    # the 1-row global total joins as a broadcast, never a shuffle
+    assert "BroadcastHashJoin" in text or "BroadcastNestedLoopJoin" in text
+    assert "CartesianProduct" not in text
+
+
+def test_q21_no_distinct_expand(spark, sf_dir):
+    from datalake_iceberg_spark.queries import tpch_ext
+
+    text = _explain(tpch_ext.q21_waiting_suppliers(spark, sf_dir))
+    # the two-level agg must not plan the countDistinct Expand (×N row
+    # blowup on the fact table)
+    assert "Expand" not in text, text
+    assert "CartesianProduct" not in text
+
+
+def test_q2_window_min_reuses_agg(spark, sf_dir):
+    from datalake_iceberg_spark.queries import tpch_ext
+
+    text = _explain(tpch_ext.q2_min_cost_supplier(spark, sf_dir))
+    assert text.count("BroadcastHashJoin") >= 3  # part/supplier/nation/region
+    assert "CartesianProduct" not in text
+
+
+def test_pipeline_ops_stay_jvm_side(spark, sf_dir):
+    from datalake_iceberg_spark.queries import pipeline_ops as p
+
+    for q in (p.props_json_stats, p.bigram_counts, p.tfidf_top_terms,
+              p.hash_split_stats, p.regex_term_scan):
+        text = _explain(q(spark, sf_dir))
+        assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text, q.__name__
