@@ -170,7 +170,11 @@ class LakeTable:
         return rel
 
     def _write_bucketed(
-        self, df: DataFrame, keys: list[str] | None, n_buckets: int
+        self,
+        df: DataFrame,
+        keys: list[str] | None,
+        n_buckets: int,
+        sort_by: list[str] | None = None,
     ) -> dict[str, list[str]]:
         """Write df into per-bucket dirs under a fresh commit dir.
 
@@ -178,14 +182,22 @@ class LakeTable:
         key hash; it lives in the directory name only (``_bucket=k``), never
         in the data files — readers don't pay for it, and rewrites re-derive
         it from the manifest.
+
+        ``sort_by`` clusters rows on the given columns within each bucket
+        (``sortWithinPartitions``) so parquet row groups get tight,
+        mostly-disjoint min/max ranges — the scan-side payoff is row-group
+        pruning for pushed-down range predicates.
         """
         rel = self._new_commit_dir()
         abs_dir = os.path.join(self.location, rel)
         if keys and n_buckets > 1:
+            staged = df.withColumn("_bucket", bucket_expr(keys, n_buckets)).repartition(
+                "_bucket"
+            )
+            if sort_by:
+                staged = staged.sortWithinPartitions("_bucket", *sort_by)
             (
-                df.withColumn("_bucket", bucket_expr(keys, n_buckets))
-                .repartition("_bucket")
-                .write.partitionBy("_bucket")
+                staged.write.partitionBy("_bucket")
                 .mode("overwrite")
                 .parquet(abs_dir)
             )
@@ -196,6 +208,8 @@ class LakeTable:
                     out[entry.split("=", 1)[1]] = [bucket_rel]
                     self._harvest_stats(bucket_rel)
             return out
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
         df.write.mode("overwrite").parquet(abs_dir)
         self._harvest_stats(rel)
         return {"0": [rel]}
@@ -527,12 +541,19 @@ class LakeTable:
         return self._replace_buckets(snap, per_bucket, affected, "update", {})
 
     # ------------------------------------------------------------------ maintenance
-    def rewrite_data_files(self, min_input_dirs: int = 2) -> dict[str, int]:
+    def rewrite_data_files(
+        self, min_input_dirs: int = 2, sort_by: list[str] | None = None
+    ) -> dict[str, int]:
         """Bin-pack compaction per bucket (Iceberg ``rewrite_data_files``,
         reference call at ``src/utils/maintenance.py:87``). Buckets whose
-        dir count < ``min_input_dirs`` are left untouched."""
+        dir count < ``min_input_dirs`` are left untouched — unless
+        ``sort_by`` is given (the Iceberg sort-strategy analogue, latent
+        option in the reference's M1 procedure), which re-clusters every
+        bucket on the sort columns so row-group min/max ranges become
+        tight and range scans prune at the row-group level."""
         snap = self.snapshot()
-        todo = [b for b, dirs in snap.buckets.items() if len(dirs) >= min_input_dirs]
+        min_dirs = 1 if sort_by else min_input_dirs
+        todo = [b for b, dirs in snap.buckets.items() if len(dirs) >= min_dirs]
         if not todo:
             return {"rewritten_buckets": 0, "rewritten_dirs": 0}
         union = None
@@ -540,7 +561,8 @@ class LakeTable:
             part = self._read_dirs(snap.buckets[b])
             union = part if union is None else union.unionByName(part)
         per_bucket = self._write_bucketed(
-            union.coalesce(max(1, len(todo))), snap.key, snap.n_buckets
+            union.coalesce(max(1, len(todo))), snap.key, snap.n_buckets,
+            sort_by=sort_by,
         )
         per_bucket = {b: per_bucket.get(b, []) for b in todo}
         self._replace_buckets(

@@ -44,6 +44,52 @@ def test_append_and_compact(catalog, spark):
     assert t.read().count() == 8
 
 
+def test_sorted_rewrite_clusters_row_groups(catalog, spark):
+    """sort_by compaction must preserve data exactly AND cluster each
+    bucket's file on the sort column: row groups (and files) end up with
+    tight, non-overlapping [min, max] ranges, which is what lets pushed
+    range predicates skip row groups at scan time."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    # interleaved appends -> every dir spans nearly the full ts range
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 7919 % 4000).alias("ts")
+    )
+    t = catalog.create_or_replace("db.sorted", df, key=["k"], n_buckets=2)
+    t.append(
+        spark.range(4000, 6000).select(
+            F.col("id").alias("k"), (F.col("id") * 104729 % 4000).alias("ts")
+        )
+    )
+    before = _rows(t.read())
+    res = t.rewrite_data_files(sort_by=["ts"])
+    assert res["rewritten_buckets"] == 2
+    assert _rows(t.read()) == before  # clustering never changes content
+
+    # every rewritten file is internally sorted: row-group ranges are
+    # non-overlapping in row-group order
+    snap = t.snapshot()
+    for dirs in snap.buckets.values():
+        for rel in dirs:
+            abs_dir = os.path.join(t.location, rel)
+            for fname in os.listdir(abs_dir):
+                if not fname.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(abs_dir, fname)).metadata
+                ts_idx = next(
+                    i for i in range(md.row_group(0).num_columns)
+                    if md.row_group(0).column(i).path_in_schema == "ts"
+                )
+                prev_max = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ts_idx).statistics
+                    if prev_max is not None:
+                        assert st.min >= prev_max, "row groups overlap after sort"
+                    prev_max = st.max
+
+
 def test_merge_upsert(catalog, spark):
     base = spark.createDataFrame([Row(id=i, v=f"old{i}") for i in range(100)])
     t = catalog.create_or_replace("db.m", base, key=["id"], n_buckets=8)
