@@ -62,6 +62,39 @@ def windowed_aggregate(
     return grouped.agg(F.count("*").alias("n_events"), *(aggs or []))
 
 
+def session_window_aggregate(
+    stream_df: DataFrame,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    keys: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Gap-based session windows (``F.session_window``) — the streaming
+    complement of the batch ``sessionize_events`` query. Sessions merge
+    dynamically as events arrive; a session closes (and in append mode
+    emits) once the watermark passes its end + gap. State is bounded by
+    (active keys × open sessions), GC'd by the watermark. Spark supports
+    only append/complete output for session aggregations — update mode
+    raises (a session's extent isn't final until the watermark seals it)."""
+    grouped = stream_df.withWatermark(ts_col, watermark).groupBy(
+        F.session_window(F.col(ts_col), gap).alias("session"),
+        *[F.col(k) for k in (keys or [])],
+    )
+    return grouped.agg(F.count("*").alias("n_events"), *(aggs or []))
+
+
+def enrich_stream(
+    stream_df: DataFrame, dim_df: DataFrame, on: list[str] | str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    CURRENT state of the static side (re-resolved per batch — a lake dim
+    table picks up its latest snapshot). The dim is broadcast, so the
+    stream side never shuffles; at scale keep the dim under the
+    broadcast threshold or pre-bucket both sides on the join key."""
+    return stream_df.join(F.broadcast(dim_df), on=on, how=how)
+
+
 def dedup_within_watermark(
     stream_df: DataFrame, keys: list[str], ts_col: str, watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -17,7 +17,12 @@ PYTHON_SEAMS = {"mm_decode_features"}
 #   knn_bruteforce: 10-row query set × candidates (exact baseline)
 #   ivf_ann_topk:   10-row query set × ~10 centroids (coarse probe)
 #   q22:            1-row scalar avg × customer
-SMALL_CROSS = {"knn_bruteforce", "ivf_ann_topk", "q22_dormant_customers"}
+#   q11:            1-row scalar total × per-part aggregate (the > filter
+#                   keeps it a nested-loop; q15's = filter becomes equi)
+SMALL_CROSS = {
+    "knn_bruteforce", "ivf_ann_topk", "q22_dormant_customers",
+    "q11_important_stock",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -97,6 +97,49 @@ def test_dedup_within_watermark(spark, tmp_path):
     assert sorted(keys) == ["k1", "k2", "k3"]
 
 
+def test_session_window_merges_and_splits(spark, tmp_path):
+    src = str(tmp_path / "sw_src")
+    _write_batch(
+        spark, src,
+        [
+            ("a", 1.0, _ts(10, 0)), ("a", 2.0, _ts(10, 10)),  # one session
+            ("a", 4.0, _ts(11, 30)),                          # >30min gap: new session
+            ("b", 8.0, _ts(10, 5)),
+        ],
+        "b1",
+    )
+    # sentinel batch far in the future: advances the watermark past every
+    # real session's end so append mode emits them (its own session stays
+    # open and unemitted — correct append semantics)
+    _write_batch(spark, src, [("z", 0.0, _ts(15, 0))], "b2")
+    stream = _file_stream(spark, src, max_files=1)
+    out = et.session_window_aggregate(
+        stream, "ts", gap="30 minutes", watermark="10 minutes", keys=["key"],
+        aggs=[F.sum("value").alias("total")],
+    )
+    et.run_to_memory(out, "sw1", str(tmp_path / "ck_sw"), output_mode="append")
+    rows = {
+        (r.key, r.session.start.hour, r.session.start.minute): (r.n_events, r.total)
+        for r in spark.sql("SELECT * FROM sw1").collect()
+    }
+    assert rows == {
+        ("a", 10, 0): (2, 3.0),
+        ("a", 11, 30): (1, 4.0),
+        ("b", 10, 5): (1, 8.0),
+    }
+
+
+def test_enrich_stream_static_join(spark, tmp_path):
+    src = str(tmp_path / "en_src")
+    _write_batch(spark, src, [("a", 1.0, _ts(10, 0)), ("c", 2.0, _ts(10, 1))], "b1")
+    dim = spark.createDataFrame([("a", "alpha"), ("b", "beta")], "key string, label string")
+    stream = _file_stream(spark, src, max_files=10)
+    out = et.enrich_stream(stream, dim, on="key")
+    et.run_to_memory(out, "en1", str(tmp_path / "ck_en"), output_mode="append")
+    rows = {(r.key, r.label) for r in spark.sql("SELECT * FROM en1").collect()}
+    assert rows == {("a", "alpha"), ("c", None)}  # left join keeps unmatched
+
+
 def test_stateful_running_stats_across_batches(spark, tmp_path):
     src = str(tmp_path / "st_src")
     _write_batch(spark, src, [("a", 1.0, _ts(10, 0)), ("a", 3.0, _ts(10, 1))], "b1")
