@@ -80,12 +80,18 @@ def decode_assets(df: DataFrame, feature_dim: int = 8) -> DataFrame:
             for asset_id, modality, payload in pdf[
                 ["asset_id", "modality", "payload"]
             ].itertuples(index=False, name=None):
-                decoder = _DECODERS.get(modality, _fake_decode)
+                decoder = _DECODERS.get(modality)
                 payload = bytes(payload) if payload is not None else b""
-                stats = decoder(payload)
                 digest = hashlib.md5(payload).digest()
+                if decoder is None:
+                    # fake path inlined so the payload is hashed once,
+                    # not once by the decoder and again for the feature
+                    stats = {"mean_intensity": digest[0] / 255.0, "n_bytes": len(payload)}
+                else:
+                    stats = decoder(payload)
+                intensity = stats.get("mean_intensity", 1.0)
                 feature = [
-                    (digest[i % len(digest)] / 255.0) * stats.get("mean_intensity", 1.0)
+                    (digest[i % len(digest)] / 255.0) * intensity
                     for i in range(feature_dim)
                 ]
                 rows.append((asset_id, modality, len(payload), feature))
