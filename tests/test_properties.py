@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis).
+
+1. Data-skipping soundness: ``LakeTable._dir_may_match`` may keep a
+   directory it could have pruned (false positive = wasted IO), but it
+   must NEVER prune a directory that can contain a matching row (false
+   negative = wrong query results). Pure logic — hypothesis explores
+   hundreds of (range, value, op) combinations per run.
+
+2. CDC convergence under arbitrary batching: any partition of the event
+   stream into ordered micro-batches, with any within-batch shuffle and
+   any re-delivered prefix, converges to the offset-order replay state.
+   Spark-bound, so example count is kept small; the seeded tests in
+   ``test_cdc_convergence.py`` pin specific regressions.
+"""
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datalake_iceberg_spark.tables import LakeTable
+
+OPS = ["<", "<=", ">", ">=", "="]
+
+
+def _matches(op: str, v, threshold) -> bool:
+    return {
+        "<": v < threshold, "<=": v <= threshold,
+        ">": v > threshold, ">=": v >= threshold,
+        "=": v == threshold,
+    }[op]
+
+
+@given(
+    bounds=st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)).map(sorted),
+    v_off=st.integers(0, 2000),
+    threshold=st.integers(-1500, 1500),
+    op=st.sampled_from(OPS),
+)
+@settings(max_examples=300)
+def test_data_skipping_never_prunes_a_matching_dir(bounds, v_off, threshold, op):
+    lo, hi = bounds
+    v = min(lo + v_off, hi)  # a value guaranteed inside [lo, hi]
+    if _matches(op, v, threshold):
+        assert LakeTable._dir_may_match(
+            {"c": [lo, hi]}, [("c", op, threshold)]
+        ), f"pruned dir [{lo},{hi}] containing v={v} matching c {op} {threshold}"
+
+
+@given(
+    bounds=st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)).map(sorted),
+    threshold=st.integers(-1500, 1500),
+    op=st.sampled_from(OPS),
+)
+@settings(max_examples=200)
+def test_data_skipping_pruned_dirs_hold_no_matches(bounds, threshold, op):
+    """Completeness of the pruning decision itself: when a dir IS
+    pruned, no value in [lo, hi] can match the predicate."""
+    lo, hi = bounds
+    if not LakeTable._dir_may_match({"c": [lo, hi]}, [("c", op, threshold)]):
+        assert not any(
+            _matches(op, v, threshold)
+            for v in {lo, hi, threshold, max(lo, min(threshold, hi))}
+            if lo <= v <= hi
+        )
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_cdc_converges_under_arbitrary_batching(spark, tmp_path, data):
+    from datalake_iceberg_spark.testing import datagen
+    from tests.test_cdc_convergence import (
+        KEYS, SCHEMA, _apply_batches, _fresh_table, _table_state,
+    )
+
+    seed = data.draw(st.integers(0, 10_000), label="stream_seed")
+    n_events = data.draw(st.integers(20, 80), label="n_events")
+    events = list(datagen.generate_envelope_stream(SCHEMA, KEYS, n_events, seed=seed))
+    expected = datagen.expected_final_state(events, KEYS)
+
+    # arbitrary ordered partition into batches
+    n_cuts = data.draw(st.integers(0, 4), label="n_cuts")
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(1, max(1, n_events - 1)),
+                     min_size=n_cuts, max_size=n_cuts),
+            label="cuts",
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [n_events]:
+        batches.append(events[prev:c])
+        prev = c
+    # shuffle within batches + optionally redeliver the final batch
+    # (idempotent: it holds each of its keys' latest events; stale
+    # cross-batch redelivery is excluded by the exactly-once checkpoint
+    # contract, same as the reference)
+    rng = random.Random(seed)
+    batches = [sorted(b, key=lambda e: rng.random()) for b in batches]
+    if data.draw(st.booleans(), label="redeliver") and batches[-1]:
+        batches.append(batches[-1])
+
+    tag = f"prop{seed}_{n_events}_{len(batches)}"
+    table = _fresh_table(spark, tmp_path, tag)
+    _apply_batches(spark, table, batches)
+    assert _table_state(table) == expected
