@@ -175,6 +175,7 @@ class LakeTable:
         keys: list[str] | None,
         n_buckets: int,
         sort_by: list[str] | None = None,
+        drop_after_sort: list[str] | None = None,
     ) -> dict[str, list[str]]:
         """Write df into per-bucket dirs under a fresh commit dir.
 
@@ -186,7 +187,9 @@ class LakeTable:
         ``sort_by`` clusters rows on the given columns within each bucket
         (``sortWithinPartitions``) so parquet row groups get tight,
         mostly-disjoint min/max ranges — the scan-side payoff is row-group
-        pruning for pushed-down range predicates.
+        pruning for pushed-down range predicates. ``drop_after_sort``
+        removes synthetic sort keys (e.g. a z-value) after ordering, before
+        the write — a projection after sort keeps row order.
         """
         rel = self._new_commit_dir()
         abs_dir = os.path.join(self.location, rel)
@@ -196,6 +199,8 @@ class LakeTable:
             )
             if sort_by:
                 staged = staged.sortWithinPartitions("_bucket", *sort_by)
+            if drop_after_sort:
+                staged = staged.drop(*drop_after_sort)
             (
                 staged.write.partitionBy("_bucket")
                 .mode("overwrite")
@@ -210,6 +215,8 @@ class LakeTable:
             return out
         if sort_by:
             df = df.sortWithinPartitions(*sort_by)
+        if drop_after_sort:
+            df = df.drop(*drop_after_sort)
         df.write.mode("overwrite").parquet(abs_dir)
         self._harvest_stats(rel)
         return {"0": [rel]}
@@ -542,17 +549,28 @@ class LakeTable:
 
     # ------------------------------------------------------------------ maintenance
     def rewrite_data_files(
-        self, min_input_dirs: int = 2, sort_by: list[str] | None = None
+        self,
+        min_input_dirs: int = 2,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> dict[str, int]:
         """Bin-pack compaction per bucket (Iceberg ``rewrite_data_files``,
         reference call at ``src/utils/maintenance.py:87``). Buckets whose
-        dir count < ``min_input_dirs`` are left untouched — unless
-        ``sort_by`` is given (the Iceberg sort-strategy analogue, latent
-        option in the reference's M1 procedure), which re-clusters every
-        bucket on the sort columns so row-group min/max ranges become
-        tight and range scans prune at the row-group level."""
+        dir count < ``min_input_dirs`` are left untouched — unless a
+        clustering is requested, which re-clusters every bucket:
+
+        - ``sort_by``: lexicographic sort (the Iceberg sort strategy) —
+          row-group min/max become tight on the LEADING column.
+        - ``zorder_by``: Morton-curve sort over ≥2 numeric columns
+          (Iceberg ``zorder(...)`` / Delta ``ZORDER BY`` analogue) —
+          every clustered column's extent shrinks per row group, so
+          range predicates on ANY of them prune. Column ranges for bit
+          scaling come from one min/max agg over the rewritten data
+          (maintenance-time job, not a read-path cost)."""
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by or zorder_by, not both")
         snap = self.snapshot()
-        min_dirs = 1 if sort_by else min_input_dirs
+        min_dirs = 1 if (sort_by or zorder_by) else min_input_dirs
         todo = [b for b, dirs in snap.buckets.items() if len(dirs) >= min_dirs]
         if not todo:
             return {"rewritten_buckets": 0, "rewritten_dirs": 0}
@@ -560,9 +578,20 @@ class LakeTable:
         for b in todo:
             part = self._read_dirs(snap.buckets[b])
             union = part if union is None else union.unionByName(part)
+        drop_after = None
+        if zorder_by:
+            from datalake_iceberg_spark.functions.zorder import zvalue
+
+            bounds = union.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in zorder_by],
+                *[F.max(c).alias(f"hi_{c}") for c in zorder_by],
+            ).collect()[0]
+            ranges = [(bounds[f"lo_{c}"], bounds[f"hi_{c}"]) for c in zorder_by]
+            union = union.withColumn("__z", zvalue(zorder_by, ranges))
+            sort_by, drop_after = ["__z"], ["__z"]
         per_bucket = self._write_bucketed(
             union.coalesce(max(1, len(todo))), snap.key, snap.n_buckets,
-            sort_by=sort_by,
+            sort_by=sort_by, drop_after_sort=drop_after,
         )
         per_bucket = {b: per_bucket.get(b, []) for b in todo}
         self._replace_buckets(
