@@ -80,14 +80,20 @@ class MaintenanceService:
         self, table_name: str, interval_sec: int = 14_400,
         last_completed: datetime | None = None, min_input_dirs: int = 2,
         expire_keep_last: int = 5,
+        sort_by: list[str] | None = None, zorder_by: list[str] | None = None,
     ) -> dict:
         """Compaction then snapshot expiry, interval-gated. Expiry is
-        skipped when compaction failed (reference ``maintenance.py:131-147``)."""
+        skipped when compaction failed (reference ``maintenance.py:131-147``).
+        ``sort_by``/``zorder_by`` select the clustered strategies (Iceberg
+        sort / zorder rewrite options) instead of bin-pack."""
         if not WatermarkStore.should_run(last_completed, interval_sec):
             return self._record_skipped(table_name, COMPACTION)
         t = self.catalog.table(table_name)
         res = self._run_recorded(
-            table_name, COMPACTION, lambda: t.rewrite_data_files(min_input_dirs)
+            table_name, COMPACTION,
+            lambda: t.rewrite_data_files(
+                min_input_dirs, sort_by=sort_by, zorder_by=zorder_by
+            ),
         )
         if res["status"] == "success":
             self._run_recorded(
