@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "merge_upsert_orders",
     "exact_dedup",
     "minhash_lsh_pairs",
+    "dup_clusters",
     "simhash",
     "knn_bruteforce",
     "centroid_similarity",
@@ -115,6 +116,10 @@ def main() -> None:
         table.rewrite_data_files(min_input_dirs=1)
         table.expire_snapshots(keep_last=1)
         dml["compact_expire"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        table.rewrite_data_files(zorder_by=["o_custkey", "o_totalprice"])
+        dml["zorder_rewrite"] = round(time.perf_counter() - t0, 3)
         for name, sec in dml.items():
             print(f"# dml {name}: {sec:.3f}s", file=sys.stderr)
         shutil.rmtree(wh, ignore_errors=True)
