@@ -125,6 +125,23 @@ class LakeTable:
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
             return Snapshot.from_json(f.read())
 
+    def version_as_of(self, timestamp: str) -> int:
+        """Latest committed version at or before an ISO-8601 UTC
+        ``timestamp`` (Iceberg ``TIMESTAMP AS OF`` travel; the version
+        form is ``VERSION AS OF``). Raises if the table didn't exist
+        yet. Snapshot timestamps are ISO strings, so string comparison
+        IS chronological comparison."""
+        best = None
+        for name in os.listdir(self.meta_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                with open(os.path.join(self.meta_dir, name)) as f:
+                    snap = Snapshot.from_json(f.read())
+                if snap.timestamp <= timestamp and (best is None or snap.version > best):
+                    best = snap.version
+        if best is None:
+            raise ValueError(f"no snapshot of {self.location} at or before {timestamp}")
+        return best
+
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.snapshot().schema_json))
 
@@ -268,7 +285,13 @@ class LakeTable:
         return self.spark.read.schema(self.schema()).parquet(*paths)
 
     # ------------------------------------------------------------------ reads
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, as_of: str | None = None) -> DataFrame:
+        """Snapshot read; ``version=N`` is VERSION AS OF, ``as_of=iso_ts``
+        is TIMESTAMP AS OF (latest snapshot committed ≤ the timestamp)."""
+        if version is not None and as_of is not None:
+            raise ValueError("pass version or as_of, not both")
+        if as_of is not None:
+            version = self.version_as_of(as_of)
         snap = self.snapshot(version)
         paths = [os.path.join(self.location, d) for d in snap.all_dirs()]
         schema = T.StructType.fromJson(json.loads(snap.schema_json))

@@ -44,6 +44,22 @@ def test_append_and_compact(catalog, spark):
     assert t.read().count() == 8
 
 
+def test_timestamp_time_travel(catalog, spark):
+    df = spark.createDataFrame([Row(id=1, v="a")])
+    t = catalog.create_or_replace("db.tt", df, key=["id"], n_buckets=2)
+    ts_after_v0 = t.snapshot().timestamp
+    t.append(spark.createDataFrame([Row(id=2, v="b")]))
+    # as-of the v0 commit instant -> v0 state
+    assert t.read(as_of=ts_after_v0).count() == 1
+    # as-of far future -> current state
+    assert t.read(as_of="9999-01-01T00:00:00").count() == 2
+    # before the table existed -> error
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.read(as_of="1990-01-01T00:00:00")
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=0, as_of=ts_after_v0)
+
+
 def test_sorted_rewrite_clusters_row_groups(catalog, spark):
     """sort_by compaction must preserve data exactly AND cluster each
     bucket's file on the sort column: row groups (and files) end up with
