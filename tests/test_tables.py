@@ -44,6 +44,27 @@ def test_append_and_compact(catalog, spark):
     assert t.read().count() == 8
 
 
+def test_stale_bucket_writer_conflicts(catalog, spark):
+    """Two writers from the same base snapshot touching the same bucket:
+    the second rebases onto the first's commit, sees its bucket list
+    changed, and must raise CommitConflict (never silently clobber)."""
+    from datalake_iceberg_spark.tables import CommitConflict
+
+    base = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(20)])
+    t = catalog.create_or_replace("db.cc", base, key=["id"], n_buckets=2)
+    stale = t.snapshot()
+    upd = spark.createDataFrame([Row(id=1, v="w1")])
+    t.merge(upd)  # writer 1 wins bucket B
+    # writer 2, still holding the stale snapshot, tries to replace the
+    # same bucket
+    bucket = t._affected_buckets(upd.select("id"), stale)[0]
+    with pytest.raises(CommitConflict, match="concurrent writer"):
+        t._replace_buckets(stale, {str(bucket): []}, [bucket], "merge", {})
+    # a disjoint-bucket append from the same era still lands (rebase)
+    t.append(spark.createDataFrame([Row(id=2, v="w2")]))
+    assert t.read().filter(F.col("v") == "w1").count() == 1
+
+
 def test_timestamp_time_travel(catalog, spark):
     df = spark.createDataFrame([Row(id=1, v="a")])
     t = catalog.create_or_replace("db.tt", df, key=["id"], n_buckets=2)
