@@ -398,7 +398,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a", "doc_b",
             F.col("n_inter").alias("n_common_shingles"),
-            jac.cast("decimal(9,4)").alias("jaccard"),
+            jac.alias("jaccard"),
         )
         .where(F.col("jaccard") >= 0.2)
         .orderBy("doc_a", "doc_b")
@@ -431,10 +431,10 @@ inter AS (
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b, n_inter AS n_common_shingles,
-       CAST(ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS DECIMAL(9,4)) AS jaccard
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS DECIMAL(9,4)) >= 0.2
+WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2
 ORDER BY doc_a, doc_b
 """

@@ -192,8 +192,8 @@ WITH assets AS (
          CASE WHEN doc_id % 3 != 0 THEN octet_length(encode(text)) * 10 ELSE 0 END AS duration_ms
   FROM documents
 )
-SELECT modality, COUNT(*) AS n_assets, SUM(n_bytes) AS total_bytes,
-       AVG(width) AS avg_width, SUM(duration_ms) AS total_duration_ms
+SELECT modality, COUNT(*) AS n_assets, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       AVG(width) AS avg_width, CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms
 FROM assets GROUP BY modality ORDER BY modality
 """
 

@@ -56,7 +56,7 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROPS_JSON_SQL = f"""
 WITH {EVENTS_CTE}
 SELECT event_type,
-       COUNT(k) AS n_events, SUM(k) AS sum_k,
+       COUNT(k) AS n_events, CAST(SUM(k) AS BIGINT) AS sum_k,
        CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k, MAX(k) AS max_k
 FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events_us)
 GROUP BY event_type
@@ -89,7 +89,7 @@ def hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 HASH_SPLIT_SQL = f"""
 SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
             < {TRAIN_PCT} THEN 'train' ELSE 'test' END AS split,
-       lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+       lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1, 2
 ORDER BY lang, split
@@ -161,8 +161,8 @@ def regex_term_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REGEX_SCAN_SQL = f"""
 SELECT source,
-       SUM(n_matches) AS total_matches,
-       SUM(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS docs_matching,
+       CAST(SUM(n_matches) AS BIGINT) AS total_matches,
+       CAST(SUM(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_matching,
        COUNT(*) AS n_docs
 FROM (SELECT source, len(regexp_extract_all(text, '{SCAN_PATTERN}')) AS n_matches
       FROM documents)

@@ -70,8 +70,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "cand_id",
-                F.col("cosine").cast("decimal(9,6)").alias("cosine"), "rank")
+        .select("query_id", "cand_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
 
@@ -92,7 +91,7 @@ ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
   FROM pairs
 )
-SELECT query_id, cand_id, CAST(cosine AS DECIMAL(9,6)) AS cosine, rank
+SELECT query_id, cand_id, cosine, rank
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
@@ -190,7 +189,7 @@ def centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     return joined.select(
-        "vec_id", "label", cos.cast("decimal(9,4)").alias("centroid_cosine")
+        "vec_id", "label", cos.alias("centroid_cosine")
     ).orderBy("vec_id")
 
 
@@ -231,7 +230,6 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= NEARDUP_TAU)
-        .select("a_id", "b_id", F.col("cosine").cast("decimal(9,6)").alias("cosine"))
         .orderBy("a_id", "b_id")
     )
 
@@ -255,7 +253,7 @@ pairs AS (
            6) AS cosine
   FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a_id, b_id, CAST(cosine AS DECIMAL(9,6)) AS cosine
+SELECT a_id, b_id, cosine
 FROM pairs WHERE cosine >= {NEARDUP_TAU}
 ORDER BY a_id, b_id
 """
@@ -326,8 +324,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= IVF_TOP_K)
-        .select("query_id", "cand_id",
-                F.col("cosine").cast("decimal(9,6)").alias("cosine"), "rank")
+        .select("query_id", "cand_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
 
@@ -370,7 +367,7 @@ scored AS (
   FROM probed p JOIN embeddings e ON p.cell = e.label
   WHERE p.query_id != e.vec_id
 )
-SELECT query_id, cand_id, CAST(cosine AS DECIMAL(9,6)) AS cosine, rank
+SELECT query_id, cand_id, cosine, rank
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
   FROM scored
@@ -391,12 +388,12 @@ centroids AS (
   GROUP BY label
 )
 SELECT e.vec_id, e.label,
-       CAST(ROUND(
+       ROUND(
          list_sum(list_transform(list_zip(e.embedding, c.centroid),
                                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
          / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
             * sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-         4) AS DECIMAL(9,4)) AS centroid_cosine
+         4) AS centroid_cosine
 FROM embeddings e JOIN centroids c ON e.label = c.label
 ORDER BY e.vec_id
 """

@@ -91,7 +91,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        mean_word_len.cast("decimal(18,4)").alias("mean_word_len"),
+        mean_word_len.alias("mean_word_len"),
         stop_hits.cast("int").alias("stopword_hits"),
         (
             (n_tokens >= 10) & (n_tokens <= 100000)
@@ -119,7 +119,7 @@ WITH base AS (
   FROM documents
 )
 SELECT doc_id, n_tokens,
-       CAST(mwl AS DECIMAL(18,4)) AS mean_word_len,
+       CAST(mwl AS DOUBLE) AS mean_word_len,
        CAST(stopword_hits AS INT) AS stopword_hits,
        CAST(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
                   AND mwl >= 2.0 AND mwl <= 12.0

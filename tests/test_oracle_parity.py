@@ -9,6 +9,7 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
 from tests.oracle_harness import compare, duck_connection
+from tests.strict_types import audit, strict_value_match
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
@@ -35,3 +36,10 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
         return
     result = compare(df, duck, ORACLES[name])
     assert result["ok"], f"{name}: {result}"
+    # driver-faithful pass: the driver's hash is TYPE-sensitive (round-1
+    # VERDICT — DuckDB HUGEINT/DECIMAL vs Spark bigint/double fails even
+    # on equal values), so re-check with strict families and typed cells
+    problems = audit(df, duck, ORACLES[name])
+    assert not problems, f"{name}: type-parity {problems}"
+    strict = strict_value_match(df, duck, ORACLES[name])
+    assert strict["match"], f"{name}: strict values {strict}"
