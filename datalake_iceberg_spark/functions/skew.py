@@ -12,9 +12,15 @@ phase 2 merges the ``n_salt`` partials per key. Only algebraic
 aggregates (sum / count / min / max) decompose this way, which is why
 the function takes a declared spec instead of arbitrary expressions.
 
-The salt is ``xxhash64`` over all input columns mod ``n_salt`` —
-deterministic (re-runs produce identical partials) and uniform, with no
-RNG state to break Spark task retries.
+The salt mixes ``xxhash64`` over all input columns with
+``spark_partition_id()`` mod ``n_salt``. The hash alone would send
+fully-identical duplicate rows (the common count-duplicates hot key) to
+ONE reducer, defeating the salting; the partition id spreads them by
+input location instead. Both components are deterministic within a task
+attempt — a retried task re-reads the same input split with the same
+partition id, so partials are stable under retries, and algebraic
+aggregates (the only ones allowed here) are insensitive to how rows are
+distributed across salts.
 """
 
 from __future__ import annotations
@@ -42,7 +48,10 @@ def salted_agg(
     bad = [fn for _, fn in spec.values() if fn not in _PHASE1]
     if bad:
         raise ValueError(f"non-algebraic aggregate(s) {bad}; salting needs sum/count/min/max")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt)).alias("__salt")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns], F.spark_partition_id()),
+        F.lit(n_salt),
+    ).alias("__salt")
     phase1 = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")

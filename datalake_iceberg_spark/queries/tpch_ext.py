@@ -109,7 +109,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer is SF-proportional — shuffle-join it (broadcasting it
+        # would OOM at the 100 TB design point; AQE may still elect a
+        # broadcast at small SF where it fits)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(region), F.col("cn_rkey") == F.col("r_regionkey"))
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)

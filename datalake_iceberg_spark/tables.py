@@ -57,6 +57,15 @@ def _utcnow() -> str:
     return datetime.now(timezone.utc).isoformat()
 
 
+def _parse_iso_utc(ts: str) -> datetime:
+    """ISO-8601 → aware UTC datetime; naive inputs are taken as UTC.
+    Accepts the 'Z' suffix (pre-3.11 fromisoformat doesn't)."""
+    dt = datetime.fromisoformat(ts.replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.astimezone(timezone.utc)
+
+
 def bucket_expr(keys: list[str], n_buckets: int):
     """Deterministic bucket id for a key tuple.
 
@@ -129,14 +138,18 @@ class LakeTable:
         """Latest committed version at or before an ISO-8601 UTC
         ``timestamp`` (Iceberg ``TIMESTAMP AS OF`` travel; the version
         form is ``VERSION AS OF``). Raises if the table didn't exist
-        yet. Snapshot timestamps are ISO strings, so string comparison
-        IS chronological comparison."""
+        yet. Both sides are parsed to aware datetimes — raw string
+        comparison would misorder mixed ISO spellings ('Z' suffix vs
+        '+00:00', with/without microseconds)."""
+        cutoff = _parse_iso_utc(timestamp)
         best = None
         for name in os.listdir(self.meta_dir):
             if name.startswith("v") and name.endswith(".json"):
                 with open(os.path.join(self.meta_dir, name)) as f:
                     snap = Snapshot.from_json(f.read())
-                if snap.timestamp <= timestamp and (best is None or snap.version > best):
+                if _parse_iso_utc(snap.timestamp) <= cutoff and (
+                    best is None or snap.version > best
+                ):
                     best = snap.version
         if best is None:
             raise ValueError(f"no snapshot of {self.location} at or before {timestamp}")
@@ -605,12 +618,37 @@ class LakeTable:
         if zorder_by:
             from datalake_iceberg_spark.functions.zorder import zvalue
 
+            # temporal columns scale via an integer epoch (the module
+            # docstring's contract); raw date/timestamp min/max would
+            # hand non-floats to _scale
+            fields = {f.name: f.dataType for f in union.schema.fields}
+            numeric_exprs = []
+            for c in zorder_by:
+                dt = fields.get(c)
+                if dt is None:
+                    raise ValueError(f"zorder_by column {c!r} not in table schema")
+                if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                    numeric_exprs.append(F.unix_micros(F.col(c)))
+                elif isinstance(dt, T.DateType):
+                    numeric_exprs.append(F.datediff(F.col(c), F.lit("1970-01-01").cast("date")))
+                else:
+                    numeric_exprs.append(F.col(c))
             bounds = union.agg(
-                *[F.min(c).alias(f"lo_{c}") for c in zorder_by],
-                *[F.max(c).alias(f"hi_{c}") for c in zorder_by],
+                *[F.min(e).cast("double").alias(f"lo_{c}")
+                  for c, e in zip(zorder_by, numeric_exprs)],
+                *[F.max(e).cast("double").alias(f"hi_{c}")
+                  for c, e in zip(zorder_by, numeric_exprs)],
             ).collect()[0]
-            ranges = [(bounds[f"lo_{c}"], bounds[f"hi_{c}"]) for c in zorder_by]
-            union = union.withColumn("__z", zvalue(zorder_by, ranges))
+            ranges = []
+            for c in zorder_by:
+                lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+                if lo is None or hi is None:
+                    raise ValueError(
+                        f"zorder_by column {c!r} has no non-NULL values; "
+                        "cannot derive scaling bounds"
+                    )
+                ranges.append((lo, hi))
+            union = union.withColumn("__z", zvalue(numeric_exprs, ranges))
             sort_by, drop_after = ["__z"], ["__z"]
         per_bucket = self._write_bucketed(
             union.coalesce(max(1, len(todo))), snap.key, snap.n_buckets,

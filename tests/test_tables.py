@@ -81,6 +81,27 @@ def test_timestamp_time_travel(catalog, spark):
         t.read(version=0, as_of=ts_after_v0)
 
 
+def test_timestamp_travel_mixed_iso_forms(catalog, spark):
+    """'Z' suffix and second-precision inputs must compare
+    chronologically, not lexically (snapshot stamps carry
+    microseconds + '+00:00')."""
+    from datetime import datetime, timedelta, timezone
+
+    df = spark.createDataFrame([Row(id=1, v="a")])
+    t = catalog.create_or_replace("db.ttz", df, key=["id"], n_buckets=2)
+    v0_ts = datetime.fromisoformat(t.snapshot().timestamp)
+    t.append(spark.createDataFrame([Row(id=2, v="b")]))
+    # a 'Z'-suffix instant one second AFTER v0: lexically '...Z' sorts
+    # before '...+00:00' spellings, chronologically it must see v0
+    z_form = (v0_ts + timedelta(seconds=1)).astimezone(timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+    assert t.version_as_of(z_form) >= 0
+    # naive (no-offset) form is treated as UTC
+    naive = (v0_ts + timedelta(seconds=1)).strftime("%Y-%m-%dT%H:%M:%S")
+    assert t.version_as_of(naive) == t.version_as_of(z_form)
+
+
 def test_sorted_rewrite_clusters_row_groups(catalog, spark):
     """sort_by compaction must preserve data exactly AND cluster each
     bucket's file on the sort column: row groups (and files) end up with

@@ -5,6 +5,8 @@ leaving every bucket's file sorted by z."""
 
 import os
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -86,3 +88,37 @@ def test_zorder_rewrite_clusters_both_columns(spark, tmp_path):
                 r.z for r in part.select(zvalue(["a", "b"], ranges).alias("z")).collect()
             ]
             assert zs == sorted(zs), "bucket file not z-ordered"
+
+
+def test_zorder_rejects_all_null_column(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "whn"))
+    df = spark.range(0, 64).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("a"),
+        F.lit(None).cast("double").alias("b"),
+    )
+    t = cat.create_or_replace("db.znull", df, key=["k"], n_buckets=2)
+    with pytest.raises(ValueError, match="no non-NULL"):
+        t.rewrite_data_files(zorder_by=["a", "b"])
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.rewrite_data_files(zorder_by=["a", "missing"])
+
+
+def test_zorder_on_temporal_column(spark, tmp_path):
+    """date/timestamp columns scale via integer epoch instead of
+    handing raw temporals to _scale (which needs floats)."""
+    cat = LakeCatalog(spark, str(tmp_path / "wht"))
+    df = spark.range(0, 256).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("a"),
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+        F.timestamp_seconds(F.col("id") * 3600).alias("ts"),
+    )
+    t = cat.create_or_replace("db.ztemp", df, key=["k"], n_buckets=2)
+    before = {tuple(r) for r in t.read().collect()}
+    res = t.rewrite_data_files(zorder_by=["a", "d"])
+    assert res["rewritten_buckets"] == 2
+    assert {tuple(r) for r in t.read().collect()} == before
+    res = t.rewrite_data_files(zorder_by=["a", "ts"])
+    assert res["rewritten_buckets"] == 2
+    assert {tuple(r) for r in t.read().collect()} == before
