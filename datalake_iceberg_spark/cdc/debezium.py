@@ -34,6 +34,7 @@ mirroring the reference (``cdc_pipeline.py:269-272``).
 
 from __future__ import annotations
 
+from dataclasses import dataclass as _dataclass
 from decimal import Decimal
 
 from pyspark.sql import Column, DataFrame
@@ -152,6 +153,118 @@ def parse_json_envelope(
         "value_struct.*",
         *[F.col(c) for c in df.columns if c not in (value_col, "value_struct")],
     )
+
+
+@_dataclass
+class AvroFieldSpec:
+    """One payload column as the registry schema describes it."""
+
+    name: str
+    spark_type: T.DataType
+    logical: str | None = None  # connect.name (Debezium logical type)
+    precision: int | None = None
+    scale: int | None = None
+
+
+_AVRO_PRIMITIVES: dict[str, T.DataType] = {
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "string": T.StringType(),
+    "bytes": T.BinaryType(),
+}
+
+
+def avro_field_specs(avro_schema: str | dict) -> list[AvroFieldSpec]:
+    """Parse a Debezium value schema (the registry's Envelope record,
+    ``resources/debezium_cdc_value_schema.json``) into the payload
+    record's field specs — name, Spark type, Debezium logical type, and
+    decimal precision/scale. Drives :func:`decode_payload` the way the
+    reference's registry-schema loop drives ``cast_column``
+    (``src/utils/cdc_pipeline.py:81-124,168-185``)."""
+    import json as _json
+
+    schema = _json.loads(avro_schema) if isinstance(avro_schema, str) else avro_schema
+    fields = schema.get("fields", [])
+    # Envelope form: take the before/after payload record
+    for f in fields:
+        if f["name"] in ("before", "after"):
+            for t in f["type"] if isinstance(f["type"], list) else [f["type"]]:
+                if isinstance(t, dict) and t.get("type") == "record":
+                    fields = t["fields"]
+                    break
+            break
+    specs = []
+    for f in fields:
+        types = f["type"] if isinstance(f["type"], list) else [f["type"]]
+        t = next((x for x in types if x != "null"), "string")
+        if isinstance(t, dict):
+            base = t.get("type")
+            logical = t.get("connect.name")
+            if t.get("logicalType") == "decimal" or (
+                logical == "org.apache.kafka.connect.data.Decimal"
+            ):
+                params = t.get("connect.parameters", {})
+                precision = int(
+                    t.get("precision", params.get("connect.decimal.precision", 38))
+                )
+                scale = int(t.get("scale", params.get("scale", 0)))
+                specs.append(
+                    AvroFieldSpec(
+                        f["name"], T.DecimalType(precision, scale),
+                        logical="decimal", precision=precision, scale=scale,
+                    )
+                )
+                continue
+            specs.append(
+                AvroFieldSpec(
+                    f["name"],
+                    _AVRO_PRIMITIVES.get(base, T.StringType()),
+                    logical=logical,
+                )
+            )
+        else:
+            specs.append(AvroFieldSpec(f["name"], _AVRO_PRIMITIVES.get(t, T.StringType())))
+    return specs
+
+
+def payload_struct_type(specs: list[AvroFieldSpec]) -> T.StructType:
+    """Wire-level StructType for the payload (pre-decode): epoch-based
+    logical types ride as their carrier ints/longs; decimal rides as
+    bytes."""
+    out = []
+    for s in specs:
+        if s.logical == "decimal":
+            out.append(T.StructField(s.name, T.BinaryType()))
+        else:
+            out.append(T.StructField(s.name, s.spark_type))
+    return T.StructType(out)
+
+
+def decode_payload(df: DataFrame, specs: list[AvroFieldSpec], source_tz: str = "UTC") -> DataFrame:
+    """Apply the schema-driven decode to a flattened payload DataFrame:
+    Debezium temporal logical types through ``cast_debezium_column``
+    (epoch-0 sentinel + source-TZ shift), connect Decimals through
+    ``decode_decimal_bytes``. Pure projections — stays in codegen."""
+    from datalake_iceberg_spark.functions.temporal import cast_debezium_column
+
+    cols = []
+    by_name = {s.name: s for s in specs}
+    for name in df.columns:
+        s = by_name.get(name)
+        if s is None:
+            cols.append(F.col(name))
+        elif s.logical == "decimal":
+            cols.append(
+                decode_decimal_bytes(F.col(name), s.precision, s.scale).alias(name)
+            )
+        else:
+            cols.append(
+                cast_debezium_column(F.col(name), s.logical, source_tz).alias(name)
+            )
+    return df.select(*cols)
 
 
 def try_from_avro(col: Column, avro_schema_json: str) -> Column:

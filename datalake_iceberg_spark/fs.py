@@ -1,0 +1,75 @@
+"""Filesystem seam for LakeTable metadata and directory I/O.
+
+At 100 TB the table lives on an object store, not a POSIX disk; every
+manifest read/write and directory listing the engine does goes through
+this interface so an S3/GCS adapter is a drop-in (the reference gets
+this for free from the Iceberg FileIO stack; here it's explicit).
+
+The contract is deliberately tiny — exactly the operations the
+snapshot/manifest protocol needs:
+
+- ``write_exclusive``: create-if-absent, atomic, FAILING when the path
+  exists — the commit-race arbiter (S3: conditional PUT If-None-Match;
+  local: O_CREAT|O_EXCL).
+- ``replace_atomic``: last-writer-wins pointer flip for ``_current``
+  (S3: plain PUT — single-key PUTs are atomic).
+- listings and recursive deletes for data-dir bookkeeping.
+
+Data-file bytes never flow through here — Spark reads/writes parquet
+through its own Hadoop FileSystem; this seam carries only metadata
+(manifests, version pointers, directory names).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+
+class LocalFilesystem:
+    """POSIX implementation (test/bench target)."""
+
+    def join(self, *parts: str) -> str:
+        return os.path.join(*parts)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_exclusive(self, path: str, text: str) -> None:
+        """Create ``path`` with ``text`` iff it does not exist; raise
+        ``FileExistsError`` if it does. Atomicity of the existence check
+        is the commit protocol's linearization point."""
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+
+    def replace_atomic(self, path: str, text: str) -> None:
+        """Atomically (re)point ``path`` at ``text`` — readers see either
+        the old or the new content, never a torn write."""
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path)
+
+
+DEFAULT_FS = LocalFilesystem()

@@ -1,10 +1,14 @@
-"""Schema drift detection.
+"""Schema drift detection and comment reconciliation.
 
 Rebuilds ``src/schema_validate.py``: source schema vs lake-table schema
 — column count, order, types (``schema_validate.py:37-84``), nullability
-(``:117-144``), and PK presence (``:147-170``). Drift is *detected and
-reported, never auto-applied* (schema evolution stays off, matching
-``write.spark.accept-any-schema=false``).
+(``:117-144``), PK presence (``:147-170``), and table/column COMMENT
+sync from the source DB (``:87-114`` column comments, ``:173-203`` table
+comment). Structural drift is *detected and reported, never
+auto-applied* (schema evolution stays off, matching
+``write.spark.accept-any-schema=false``); comments — documentation, not
+structure — follow the reference and CAN be applied, with a report-only
+mode for dry runs.
 """
 
 from __future__ import annotations
@@ -78,3 +82,49 @@ def validate_schema(
             if k not in {f.name for f in source.fields}:
                 diff.add(f"primary key column absent in source: {k}")
     return diff
+
+
+def sync_comments(
+    table,
+    table_comment: str | None = None,
+    column_comments: dict[str, str] | None = None,
+    report_only: bool = False,
+) -> dict:
+    """Reconcile source-DB comments onto a :class:`LakeTable`.
+
+    Reference semantics (``src/schema_validate.py:87-114,173-203``):
+    empty/None source comments are skipped, comments for columns the
+    target doesn't have are skipped, and a write happens only when the
+    target's current comment differs — so a no-drift run commits
+    nothing. ``report_only=True`` returns the same drift report without
+    applying (the dry-run mode the reference logs through its
+    SparkLoggerManager).
+
+    Returns ``{"table_comment": old|None->new or None,
+    "columns": {col: (old, new)}, "skipped": [cols absent in target],
+    "applied": bool}``.
+    """
+    column_comments = column_comments or {}
+    target_cols = {f.name for f in table.schema().fields}
+    current = table.column_comments()
+    report: dict = {"table_comment": None, "columns": {}, "skipped": [], "applied": not report_only}
+
+    cur_tbl = table.table_comment()
+    if table_comment and table_comment != cur_tbl:
+        report["table_comment"] = (cur_tbl, table_comment)
+
+    for col, comment in column_comments.items():
+        if not comment:
+            continue
+        if col not in target_cols:
+            report["skipped"].append(col)
+            continue
+        if current.get(col) != comment:
+            report["columns"][col] = (current.get(col), comment)
+
+    if not report_only:
+        if report["table_comment"]:
+            table.set_table_comment(table_comment)
+        for col, (_, new) in report["columns"].items():
+            table.set_column_comment(col, new)
+    return report

@@ -40,14 +40,22 @@ def create_spark_session(
     shuffle_partitions: int | None = None,
     preserve_explicit_casts: bool = False,
     extra_conf: dict[str, str] | None = None,
+    settings=None,
 ) -> SparkSession:
     """Create (or fetch) the engine SparkSession.
 
     ``preserve_explicit_casts=True`` replicates the reference's
     ``SimplifyCasts`` exclusion — required when ingesting JDBC-shaped
     data whose cast chains must not be elided as redundant.
+
+    ``settings`` (a :class:`datalake_iceberg_spark.settings.Settings`)
+    supplies cpu count / driver memory when given, so a deployment is
+    constructible from env alone (reference settings-layer parity).
     """
-    cores = default_parallelism()
+    cores = (settings.cpus if settings and settings.cpus else None) or default_parallelism()
+    driver_mem = (
+        settings.driver_memory if settings else os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cores}]")
@@ -67,7 +75,7 @@ def create_spark_session(
         .config("spark.rdd.compress", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", driver_mem)
     )
     if preserve_explicit_casts:
         builder = builder.config("spark.sql.optimizer.excludedRules", SIMPLIFY_CASTS_RULE)

@@ -128,6 +128,23 @@ class CdcStreamRunner:
         self.checkpoint_root = checkpoint_root
         self.dag_id = dag_id
 
+    @classmethod
+    def from_settings(cls, spark: SparkSession, settings=None, store=None) -> "CdcStreamRunner":
+        """Construct from the env-driven settings layer — runner
+        checkpoint root / dag id come from ``RUNNER__*`` env vars
+        (reference deployments configure this through their Settings
+        object, ``src/utils/settings.py``)."""
+        if settings is None:
+            from datalake_iceberg_spark.settings import Settings
+
+            settings = Settings.load()
+        return cls(
+            spark,
+            store=store,
+            checkpoint_root=settings.runner.checkpoint_root,
+            dag_id=settings.runner.dag_id,
+        )
+
     # ------------------------------------------------------------- source
     def _read_stream(self, source: SourceConfig) -> DataFrame:
         """File-backed sources take ``path``; ``format="kafka"`` takes

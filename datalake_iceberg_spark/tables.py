@@ -36,8 +36,6 @@ only manifest bookkeeping happens on the driver.
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -48,9 +46,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from datalake_iceberg_spark.fs import DEFAULT_FS
+
 COMMIT_RETRIES = 20
 COMMIT_RETRY_WAIT_S = 0.2
 DEFAULT_BUCKETS = 16
+#: bucket sizing targets for the data-size-aware default: one bucket per
+#: ~this many input bytes, clamped to [DEFAULT_BUCKETS, MAX_AUTO_BUCKETS]
+TARGET_BUCKET_BYTES = 512 * 1024 * 1024
+MAX_AUTO_BUCKETS = 1024
+#: sub-split a bucket's write when its slice would exceed ~this many
+#: bytes per task — bounds file sizes AND lifts write parallelism past
+#: n_buckets on big writes, while small CDC merges stay 1 task/bucket
+TARGET_WRITE_BYTES = 128 * 1024 * 1024
+MAX_WRITE_SPLITS = 16
 
 
 def _utcnow() -> str:
@@ -74,6 +83,85 @@ def bucket_expr(keys: list[str], n_buckets: int):
     """
     cols = [F.coalesce(F.col(k).cast("string"), F.lit("\x00null")) for k in keys]
     return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for ``df``'s optimized plan, or None when
+    unknown (the optimizer returns its max-sentinel for plans it can't
+    size). Used only for WRITE-TIME heuristics — never correctness."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — py4j/connect-mode differences
+        return None
+    # Catalyst uses ~Long.MaxValue when it has no estimate
+    return size if 0 < size < (1 << 60) else None
+
+
+def auto_bucket_count(df: DataFrame) -> int:
+    """Data-size-aware bucket default: one bucket per
+    ``TARGET_BUCKET_BYTES`` of estimated input, rounded up to a power of
+    two (powers of two re-split evenly if the table is later re-bucketed
+    2×), clamped to [DEFAULT_BUCKETS, MAX_AUTO_BUCKETS]. Falls back to
+    ``DEFAULT_BUCKETS`` when Catalyst can't size the plan."""
+    size = plan_size_bytes(df)
+    if size is None:
+        return DEFAULT_BUCKETS
+    want = max(1, -(-size // TARGET_BUCKET_BYTES))  # ceil div
+    n = DEFAULT_BUCKETS
+    while n < want and n < MAX_AUTO_BUCKETS:
+        n *= 2
+    return n
+
+
+#: commits touching at most this many files read footers on the driver
+#: (a Spark job's fixed latency would dominate); bigger commits fan out
+DRIVER_STATS_MAX_FILES = 64
+
+
+def _footer_stats_one(rel_dir: str, path: str) -> list[tuple[str, str, Any, Any]]:
+    """Footer min/max of one parquet file → (rel_dir, column, min, max)
+    rows. Module-level so the distributed path ships it without
+    capturing any table state."""
+    import pyarrow.parquet as pq
+
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    md = pq.ParquetFile(path).metadata
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            name = col.path_in_schema
+            if st is None or not st.has_min_max or "." in name:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                continue
+            if hasattr(lo, "isoformat"):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    return [(rel_dir, c, mins[c], maxs[c]) for c in mins if c in maxs]
+
+
+def _footer_stats_job(
+    spark: SparkSession, files: list[tuple[str, str]]
+) -> list[tuple[str, str, Any, Any]]:
+    """Distributed parquet-footer harvest: ``(rel_dir, path)`` pairs in,
+    ``(rel_dir, column, min, max)`` rows out. Runs as one Spark job over
+    slices of the file list; each task opens only footers (no data
+    pages). Values are reduced per-file and per-dir by the caller."""
+
+    def _part(it):
+        for rel_dir, path in it:
+            yield from _footer_stats_one(rel_dir, path)
+
+    sc = spark.sparkContext
+    slices = max(1, min(len(files), sc.defaultParallelism))
+    return sc.parallelize(files, slices).mapPartitions(_part).collect()
 
 
 @dataclass
@@ -112,27 +200,26 @@ class CommitConflict(Exception):
 class LakeTable:
     """One versioned table rooted at ``location``."""
 
-    def __init__(self, spark: SparkSession, location: str):
+    def __init__(self, spark: SparkSession, location: str, fs=None):
         self.spark = spark
+        self.fs = fs or DEFAULT_FS
         self.location = location.rstrip("/")
-        self.meta_dir = os.path.join(self.location, "metadata")
-        self.data_dir = os.path.join(self.location, "data")
+        self.meta_dir = self.fs.join(self.location, "metadata")
+        self.data_dir = self.fs.join(self.location, "data")
         # rel_dir -> {col: [min, max]} harvested by _write_bucketed,
         # attached to the snapshot by _commit
         self._pending_stats: dict[str, dict[str, list]] = {}
 
     # ------------------------------------------------------------------ meta
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.meta_dir, "_current"))
+        return self.fs.exists(self.fs.join(self.meta_dir, "_current"))
 
     def current_version(self) -> int:
-        with open(os.path.join(self.meta_dir, "_current")) as f:
-            return int(f.read().strip())
+        return int(self.fs.read_text(self.fs.join(self.meta_dir, "_current")).strip())
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.current_version() if version is None else version
-        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
-            return Snapshot.from_json(f.read())
+        return Snapshot.from_json(self.fs.read_text(self.fs.join(self.meta_dir, f"v{v}.json")))
 
     def version_as_of(self, timestamp: str) -> int:
         """Latest committed version at or before an ISO-8601 UTC
@@ -143,10 +230,9 @@ class LakeTable:
         '+00:00', with/without microseconds)."""
         cutoff = _parse_iso_utc(timestamp)
         best = None
-        for name in os.listdir(self.meta_dir):
+        for name in self.fs.listdir(self.meta_dir):
             if name.startswith("v") and name.endswith(".json"):
-                with open(os.path.join(self.meta_dir, name)) as f:
-                    snap = Snapshot.from_json(f.read())
+                snap = Snapshot.from_json(self.fs.read_text(self.fs.join(self.meta_dir, name)))
                 if _parse_iso_utc(snap.timestamp) <= cutoff and (
                     best is None or snap.version > best
                 ):
@@ -159,16 +245,14 @@ class LakeTable:
         return T.StructType.fromJson(json.loads(self.snapshot().schema_json))
 
     def _write_manifest(self, snap: Snapshot) -> None:
-        """Exclusive-create the manifest, then flip ``_current`` atomically."""
-        os.makedirs(self.meta_dir, exist_ok=True)
-        path = os.path.join(self.meta_dir, f"v{snap.version}.json")
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)  # raises if lost race
-        with os.fdopen(fd, "w") as f:
-            f.write(snap.to_json())
-        tmp = os.path.join(self.meta_dir, f"._current.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(snap.version))
-        os.replace(tmp, os.path.join(self.meta_dir, "_current"))
+        """Exclusive-create the manifest, then flip ``_current`` atomically.
+        ``write_exclusive`` raising on an existing path is the commit
+        race arbiter (S3 adapter: conditional PUT)."""
+        self.fs.makedirs(self.meta_dir)
+        self.fs.write_exclusive(
+            self.fs.join(self.meta_dir, f"v{snap.version}.json"), snap.to_json()
+        )
+        self.fs.replace_atomic(self.fs.join(self.meta_dir, "_current"), str(snap.version))
 
     def _commit(self, build_snapshot, operation: str) -> Snapshot:
         """Optimistic-retry commit: ``build_snapshot(parent) -> Snapshot``."""
@@ -196,8 +280,23 @@ class LakeTable:
     # ------------------------------------------------------------------ io
     def _new_commit_dir(self) -> str:
         rel = f"data/c-{uuid.uuid4().hex[:12]}"
-        os.makedirs(os.path.join(self.location, rel), exist_ok=True)
+        self.fs.makedirs(self.fs.join(self.location, rel))
         return rel
+
+    def _write_parallelism(self, df: DataFrame, n_buckets: int) -> int:
+        """Sub-splits per bucket, sized by DATA VOLUME: enough splits that
+        each write task carries ~``TARGET_WRITE_BYTES``, capped at
+        ``MAX_WRITE_SPLITS``. A small CDC merge stays one task per bucket
+        (sub-splitting it would only fragment files and widen the
+        shuffle); a full-table RTAS fans out to ``n_buckets × splits``
+        tasks. Falls back to core-count/buckets when Catalyst can't size
+        the plan."""
+        size = plan_size_bytes(df)
+        if size is None:
+            cores = self.spark.sparkContext.defaultParallelism
+            return max(1, min(MAX_WRITE_SPLITS, -(-cores // max(1, n_buckets))))
+        per_bucket = size // max(1, n_buckets)
+        return max(1, min(MAX_WRITE_SPLITS, -(-per_bucket // TARGET_WRITE_BYTES)))
 
     def _write_bucketed(
         self,
@@ -214,19 +313,47 @@ class LakeTable:
         in the data files — readers don't pay for it, and rewrites re-derive
         it from the manifest.
 
-        ``sort_by`` clusters rows on the given columns within each bucket
-        (``sortWithinPartitions``) so parquet row groups get tight,
+        Write parallelism is ``n_buckets × sub-splits``, not ``n_buckets``:
+        rows are shuffled on (``_bucket``, ``_split``) where ``_split`` is a
+        deterministic hash of the key mixed with a distinct seed, so a
+        16-bucket table still writes with every core (multiple files per
+        bucket dir). Sub-splitting keys on the KEY hash (not random) keeps
+        task retries deterministic; the distinct seed de-correlates it from
+        the bucket id (same-hash mod would put a bucket's rows in one split).
+
+        ``sort_by`` clusters rows on the given columns within each task's
+        slice (``sortWithinPartitions``) so parquet row groups get tight,
         mostly-disjoint min/max ranges — the scan-side payoff is row-group
         pruning for pushed-down range predicates. ``drop_after_sort``
         removes synthetic sort keys (e.g. a z-value) after ordering, before
         the write — a projection after sort keeps row order.
         """
         rel = self._new_commit_dir()
-        abs_dir = os.path.join(self.location, rel)
+        abs_dir = self.fs.join(self.location, rel)
         if keys and n_buckets > 1:
-            staged = df.withColumn("_bucket", bucket_expr(keys, n_buckets)).repartition(
-                "_bucket"
-            )
+            splits = self._write_parallelism(df, n_buckets)
+            staged = df.withColumn("_bucket", bucket_expr(keys, n_buckets))
+            if splits > 1 and sort_by:
+                # clustered write: RANGE-split on (_bucket, sort keys) so
+                # each task holds a contiguous slice — files stay sorted
+                # with pairwise-DISJOINT extents per bucket (hash
+                # sub-splitting would scatter adjacent sort keys across
+                # files and void row-group pruning)
+                staged = staged.repartitionByRange(
+                    n_buckets * splits, "_bucket", *sort_by
+                )
+            elif splits > 1:
+                key_cols = [
+                    F.coalesce(F.col(k).cast("string"), F.lit("\x00null")) for k in keys
+                ]
+                split_col = F.pmod(
+                    F.xxhash64(F.lit("_split_seed"), *key_cols), F.lit(splits)
+                ).cast("int")
+                staged = staged.withColumn("_split", split_col).repartition(
+                    n_buckets * splits, "_bucket", "_split"
+                ).drop("_split")
+            else:
+                staged = staged.repartition(n_buckets, "_bucket")
             if sort_by:
                 staged = staged.sortWithinPartitions("_bucket", *sort_by)
             if drop_after_sort:
@@ -237,64 +364,63 @@ class LakeTable:
                 .parquet(abs_dir)
             )
             out: dict[str, list[str]] = {}
-            for entry in sorted(os.listdir(abs_dir)):
+            for entry in sorted(self.fs.listdir(abs_dir)):
                 if entry.startswith("_bucket="):
-                    bucket_rel = f"{rel}/{entry}"
-                    out[entry.split("=", 1)[1]] = [bucket_rel]
-                    self._harvest_stats(bucket_rel)
+                    out[entry.split("=", 1)[1]] = [f"{rel}/{entry}"]
+            self._harvest_stats(list(d for dirs in out.values() for d in dirs))
             return out
         if sort_by:
             df = df.sortWithinPartitions(*sort_by)
         if drop_after_sort:
             df = df.drop(*drop_after_sort)
         df.write.mode("overwrite").parquet(abs_dir)
-        self._harvest_stats(rel)
+        self._harvest_stats([rel])
         return {"0": [rel]}
 
-    def _harvest_stats(self, rel_dir: str) -> None:
-        """Per-column min/max from the parquet FOOTERS of a data dir —
-        no data pages read (the Iceberg manifest-stats analogue; on a
-        cluster this metadata comes back with the write tasks). Only
-        JSON-portable scalar types are kept; any error degrades to
-        no-stats (= no skipping) for the dir, never a failed commit."""
+    def _harvest_stats(self, rel_dirs: list[str]) -> None:
+        """Per-column min/max for each data dir, from parquet FOOTERS only
+        (the Iceberg manifest-stats analogue). Above
+        ``DRIVER_STATS_MAX_FILES`` files, footer parsing runs as a SPARK
+        JOB — one task per slice of files — so commit metadata cost
+        scales with the cluster, not the driver (the round-1 design had a
+        driver-side pyarrow loop unconditionally: a bottleneck and an
+        object-store correctness hazard at 100 TB). Small commits (a
+        CDC merge touching a few buckets) stay driver-side where a Spark
+        job's fixed latency would dominate reading a handful of footers.
+        The driver only lists file names (which it already holds from
+        the write) and merges per-file results — O(files) names, not
+        O(files) footer reads. Only JSON-portable scalar types are kept;
+        any error degrades to no-stats (= no skipping), never a failed
+        commit."""
         try:
-            import pyarrow.parquet as pq
-
-            abs_dir = os.path.join(self.location, rel_dir)
-            mins: dict[str, Any] = {}
-            maxs: dict[str, Any] = {}
-            for fname in os.listdir(abs_dir):
-                if not fname.endswith(".parquet"):
-                    continue
-                md = pq.ParquetFile(os.path.join(abs_dir, fname)).metadata
-                for rg in range(md.num_row_groups):
-                    g = md.row_group(rg)
-                    for ci in range(g.num_columns):
-                        col = g.column(ci)
-                        st = col.statistics
-                        name = col.path_in_schema
-                        if st is None or not st.has_min_max or "." in name:
-                            continue
-                        lo, hi = st.min, st.max
-                        if isinstance(lo, bytes) or isinstance(hi, bytes):
-                            continue
-                        if hasattr(lo, "isoformat"):
-                            lo, hi = lo.isoformat(), hi.isoformat()
-                        if name not in mins or lo < mins[name]:
-                            mins[name] = lo
-                        if name not in maxs or hi > maxs[name]:
-                            maxs[name] = hi
-            if mins:
-                self._pending_stats[rel_dir] = {
-                    c: [mins[c], maxs[c]] for c in mins if c in maxs
-                }
+            files: list[tuple[str, str]] = []
+            for rel_dir in rel_dirs:
+                abs_dir = self.fs.join(self.location, rel_dir)
+                for fname in self.fs.listdir(abs_dir):
+                    if fname.endswith(".parquet"):
+                        files.append((rel_dir, self.fs.join(abs_dir, fname)))
+            if not files:
+                return
+            if len(files) <= DRIVER_STATS_MAX_FILES:
+                file_stats = [r for pair in files for r in _footer_stats_one(*pair)]
+            else:
+                file_stats = _footer_stats_job(self.spark, files)
+            merged: dict[str, dict[str, list]] = {}
+            for rel_dir, col, lo, hi in file_stats:
+                cur = merged.setdefault(rel_dir, {}).get(col)
+                if cur is None:
+                    merged[rel_dir][col] = [lo, hi]
+                else:
+                    cur[0] = min(cur[0], lo)
+                    cur[1] = max(cur[1], hi)
+            self._pending_stats.update(merged)
         except Exception:  # noqa: BLE001 — stats are best-effort
             pass
 
     def _read_dirs(self, rel_dirs: list[str]) -> DataFrame:
         if not rel_dirs:
             return self.spark.createDataFrame([], self.schema())
-        paths = [os.path.join(self.location, d) for d in rel_dirs]
+        paths = [self.fs.join(self.location, d) for d in rel_dirs]
         return self.spark.read.schema(self.schema()).parquet(*paths)
 
     # ------------------------------------------------------------------ reads
@@ -306,7 +432,7 @@ class LakeTable:
         if as_of is not None:
             version = self.version_as_of(as_of)
         snap = self.snapshot(version)
-        paths = [os.path.join(self.location, d) for d in snap.all_dirs()]
+        paths = [self.fs.join(self.location, d) for d in snap.all_dirs()]
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
         if not paths:
             return self.spark.createDataFrame([], schema)
@@ -366,10 +492,9 @@ class LakeTable:
     def snapshots(self) -> DataFrame:
         """Metadata table, like Iceberg's ``table.snapshots``."""
         rows = []
-        for name in sorted(os.listdir(self.meta_dir)):
+        for name in sorted(self.fs.listdir(self.meta_dir)):
             if name.startswith("v") and name.endswith(".json"):
-                with open(os.path.join(self.meta_dir, name)) as f:
-                    s = Snapshot.from_json(f.read())
+                s = Snapshot.from_json(self.fs.read_text(self.fs.join(self.meta_dir, name)))
                 rows.append(
                     (s.version, s.parent, s.timestamp, s.operation, json.dumps(s.summary))
                 )
@@ -389,8 +514,11 @@ class LakeTable:
         properties: dict[str, str] | None = None,
     ) -> Snapshot:
         """Atomic replace-table-as-select (the reference's RTAS writer,
-        ``src/utils/iceberg.py:37-96``). Bucketed by ``key`` when given."""
-        nb = n_buckets or (DEFAULT_BUCKETS if key else 1)
+        ``src/utils/iceberg.py:37-96``). Bucketed by ``key`` when given;
+        the default bucket count is data-size-aware (one bucket per
+        ~``TARGET_BUCKET_BYTES`` of input, power of two) so a 100 TB RTAS
+        doesn't land in 16 giant buckets."""
+        nb = n_buckets or (auto_bucket_count(df) if key else 1)
         buckets = self._write_bucketed(df, key, nb)
 
         def build(parent):
@@ -651,7 +779,7 @@ class LakeTable:
             union = union.withColumn("__z", zvalue(numeric_exprs, ranges))
             sort_by, drop_after = ["__z"], ["__z"]
         per_bucket = self._write_bucketed(
-            union.coalesce(max(1, len(todo))), snap.key, snap.n_buckets,
+            union, snap.key, snap.n_buckets,
             sort_by=sort_by, drop_after_sort=drop_after,
         )
         per_bucket = {b: per_bucket.get(b, []) for b in todo}
@@ -664,17 +792,88 @@ class LakeTable:
             "rewritten_dirs": sum(len(snap.buckets[b]) for b in todo),
         }
 
+    # ------------------------------------------------------------------ DDL (metadata-only)
+    def _commit_metadata(self, mutate, operation: str) -> Snapshot:
+        """Metadata-only commit: copy the parent snapshot, let ``mutate``
+        edit it in place (properties / schema metadata), commit. Data
+        dirs are untouched, so this is O(manifest) at any table size."""
+
+        def build(parent):
+            if parent is None:
+                raise ValueError(f"table {self.location} does not exist")
+            snap = Snapshot(
+                version=parent.version + 1,
+                parent=parent.version,
+                timestamp=_utcnow(),
+                operation=operation,
+                schema_json=parent.schema_json,
+                key=parent.key,
+                n_buckets=parent.n_buckets,
+                buckets={b: list(d) for b, d in parent.buckets.items()},
+                properties=dict(parent.properties),
+                summary={},
+            )
+            mutate(snap)
+            return snap
+
+        return self._commit(build, operation)
+
+    def set_properties(self, props: dict[str, str]) -> Snapshot:
+        """ALTER TABLE SET TBLPROPERTIES (reference uses it for the table
+        comment sync, ``src/schema_validate.py:198-203``)."""
+
+        def mutate(snap):
+            snap.properties.update(props)
+            snap.summary = {"set_properties": sorted(props)}
+
+        return self._commit_metadata(mutate, "set_properties")
+
+    def set_table_comment(self, comment: str) -> Snapshot:
+        return self.set_properties({"comment": comment})
+
+    def table_comment(self) -> str | None:
+        return self.snapshot().properties.get("comment")
+
+    def set_column_comment(self, col: str, comment: str) -> Snapshot:
+        """ALTER COLUMN ... COMMENT — stored in the field's metadata
+        (where Spark's DESCRIBE surfaces it), committed as a new schema
+        version so travel reads see era-correct comments."""
+
+        def mutate(snap):
+            schema = T.StructType.fromJson(json.loads(snap.schema_json))
+            if col not in schema.fieldNames():
+                raise ValueError(f"no such column {col!r}")
+            out = []
+            for f in schema.fields:
+                if f.name == col:
+                    md = dict(f.metadata or {})
+                    md["comment"] = comment
+                    f = T.StructField(f.name, f.dataType, f.nullable, md)
+                out.append(f)
+            snap.schema_json = T.StructType(out).json()
+            snap.summary = {"column_comment": col}
+
+        return self._commit_metadata(mutate, "alter_column_comment")
+
+    def column_comments(self) -> dict[str, str]:
+        """Column → comment for columns that have one."""
+        return {
+            f.name: f.metadata["comment"]
+            for f in self.schema().fields
+            if f.metadata and "comment" in f.metadata
+        }
+
     def expire_snapshots(self, keep_last: int = 1) -> dict[str, int]:
         """Drop old manifests (Iceberg ``expire_snapshots``,
         ``src/utils/maintenance.py:151``). Data dirs are only reclaimed by
         ``remove_orphan_files``."""
         cur = self.current_version()
         removed = 0
-        for name in os.listdir(self.meta_dir):
+        for name in self.fs.listdir(self.meta_dir):
             if name.startswith("v") and name.endswith(".json"):
                 v = int(name[1:-5])
                 if v <= cur - keep_last:
-                    os.remove(os.path.join(self.meta_dir, name))
+                    self.fs.remove(self.fs.join(self.meta_dir, name))
                     removed += 1
         return {"expired_snapshots": removed}
 
@@ -682,17 +881,16 @@ class LakeTable:
         """Delete data dirs unreferenced by any remaining manifest
         (Iceberg ``remove_orphan_files``, ``src/utils/maintenance.py:266-271``)."""
         live: set[str] = set()
-        for name in os.listdir(self.meta_dir):
+        for name in self.fs.listdir(self.meta_dir):
             if name.startswith("v") and name.endswith(".json"):
-                with open(os.path.join(self.meta_dir, name)) as f:
-                    snap = Snapshot.from_json(f.read())
+                snap = Snapshot.from_json(self.fs.read_text(self.fs.join(self.meta_dir, name)))
                 for d in snap.all_dirs():
                     live.add(d.split("/")[1])  # commit dir component
         removed = 0
-        if os.path.isdir(self.data_dir):
-            for entry in os.listdir(self.data_dir):
+        if self.fs.isdir(self.data_dir):
+            for entry in self.fs.listdir(self.data_dir):
                 if entry not in live:
-                    shutil.rmtree(os.path.join(self.data_dir, entry))
+                    self.fs.rmtree(self.fs.join(self.data_dir, entry))
                     removed += 1
         return {"orphan_dirs_removed": removed}
 
@@ -702,16 +900,17 @@ class LakeCatalog:
     Glue/Polaris catalogs resolve 3-part names the same way,
     ``src/utils/cdc_pipeline.py:262``)."""
 
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(self, spark: SparkSession, warehouse: str, fs=None):
         self.spark = spark
+        self.fs = fs or DEFAULT_FS
         self.warehouse = warehouse.rstrip("/")
 
     def _loc(self, name: str) -> str:
         schema, _, table = name.rpartition(".")
-        return os.path.join(self.warehouse, schema or "default", table)
+        return self.fs.join(self.warehouse, schema or "default", table)
 
     def table(self, name: str) -> LakeTable:
-        return LakeTable(self.spark, self._loc(name))
+        return LakeTable(self.spark, self._loc(name), fs=self.fs)
 
     def create_or_replace(self, name: str, df: DataFrame, **kw) -> LakeTable:
         t = self.table(name)
@@ -720,16 +919,16 @@ class LakeCatalog:
 
     def drop(self, name: str, purge: bool = True) -> None:
         loc = self._loc(name)
-        if purge and os.path.isdir(loc):
-            shutil.rmtree(loc)
+        if purge and self.fs.isdir(loc):
+            self.fs.rmtree(loc)
 
     def list_tables(self, schema: str = "default") -> list[str]:
-        d = os.path.join(self.warehouse, schema)
-        if not os.path.isdir(d):
+        d = self.fs.join(self.warehouse, schema)
+        if not self.fs.isdir(d):
             return []
         return sorted(
-            f"{schema}.{t}" for t in os.listdir(d)
-            if os.path.exists(os.path.join(d, t, "metadata", "_current"))
+            f"{schema}.{t}" for t in self.fs.listdir(d)
+            if self.fs.exists(self.fs.join(d, t, "metadata", "_current"))
         )
 
 

@@ -72,3 +72,54 @@ def test_point_lookup_prunes_buckets(spark, tmp_path):
     t.update_where("pk = 7", {"v": 0})
     assert t.lookup(keys).filter(F.col("pk") == 7).first().v == 0
     assert t.lookup(keys, version=0).filter(F.col("pk") == 7).first().v == 14
+
+
+def test_comment_sync(spark, tmp_path):
+    """Reference schema_validate comment semantics: apply only differing
+    comments, skip empties and unknown columns, report-only dry run,
+    metadata-only commits (no data rewrite)."""
+    from datalake_iceberg_spark.ops.schema_validate import sync_comments
+
+    cat = LakeCatalog(spark, str(tmp_path / "wc"))
+    df = spark.range(0, 10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    t = cat.create_or_replace("db.cmt", df, key=["id"], n_buckets=2)
+    v_before = t.current_version()
+
+    # dry run: report drift, commit nothing
+    rep = sync_comments(
+        t, table_comment="orders mirror",
+        column_comments={"id": "pk", "v": "value", "ghost": "x", "empty": ""},
+        report_only=True,
+    )
+    assert rep["table_comment"] == (None, "orders mirror")
+    assert rep["columns"] == {"id": (None, "pk"), "v": (None, "value")}
+    assert rep["skipped"] == ["ghost"]
+    assert t.current_version() == v_before
+
+    # apply
+    rep = sync_comments(
+        t, table_comment="orders mirror",
+        column_comments={"id": "pk", "v": "value", "ghost": "x"},
+    )
+    assert rep["applied"]
+    assert t.table_comment() == "orders mirror"
+    assert t.column_comments() == {"id": "pk", "v": "value"}
+    assert t.read().count() == 10  # data untouched
+    # metadata-only commits: data dirs identical to the RTAS snapshot
+    assert t.snapshot().all_dirs() == t.snapshot(v_before).all_dirs()
+
+    # converged: second sync is a no-op, no new version
+    v_now = t.current_version()
+    rep = sync_comments(
+        t, table_comment="orders mirror", column_comments={"id": "pk", "v": "value"}
+    )
+    assert rep["columns"] == {} and rep["table_comment"] is None
+    assert t.current_version() == v_now
+
+    # seeded mismatch: only the drifted column re-syncs
+    t.set_column_comment("v", "stale")
+    rep = sync_comments(
+        t, table_comment="orders mirror", column_comments={"id": "pk", "v": "value"}
+    )
+    assert rep["columns"] == {"v": ("stale", "value")}
+    assert t.column_comments()["v"] == "value"

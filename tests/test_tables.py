@@ -220,3 +220,35 @@ def test_schema_alignment_on_merge(catalog, spark):
     t.merge(src)
     got = {(r.id, r.amount) for r in t.read().collect()}
     assert got == {(1, 1.5), (2, 2.5)}
+
+
+def test_write_parallelism_exceeds_bucket_count(catalog, spark, monkeypatch):
+    """A keyed write sub-splits each bucket across tasks — multiple files
+    per bucket dir once a bucket's slice exceeds the per-task byte
+    target — while bucket-dir pruning (read_buckets / lookup) stays
+    exact. The byte target is shrunk so a test-sized df triggers the
+    same path a 100 TB RTAS takes."""
+    import os
+
+    from datalake_iceberg_spark import tables as tables_mod
+
+    monkeypatch.setattr(tables_mod, "TARGET_WRITE_BYTES", 4 * 1024)
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    t = catalog.create_or_replace("db.par", df, key=["k"], n_buckets=2)
+    snap = t.snapshot()
+    per_dir_files = []
+    for dirs in snap.buckets.values():
+        for rel in dirs:
+            files = [
+                f for f in os.listdir(os.path.join(t.location, rel))
+                if f.endswith(".parquet")
+            ]
+            per_dir_files.append(len(files))
+    assert max(per_dir_files) > 1, "bucket writes did not sub-split"
+    assert t.read().count() == 20000
+    # pruned read still returns exactly the right rows
+    keys = spark.createDataFrame([(7,), (19999,)], "k LONG")
+    got = {r.k for r in t.lookup(keys).collect()}
+    assert got == {7, 19999}

@@ -73,8 +73,10 @@ def test_zorder_rewrite_clusters_both_columns(spark, tmp_path):
     assert after == before                      # content preserved
     assert "__z" not in t.read().columns        # synthetic key dropped
 
-    # each bucket's file is genuinely z-sorted: recompute z over the
-    # written rows and check it is non-decreasing in file order
+    # clustering contract that row-group pruning actually relies on:
+    # every FILE in a bucket dir is z-sorted internally, and the files'
+    # z-extents are pairwise disjoint (the range sub-split write gives
+    # parallel tasks contiguous slices — a hash sub-split would overlap)
     snap = t.snapshot()
     # recompute with the SAME bounds the rewrite used (actual min/max)
     bnd = t.read().agg(
@@ -83,11 +85,23 @@ def test_zorder_rewrite_clusters_both_columns(spark, tmp_path):
     ranges = [(bnd[0], bnd[1]), (bnd[2], bnd[3])]
     for dirs in snap.buckets.values():
         for rel in dirs:
-            part = spark.read.parquet(os.path.join(t.location, rel))
-            zs = [
-                r.z for r in part.select(zvalue(["a", "b"], ranges).alias("z")).collect()
-            ]
-            assert zs == sorted(zs), "bucket file not z-ordered"
+            extents = []
+            abs_dir = os.path.join(t.location, rel)
+            for fname in sorted(os.listdir(abs_dir)):
+                if not fname.endswith(".parquet"):
+                    continue
+                part = spark.read.parquet(os.path.join(abs_dir, fname))
+                zs = [
+                    r.z
+                    for r in part.select(zvalue(["a", "b"], ranges).alias("z")).collect()
+                ]
+                if not zs:
+                    continue
+                assert zs == sorted(zs), f"file {fname} not z-ordered"
+                extents.append((zs[0], zs[-1]))
+            extents.sort()
+            for (lo1, hi1), (lo2, hi2) in zip(extents, extents[1:]):
+                assert hi1 <= lo2, "file z-extents overlap within a bucket"
 
 
 def test_zorder_rejects_all_null_column(spark, tmp_path):
