@@ -120,8 +120,40 @@ def main() -> None:
         t0 = time.perf_counter()
         table.rewrite_data_files(zorder_by=["o_custkey", "o_totalprice"])
         dml["zorder_rewrite"] = round(time.perf_counter() - t0, 3)
+
+        # bucket-pruning proof at high bucket count: a small CDC batch
+        # against a 1024-bucket table must rewrite only the touched
+        # buckets' bytes, not the table (merge cost ∝ touched/total)
+        t0 = time.perf_counter()
+        table_hb = cat.create_or_replace(
+            "bench.orders_hb", orders, key=["id_iceberg"], n_buckets=1024
+        )
+        dml["rtas_1024b"] = round(time.perf_counter() - t0, 3)
+        upd_small = orders.filter(F.col("o_orderkey") % 1000 == 7).withColumn(
+            "o_orderpriority", F.lit("BENCH")
+        )
+        t0 = time.perf_counter()
+        snap_hb = table_hb.merge(upd_small, assert_unique_key=False)
+        dml["merge_0p1pct_1024b"] = round(time.perf_counter() - t0, 3)
+        touched = snap_hb.summary.get("affected_buckets", [])
+        rewritten = total_bytes = 0
+        for b, dirs in snap_hb.buckets.items():
+            for rel in dirs:
+                d = os.path.join(table_hb.location, rel)
+                size = sum(
+                    os.path.getsize(os.path.join(d, f))
+                    for f in os.listdir(d) if f.endswith(".parquet")
+                )
+                total_bytes += size
+                if int(b) in touched:
+                    rewritten += size
+        dml["merge_1024b_touched_buckets"] = len(touched)
+        dml["merge_1024b_total_buckets"] = 1024
+        dml["merge_1024b_rewritten_mb"] = round(rewritten / 1e6, 2)
+        dml["merge_1024b_table_mb"] = round(total_bytes / 1e6, 2)
+
         for name, sec in dml.items():
-            print(f"# dml {name}: {sec:.3f}s", file=sys.stderr)
+            print(f"# dml {name}: {sec}", file=sys.stderr)
         shutil.rmtree(wh, ignore_errors=True)
     except Exception as ex:  # DML bench must never fail the headline run
         print(f"# dml bench skipped: {ex}", file=sys.stderr)
