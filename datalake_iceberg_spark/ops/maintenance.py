@@ -7,11 +7,13 @@ recorded success/failed/skipped, exceptions never propagate (the
 reference swallows and records, ``maintenance.py:66-304``).
 
 The Iceberg procedures map onto LakeTable maintenance:
-- ``rewrite_data_files``      -> ``LakeTable.rewrite_data_files`` (M1)
-- ``expire_snapshots``        -> ``LakeTable.expire_snapshots`` (M2)
-- ``remove_orphan_files``     -> ``LakeTable.remove_orphan_files`` (M4)
-(M3 position-delete rewrite has no analogue: LakeTable is copy-on-write,
-so there are no delete files to compact — documented gap, not a stub.)
+- ``rewrite_data_files``             -> ``LakeTable.rewrite_data_files`` (M1)
+- ``expire_snapshots``               -> ``LakeTable.expire_snapshots`` (M2)
+- ``rewrite_position_delete_files``  -> ``LakeTable.rewrite_position_delete_files`` (M3)
+  (folds merge-on-read equality-delete files into the data; the
+  reference runs it on ``position_delete_interval``,
+  ``src/utils/cdc_pipeline.py:421-425`` / ``maintenance.py:189-246``)
+- ``remove_orphan_files``            -> ``LakeTable.remove_orphan_files`` (M4)
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ from datalake_iceberg_spark.tables import LakeCatalog
 COMPACTION = "rewrite_data_files"
 EXPIRE = "expire_snapshots"
 ORPHANS = "remove_orphan_files"
+POSITION_DELETES = "rewrite_position_delete_files"
 
 
 class ProcessedTableTracker:
@@ -106,6 +109,21 @@ class MaintenanceService:
     def run_orphan_cleanup(self, table_name: str) -> dict:
         t = self.catalog.table(table_name)
         return self._run_recorded(table_name, ORPHANS, t.remove_orphan_files)
+
+    def run_position_delete_compaction(
+        self, table_name: str, interval_sec: int = 0,
+        last_completed: datetime | None = None,
+    ) -> dict:
+        """Fold merge-on-read delete files, interval-gated like the
+        reference's ``run_position_delete_compaction``
+        (``src/utils/maintenance.py:189-246``; scheduled from the CDC
+        loop at ``cdc_pipeline.py:421-425``)."""
+        if interval_sec and not WatermarkStore.should_run(last_completed, interval_sec):
+            return self._record_skipped(table_name, POSITION_DELETES)
+        t = self.catalog.table(table_name)
+        return self._run_recorded(
+            table_name, POSITION_DELETES, t.rewrite_position_delete_files
+        )
 
     def run_all(
         self, schema: str = "default", compaction_interval_sec: int = 14_400

@@ -181,6 +181,13 @@ class Snapshot:
     # analogue). Older manifests without stats load fine (empty = no
     # skipping for those dirs).
     stats: dict[str, dict[str, list]] = field(default_factory=dict)
+    # merge-on-read equality-delete files: bucket -> list of
+    # {"dir": <delete-key parquet dir>, "covers": [data dirs it applies
+    # to]} — ``covers`` is the Iceberg sequence-number analogue: a
+    # delete applies ONLY to data dirs that existed when it committed,
+    # so re-inserting a deleted key later is unaffected. Entries whose
+    # covered dirs are all rewritten away are dropped automatically.
+    deletes: dict[str, list[dict]] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=1, sort_keys=True)
@@ -192,9 +199,31 @@ class Snapshot:
     def all_dirs(self) -> list[str]:
         return [d for dirs in self.buckets.values() for d in dirs]
 
+    def all_delete_dirs(self) -> list[str]:
+        return [e["dir"] for entries in self.deletes.values() for e in entries]
+
 
 class CommitConflict(Exception):
     pass
+
+
+def _prune_deletes(
+    deletes: dict[str, list[dict]], live_buckets: dict[str, list[str]]
+) -> dict[str, list[dict]]:
+    """Drop merge-on-read delete entries whose covered data dirs no
+    longer exist (the dirs were compacted/rewritten with the delete
+    applied), and narrow surviving entries' covers to live dirs."""
+    out: dict[str, list[dict]] = {}
+    for b, entries in deletes.items():
+        live = set(live_buckets.get(b, []))
+        kept = []
+        for e in entries:
+            cov = [d for d in e["covers"] if d in live]
+            if cov:
+                kept.append({"dir": e["dir"], "covers": cov})
+        if kept:
+            out[b] = kept
+    return out
 
 
 class LakeTable:
@@ -423,15 +452,63 @@ class LakeTable:
         paths = [self.fs.join(self.location, d) for d in rel_dirs]
         return self.spark.read.schema(self.schema()).parquet(*paths)
 
+    def _read_delete_keys(self, snap: Snapshot, rel_dirs: list[str]) -> DataFrame:
+        """Key tuples from merge-on-read delete files (distinct)."""
+        key_schema = T.StructType(
+            [f for f in T.StructType.fromJson(json.loads(snap.schema_json)).fields
+             if f.name in (snap.key or [])]
+        )
+        paths = [self.fs.join(self.location, d) for d in rel_dirs]
+        return self.spark.read.schema(key_schema).parquet(*paths).distinct()
+
+    def _read_with_deletes(self, snap: Snapshot, bucket_dirs: dict[str, list[str]]) -> DataFrame:
+        """Read the given per-bucket data dirs applying any merge-on-read
+        delete files. Dirs sharing the same applicable-delete signature
+        are read together and anti-joined against the UNION of those
+        deletes' keys (one anti-join per segment between delete commits
+        — segments ≤ delete entries + 1 per bucket, typically 1-2).
+        Dirs no delete covers take the plain fast path."""
+        plain: list[str] = []
+        pieces: list[DataFrame] = []
+        for b, dirs in bucket_dirs.items():
+            entries = snap.deletes.get(b, [])
+            if not entries:
+                plain.extend(dirs)
+                continue
+            covers = [set(e["covers"]) for e in entries]
+            sig_map: dict[tuple, list[str]] = {}
+            for d in dirs:
+                sig = tuple(i for i, cov in enumerate(covers) if d in cov)
+                sig_map.setdefault(sig, []).append(d)
+            for sig, ds in sig_map.items():
+                if not sig:
+                    plain.extend(ds)
+                    continue
+                dkeys = self._read_delete_keys(snap, [entries[i]["dir"] for i in sig])
+                pieces.append(
+                    self._read_dirs(ds).join(
+                        F.broadcast(dkeys), on=snap.key, how="left_anti"
+                    )
+                )
+        if plain or not pieces:
+            pieces.insert(0, self._read_dirs(plain))
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
     # ------------------------------------------------------------------ reads
     def read(self, version: int | None = None, as_of: str | None = None) -> DataFrame:
         """Snapshot read; ``version=N`` is VERSION AS OF, ``as_of=iso_ts``
-        is TIMESTAMP AS OF (latest snapshot committed ≤ the timestamp)."""
+        is TIMESTAMP AS OF (latest snapshot committed ≤ the timestamp).
+        Merge-on-read delete files, if any, are applied as anti-joins."""
         if version is not None and as_of is not None:
             raise ValueError("pass version or as_of, not both")
         if as_of is not None:
             version = self.version_as_of(as_of)
         snap = self.snapshot(version)
+        if snap.deletes:
+            return self._read_with_deletes(snap, snap.buckets)
         paths = [self.fs.join(self.location, d) for d in snap.all_dirs()]
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
         if not paths:
@@ -472,8 +549,16 @@ class LakeTable:
         (on top of parquet's own row-group pruning). ``filters`` is a
         conjunction of ``(col, op, value)``, op ∈ {<, <=, >, >=, =}.
         The exact predicate is re-applied on the surviving data."""
+        snap = self.snapshot(version)
         dirs = self.candidate_dirs(filters, version)
-        df = self._read_dirs(dirs)
+        if snap.deletes:
+            keep = set(dirs)
+            df = self._read_with_deletes(
+                snap,
+                {b: [d for d in ds if d in keep] for b, ds in snap.buckets.items()},
+            )
+        else:
+            df = self._read_dirs(dirs)
         ops = {
             ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
             "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
@@ -484,10 +569,14 @@ class LakeTable:
         return df
 
     def read_buckets(self, bucket_ids: list[int], version: int | None = None) -> DataFrame:
-        """Bucket-pruned scan — the point-lookup / merge-target path."""
+        """Bucket-pruned scan — the point-lookup / merge-target path.
+        Applies each bucket's merge-on-read deletes, so DML that reads
+        through here (merge/delete) always sees post-delete state."""
         snap = self.snapshot(version)
-        dirs = [d for b in bucket_ids for d in snap.buckets.get(str(b), [])]
-        return self._read_dirs(dirs)
+        wanted = {str(b): snap.buckets.get(str(b), []) for b in bucket_ids}
+        if any(snap.deletes.get(b) for b in wanted):
+            return self._read_with_deletes(snap, wanted)
+        return self._read_dirs([d for ds in wanted.values() for d in ds])
 
     def snapshots(self) -> DataFrame:
         """Metadata table, like Iceberg's ``table.snapshots``."""
@@ -558,6 +647,9 @@ class LakeTable:
                 buckets=merged,
                 properties=parent.properties,
                 summary={},
+                # appended dirs are NOT covered by existing deletes
+                # (covers pins them to their commit era), carry as-is
+                deletes=parent.deletes,
             )
 
         return self._commit(build, "append")
@@ -632,6 +724,9 @@ class LakeTable:
                 buckets=merged,
                 properties=parent.properties,
                 summary=summary,
+                # CoW rewrites replace the covered dirs, so delete
+                # entries whose covers vanished are dropped here
+                deletes=_prune_deletes(parent.deletes, merged),
             )
 
         return self._commit(build, operation)
@@ -669,10 +764,22 @@ class LakeTable:
             snap, per_bucket, affected, "merge", {"affected_buckets": affected}
         )
 
-    def delete_keys(self, keys_df: DataFrame) -> Snapshot:
+    def delete_keys(self, keys_df: DataFrame, mode: str = "copy-on-write") -> Snapshot:
         """DELETE WHERE EXISTS (semi-join delete set) — the reference's CDC
-        delete path (``src/utils/cdc_pipeline.py:239-251``), planned as a
-        left-anti join over affected buckets only."""
+        delete path (``src/utils/cdc_pipeline.py:239-251``).
+
+        ``mode="copy-on-write"`` (default): left-anti join + rewrite of
+        the affected buckets. ``mode="merge-on-read"``: write an
+        equality-delete file per affected bucket instead — O(delete set)
+        commit cost regardless of bucket sizes, with reads applying the
+        deletes as anti-joins until ``rewrite_position_delete_files``
+        folds them in (Iceberg's ``write.delete.mode`` choice; the
+        reference schedules the fold via ``position_delete_interval``,
+        ``src/utils/cdc_pipeline.py:421-425``)."""
+        if mode == "merge-on-read":
+            return self._delete_keys_mor(keys_df)
+        if mode != "copy-on-write":
+            raise ValueError(f"unknown delete mode {mode!r}")
         snap = self.snapshot()
         if not snap.key:
             raise ValueError("delete_keys requires a keyed table")
@@ -685,6 +792,41 @@ class LakeTable:
         return self._replace_buckets(
             snap, per_bucket, affected, "delete", {"affected_buckets": affected}
         )
+
+    def _delete_keys_mor(self, keys_df: DataFrame) -> Snapshot:
+        """Merge-on-read DELETE: bucket-partitioned equality-delete files,
+        each covering exactly the data dirs live at commit time."""
+        snap = self.snapshot()
+        if not snap.key:
+            raise ValueError("delete_keys requires a keyed table")
+        keys_df = keys_df.select(*snap.key).distinct()
+        new_dirs = self._write_bucketed(keys_df, snap.key, snap.n_buckets)
+
+        def build(parent):
+            deletes = {b: list(entries) for b, entries in parent.deletes.items()}
+            touched = []
+            for b, dirs in new_dirs.items():
+                covers = parent.buckets.get(b, [])
+                if not covers:
+                    continue  # no data to delete in this bucket
+                for d in dirs:
+                    deletes.setdefault(b, []).append({"dir": d, "covers": list(covers)})
+                touched.append(int(b))
+            return Snapshot(
+                version=parent.version + 1,
+                parent=parent.version,
+                timestamp=_utcnow(),
+                operation="delete-mor",
+                schema_json=parent.schema_json,
+                key=parent.key,
+                n_buckets=parent.n_buckets,
+                buckets={b: list(d) for b, d in parent.buckets.items()},
+                properties=parent.properties,
+                summary={"affected_buckets": sorted(touched), "mode": "merge-on-read"},
+                deletes=deletes,
+            )
+
+        return self._commit(build, "delete-mor")
 
     def delete_where(self, condition) -> Snapshot:
         """Predicate delete (the reference's retention purge shape,
@@ -735,12 +877,17 @@ class LakeTable:
             raise ValueError("pass sort_by or zorder_by, not both")
         snap = self.snapshot()
         min_dirs = 1 if (sort_by or zorder_by) else min_input_dirs
-        todo = [b for b, dirs in snap.buckets.items() if len(dirs) >= min_dirs]
+        # buckets carrying merge-on-read delete files always qualify:
+        # compaction is what folds the deletes in
+        todo = [
+            b for b, dirs in snap.buckets.items()
+            if len(dirs) >= min_dirs or snap.deletes.get(b)
+        ]
         if not todo:
             return {"rewritten_buckets": 0, "rewritten_dirs": 0}
         union = None
         for b in todo:
-            part = self._read_dirs(snap.buckets[b])
+            part = self._read_with_deletes(snap, {b: snap.buckets[b]})
             union = part if union is None else union.unionByName(part)
         drop_after = None
         if zorder_by:
@@ -812,6 +959,7 @@ class LakeTable:
                 buckets={b: list(d) for b, d in parent.buckets.items()},
                 properties=dict(parent.properties),
                 summary={},
+                deletes=parent.deletes,
             )
             mutate(snap)
             return snap
@@ -863,6 +1011,31 @@ class LakeTable:
             if f.metadata and "comment" in f.metadata
         }
 
+    def rewrite_position_delete_files(self) -> dict[str, int]:
+        """Fold merge-on-read delete files into the data (Iceberg's
+        ``rewrite_position_delete_files`` procedure, which the reference
+        schedules on ``position_delete_interval``,
+        ``src/utils/maintenance.py:189-246``): rewrite exactly the
+        delete-bearing buckets with their deletes applied; the covers
+        pruning drops the dead delete entries at commit. No-op when the
+        table has no delete files."""
+        snap = self.snapshot()
+        todo = sorted(b for b, entries in snap.deletes.items() if entries)
+        if not todo:
+            return {"rewritten_buckets": 0, "removed_delete_files": 0}
+        n_delete_files = sum(len(snap.deletes[b]) for b in todo)
+        union = None
+        for b in todo:
+            part = self._read_with_deletes(snap, {b: snap.buckets[b]})
+            union = part if union is None else union.unionByName(part)
+        per_bucket = self._write_bucketed(union, snap.key, snap.n_buckets)
+        per_bucket = {b: per_bucket.get(b, []) for b in todo}
+        self._replace_buckets(
+            snap, per_bucket, [int(b) for b in todo], "rewrite_position_deletes",
+            {"removed_delete_files": n_delete_files},
+        )
+        return {"rewritten_buckets": len(todo), "removed_delete_files": n_delete_files}
+
     def expire_snapshots(self, keep_last: int = 1) -> dict[str, int]:
         """Drop old manifests (Iceberg ``expire_snapshots``,
         ``src/utils/maintenance.py:151``). Data dirs are only reclaimed by
@@ -884,7 +1057,7 @@ class LakeTable:
         for name in self.fs.listdir(self.meta_dir):
             if name.startswith("v") and name.endswith(".json"):
                 snap = Snapshot.from_json(self.fs.read_text(self.fs.join(self.meta_dir, name)))
-                for d in snap.all_dirs():
+                for d in snap.all_dirs() + snap.all_delete_dirs():
                     live.add(d.split("/")[1])  # commit dir component
         removed = 0
         if self.fs.isdir(self.data_dir):

@@ -1,0 +1,110 @@
+"""Merge-on-read equality deletes (M3): delete files apply at read
+time, scope to their commit era (covers), and fold away under
+rewrite_position_delete_files."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.tables import LakeCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def _ids(t):
+    return {r.id for r in t.read().select("id").collect()}
+
+
+def test_mor_delete_applies_at_read(catalog, spark):
+    base = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(50)])
+    t = catalog.create_or_replace("db.mor", base, key=["id"], n_buckets=4)
+    snap = t.delete_keys(
+        spark.createDataFrame([Row(id=3), Row(id=17), Row(id=999)]),
+        mode="merge-on-read",
+    )
+    assert snap.operation == "delete-mor"
+    assert snap.summary["mode"] == "merge-on-read"
+    # data dirs untouched (O(delete set) commit, no bucket rewrite)
+    assert snap.buckets == t.snapshot(snap.parent).buckets
+    assert _ids(t) == set(range(50)) - {3, 17}
+    # scan / lookup / read_buckets all see post-delete state
+    assert {r.id for r in t.scan([("id", ">=", 0)]).collect()} == set(range(50)) - {3, 17}
+    keys = spark.createDataFrame([Row(id=3), Row(id=4)])
+    assert {r.id for r in t.lookup(keys).collect()} == {4}
+    # travel to pre-delete snapshot still sees everything
+    assert t.read(version=snap.parent).count() == 50
+
+
+def test_mor_delete_era_scoped_reinsert(catalog, spark):
+    """A deleted key re-inserted later (merge or append) must SURVIVE:
+    the delete's covers pin it to dirs that existed at delete time."""
+    base = spark.createDataFrame([Row(id=i, v="old") for i in range(20)])
+    t = catalog.create_or_replace("db.mor2", base, key=["id"], n_buckets=4)
+    t.delete_keys(spark.createDataFrame([Row(id=5)]), mode="merge-on-read")
+    assert 5 not in _ids(t)
+    # re-insert via merge (CoW rewrite of the bucket drops the dead entry)
+    t.merge(spark.createDataFrame([Row(id=5, v="reborn")]))
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[5] == "reborn"
+    # delete again MoR, then APPEND the key: appended dir is newer than
+    # the delete's covers -> the append is visible
+    t.delete_keys(spark.createDataFrame([Row(id=7)]), mode="merge-on-read")
+    assert 7 not in _ids(t)
+    t.append(spark.createDataFrame([Row(id=7, v="appended")]))
+    vals = {r.v for r in t.read().filter(F.col("id") == 7).collect()}
+    assert vals == {"appended"}
+
+
+def test_rewrite_position_delete_files_folds(catalog, spark):
+    base = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(40)])
+    t = catalog.create_or_replace("db.mor3", base, key=["id"], n_buckets=4)
+    t.delete_keys(spark.createDataFrame([Row(id=i) for i in range(0, 10)]),
+                  mode="merge-on-read")
+    assert len(t.snapshot().all_delete_dirs()) > 0
+    res = t.rewrite_position_delete_files()
+    assert res["rewritten_buckets"] >= 1
+    assert res["removed_delete_files"] >= 1
+    snap = t.snapshot()
+    assert snap.deletes == {}                      # entries folded away
+    assert _ids(t) == set(range(10, 40))           # content preserved
+    # idempotent no-op afterwards
+    assert t.rewrite_position_delete_files() == {
+        "rewritten_buckets": 0, "removed_delete_files": 0,
+    }
+    # orphan cleanup after expiry reclaims the delete dirs
+    t.expire_snapshots(keep_last=1)
+    t.remove_orphan_files()
+    assert _ids(t) == set(range(10, 40))
+
+
+def test_regular_compaction_folds_deletes(catalog, spark):
+    base = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(30)])
+    t = catalog.create_or_replace("db.mor4", base, key=["id"], n_buckets=2)
+    t.delete_keys(spark.createDataFrame([Row(id=1), Row(id=2)]), mode="merge-on-read")
+    t.rewrite_data_files(min_input_dirs=2)  # delete-bearing buckets qualify
+    assert t.snapshot().deletes == {}
+    assert _ids(t) == set(range(30)) - {1, 2}
+
+
+def test_mor_stack_multiple_deletes(catalog, spark):
+    """Two MoR deletes stack; both apply at read; maintenance service
+    path records the fold."""
+    from datalake_iceberg_spark.ops.maintenance import MaintenanceService
+    from datalake_iceberg_spark.ops.watermark import WatermarkStore
+
+    base = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(30)])
+    t = catalog.create_or_replace("db.mor5", base, key=["id"], n_buckets=2)
+    t.delete_keys(spark.createDataFrame([Row(id=1)]), mode="merge-on-read")
+    t.delete_keys(spark.createDataFrame([Row(id=2)]), mode="merge-on-read")
+    assert _ids(t) == set(range(30)) - {1, 2}
+
+    store = WatermarkStore(catalog)
+    store.ensure_tables()
+    svc = MaintenanceService(catalog, store)
+    res = svc.run_position_delete_compaction("db.mor5")
+    assert res["status"] == "success"
+    assert t.snapshot().deletes == {}
+    assert _ids(t) == set(range(30)) - {1, 2}
