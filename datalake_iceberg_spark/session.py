@@ -34,31 +34,42 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
-def create_spark_session(
+def build_session_builder(
     app_name: str = "datalake_iceberg_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     preserve_explicit_casts: bool = False,
     extra_conf: dict[str, str] | None = None,
     settings=None,
-) -> SparkSession:
-    """Create (or fetch) the engine SparkSession.
+    remote: str | None = None,
+):
+    """Assemble the configured builder without materializing a session
+    (unit-testable; ``create_spark_session`` adds ``getOrCreate``).
 
-    ``preserve_explicit_casts=True`` replicates the reference's
-    ``SimplifyCasts`` exclusion — required when ingesting JDBC-shaped
-    data whose cast chains must not be elided as redundant.
-
-    ``settings`` (a :class:`datalake_iceberg_spark.settings.Settings`)
-    supplies cpu count / driver memory when given, so a deployment is
-    constructible from env alone (reference settings-layer parity).
+    ``remote`` (or ``SPARK_REMOTE`` in the env, or ``settings.remote``)
+    selects Spark Connect mode — the reference exercises this from its
+    remote notebook (``tests/00.remote.ipynb``). Connect sessions get
+    the same session-level SQL confs; JVM-static confs (master, driver
+    memory) belong to the server and are skipped client-side.
     """
     cores = (settings.cpus if settings and settings.cpus else None) or default_parallelism()
     driver_mem = (
         settings.driver_memory if settings else os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     )
+    remote = (
+        remote
+        or (settings.remote if settings else None)
+        or os.environ.get("SPARK_REMOTE")
+    )
+    builder = SparkSession.builder.appName(app_name)
+    if remote:
+        builder = builder.remote(remote)
+    else:
+        builder = builder.master(master or f"local[{cores}]").config(
+            "spark.driver.memory", driver_mem
+        )
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cores}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -75,12 +86,45 @@ def create_spark_session(
         .config("spark.rdd.compress", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", driver_mem)
     )
     if preserve_explicit_casts:
         builder = builder.config("spark.sql.optimizer.excludedRules", SIMPLIFY_CASTS_RULE)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    return builder
+
+
+def create_spark_session(
+    app_name: str = "datalake_iceberg_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    preserve_explicit_casts: bool = False,
+    extra_conf: dict[str, str] | None = None,
+    settings=None,
+    remote: str | None = None,
+) -> SparkSession:
+    """Create (or fetch) the engine SparkSession.
+
+    ``preserve_explicit_casts=True`` replicates the reference's
+    ``SimplifyCasts`` exclusion — required when ingesting JDBC-shaped
+    data whose cast chains must not be elided as redundant.
+
+    ``settings`` (a :class:`datalake_iceberg_spark.settings.Settings`)
+    supplies cpu count / driver memory / remote URL when given, so a
+    deployment is constructible from env alone (reference
+    settings-layer parity). ``remote`` selects Spark Connect mode.
+    """
+    spark = build_session_builder(
+        app_name=app_name,
+        master=master,
+        shuffle_partitions=shuffle_partitions,
+        preserve_explicit_casts=preserve_explicit_casts,
+        extra_conf=extra_conf,
+        settings=settings,
+        remote=remote,
+    ).getOrCreate()
+    try:
+        spark.sparkContext.setLogLevel("WARN")
+    except Exception:
+        pass  # Connect sessions expose no SparkContext; server owns levels
     return spark

@@ -156,6 +156,8 @@ class Settings:
     runner: RunnerSettings = field(default_factory=RunnerSettings)
     cpus: int | None = None
     driver_memory: str = "16g"
+    # Spark Connect URL (sc://host:port); None = classic in-process
+    remote: str | None = None
 
     @property
     def CATALOG(self) -> str:
@@ -193,6 +195,8 @@ class Settings:
             s.cpus = int(merged["SPARK_GRAFT_CPUS"])
         if "SPARK_GRAFT_DRIVER_MEM" in merged:
             s.driver_memory = merged["SPARK_GRAFT_DRIVER_MEM"]
+        if "SPARK_REMOTE" in merged:
+            s.remote = merged["SPARK_REMOTE"]
 
         if secret_source is None and s.vault.configured():
             secret_source = vault_secret_source(s.vault)
