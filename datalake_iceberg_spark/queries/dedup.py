@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datalake_iceberg_spark.queries import load
+from datalake_iceberg_spark.queries import load, load_balanced
 
 N_HASHES = 8          # minhash signature length
 BAND_SIZE = 2         # rows per band -> 4 bands
@@ -36,7 +36,7 @@ def _norm_text():
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized content hash; survivor = min doc_id.
     Returns (content_md5, survivor_doc_id, n_copies)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_balanced(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", F.md5(_norm_text()).alias("content_md5"))
         .groupBy("content_md5")
@@ -121,7 +121,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, 8×min) partial rows; codegen CSE evaluates each seeded md5
     once per shingle.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_balanced(spark, sf_dir, "documents")
     sh = docs.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
     aggs = [F.min(_sig_expr(i)).alias(f"sig_{i}") for i in range(N_HASHES)]
     return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
@@ -315,7 +315,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature bit is the sign of the weighted bit sum over the doc's
     distinct tokens. Pure integer arithmetic — portable and exact.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_balanced(spark, sf_dir, "documents")
     # distinct tokens + their md5, per row via array HOFs — zero shuffles
     # (vs explode → distinct → groupBy, which shuffles the token set twice)
     tok_arr = F.array_distinct(
@@ -372,7 +372,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The verify stage of near-dup detection: intersection via shingle
     join *restricted to candidate pairs*, union by inclusion-exclusion.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_balanced(spark, sf_dir, "documents")
     sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cands = minhash_lsh_pairs(spark, sf_dir)

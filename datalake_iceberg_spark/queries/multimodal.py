@@ -144,9 +144,9 @@ def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = UTF-8 bytes of the text, modality round-robins on doc_id.
     Stands in for a real blob column so the multimodal plumbing is
     driver-checkable at any scale factor."""
-    from datalake_iceberg_spark.queries import load
+    from datalake_iceberg_spark.queries import load, load_balanced
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_balanced(spark, sf_dir, "documents")
     modality = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),

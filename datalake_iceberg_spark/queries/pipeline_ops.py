@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datalake_iceberg_spark.queries import load
+from datalake_iceberg_spark.queries import load, load_balanced
 from datalake_iceberg_spark.queries.analytics import EVENTS_CTE, load_events
 
 TRAIN_PCT = 90
@@ -69,7 +69,7 @@ def hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars of the key, mod 100. The assignment is reproducible across
     engines, runs, and scale factors (no RNG state), and uniform, so
     neither split skews downstream partitioning."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_balanced(spark, sf_dir, "documents")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100
@@ -101,7 +101,7 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive): split → adjacent-pair fan-out → count, top 50. The
     pair construction is a JVM higher-order transform; partial agg
     collapses duplicates map-side before the single term shuffle."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_balanced(spark, sf_dir, "documents")
     # adjacent pairs as zip_with over two shifted slices — one linear
     # pass per doc. The index-based form (transform over sequence +
     # element_at(i)) is 6-10x slower: element_at re-walks the array per
@@ -145,7 +145,7 @@ def regex_term_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex scan per source (the PII / contamination-pattern shape):
     total matches of a pattern and documents containing it. The regex
     runs inside the scan projection over each text once."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_balanced(spark, sf_dir, "documents")
     n_matches = F.size(F.regexp_extract_all(F.col("text"), F.lit(SCAN_PATTERN), 0))
     return (
         docs.select("source", n_matches.alias("n_matches"))
@@ -180,7 +180,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: explode → tf agg on (doc,term) → df agg on term (broadcast
     back: vocab ≪ corpus) → per-doc rank window."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_balanced(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
     terms = docs.select("doc_id", F.explode(words).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))

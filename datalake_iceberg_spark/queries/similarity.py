@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datalake_iceberg_spark.queries import load
+from datalake_iceberg_spark.queries import load, load_balanced
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < N_QUERIES form the query set
@@ -43,7 +43,7 @@ def _norm(a):
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-K: every query (vec_id < N_QUERIES) against all
     other vectors. Query side broadcast; rank window per query."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_balanced(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
         _norm(F.col("embedding")).alias("q_nrm"),
@@ -138,7 +138,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector: N_PLANES sign bits
     packed into an int. Vectors in the same bucket are ANN candidates.
     Output: (vec_id, label, bucket)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_balanced(spark, sf_dir, "embeddings")
     bits = [
         F.when(_plane_dot(F.col("embedding"), p) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
         for p in range(N_PLANES)
@@ -171,7 +171,7 @@ def centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid → cosine of each vector to its own centroid.
     The IVF coarse-quantizer shape: trains centroids with one groupBy
     (map-side partial agg), scores with a broadcast join."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_balanced(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
     )
@@ -203,7 +203,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hidden-partition key so the self-join is co-located and never
     all-pairs; here the candidate set is |bucket|² not n².
     Output: (a_id, b_id, cosine)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_balanced(spark, sf_dir, "embeddings")
     bits = [
         F.when(_plane_dot(F.col("embedding"), p) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
         for p in range(N_PLANES)
@@ -269,7 +269,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell id, so a probe reads ~nprobe/ncells of the data instead of all
     of it; centroids are tiny and broadcast. Output per query:
     (query_id, cand_id, cosine, rank)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_balanced(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datalake_iceberg_spark.queries import load
+from datalake_iceberg_spark.queries import load, load_balanced
 
 # deterministic tiny stopword sets per language (marker-word heuristic)
 LANG_MARKERS = {
@@ -46,7 +46,7 @@ BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count, BPE-ish regex token count (the LLM
     budget estimator), and char stats per document."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_balanced(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         _token_count().alias("n_tokens"),
@@ -75,7 +75,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     simplified to deterministic arithmetic): token count bounds, mean
     word length bounds, stopword-hit requirement.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_balanced(spark, sf_dir, "documents")
     n_tokens = _token_count()
     stop_hits = sum(
         F.when(F.contains(F.col("text"), F.lit(f" {w} "))
@@ -133,7 +133,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language scoring: count hits per language's marker set,
     predict argmax (ties broken by language code). N-gram-heuristic shape
     — at scale this is one codegen'd projection, no shuffle before agg."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_balanced(spark, sf_dir, "documents")
     padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
     scores = [
         sum(
@@ -187,7 +187,7 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 of normalized text plus a 32-bit
     content hash derived from the hex digest (portable rolling-hash
     stand-in — exact integer arithmetic both engines)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_balanced(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
     digest = F.md5(norm)
     h32 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
