@@ -152,6 +152,21 @@ def main() -> None:
         dml["merge_1024b_rewritten_mb"] = round(rewritten / 1e6, 2)
         dml["merge_1024b_table_mb"] = round(total_bytes / 1e6, 2)
 
+        # merge-on-read vs copy-on-write delete on the same table: MoR
+        # commit cost is O(delete set) (writes only delete-key files),
+        # CoW rewrites every touched bucket; fold is the deferred cost
+        dels_a = orders.filter(F.col("o_orderkey") % 1000 == 13).select("id_iceberg")
+        t0 = time.perf_counter()
+        table_hb.delete_keys(dels_a, mode="merge-on-read")
+        dml["delete_mor_0p1pct_1024b"] = round(time.perf_counter() - t0, 3)
+        dels_b = orders.filter(F.col("o_orderkey") % 1000 == 19).select("id_iceberg")
+        t0 = time.perf_counter()
+        table_hb.delete_keys(dels_b)  # copy-on-write
+        dml["delete_cow_0p1pct_1024b"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        table_hb.rewrite_position_delete_files()
+        dml["mor_fold_1024b"] = round(time.perf_counter() - t0, 3)
+
         for name, sec in dml.items():
             print(f"# dml {name}: {sec}", file=sys.stderr)
         shutil.rmtree(wh, ignore_errors=True)

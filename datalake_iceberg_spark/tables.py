@@ -361,15 +361,33 @@ class LakeTable:
         abs_dir = self.fs.join(self.location, rel)
         if keys and n_buckets > 1:
             splits = self._write_parallelism(df, n_buckets)
+            # Shuffle-partition count is capped by what the data VOLUME
+            # (or, unsized, the core count) actually needs: the
+            # ``partitionBy("_bucket")`` writer lets one task emit many
+            # bucket dirs, so a high-bucket table writing a small delta
+            # (150 CDC keys into 1024 buckets) shuffles into ~cores
+            # tasks, not n_buckets near-empty ones — same one-file-per-
+            # bucket layout, ~30x fewer task launches and less GC churn.
+            # Full-volume writes still fan out to n_buckets × splits.
+            want = n_buckets * max(1, splits)
+            size = plan_size_bytes(df)
+            try:
+                cores = self.spark.sparkContext.defaultParallelism
+            except Exception:  # Spark Connect: no SparkContext handle
+                cores = want
+            need = cores if size is None else max(
+                cores, -(-size // TARGET_WRITE_BYTES)
+            )
+            nparts = max(1, min(want, need))
             staged = df.withColumn("_bucket", bucket_expr(keys, n_buckets))
-            if splits > 1 and sort_by:
+            if (splits > 1 or nparts < want) and sort_by:
                 # clustered write: RANGE-split on (_bucket, sort keys) so
                 # each task holds a contiguous slice — files stay sorted
                 # with pairwise-DISJOINT extents per bucket (hash
                 # sub-splitting would scatter adjacent sort keys across
                 # files and void row-group pruning)
                 staged = staged.repartitionByRange(
-                    n_buckets * splits, "_bucket", *sort_by
+                    nparts, "_bucket", *sort_by
                 )
             elif splits > 1:
                 key_cols = [
@@ -379,10 +397,10 @@ class LakeTable:
                     F.xxhash64(F.lit("_split_seed"), *key_cols), F.lit(splits)
                 ).cast("int")
                 staged = staged.withColumn("_split", split_col).repartition(
-                    n_buckets * splits, "_bucket", "_split"
+                    nparts, "_bucket", "_split"
                 ).drop("_split")
             else:
-                staged = staged.repartition(n_buckets, "_bucket")
+                staged = staged.repartition(nparts, "_bucket")
             if sort_by:
                 staged = staged.sortWithinPartitions("_bucket", *sort_by)
             if drop_after_sort:
@@ -463,33 +481,42 @@ class LakeTable:
 
     def _read_with_deletes(self, snap: Snapshot, bucket_dirs: dict[str, list[str]]) -> DataFrame:
         """Read the given per-bucket data dirs applying any merge-on-read
-        delete files. Dirs sharing the same applicable-delete signature
-        are read together and anti-joined against the UNION of those
-        deletes' keys (one anti-join per segment between delete commits
-        — segments ≤ delete entries + 1 per bucket, typically 1-2).
+        delete files. Dirs are grouped by their covering delete-COMMIT
+        signature ACROSS buckets, so the plan holds one scan + anti-join
+        per era segment (≤ delete commits + 1), never one per bucket — a
+        1024-bucket table with one MoR delete reads as 1 anti-join, not
+        1024 union branches. Cross-bucket pooling of delete keys is safe
+        because delete files are bucketed by the same key hash and
+        n_buckets as the data, so a key in bucket X's delete file cannot
+        match a row outside bucket X; and within one commit every delete
+        dir of a bucket carries identical ``covers`` (see
+        ``_delete_keys_mor``), so the commit-level signature is exact.
         Dirs no delete covers take the plain fast path."""
         plain: list[str] = []
-        pieces: list[DataFrame] = []
+        groups: dict[frozenset, tuple[list[str], set[str]]] = {}
         for b, dirs in bucket_dirs.items():
             entries = snap.deletes.get(b, [])
             if not entries:
                 plain.extend(dirs)
                 continue
             covers = [set(e["covers"]) for e in entries]
-            sig_map: dict[tuple, list[str]] = {}
             for d in dirs:
-                sig = tuple(i for i, cov in enumerate(covers) if d in cov)
-                sig_map.setdefault(sig, []).append(d)
-            for sig, ds in sig_map.items():
-                if not sig:
-                    plain.extend(ds)
+                idx = tuple(i for i, cov in enumerate(covers) if d in cov)
+                if not idx:
+                    plain.append(d)
                     continue
-                dkeys = self._read_delete_keys(snap, [entries[i]["dir"] for i in sig])
-                pieces.append(
-                    self._read_dirs(ds).join(
-                        F.broadcast(dkeys), on=snap.key, how="left_anti"
-                    )
+                sig = frozenset(entries[i]["dir"].split("/")[1] for i in idx)
+                data_dirs, del_dirs = groups.setdefault(sig, ([], set()))
+                data_dirs.append(d)
+                del_dirs.update(entries[i]["dir"] for i in idx)
+        pieces: list[DataFrame] = []
+        for data_dirs, del_dirs in groups.values():
+            dkeys = self._read_delete_keys(snap, sorted(del_dirs))
+            pieces.append(
+                self._read_dirs(data_dirs).join(
+                    F.broadcast(dkeys), on=snap.key, how="left_anti"
                 )
+            )
         if plain or not pieces:
             pieces.insert(0, self._read_dirs(plain))
         out = pieces[0]
@@ -1024,11 +1051,8 @@ class LakeTable:
         if not todo:
             return {"rewritten_buckets": 0, "removed_delete_files": 0}
         n_delete_files = sum(len(snap.deletes[b]) for b in todo)
-        union = None
-        for b in todo:
-            part = self._read_with_deletes(snap, {b: snap.buckets[b]})
-            union = part if union is None else union.unionByName(part)
-        per_bucket = self._write_bucketed(union, snap.key, snap.n_buckets)
+        folded = self._read_with_deletes(snap, {b: snap.buckets[b] for b in todo})
+        per_bucket = self._write_bucketed(folded, snap.key, snap.n_buckets)
         per_bucket = {b: per_bucket.get(b, []) for b in todo}
         self._replace_buckets(
             snap, per_bucket, [int(b) for b in todo], "rewrite_position_deletes",
