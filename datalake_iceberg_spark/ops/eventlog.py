@@ -241,9 +241,16 @@ def analyze_eventlog(path: str | Path) -> dict[str, Any]:
     if start_ts is not None and end_ts is not None:
         app["duration_ms"] = end_ts - start_ts
 
-    total_run = sum(s.total_duration_ms for s in stages) or 1.0
+    # App-level CPU verdict from SIGNIFICANT stages only, with per-stage
+    # ratios clamped to 1.0: on sub-ms tasks "Executor Run Time" rounds
+    # down to whole ms while CPU time keeps ns precision, so tiny stages
+    # report cpu/run > 1 — physically meaningless and, summed over many
+    # short DML stages, enough to push the app ratio past 1.
+    sig_stages = [s for s in stages if s.significant] or stages
+    total_run = sum(s.total_duration_ms for s in sig_stages) or 1.0
     weighted_cpu = (
-        sum(s.cpu_efficiency * s.total_duration_ms for s in stages) / total_run
+        sum(min(1.0, s.cpu_efficiency) * s.total_duration_ms for s in sig_stages)
+        / total_run
     )
     report = {
         "app": app,

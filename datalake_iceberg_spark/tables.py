@@ -777,12 +777,29 @@ class LakeTable:
             raise ValueError("merge requires a keyed table")
         source = self._align(source)
         if assert_unique_key:
-            dup = source.groupBy(*snap.key).count().filter(F.col("count") > 1)
-            if not dup.isEmpty():
+            # one probe job serves both the duplicate-key guard and
+            # bucket pruning: per-key counts roll up to per-bucket max
+            # (≤ n_buckets rows collected)
+            bucket = (
+                bucket_expr(snap.key, snap.n_buckets).alias("b")
+                if snap.n_buckets > 1
+                else F.lit(0).alias("b")
+            )
+            probe = (
+                source.groupBy(*snap.key)
+                .count()
+                .select(bucket, "count")
+                .groupBy("b")
+                .agg(F.max("count").alias("max_dup"))
+                .collect()
+            )
+            if any(r.max_dup > 1 for r in probe):
                 raise ValueError(
                     "MERGE source has duplicate keys; dedup-latest before merging"
                 )
-        affected = self._affected_buckets(source, snap)
+            affected = sorted(r.b for r in probe)
+        else:
+            affected = self._affected_buckets(source, snap)
         target = self.read_buckets(affected)
         merged = target.join(source, on=snap.key, how="left_anti").unionByName(source)
         per_bucket = self._write_bucketed(merged, snap.key, snap.n_buckets)
