@@ -188,6 +188,14 @@ class Snapshot:
     # so re-inserting a deleted key later is unaffected. Entries whose
     # covered dirs are all rewritten away are dropped automatically.
     deletes: dict[str, list[dict]] = field(default_factory=dict)
+    # metadata-only schema evolution (Iceberg field-id analogue): for
+    # dirs written BEFORE a rename/add, logical column -> physical
+    # column name inside the files. Absent dir or absent column =
+    # identity. ``add_column`` maps the new name to a nonexistent
+    # sentinel on pre-existing dirs, so a drop + re-add can never
+    # resurrect old values (Iceberg's no-resurrection rule, which it
+    # gets from fresh field ids).
+    renames: dict[str, dict[str, str]] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=1, sort_keys=True)
@@ -294,6 +302,15 @@ class LakeTable:
             inherited.update(self._pending_stats)
             snap.stats = {
                 d: inherited[d] for d in snap.all_dirs() if d in inherited
+            }
+            # prune rename mappings to live dirs. Builders carry the
+            # parent's mappings forward explicitly (like ``deletes``) —
+            # merging here would resurrect entries a rename-back DDL
+            # deliberately deleted. Dirs (re)written this commit use
+            # current logical names, so they simply have no entry.
+            live = set(snap.all_dirs()) | set(snap.all_delete_dirs())
+            snap.renames = {
+                d: dict(m) for d, m in snap.renames.items() if d in live and m
             }
             try:
                 self._write_manifest(snap)
@@ -464,11 +481,51 @@ class LakeTable:
         except Exception:  # noqa: BLE001 — stats are best-effort
             pass
 
-    def _read_dirs(self, rel_dirs: list[str]) -> DataFrame:
+    def _read_mapped(
+        self, rel_dirs: list[str], schema: T.StructType,
+        renames: dict[str, dict[str, str]],
+    ) -> DataFrame:
+        """Read dirs under a logical ``schema``, translating per-dir
+        physical column names (schema evolution). Dirs are grouped by
+        their mapping signature — a never-evolved table is one identity
+        group and reads exactly as a plain ``spark.read.parquet``; after
+        a rename the plan holds one scan branch per distinct historical
+        naming (≤ number of rename DDLs), never one per dir. A mapped
+        physical name absent from the files (the ``add_column``
+        sentinel, or a column added after the dir was written) reads as
+        NULL via the explicit-schema projection."""
         if not rel_dirs:
-            return self.spark.createDataFrame([], self.schema())
-        paths = [self.fs.join(self.location, d) for d in rel_dirs]
-        return self.spark.read.schema(self.schema()).parquet(*paths)
+            return self.spark.createDataFrame([], schema)
+        groups: dict[frozenset, list[str]] = {}
+        for d in rel_dirs:
+            rel = {k: v for k, v in renames.get(d, {}).items() if k in schema.fieldNames()}
+            groups.setdefault(frozenset(rel.items()), []).append(d)
+        pieces: list[DataFrame] = []
+        for sig, dirs in sorted(groups.items(), key=lambda kv: kv[1]):
+            m = dict(sig)
+            paths = [self.fs.join(self.location, d) for d in dirs]
+            if not m:
+                pieces.append(self.spark.read.schema(schema).parquet(*paths))
+                continue
+            phys = T.StructType(
+                [T.StructField(m.get(f.name, f.name), f.dataType, True, f.metadata)
+                 for f in schema.fields]
+            )
+            pieces.append(
+                self.spark.read.schema(phys).parquet(*paths).select(
+                    [F.col(m.get(f.name, f.name)).alias(f.name) for f in schema.fields]
+                )
+            )
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _read_dirs(self, rel_dirs: list[str], snap: Snapshot | None = None) -> DataFrame:
+        if snap is None:
+            snap = self.snapshot()
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        return self._read_mapped(rel_dirs, schema, snap.renames)
 
     def _read_delete_keys(self, snap: Snapshot, rel_dirs: list[str]) -> DataFrame:
         """Key tuples from merge-on-read delete files (distinct)."""
@@ -476,8 +533,7 @@ class LakeTable:
             [f for f in T.StructType.fromJson(json.loads(snap.schema_json)).fields
              if f.name in (snap.key or [])]
         )
-        paths = [self.fs.join(self.location, d) for d in rel_dirs]
-        return self.spark.read.schema(key_schema).parquet(*paths).distinct()
+        return self._read_mapped(rel_dirs, key_schema, snap.renames).distinct()
 
     def _read_with_deletes(self, snap: Snapshot, bucket_dirs: dict[str, list[str]]) -> DataFrame:
         """Read the given per-bucket data dirs applying any merge-on-read
@@ -513,12 +569,12 @@ class LakeTable:
         for data_dirs, del_dirs in groups.values():
             dkeys = self._read_delete_keys(snap, sorted(del_dirs))
             pieces.append(
-                self._read_dirs(data_dirs).join(
+                self._read_dirs(data_dirs, snap).join(
                     F.broadcast(dkeys), on=snap.key, how="left_anti"
                 )
             )
         if plain or not pieces:
-            pieces.insert(0, self._read_dirs(plain))
+            pieces.insert(0, self._read_dirs(plain, snap))
         out = pieces[0]
         for p in pieces[1:]:
             out = out.unionByName(p)
@@ -536,15 +592,16 @@ class LakeTable:
         snap = self.snapshot(version)
         if snap.deletes:
             return self._read_with_deletes(snap, snap.buckets)
-        paths = [self.fs.join(self.location, d) for d in snap.all_dirs()]
-        schema = T.StructType.fromJson(json.loads(snap.schema_json))
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._read_dirs(snap.all_dirs(), snap)
 
     @staticmethod
-    def _dir_may_match(dstats: dict[str, list], filters) -> bool:
+    def _dir_may_match(
+        dstats: dict[str, list], filters, mapping: dict[str, str] | None = None
+    ) -> bool:
         for col, op, value in filters:
+            # footer stats are keyed by the PHYSICAL column name the dir
+            # was written with; translate renamed logical names
+            col = (mapping or {}).get(col, col)
             if col not in dstats:
                 continue
             lo, hi = dstats[col]
@@ -567,7 +624,7 @@ class LakeTable:
         return [
             d
             for d in snap.all_dirs()
-            if self._dir_may_match(snap.stats.get(d, {}), filters)
+            if self._dir_may_match(snap.stats.get(d, {}), filters, snap.renames.get(d))
         ]
 
     def scan(self, filters, version: int | None = None) -> DataFrame:
@@ -585,7 +642,7 @@ class LakeTable:
                 {b: [d for d in ds if d in keep] for b, ds in snap.buckets.items()},
             )
         else:
-            df = self._read_dirs(dirs)
+            df = self._read_dirs(dirs, snap)
         ops = {
             ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
             "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
@@ -603,7 +660,7 @@ class LakeTable:
         wanted = {str(b): snap.buckets.get(str(b), []) for b in bucket_ids}
         if any(snap.deletes.get(b) for b in wanted):
             return self._read_with_deletes(snap, wanted)
-        return self._read_dirs([d for ds in wanted.values() for d in ds])
+        return self._read_dirs([d for ds in wanted.values() for d in ds], snap)
 
     def snapshots(self) -> DataFrame:
         """Metadata table, like Iceberg's ``table.snapshots``."""
@@ -677,6 +734,7 @@ class LakeTable:
                 # appended dirs are NOT covered by existing deletes
                 # (covers pins them to their commit era), carry as-is
                 deletes=parent.deletes,
+                renames=parent.renames,
             )
 
         return self._commit(build, "append")
@@ -754,6 +812,7 @@ class LakeTable:
                 # CoW rewrites replace the covered dirs, so delete
                 # entries whose covers vanished are dropped here
                 deletes=_prune_deletes(parent.deletes, merged),
+                renames=parent.renames,
             )
 
         return self._commit(build, operation)
@@ -868,6 +927,7 @@ class LakeTable:
                 properties=parent.properties,
                 summary={"affected_buckets": sorted(touched), "mode": "merge-on-read"},
                 deletes=deletes,
+                renames=parent.renames,
             )
 
         return self._commit(build, "delete-mor")
@@ -1004,6 +1064,7 @@ class LakeTable:
                 properties=dict(parent.properties),
                 summary={},
                 deletes=parent.deletes,
+                renames={d: dict(m) for d, m in parent.renames.items()},
             )
             mutate(snap)
             return snap
@@ -1054,6 +1115,91 @@ class LakeTable:
             for f in self.schema().fields
             if f.metadata and "comment" in f.metadata
         }
+
+    # ------------------------------------------------------- schema evolution
+    def _resolve_type(self, dtype) -> T.DataType:
+        if isinstance(dtype, T.DataType):
+            return dtype
+        # DDL-string types ("bigint", "array<double>", "decimal(10,2)")
+        # resolved through Catalyst — no private parser API
+        return self.spark.range(1).select(F.lit(None).cast(dtype)).schema[0].dataType
+
+    def add_column(self, name: str, dtype, comment: str | None = None) -> Snapshot:
+        """ALTER TABLE ADD COLUMN — metadata-only at any table size
+        (Iceberg schema evolution; the reference leans on Iceberg's
+        ``UpdateSchema``). Existing rows read NULL. Every pre-existing
+        dir maps the new logical name to a nonexistent physical
+        sentinel, so if an earlier ``drop_column`` left a same-named
+        column in old files the values can NOT be resurrected — the
+        guarantee Iceberg derives from fresh field ids."""
+        dt = self._resolve_type(dtype)
+
+        def mutate(snap):
+            schema = T.StructType.fromJson(json.loads(snap.schema_json))
+            if name in schema.fieldNames():
+                raise ValueError(f"column {name!r} already exists")
+            md = {"comment": comment} if comment else {}
+            snap.schema_json = T.StructType(
+                schema.fields + [T.StructField(name, dt, True, md)]
+            ).json()
+            sentinel = f"__absent__{name}"
+            for d in snap.all_dirs():
+                snap.renames.setdefault(d, {})[name] = sentinel
+            snap.summary = {"add_column": name, "type": dt.simpleString()}
+
+        return self._commit_metadata(mutate, "add_column")
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        """ALTER TABLE RENAME COLUMN — metadata-only: existing files keep
+        their physical name, the per-dir mapping redirects reads. Key
+        columns rename cleanly (bucket assignment hashes values, not
+        names); merge-on-read delete files follow the same mapping."""
+
+        def mutate(snap):
+            schema = T.StructType.fromJson(json.loads(snap.schema_json))
+            if old not in schema.fieldNames():
+                raise ValueError(f"no such column {old!r}")
+            if new in schema.fieldNames():
+                raise ValueError(f"column {new!r} already exists")
+            snap.schema_json = T.StructType(
+                [T.StructField(new if f.name == old else f.name,
+                               f.dataType, f.nullable, f.metadata)
+                 for f in schema.fields]
+            ).json()
+            if snap.key and old in snap.key:
+                snap.key = [new if k == old else k for k in snap.key]
+            for d in snap.all_dirs() + snap.all_delete_dirs():
+                m = snap.renames.setdefault(d, {})
+                m[new] = m.pop(old, old)
+                if m[new] == new:  # rename cycle landed back on itself
+                    del m[new]
+                if not m:
+                    del snap.renames[d]
+            snap.summary = {"rename_column": [old, new]}
+
+        return self._commit_metadata(mutate, "rename_column")
+
+    def drop_column(self, name: str) -> Snapshot:
+        """ALTER TABLE DROP COLUMN — metadata-only: the column leaves the
+        logical schema; parquet column pruning means the dead bytes are
+        never read again (reclaimed on the next compaction rewrite)."""
+
+        def mutate(snap):
+            schema = T.StructType.fromJson(json.loads(snap.schema_json))
+            if name not in schema.fieldNames():
+                raise ValueError(f"no such column {name!r}")
+            if snap.key and name in snap.key:
+                raise ValueError(f"cannot drop key column {name!r}")
+            snap.schema_json = T.StructType(
+                [f for f in schema.fields if f.name != name]
+            ).json()
+            for d, m in list(snap.renames.items()):
+                m.pop(name, None)
+                if not m:
+                    del snap.renames[d]
+            snap.summary = {"drop_column": name}
+
+        return self._commit_metadata(mutate, "drop_column")
 
     def rewrite_position_delete_files(self) -> dict[str, int]:
         """Fold merge-on-read delete files into the data (Iceberg's
