@@ -10,10 +10,10 @@ Oracle-parity rules used throughout:
   ``floor(x*100 + 0.5)`` (IEEE-deterministic in both engines), all
   aggregation runs in exact int64, and outputs divide back to double —
   bit-identical across engines with no decimal-rounding-mode hazards;
-- `events.ts` is nanosecond parquet, which Spark 4 cannot read natively:
-  ``load_events`` reads it as int64 (``nanosAsLong``) and truncates to
-  microseconds; oracles shadow the ``events`` view with the same
-  truncation (``EVENTS_CTE``);
+- `events.ts` is decoded type-adaptively by ``load_events`` (µs
+  timestamp used as-is; legacy int64-nanos truncated to µs); oracles
+  shadow the ``events`` view with the type-agnostic ``EVENTS_CTE``
+  (``epoch_ns(ts) // 1000``) so both encodings grade identically;
 - every computed column is aliased identically in Spark and SQL, and
   top-k queries carry deterministic tiebreakers.
 
@@ -44,12 +44,39 @@ def cents_sql(expr: str) -> str:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) — illegal for Spark's
-    vectorized reader. Read ns as long, truncate to µs (matches the
-    oracle's ``epoch_ns // 1000``)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Type-adaptive events reader — branches on the *actual* ``ts``
+    dtype instead of assuming a fixture encoding (the same robustness
+    idiom as the reference's temporal decode, cdc_pipeline.py:81-124):
+
+    - ``timestamp`` / ``timestamp_ntz`` (µs parquet): use as-is;
+    - ``long`` (TIMESTAMP(NANOS) fixture read under
+      ``spark.sql.legacy.parquet.nanosAsLong``): truncate ns → µs.
+
+    Either way the result matches the oracle's ``epoch_ns(ts) // 1000``
+    CTE, which is itself type-agnostic in DuckDB.
+    """
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # TIMESTAMP(NANOS) physical type: the vectorized reader rejects
+        # it at schema inference. Opt into the legacy long decode for
+        # this session; the read below then sees ts as int64 nanos.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type == "timestamp":
+        return df
+    if ts_type == "timestamp_ntz":
+        # Normalize to TIMESTAMP (LTZ) so downstream epoch math
+        # (unix_micros etc.) type-checks. Wall-clock → LTZ → wall-clock
+        # round-trips through the session timezone, so values are
+        # preserved end-to-end (driver + tests run in UTC; only a
+        # DST-ambiguous wall clock in a non-UTC session could differ).
+        return df.withColumn("ts", F.to_timestamp_ltz("ts"))
+    if ts_type in ("long", "bigint"):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raise TypeError(f"events.ts has unsupported dtype {ts_type!r}; expected timestamp or int64-nanos")
 
 
 EVENTS_CTE = """events_us AS (

@@ -222,9 +222,21 @@ ORDER BY asset_id, frame_idx
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode over the derived assets (mapInPandas seam) —
     genuinely non-SQL-expressible; the driver records a rows-only check.
-    Output: (asset_id, modality, n_bytes, feature array<float>)."""
+
+    Output: (asset_id, modality, n_bytes, feature). ``feature`` is the
+    vector serialized as a JSON string of 6-dp doubles — an
+    ``array<float>`` column is unhashable for pandas-based row
+    canonicalization (r2 driver err), and a stable string round-trips
+    through any comparator."""
     assets = assets_from_documents(spark, sf_dir)
-    return decode_assets(assets).orderBy("asset_id")
+    decoded = decode_assets(assets)
+    feature_json = F.to_json(
+        F.transform(F.col("feature"), lambda x: F.round(x.cast("double"), 6))
+    )
+    return (
+        decoded.select("asset_id", "modality", "n_bytes", feature_json.alias("feature"))
+        .orderBy("asset_id")
+    )
 
 
 def synthetic_assets(spark: SparkSession, n: int = 64) -> DataFrame:
