@@ -30,6 +30,11 @@ import uuid
 class LocalFilesystem:
     """POSIX implementation (test/bench target)."""
 
+    #: POSIX metadata ops are ~µs; object-store adapters must set False
+    #: so latency-sensitive callers (footer-stats fan-out) switch to
+    #: distributed paths at much lower file counts.
+    is_local = True
+
     def join(self, *parts: str) -> str:
         return os.path.join(*parts)
 

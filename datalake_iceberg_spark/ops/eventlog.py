@@ -10,7 +10,12 @@ module. Same health model and numeric verdict bands
 - **GC overhead**: ``jvmGcTime / executorRunTime`` — healthy < 5%
   (``:456-458``).
 - **CPU efficiency**: ``executorCpuTime / executorRunTime`` — bands
-  <50% low, 50-80% balanced, >80% cpu-bound (``:934-941``).
+  <50% low, 50-80% balanced, >80% cpu-bound (``:934-941``). One
+  PySpark-specific extension over the reference: ``executorCpuTime``
+  is a JVM counter and cannot see work done inside Python workers
+  (mapInPandas / Pandas UDF stages would read as ~0% CPU while the
+  Python side burns a full core), so the numerator also counts the
+  ``time to run Python workers`` SQL metric from task accumulators.
 - **Shuffle fetch-wait**: ``shuffleReadFetchWaitTime / executorRunTime``
   — bands 5% / 20% (``:959-965``).
 - **Spill**: any ``memoryBytesSpilled``/``diskBytesSpilled`` is a
@@ -90,6 +95,7 @@ class TaskRecord:
     duration_ms: float
     run_time_ms: float
     cpu_time_ms: float
+    python_time_ms: float
     gc_time_ms: float
     fetch_wait_ms: float
     shuffle_read_bytes: int
@@ -111,6 +117,8 @@ class StageStats:
     skew_ratio: float = 0.0
     gc_fraction: float = 0.0
     cpu_efficiency: float = 0.0
+    python_time_ms: float = 0.0
+    run_time_ms: float = 0.0
     shuffle_wait_fraction: float = 0.0
     shuffle_read_bytes: int = 0
     shuffle_write_bytes: int = 0
@@ -119,7 +127,21 @@ class StageStats:
     input_bytes: int = 0
     output_bytes: int = 0
     significant: bool = False
+    submission_ts: int = 0
     findings: list[str] = field(default_factory=list)
+
+
+def _python_time_ms(info: dict[str, Any]) -> float:
+    """Per-task 'time to run Python workers' SQL-metric update (ms).
+    Present only on stages executing a Python eval node; 0 elsewhere."""
+    total = 0.0
+    for acc in info.get("Accumulables", []):
+        if acc.get("Name") == "time to run Python workers":
+            try:
+                total += float(acc.get("Update", 0))
+            except (TypeError, ValueError):
+                pass
+    return total
 
 
 def _task_record(ev: dict[str, Any]) -> TaskRecord | None:
@@ -134,6 +156,7 @@ def _task_record(ev: dict[str, Any]) -> TaskRecord | None:
         duration_ms=(info.get("Finish Time", 0) - info.get("Launch Time", 0)),
         run_time_ms=metrics.get("Executor Run Time", 0),
         cpu_time_ms=metrics.get("Executor CPU Time", 0) / 1e6,  # ns → ms
+        python_time_ms=_python_time_ms(info),
         gc_time_ms=metrics.get("JVM GC Time", 0),
         fetch_wait_ms=sr.get("Fetch Wait Time", 0),
         shuffle_read_bytes=sr.get("Remote Bytes Read", 0) + sr.get("Local Bytes Read", 0),
@@ -148,6 +171,7 @@ def _task_record(ev: dict[str, Any]) -> TaskRecord | None:
 def analyze_stages(events: Iterator[dict[str, Any]]) -> list[StageStats]:
     tasks: dict[int, list[TaskRecord]] = {}
     names: dict[int, str] = {}
+    submitted: dict[int, int] = {}
     for ev in events:
         kind = ev.get("Event")
         if kind == "SparkListenerTaskEnd":
@@ -157,6 +181,7 @@ def analyze_stages(events: Iterator[dict[str, Any]]) -> list[StageStats]:
         elif kind == "SparkListenerStageCompleted":
             si = ev.get("Stage Info") or {}
             names[si.get("Stage ID", -1)] = si.get("Stage Name", "")
+            submitted[si.get("Stage ID", -1)] = si.get("Submission Time", 0)
 
     out: list[StageStats] = []
     for stage_id in sorted(tasks):
@@ -166,12 +191,19 @@ def analyze_stages(events: Iterator[dict[str, Any]]) -> list[StageStats]:
         st = StageStats(
             stage_id=stage_id,
             name=names.get(stage_id, ""),
+            submission_ts=submitted.get(stage_id, 0),
             n_tasks=len(recs),
             total_duration_ms=sum(durations),
             max_duration_ms=max(durations),
             median_duration_ms=statistics.median(durations),
             gc_fraction=sum(r.gc_time_ms for r in recs) / run_time,
-            cpu_efficiency=sum(r.cpu_time_ms for r in recs) / run_time,
+            # busy fraction: JVM CPU plus Python-worker run time — the
+            # JVM thread shows ~zero CPU while it blocks on the Python
+            # pipe, so pure-JVM cpu/run misreads every Pandas-UDF stage
+            # as idle.
+            cpu_efficiency=sum(r.cpu_time_ms + r.python_time_ms for r in recs) / run_time,
+            python_time_ms=sum(r.python_time_ms for r in recs),
+            run_time_ms=run_time,
             shuffle_wait_fraction=sum(r.fetch_wait_ms for r in recs) / run_time,
             shuffle_read_bytes=sum(r.shuffle_read_bytes for r in recs),
             shuffle_write_bytes=sum(r.shuffle_write_bytes for r in recs),
@@ -224,10 +256,20 @@ def cpu_verdict(efficiency: float) -> str:
     return "cpu-bound"
 
 
-def analyze_eventlog(path: str | Path) -> dict[str, Any]:
-    """Full-application report: per-stage stats + app-level verdicts."""
+def analyze_eventlog(
+    path: str | Path, until_epoch_ms: int | None = None
+) -> dict[str, Any]:
+    """Full-application report: per-stage stats + app-level verdicts.
+
+    ``until_epoch_ms`` restricts the report to stages SUBMITTED at or
+    before that epoch-ms timestamp — callers that run distinct phases in
+    one session (e.g. the bench's query phase vs its small-file DML
+    stress phase) can grade each phase against the health bands
+    separately instead of blending them into one misleading number."""
     events = list(parse_events(path))
     stages = analyze_stages(iter(events))
+    if until_epoch_ms is not None:
+        stages = [s for s in stages if 0 < s.submission_ts <= until_epoch_ms]
     app = {"app_name": None, "duration_ms": None, "executors": 0}
     start_ts = end_ts = None
     for ev in events:
@@ -245,18 +287,23 @@ def analyze_eventlog(path: str | Path) -> dict[str, Any]:
     # ratios clamped to 1.0: on sub-ms tasks "Executor Run Time" rounds
     # down to whole ms while CPU time keeps ns precision, so tiny stages
     # report cpu/run > 1 — physically meaningless and, summed over many
-    # short DML stages, enough to push the app ratio past 1.
+    # short DML stages, enough to push the app ratio past 1. Stages are
+    # weighted by executor RUN time (time actually spent executing, the
+    # same denominator as the per-stage ratio), not wall task duration,
+    # which also counts scheduler/queue delay.
     sig_stages = [s for s in stages if s.significant] or stages
-    total_run = sum(s.total_duration_ms for s in sig_stages) or 1.0
+    total_run = sum(s.run_time_ms for s in sig_stages) or 1.0
     weighted_cpu = (
-        sum(min(1.0, s.cpu_efficiency) * s.total_duration_ms for s in sig_stages)
+        sum(min(1.0, s.cpu_efficiency) * s.run_time_ms for s in sig_stages)
         / total_run
     )
+    total_py = sum(s.python_time_ms for s in stages)
     report = {
         "app": app,
         "n_stages": len(stages),
         "cpu_efficiency": round(weighted_cpu, 4),
         "cpu_verdict": cpu_verdict(weighted_cpu),
+        "python_time_ms": round(total_py, 1),
         "total_spill_bytes": sum(s.mem_spill_bytes + s.disk_spill_bytes for s in stages),
         "max_skew_ratio": round(
             max((s.skew_ratio for s in stages if s.significant), default=0.0), 2
