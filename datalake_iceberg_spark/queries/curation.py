@@ -1,0 +1,453 @@
+"""Training-data curation operators over the ``documents`` / ``events``
+/ ``embeddings`` tables — the filter/scrub/sample/audit layer a
+large-scale LLM data pipeline runs between raw ingest and tokenization.
+
+Beyond-reference surface (the reference has no query corpus); each
+operator is a declarative DataFrame plan with a DuckDB oracle.
+
+Cross-engine determinism rules (same as analytics.py):
+- ratios/averages are computed from exact integer counts and divided in
+  double at the end — identical IEEE results in both engines;
+- per-row float reductions (embedding norms) fold a fixed-length array
+  left-to-right in both engines, then quantize to integer millis before
+  any cross-row aggregation;
+- sampling is content-hash-based (md5 hex prefix), not RNG-based, so
+  both engines select identical rows.
+
+Scale notes: every operator is one scan + one shuffle (or none);
+term/vocab lists ride as plan-time literals (broadcast-free); the
+contamination check semi-joins against a small benchmark side that
+Spark auto-broadcasts. No Python execution anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.queries import load, load_balanced
+
+# ---------------------------------------------------------------- scrub
+
+#: stand-in "sensitive term" patterns (the corpus has no real PII; the
+#: plumbing — regex redaction + audit counts — is what the operator is)
+SCRUB_PATTERN = r"\b(customer|spark)\b"
+
+
+def term_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrub audit: per source, how many docs contain the
+    sensitive pattern and how many chars redaction removes. One scan,
+    one agg shuffle; the regex evaluates in codegen."""
+    docs = load(spark, sf_dir, "documents")
+    scrubbed_len = F.length(F.regexp_replace(F.col("text"), SCRUB_PATTERN, ""))
+    hit = (F.length("text") > scrubbed_len).cast("long")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(hit).alias("docs_with_term"),
+            F.sum(F.length("text") - scrubbed_len).alias("chars_redacted"),
+        )
+        .orderBy("source")
+    )
+
+
+TERM_SCRUB_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN length(text) > length(regexp_replace(text, '\\b(customer|spark)\\b', '', 'g')) THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_term,
+       CAST(SUM(length(text) - length(regexp_replace(text, '\\b(customer|spark)\\b', '', 'g'))) AS BIGINT) AS chars_redacted
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------- funnel
+
+def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel: how many docs survive each successive
+    curation gate. Computed as one pass of conditional aggregates (no
+    per-stage re-scan); the gates nest, so each count is the AND of all
+    previous predicates."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    g1 = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000)
+    g2 = g1 & (n_tok >= 20)
+    g3 = g2 & (stop * 5 <= n_tok)  # stopword ratio <= 20%, integer math
+    agg = docs.agg(
+        F.count("*").alias("all_docs"),
+        F.sum(g1.cast("long")).alias("len_ok"),
+        F.sum(g2.cast("long")).alias("tokens_ok"),
+        F.sum(g3.cast("long")).alias("stopword_ok"),
+    )
+    return agg.select(
+        F.stack(
+            F.lit(4),
+            F.lit(0), F.lit("all_docs"), "all_docs",
+            F.lit(1), F.lit("len_ok"), "len_ok",
+            F.lit(2), F.lit("tokens_ok"), "tokens_ok",
+            F.lit(3), F.lit("stopword_ok"), "stopword_ok",
+        ).alias("stage_idx", "stage", "n_docs")
+    )
+
+
+FILTER_FUNNEL_SQL = """
+WITH t AS (
+  SELECT n_chars,
+         length(string_split(text, ' ')) AS n_tok,
+         length(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) AS stop
+  FROM documents
+), a AS (
+  SELECT COUNT(*) AS all_docs,
+         CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END) AS BIGINT) AS len_ok,
+         CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 2000 AND n_tok >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS tokens_ok,
+         CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 2000 AND n_tok >= 20 AND stop * 5 <= n_tok THEN 1 ELSE 0 END) AS BIGINT) AS stopword_ok
+  FROM t
+)
+SELECT * FROM (
+  SELECT 0 AS stage_idx, 'all_docs' AS stage, all_docs AS n_docs FROM a
+  UNION ALL SELECT 1, 'len_ok', len_ok FROM a
+  UNION ALL SELECT 2, 'tokens_ok', tokens_ok FROM a
+  UNION ALL SELECT 3, 'stopword_ok', stopword_ok FROM a
+)
+"""
+
+
+# ----------------------------------------------------- shingle repetition
+
+def shingle_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal-repetition audit: per source, the average fraction of a
+    doc's 5-gram shingles that are duplicates of an earlier shingle in
+    the SAME doc (degenerate/looping text detector). All array HOFs —
+    zero shuffle until the final per-source agg."""
+    docs = load_balanced(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.greatest(F.size(toks) - F.lit(4), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
+    )
+    with_counts = docs.select(
+        "doc_id",
+        "source",
+        F.size(shingles).alias("n_shingles"),
+        F.size(F.array_distinct(shingles)).alias("n_unique"),
+    ).withColumn("n_dup", F.col("n_shingles") - F.col("n_unique"))
+    return (
+        with_counts.filter(F.col("n_shingles") > 0)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_dup").alias("dup_shingles"),
+            F.sum("n_shingles").alias("total_shingles"),
+            (F.sum("n_dup").cast("double") / F.sum("n_shingles")).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+SHINGLE_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         [array_to_string(t[i:i+4], ' ') FOR i IN generate_series(1, GREATEST(length(t) - 4, 0))] AS shingles
+  FROM toks
+), counts AS (
+  SELECT doc_id, source, length(shingles) AS n_shingles,
+         length(list_distinct(shingles)) AS n_unique
+  FROM sh WHERE length(shingles) > 0
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_shingles - n_unique) AS BIGINT) AS dup_shingles,
+       CAST(SUM(n_shingles) AS BIGINT) AS total_shingles,
+       CAST(SUM(n_shingles - n_unique) AS DOUBLE) / CAST(SUM(n_shingles) AS DOUBLE) AS dup_ratio
+FROM counts GROUP BY source ORDER BY source
+"""
+
+
+# ------------------------------------------------------------- sampling
+
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (md5 hex prefix ∈ {0,1} —
+    a 2/16 systematic rate), stratified by language. Hash-based so both
+    engines (and any two cluster runs) pick identical rows; per stratum
+    the realized rate rides along for sampling-bias audits."""
+    docs = load(spark, sf_dir, "documents")
+    sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(sampled.cast("long")).alias("n_sampled"),
+            (F.sum(sampled.cast("long")).cast("double") / F.count("*")).alias("rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT lang, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rate
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# -------------------------------------------------------- contamination
+
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: exact-content overlap between the
+    corpus and a held-out benchmark set (stand-in: docs with
+    ``doc_id % 97 == 0``). Per source: docs whose md5(text) appears in
+    the benchmark. The benchmark side is tiny → Spark broadcasts the
+    semi-join; at 100 TB this is the canonical broadcast-semi-join
+    decontamination shape."""
+    docs = load(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    contaminated = corpus.join(bench, "h", "left_semi")
+    return (
+        corpus.groupBy("source").agg(F.count("*").alias("n_docs"))
+        .join(
+            contaminated.groupBy("source").agg(F.count("*").alias("n_contaminated")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+CONTAMINATION_SQL = """
+WITH h AS (
+  SELECT source, doc_id, md5(text) AS h FROM documents
+), bench AS (
+  SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0
+), corpus AS (
+  SELECT * FROM h WHERE doc_id % 97 != 0
+)
+SELECT c.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN c.h IN (SELECT h FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+FROM corpus c GROUP BY c.source ORDER BY c.source
+"""
+
+
+# ------------------------------------------------------------ winsorize
+
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust value stats per event_type: mean before vs after
+    clipping to the [P05, P95] band. Percentiles via exact
+    ``percentile`` (same linear interpolation as DuckDB's
+    ``quantile_cont``); means accumulate in integer micros so the
+    cross-row sum is order-independent."""
+    from datalake_iceberg_spark.queries.analytics import load_events
+
+    ev = load_events(spark, sf_dir)
+    micros = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    ev = ev.withColumn("v_us", micros)
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile(v_us, 0.05)").alias("p05_us"),
+        F.expr("percentile(v_us, 0.95)").alias("p95_us"),
+        F.count("*").alias("n_events"),
+        F.sum("v_us").alias("sum_us"),
+    )
+    clipped = (
+        ev.join(F.broadcast(pct.select("event_type", "p05_us", "p95_us")), "event_type")
+        .withColumn(
+            "c_us",
+            F.greatest(F.least(F.col("v_us").cast("double"), F.col("p95_us")), F.col("p05_us")),
+        )
+        .groupBy("event_type")
+        .agg(F.sum(F.floor(F.col("c_us") + F.lit(0.5)).cast("long")).alias("clip_sum_us"))
+    )
+    return (
+        pct.join(clipped, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("sum_us").cast("double") / 1e6 / F.col("n_events")).alias("mean_raw"),
+            (F.col("clip_sum_us").cast("double") / 1e6 / F.col("n_events")).alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WINSORIZED_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v_us FROM events
+), pct AS (
+  SELECT event_type, quantile_cont(v_us, 0.05) AS p05_us, quantile_cont(v_us, 0.95) AS p95_us,
+         COUNT(*) AS n_events, CAST(SUM(v_us) AS BIGINT) AS sum_us
+  FROM v GROUP BY event_type
+), clipped AS (
+  SELECT v.event_type,
+         CAST(SUM(CAST(FLOOR(GREATEST(LEAST(CAST(v.v_us AS DOUBLE), p.p95_us), p.p05_us) + 0.5) AS BIGINT)) AS BIGINT) AS clip_sum_us
+  FROM v JOIN pct p ON v.event_type = p.event_type
+  GROUP BY v.event_type
+)
+SELECT p.event_type, p.n_events,
+       CAST(p.sum_us AS DOUBLE) / 1e6 / p.n_events AS mean_raw,
+       CAST(c.clip_sum_us AS DOUBLE) / 1e6 / p.n_events AS mean_winsorized
+FROM pct p JOIN clipped c ON p.event_type = c.event_type
+ORDER BY p.event_type
+"""
+
+
+# ------------------------------------------------------------ histogram
+
+def token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram in fixed-width buckets of 10
+    tokens (integer math — no float bucket-boundary hazards). The
+    pre-tokenization length audit every training pipeline runs."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    # explicit floor division: a bare CAST(x/10 AS INT) truncates in
+    # Spark but rounds in DuckDB — floor() makes both engines agree
+    bucket = F.floor(n_tok / 10).cast("int") * 10
+    return (
+        docs.select(bucket.alias("bucket_lo"), n_tok.alias("n_tok"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+TOKEN_HISTOGRAM_SQL = """
+WITH t AS (
+  SELECT CAST(length(string_split(text, ' ')) AS INT) AS n_tok FROM documents
+)
+SELECT CAST(FLOOR(n_tok / 10) AS INT) * 10 AS bucket_lo, COUNT(*) AS n_docs,
+       CAST(MIN(n_tok) AS INT) AS min_tokens, CAST(MAX(n_tok) AS INT) AS max_tokens
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------------------- OOV rate
+
+#: reference vocabulary for out-of-vocabulary auditing (plan-time
+#: literal — rides in the task binary, no broadcast needed)
+REFERENCE_VOCAB = (
+    "the a data join merge table row column key value query scan filter "
+    "sort group agg window hash batch stream"
+).split()
+
+
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary token rate per language against a reference
+    vocabulary: total tokens, OOV tokens, and the rate from exact
+    integer counts. Token membership runs as an array HOF in codegen."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    vocab = F.array(*[F.lit(w) for w in REFERENCE_VOCAB])
+    n_oov = F.size(F.filter(toks, lambda t: ~F.array_contains(vocab, t)))
+    agg = docs.groupBy("lang").agg(
+        F.sum(F.size(toks).cast("long")).alias("total_tokens"),
+        F.sum(n_oov.cast("long")).alias("oov_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "total_tokens",
+        "oov_tokens",
+        (F.col("oov_tokens").cast("double") / F.col("total_tokens")).alias("oov_ratio"),
+    ).orderBy("lang")
+
+
+OOV_RATE_SQL = """
+WITH t AS (
+  SELECT lang, string_split(text, ' ') AS toks FROM documents
+), c AS (
+  SELECT lang, length(toks) AS n_tok,
+         length(list_filter(toks, x -> NOT list_contains(
+           ['the','a','data','join','merge','table','row','column','key','value','query','scan','filter','sort','group','agg','window','hash','batch','stream'], x))) AS n_oov
+  FROM t
+)
+SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_oov) AS BIGINT) AS oov_tokens,
+       CAST(SUM(n_oov) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS oov_ratio
+FROM c GROUP BY lang ORDER BY lang
+"""
+
+
+# ------------------------------------------------------ embedding norms
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm stats per label: the norm folds the fixed-length vector
+    left-to-right (same order both engines), quantizes to integer
+    millis per row, then aggregates exactly — order-independent across
+    the cluster."""
+    emb = load(spark, sf_dir, "embeddings")
+    ss = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm_milli = F.floor(F.sqrt(ss) * 1000 + F.lit(0.5)).cast("long")
+    return (
+        emb.select("label", norm_milli.alias("nm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("nm").alias("min_norm_milli"),
+            F.max("nm").alias("max_norm_milli"),
+            (F.sum("nm").cast("double") / 1000.0 / F.count("*")).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_NORM_SQL = """
+WITH n AS (
+  SELECT label,
+         CAST(FLOOR(sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding], 'sum')) * 1000 + 0.5) AS BIGINT) AS nm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vectors,
+       CAST(MIN(nm) AS BIGINT) AS min_norm_milli, CAST(MAX(nm) AS BIGINT) AS max_norm_milli,
+       CAST(SUM(nm) AS DOUBLE) / 1000.0 / COUNT(*) AS avg_norm
+FROM n GROUP BY label ORDER BY label
+"""
+
+
+# ----------------------------------------------------------------- cube
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations
+    in one pass (extends the GROUPING SETS coverage in analytics.py).
+    Revenue accumulates in exact integer cents."""
+    from datalake_iceberg_spark.queries.analytics import cents
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = cents("l_extendedprice")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(rev).cast("double") / 100.0).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "revenue",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+CUBE_REVENUE_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
