@@ -978,6 +978,93 @@ class LakeTable:
         return self._replace_buckets(snap, per_bucket, affected, "update", {})
 
     # ------------------------------------------------------------------ maintenance
+    def rebucket(self, new_n_buckets: int) -> Snapshot:
+        """Bucket-count evolution (the Iceberg partition-evolution
+        analogue — beyond the reference, which pins bucket counts at
+        CREATE). Three cost tiers, picked automatically:
+
+        - **Shrink by an integer factor** (``old % new == 0``):
+          METADATA-ONLY. ``hash % old == b`` implies ``hash % new ==
+          b % new``, so new bucket ``b`` is exactly the union of old
+          buckets ``{b, b+new, b+2·new, …}`` — the commit re-points
+          directory lists and remaps merge-on-read delete entries; not
+          one data byte moves. O(buckets) at any table size.
+        - **Grow by an integer factor** (``new % old == 0``):
+          SHUFFLE-FREE rewrite. Rows of old bucket ``b`` can only land
+          in ``{b, b+old, …, b+(k-1)·old}``, so each scan task splits
+          its own bucket locally and the dynamic-partition writer fans
+          out — at 100 TB every byte moves once through local disks,
+          never across the network. MoR deletes fold in via the read.
+        - **Arbitrary count**: full shuffled bucketed write (same path
+          as RTAS).
+
+        Readers, ``lookup`` and DML prune on the committed snapshot's
+        ``n_buckets``, so they follow the new layout immediately.
+        """
+        snap = self.snapshot()
+        if not snap.key:
+            raise ValueError("rebucket requires a keyed table")
+        if new_n_buckets < 1:
+            raise ValueError("new_n_buckets must be >= 1")
+        if new_n_buckets == snap.n_buckets:
+            raise ValueError(f"table already has {new_n_buckets} buckets")
+
+        if snap.n_buckets % new_n_buckets == 0:
+            # metadata-only coalesce: re-point dirs, remap deletes
+            buckets: dict[str, list[str]] = {}
+            for b, dirs in snap.buckets.items():
+                nb = str(int(b) % new_n_buckets)
+                buckets.setdefault(nb, []).extend(dirs)
+            deletes: dict[str, list[dict]] = {}
+            for b, entries in snap.deletes.items():
+                nb = str(int(b) % new_n_buckets)
+                deletes.setdefault(nb, []).extend(entries)
+            renames = {d: dict(m) for d, m in snap.renames.items()}
+        else:
+            df = self.read()  # folds MoR deletes, applies renames
+            if new_n_buckets % snap.n_buckets == 0:
+                # local split: NO repartition before the write — each
+                # input task holds one old bucket and writes its k new
+                # sub-buckets via dynamic partitioning (no exchange)
+                rel = self._new_commit_dir()
+                abs_dir = self.fs.join(self.location, rel)
+                (
+                    df.withColumn("_bucket", bucket_expr(snap.key, new_n_buckets))
+                    .write.partitionBy("_bucket")
+                    .mode("overwrite")
+                    .parquet(abs_dir)
+                )
+                buckets = {}
+                for entry in sorted(self.fs.listdir(abs_dir)):
+                    if entry.startswith("_bucket="):
+                        buckets[entry.split("=", 1)[1]] = [f"{rel}/{entry}"]
+                self._harvest_stats([d for dirs in buckets.values() for d in dirs])
+            else:
+                buckets = self._write_bucketed(df, snap.key, new_n_buckets)
+            deletes = {}  # folded into the rewrite by the read
+            renames = {}  # rewritten dirs carry current logical names
+
+        def build(parent):
+            return Snapshot(
+                version=parent.version + 1,
+                parent=parent.version,
+                timestamp=_utcnow(),
+                operation="rebucket",
+                schema_json=parent.schema_json,
+                key=parent.key,
+                n_buckets=new_n_buckets,
+                buckets=buckets,
+                properties=parent.properties,
+                summary={
+                    "from_buckets": snap.n_buckets,
+                    "to_buckets": new_n_buckets,
+                },
+                deletes=deletes,
+                renames=renames,
+            )
+
+        return self._commit(build, "rebucket")
+
     def rewrite_data_files(
         self,
         min_input_dirs: int = 2,
