@@ -170,6 +170,7 @@ def main() -> None:
         # merge-on-read vs copy-on-write delete on the same table: MoR
         # commit cost is O(delete set) (writes only delete-key files),
         # CoW rewrites every touched bucket; fold is the deferred cost
+        v_before_deletes = table_hb.current_version()
         dels_a = orders.filter(F.col("o_orderkey") % 1000 == 13).select("id_iceberg")
         t0 = time.perf_counter()
         table_hb.delete_keys(dels_a, mode="merge-on-read")
@@ -181,6 +182,24 @@ def main() -> None:
         t0 = time.perf_counter()
         table_hb.rewrite_position_delete_files()
         dml["mor_fold_1024b"] = round(time.perf_counter() - t0, 3)
+
+        # bucket-count evolution: integer-factor shrink is metadata-only
+        # (O(buckets) regardless of data size), integer-factor grow is a
+        # shuffle-free local-split rewrite
+        t0 = time.perf_counter()
+        table_hb.rebucket(256)
+        dml["rebucket_shrink_4x_metadata_only"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        table_hb.rebucket(512)
+        dml["rebucket_grow_2x_local_split"] = round(time.perf_counter() - t0, 3)
+
+        # incremental changes read (CDC-out): the keyed diff across the
+        # delete + fold + rebucket commits must surface exactly the two
+        # delete batches (rebuckets move bytes, not rows)
+        t0 = time.perf_counter()
+        n_changes = table_hb.read_changes(v_before_deletes).count()
+        dml["read_changes_keyed_diff"] = round(time.perf_counter() - t0, 3)
+        dml["read_changes_rows"] = n_changes
 
         for name, sec in dml.items():
             print(f"# dml {name}: {sec}", file=sys.stderr)

@@ -614,6 +614,80 @@ class LakeTable:
             return self._read_with_deletes(snap, snap.buckets)
         return self._read_dirs(snap.all_dirs(), snap)
 
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental changes between two snapshots (the Iceberg
+        incremental-scan / Delta change-data-feed analogue; the
+        reference exposes this only implicitly through Iceberg's
+        ``VERSION AS OF`` diffing). Output: the table's columns plus
+        ``_change_type`` ∈ {'insert', 'update_postimage', 'delete'}
+        (deletes carry the pre-image row).
+
+        Fast path: when every commit in (from, to] is an ``append``,
+        the changes are exactly the rows of the NEW data dirs — read
+        only those, no join. This is the streaming-ingest common case
+        and costs O(new data) regardless of table size.
+
+        General path (keyed tables): full-outer join of the two
+        snapshot reads on the key, classifying rows by presence and
+        full-row hash inequality — one shuffle on the key, the same
+        cost shape as a MERGE at the same scale.
+        """
+        to_v = self.current_version() if to_version is None else to_version
+        if from_version > to_v:
+            raise ValueError(f"from_version {from_version} > to_version {to_v}")
+        to_snap = self.snapshot(to_v)
+        if from_version == to_v:
+            return self._read_dirs([], to_snap).withColumn(
+                "_change_type", F.lit("insert")
+            ).limit(0)
+
+        ops = [
+            self.snapshot(v).operation for v in range(from_version + 1, to_v + 1)
+        ]
+        if all(op == "append" for op in ops):
+            from_dirs = set(self.snapshot(from_version).all_dirs())
+            new_dirs = [d for d in to_snap.all_dirs() if d not in from_dirs]
+            return self._read_dirs(new_dirs, to_snap).withColumn(
+                "_change_type", F.lit("insert")
+            )
+
+        key = to_snap.key
+        if not key:
+            raise ValueError(
+                "read_changes on an unkeyed table supports only append-only "
+                f"ranges; range ({from_version}, {to_v}] contains {set(ops)}"
+            )
+        cols = [f.name for f in self.schema().fields]
+        non_key = [c for c in cols if c not in key]
+        row_hash = F.xxhash64(
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
+        )
+        a = self.read(version=from_version).withColumn("__h_a", row_hash)
+        b = self.read(version=to_v).withColumn("__h_b", row_hash)
+        for c in non_key:
+            a = a.withColumnRenamed(c, f"__a_{c}")
+            b = b.withColumnRenamed(c, f"__b_{c}")
+        j = a.join(b, on=key, how="full_outer")
+        change = (
+            F.when(F.col("__h_a").isNull(), F.lit("insert"))
+            .when(F.col("__h_b").isNull(), F.lit("delete"))
+            .when(F.col("__h_a") != F.col("__h_b"), F.lit("update_postimage"))
+        )
+        out_cols = [F.col(k) for k in key] + [
+            # deletes carry the pre-image; inserts/updates the post-image
+            F.when(F.col("__h_b").isNull(), F.col(f"__a_{c}"))
+            .otherwise(F.col(f"__b_{c}"))
+            .alias(c)
+            for c in non_key
+        ]
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*out_cols, "_change_type")
+        )
+
     @staticmethod
     def _dir_may_match(
         dstats: dict[str, list], filters, mapping: dict[str, str] | None = None

@@ -1,0 +1,82 @@
+"""Incremental changes reader (LakeTable.read_changes) — Iceberg
+incremental-scan / Delta CDF analogue.
+
+Covers: the append-only fast path (new dirs only, all 'insert'), the
+keyed general path (insert / update_postimage / delete classification,
+deletes carrying the pre-image), empty ranges, and validation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.tables import LakeCatalog
+
+
+@pytest.fixture()
+def table(spark, sf_dir, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = cat.create_or_replace("cdc.orders", orders, key=["o_orderkey"], n_buckets=8)
+    return t, orders
+
+
+def test_append_only_fast_path(table, spark, sf_dir):
+    t, orders = table
+    v0 = t.current_version()
+    extra1 = orders.limit(30).withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    extra2 = orders.limit(20).withColumn("o_orderkey", F.col("o_orderkey") + 20_000_000)
+    t.append(extra1)
+    t.append(extra2)
+    ch = t.read_changes(v0)
+    assert ch.count() == 50
+    assert ch.select("_change_type").distinct().collect()[0][0] == "insert"
+    # only the appended keys appear
+    keys = {r[0] for r in ch.select("o_orderkey").collect()}
+    assert all(k >= 10_000_000 for k in keys)
+
+
+def test_keyed_diff_classifies_all_three(table):
+    t, orders = table
+    v0 = t.current_version()
+    upd = orders.limit(10).withColumn("o_orderstatus", F.lit("Z"))
+    t.merge(upd)
+    t.delete_keys(orders.select("o_orderkey").orderBy(F.desc("o_orderkey")).limit(5))
+    ch = t.read_changes(v0)
+    by_type = {r["_change_type"]: r["n"] for r in
+               ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    assert by_type.get("update_postimage", 0) == 10
+    assert by_type.get("delete", 0) == 5
+    assert by_type.get("insert", 0) == 0
+    # updates carry the post-image
+    upd_rows = ch.filter(F.col("_change_type") == "update_postimage")
+    assert upd_rows.filter(F.col("o_orderstatus") != "Z").count() == 0
+    # deletes carry the pre-image (real column values, not nulls)
+    del_rows = ch.filter(F.col("_change_type") == "delete")
+    assert del_rows.filter(F.col("o_totalprice").isNull()).count() == 0
+
+
+def test_empty_range_and_same_version(table):
+    t, _ = table
+    v = t.current_version()
+    ch = t.read_changes(v, v)
+    assert ch.count() == 0
+    assert "_change_type" in ch.columns
+
+
+def test_insert_via_merge_classified(table):
+    t, orders = table
+    v0 = t.current_version()
+    new_rows = orders.limit(7).withColumn("o_orderkey", F.col("o_orderkey") + 5_000_000)
+    t.merge(new_rows)
+    ch = t.read_changes(v0)
+    by_type = {r["_change_type"]: r["n"] for r in
+               ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    assert by_type == {"insert": 7}
+
+
+def test_validation(table):
+    t, _ = table
+    with pytest.raises(ValueError):
+        t.read_changes(5, 1)
