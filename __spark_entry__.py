@@ -22,6 +22,7 @@ from datalake_iceberg_spark.queries import (
     multimodal,
     pipeline_ops,
     similarity,
+    stream_queries,
     textops,
     tpch_ext,
 )
@@ -67,8 +68,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_term_scan": pipeline_ops.regex_term_scan,
         "tfidf_top_terms": pipeline_ops.tfidf_top_terms,
         "token_stats": textops.token_stats,
-        "quality_score": textops.quality_score,
-        "lang_id": textops.lang_id,
+        # --- Structured Streaming drains (stream/batch parity) ---
+        "stream_hourly_rollup": stream_queries.stream_hourly_rollup,
+        "stream_dedup_count": stream_queries.stream_dedup_count,
         # --- multimodal decode seam (needs its first non-err row) ---
         "mm_frame_sample": multimodal.mm_frame_sample,
         "mm_decode_features": multimodal.mm_decode_features,  # rows-only check
@@ -109,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_shipping": tpch_ext.q12_priority_shipping,
         "top_parts_per_brand": analytics.top_parts_per_brand,
         "doc_fingerprint": textops.fingerprint,
+        "quality_score": textops.quality_score,
+        "lang_id": textops.lang_id,
         "grouping_sets_revenue": analytics.grouping_sets_revenue,
         "rolling_revenue_7d": analytics.rolling_revenue_7d,
         "pivot_status_by_priority": analytics.pivot_status_by_priority,
@@ -188,6 +192,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": similarity.IVF_ANN_SQL,
         "mm_asset_stats": multimodal.MM_ASSET_STATS_SQL,
         "mm_frame_sample": multimodal.MM_FRAME_SAMPLE_SQL,
+        "stream_hourly_rollup": stream_queries.STREAM_HOURLY_ROLLUP_SQL,
+        "stream_dedup_count": stream_queries.STREAM_DEDUP_COUNT_SQL,
         "term_scrub_stats": curation.TERM_SCRUB_SQL,
         "filter_funnel": curation.FILTER_FUNNEL_SQL,
         "shingle_repetition": curation.SHINGLE_REPETITION_SQL,

@@ -33,8 +33,8 @@ def test_oracled_queries_inside_driver_window():
         # green in CORRECTNESS_r01 AND _r02
         "q2_min_cost_supplier", "q8_market_share", "q9_nation_profit",
         "q11_important_stock", "q12_priority_shipping",
-        "top_parts_per_brand", "doc_fingerprint", "grouping_sets_revenue",
-        "rolling_revenue_7d", "pivot_status_by_priority",
+        "top_parts_per_brand", "doc_fingerprint", "quality_score", "lang_id",
+        "grouping_sets_revenue", "rolling_revenue_7d", "pivot_status_by_priority",
         # green in CORRECTNESS_r02 (first graded in round 2)
         "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
         "simhash", "ngram_jaccard_pairs", "dup_clusters",
