@@ -201,6 +201,14 @@ def main() -> None:
         dml["read_changes_keyed_diff"] = round(time.perf_counter() - t0, 3)
         dml["read_changes_rows"] = n_changes
 
+        # Structured Streaming drain: full watermarked windowed rollup
+        # of the events stream (availableNow), end-to-end incl. source
+        # listing, state store, and sink — the streaming ops cost
+        t0 = time.perf_counter()
+        n_win = entrymod.queries()["stream_hourly_rollup"](spark, sf_dir).count()
+        dml["stream_drain_hourly_rollup"] = round(time.perf_counter() - t0, 3)
+        dml["stream_drain_windows"] = n_win
+
         for name, sec in dml.items():
             print(f"# dml {name}: {sec}", file=sys.stderr)
         shutil.rmtree(wh, ignore_errors=True)
