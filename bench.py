@@ -231,8 +231,11 @@ def main() -> None:
             # io-bound profile is an sf0.1 artifact, not a plan defect)
             # is reported under dml_* so regressions there stay visible
             # without polluting the query-phase band check.
-            qreport = el.analyze_eventlog(logs[0], until_epoch_ms=query_phase_end_ms)
-            report = el.analyze_eventlog(logs[0])
+            events = list(el.parse_events(logs[0]))
+            qreport = el.analyze_eventlog(
+                logs[0], until_epoch_ms=query_phase_end_ms, events=events
+            )
+            report = el.analyze_eventlog(logs[0], events=events)
             health = {
                 "cpu_efficiency": qreport["cpu_efficiency"],
                 "cpu_verdict": qreport["cpu_verdict"],

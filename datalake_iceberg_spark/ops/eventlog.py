@@ -43,6 +43,15 @@ SKEW_RATIO_WARN = 3.0
 GC_FRACTION_WARN = 0.05
 CPU_EFF_LOW = 0.50
 CPU_EFF_HIGH = 0.80
+#: stages with at least this much TOTAL executor run time join the
+#: app-level CPU-efficiency pool. Distinct from the per-stage
+#: ``significant`` flag (max task >= 1 s), which exists for skew/GC
+#: findings: a straggler gate selects exactly the pathological tail,
+#: and at small scale factors that tail is ALL it selects — the verdict
+#: would grade the app by its sickest stages while the healthy bulk
+#: (many sub-second-task stages carrying most of the run time) goes
+#: uncounted. A run-time-mass gate samples the workload instead.
+CPU_VERDICT_MIN_RUN_MS = 2000
 SHUFFLE_WAIT_WARN = 0.05
 SHUFFLE_WAIT_CRITICAL = 0.20
 
@@ -257,7 +266,9 @@ def cpu_verdict(efficiency: float) -> str:
 
 
 def analyze_eventlog(
-    path: str | Path, until_epoch_ms: int | None = None
+    path: str | Path,
+    until_epoch_ms: int | None = None,
+    events: list[dict[str, Any]] | None = None,
 ) -> dict[str, Any]:
     """Full-application report: per-stage stats + app-level verdicts.
 
@@ -265,8 +276,11 @@ def analyze_eventlog(
     before that epoch-ms timestamp — callers that run distinct phases in
     one session (e.g. the bench's query phase vs its small-file DML
     stress phase) can grade each phase against the health bands
-    separately instead of blending them into one misleading number."""
-    events = list(parse_events(path))
+    separately instead of blending them into one misleading number.
+    Pass pre-parsed ``events`` to analyze several phase windows without
+    re-reading the log."""
+    if events is None:
+        events = list(parse_events(path))
     stages = analyze_stages(iter(events))
     if until_epoch_ms is not None:
         stages = [s for s in stages if 0 < s.submission_ts <= until_epoch_ms]
@@ -283,7 +297,8 @@ def analyze_eventlog(
     if start_ts is not None and end_ts is not None:
         app["duration_ms"] = end_ts - start_ts
 
-    # App-level CPU verdict from SIGNIFICANT stages only, with per-stage
+    # App-level CPU verdict from stages with enough RUN-TIME MASS
+    # (CPU_VERDICT_MIN_RUN_MS — see comment there), with per-stage
     # ratios clamped to 1.0: on sub-ms tasks "Executor Run Time" rounds
     # down to whole ms while CPU time keeps ns precision, so tiny stages
     # report cpu/run > 1 — physically meaningless and, summed over many
@@ -291,7 +306,7 @@ def analyze_eventlog(
     # weighted by executor RUN time (time actually spent executing, the
     # same denominator as the per-stage ratio), not wall task duration,
     # which also counts scheduler/queue delay.
-    sig_stages = [s for s in stages if s.significant] or stages
+    sig_stages = [s for s in stages if s.run_time_ms >= CPU_VERDICT_MIN_RUN_MS] or stages
     total_run = sum(s.run_time_ms for s in sig_stages) or 1.0
     weighted_cpu = (
         sum(min(1.0, s.cpu_efficiency) * s.run_time_ms for s in sig_stages)

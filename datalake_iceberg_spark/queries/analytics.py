@@ -43,6 +43,26 @@ def cents_sql(expr: str) -> str:
     return f"CAST(FLOOR({expr} * 100 + 0.5) AS BIGINT)"
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Shared type-adaptive ``ts`` normalization for batch AND streaming
+    events readers — one place to extend when the fixture grows a new
+    encoding (round-2 lesson: two copies of this logic WILL diverge).
+
+    - ``timestamp``: already the target type;
+    - ``timestamp_ntz`` (µs parquet): wall-clock → LTZ through the
+      session timezone (value-preserving in UTC sessions);
+    - ``long``/``bigint`` (legacy int64-nanos): truncate ns → µs.
+    """
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type == "timestamp":
+        return df
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.to_timestamp_ltz("ts"))
+    if ts_type in ("long", "bigint"):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raise TypeError(f"events.ts has unsupported dtype {ts_type!r}; expected timestamp or int64-nanos")
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-adaptive events reader — branches on the *actual* ``ts``
     dtype instead of assuming a fixture encoding (the same robustness
@@ -55,28 +75,20 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Either way the result matches the oracle's ``epoch_ns(ts) // 1000``
     CTE, which is itself type-agnostic in DuckDB.
     """
+    from pyspark.errors import AnalysisException
+
     path = f"{sf_dir}/events.parquet"
     try:
         df = spark.read.parquet(path)
-    except Exception:
+    except AnalysisException:
         # TIMESTAMP(NANOS) physical type: the vectorized reader rejects
-        # it at schema inference. Opt into the legacy long decode for
-        # this session; the read below then sees ts as int64 nanos.
+        # it at schema inference (AnalysisException: Illegal Parquet
+        # type). Opt into the legacy long decode for this session; the
+        # read below then sees ts as int64 nanos. Other failures
+        # (missing file, FS errors) propagate untouched.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-    ts_type = df.schema["ts"].dataType.typeName()
-    if ts_type == "timestamp":
-        return df
-    if ts_type == "timestamp_ntz":
-        # Normalize to TIMESTAMP (LTZ) so downstream epoch math
-        # (unix_micros etc.) type-checks. Wall-clock → LTZ → wall-clock
-        # round-trips through the session timezone, so values are
-        # preserved end-to-end (driver + tests run in UTC; only a
-        # DST-ambiguous wall clock in a non-UTC session could differ).
-        return df.withColumn("ts", F.to_timestamp_ltz("ts"))
-    if ts_type in ("long", "bigint"):
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    raise TypeError(f"events.ts has unsupported dtype {ts_type!r}; expected timestamp or int64-nanos")
+    return normalize_events_ts(df)
 
 
 EVENTS_CTE = """events_us AS (

@@ -123,10 +123,16 @@ def shingle_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_balanced(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.greatest(F.size(toks) - F.lit(4), F.lit(0))
-    shingles = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
+    # Index stream must degrade to EMPTY for docs under 5 tokens:
+    # sequence(0, n-1) with n=0 yields the DESCENDING [0, -1] (and
+    # slice start 0 throws), so build 1..size and filter to 1..n —
+    # total for every document length, matching the oracle's
+    # generate_series(1, n) which is empty when n=0.
+    idx = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+        lambda i: i <= n,
     )
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))
     with_counts = docs.select(
         "doc_id",
         "source",

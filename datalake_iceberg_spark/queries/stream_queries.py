@@ -16,41 +16,81 @@ becomes a processing-time trigger, and the memory sink becomes
 O(active windows × keys), GC'd as the watermark advances; the memory
 sink here is bench-only (a real deployment never collects to the
 driver).
+
+Resource hygiene (these run repeatedly inside one driver session): the
+staged source dir is cached per ``sf_dir`` and removed at exit, each
+drain's checkpoint dir is deleted right after termination, and memory
+sink names are deterministic per (query, sf_dir) so a re-run replaces
+the previous temp view instead of accumulating new ones.
 """
 
 from __future__ import annotations
 
+import atexit
+import hashlib
 import os
 import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_STAGED_SOURCES: dict[str, str] = {}
+
+
+def _cleanup_staged() -> None:  # pragma: no cover - exit hook
+    for d in _STAGED_SOURCES.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STAGED_SOURCES.clear()
+
+
+atexit.register(_cleanup_staged)
+
+
+def _sink_name(prefix: str, sf_dir: str) -> str:
+    return f"{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+
 
 def _stream_events(spark: SparkSession, sf_dir: str):
     """File-source stream over the events table with the same
-    type-adaptive ts decode as the batch ``load_events``. Spark's file
-    source requires a DIRECTORY, so the single TESTDATA parquet is
-    staged (copied) into a temp dir — in production the directory is
-    the landing zone / Kafka topic and nothing is staged."""
-    from datalake_iceberg_spark.queries.analytics import load_events
+    type-adaptive ts decode as the batch ``load_events`` (shared
+    helper — the two paths cannot diverge). Spark's file source
+    requires a DIRECTORY, so the single TESTDATA parquet is staged
+    (copied once per sf_dir, removed at exit) — in production the
+    directory is the landing zone / Kafka topic and nothing is staged."""
+    from datalake_iceberg_spark.queries.analytics import load_events, normalize_events_ts
 
     # batch read first: resolves the on-disk ts encoding (and, for a
     # legacy int64-nanos fixture, sets the session conf the file source
     # needs before schema inference)
     load_events(spark, sf_dir)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage = tempfile.mkdtemp(prefix="stream_events_src_")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), stage)
+    stage = _STAGED_SOURCES.get(sf_dir)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="stream_events_src_")
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), stage)
+        _STAGED_SOURCES[sf_dir] = stage
     stream = spark.readStream.schema(raw_schema).parquet(stage)
-    ts_type = raw_schema["ts"].dataType.typeName()
-    if ts_type == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.to_timestamp_ltz("ts"))
-    elif ts_type in ("long", "bigint"):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_events_ts(stream)
+
+
+def _drain(df: DataFrame, sink: str):
+    """availableNow drain into a memory sink named ``sink``; the
+    checkpoint dir is per-run (replaying one would skip the backlog)
+    and deleted as soon as the drain terminates."""
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_q_")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,25 +102,16 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_iceberg_spark.queries.analytics import cents
     from datalake_iceberg_spark.streaming.event_time import windowed_aggregate
 
-    stream = _stream_events(spark, sf_dir)
     agg = windowed_aggregate(
-        stream,
+        _stream_events(spark, sf_dir),
         "ts",
         window_duration="1 hour",
         watermark="1 minute",
         keys=["event_type"],
         aggs=[F.sum(cents("value")).alias("sum_value_c")],
     )
-    sink = f"stream_hourly_rollup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_q_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    sink = _sink_name("stream_hourly_rollup", sf_dir)
+    _drain(agg, sink)
     return (
         spark.table(sink)
         .select(
@@ -93,19 +124,6 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STREAM_HOURLY_ROLLUP_SQL = """
-WITH events_us AS (
-  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
-         user_id, event_type, value, props
-  FROM events
-)
-SELECT date_trunc('hour', ts) AS hour_start, event_type,
-       COUNT(*) AS n_events,
-       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
-FROM events_us GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
 def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-dedup parity check: drain the events stream
     through ``dropDuplicatesWithinWatermark`` on the event key and
@@ -114,22 +132,27 @@ def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest-dedup front door."""
     from datalake_iceberg_spark.streaming.event_time import dedup_within_watermark
 
-    stream = _stream_events(spark, sf_dir)
-    deduped = dedup_within_watermark(stream, ["event_id"], "ts", watermark="1 minute")
-    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.groupBy("event_type")
-        .agg(F.count("*").alias("n_unique"))
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_q_"))
-        .trigger(availableNow=True)
-        .start()
+    deduped = dedup_within_watermark(
+        _stream_events(spark, sf_dir), ["event_id"], "ts", watermark="1 minute"
     )
-    q.awaitTermination()
+    sink = _sink_name("stream_dedup", sf_dir)
+    _drain(deduped.groupBy("event_type").agg(F.count("*").alias("n_unique")), sink)
     return spark.table(sink).select("event_type", "n_unique").orderBy("event_type")
 
+
+def _stream_hourly_rollup_sql() -> str:
+    from datalake_iceberg_spark.queries.analytics import EVENTS_CTE
+
+    return f"""
+WITH {EVENTS_CTE}
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events_us GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+STREAM_HOURLY_ROLLUP_SQL = _stream_hourly_rollup_sql()
 
 STREAM_DEDUP_COUNT_SQL = """
 SELECT event_type, COUNT(DISTINCT event_id) AS n_unique

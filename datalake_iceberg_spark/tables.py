@@ -659,13 +659,27 @@ class LakeTable:
                 "read_changes on an unkeyed table supports only append-only "
                 f"ranges; range ({from_version}, {to_v}] contains {set(ops)}"
             )
-        cols = [f.name for f in self.schema().fields]
+        # column list comes from the TO snapshot (not the current one —
+        # DDL after to_version must not leak into the diff), and both
+        # endpoint reads must agree on logical names: a rename inside
+        # the range makes presence/equality on that column undefined.
+        cols = [
+            f.name
+            for f in T.StructType.fromJson(json.loads(to_snap.schema_json)).fields
+        ]
+        a_df, b_df = self.read(version=from_version), self.read(version=to_v)
+        if sorted(a_df.columns) != sorted(cols):
+            raise ValueError(
+                f"read_changes range ({from_version}, {to_v}] spans a schema "
+                f"change ({sorted(a_df.columns)} vs {sorted(cols)}); diff the "
+                "sub-ranges on either side of the DDL commit instead"
+            )
         non_key = [c for c in cols if c not in key]
         row_hash = F.xxhash64(
             *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
         )
-        a = self.read(version=from_version).withColumn("__h_a", row_hash)
-        b = self.read(version=to_v).withColumn("__h_b", row_hash)
+        a = a_df.withColumn("__h_a", row_hash)
+        b = b_df.withColumn("__h_b", row_hash)
         for c in non_key:
             a = a.withColumnRenamed(c, f"__a_{c}")
             b = b.withColumnRenamed(c, f"__b_{c}")
