@@ -201,6 +201,18 @@ def main() -> None:
         dml["read_changes_keyed_diff"] = round(time.perf_counter() - t0, 3)
         dml["read_changes_rows"] = n_changes
 
+        # training-shard export: curated docs -> 64 deterministic
+        # hash-assigned shards + manifest (the trainer hand-off)
+        from datalake_iceberg_spark.ingest.shards import write_training_shards
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = time.perf_counter()
+        man = write_training_shards(
+            docs, tempfile.mkdtemp(prefix="bench_shards_"), 64, by=["doc_id"]
+        )
+        dml["shard_export_64"] = round(time.perf_counter() - t0, 3)
+        dml["shard_export_rows"] = man["total_rows"]
+
         # Structured Streaming drain: full watermarked windowed rollup
         # of the events stream (availableNow), end-to-end incl. source
         # listing, state store, and sink — the streaming ops cost
