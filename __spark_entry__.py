@@ -19,6 +19,7 @@ from datalake_iceberg_spark.queries import (
     asof,
     curation,
     dedup,
+    dq,
     multimodal,
     pipeline_ops,
     similarity,
@@ -47,7 +48,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "q5_regional_revenue": analytics.q5_regional_revenue,
         "q10_returned_items": analytics.q10_returned_items,
-        "q4_priority_semijoin": analytics.q4_priority_semijoin,
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
         "q7_volume_shipping": analytics.q7_volume_shipping,
         "dedup_latest_events": analytics.dedup_latest_events,
@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_term_scan": pipeline_ops.regex_term_scan,
         "tfidf_top_terms": pipeline_ops.tfidf_top_terms,
         "token_stats": textops.token_stats,
+        # --- data-quality expectations gate (new this round) ---
+        "dq_violations": dq.dq_violations,
         # --- Structured Streaming drains (stream/batch parity) ---
         "stream_hourly_rollup": stream_queries.stream_hourly_rollup,
         "stream_dedup_count": stream_queries.stream_dedup_count,
@@ -104,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entries past the driver's 50-entry window ----
         # all green in CORRECTNESS_r01 AND _r02; parked this round so
         # the r2-parked entries and the new curation layer get graded.
+        "q4_priority_semijoin": analytics.q4_priority_semijoin,
         "q2_min_cost_supplier": tpch_ext.q2_min_cost_supplier,
         "q8_market_share": tpch_ext.q8_market_share,
         "q9_nation_profit": tpch_ext.q9_nation_profit,
@@ -192,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": similarity.IVF_ANN_SQL,
         "mm_asset_stats": multimodal.MM_ASSET_STATS_SQL,
         "mm_frame_sample": multimodal.MM_FRAME_SAMPLE_SQL,
+        "dq_violations": dq.DQ_VIOLATIONS_SQL,
         "stream_hourly_rollup": stream_queries.STREAM_HOURLY_ROLLUP_SQL,
         "stream_dedup_count": stream_queries.STREAM_DEDUP_COUNT_SQL,
         "term_scrub_stats": curation.TERM_SCRUB_SQL,
