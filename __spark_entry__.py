@@ -49,7 +49,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_regional_revenue": analytics.q5_regional_revenue,
         "q10_returned_items": analytics.q10_returned_items,
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
-        "q7_volume_shipping": analytics.q7_volume_shipping,
         "dedup_latest_events": analytics.dedup_latest_events,
         "purge_keep_latest": analytics.purge_keep_latest,
         "semi_anti_join_events": analytics.semi_anti_join_events,
@@ -70,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": textops.token_stats,
         # --- data-quality expectations gate (new this round) ---
         "dq_violations": dq.dq_violations,
+        "column_profile": dq.column_profile,
         # --- Structured Streaming drains (stream/batch parity) ---
         "stream_hourly_rollup": stream_queries.stream_hourly_rollup,
         "stream_dedup_count": stream_queries.stream_dedup_count,
@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all green in CORRECTNESS_r01 AND _r02; parked this round so
         # the r2-parked entries and the new curation layer get graded.
         "q4_priority_semijoin": analytics.q4_priority_semijoin,
+        "q7_volume_shipping": analytics.q7_volume_shipping,
         "q2_min_cost_supplier": tpch_ext.q2_min_cost_supplier,
         "q8_market_share": tpch_ext.q8_market_share,
         "q9_nation_profit": tpch_ext.q9_nation_profit,
@@ -196,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_asset_stats": multimodal.MM_ASSET_STATS_SQL,
         "mm_frame_sample": multimodal.MM_FRAME_SAMPLE_SQL,
         "dq_violations": dq.DQ_VIOLATIONS_SQL,
+        "column_profile": dq.COLUMN_PROFILE_SQL,
         "stream_hourly_rollup": stream_queries.STREAM_HOURLY_ROLLUP_SQL,
         "stream_dedup_count": stream_queries.STREAM_DEDUP_COUNT_SQL,
         "term_scrub_stats": curation.TERM_SCRUB_SQL,
