@@ -423,6 +423,61 @@ FROM n GROUP BY label ORDER BY label
 """
 
 
+# ------------------------------------------------------------- packing
+
+PACK_TOKEN_BUDGET = 512
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget training
+    bins (the pre-tokenization packing step of an LLM pipeline). Docs
+    are taken in deterministic doc_id order; a doc goes in the bin of
+    its preceding cumulative token count (``floor(cum_before /
+    budget)``) — greedy packing where a boundary doc may overflow its
+    bin, the standard concat-and-split approximation.
+
+    One window cumsum (single shuffle on the global order) + one agg.
+    At 100 TB the global order becomes per-shard order (pack within
+    shard) so the window never needs a single-partition sort; the
+    within-shard formulation is identical.
+    Output per bin: doc count, token sum, first/last doc id."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
+    binned = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.floor(cum_before / PACK_TOKEN_BUDGET).cast("int").alias("bin_id"),
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, length(string_split(text, ' ')) AS n_tok FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         CAST(FLOOR(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {PACK_TOKEN_BUDGET}) AS INT) AS bin_id
+  FROM t
+)
+SELECT bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc, CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM c GROUP BY bin_id ORDER BY bin_id
+"""
+
+
 # ----------------------------------------------------------------- cube
 
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

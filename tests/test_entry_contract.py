@@ -31,8 +31,8 @@ def test_oracled_queries_inside_driver_window():
     # window, and never park an entry that has no green driver row yet.
     parked_round3 = {
         # green in CORRECTNESS_r01 AND _r02
-        "q4_priority_semijoin", "q7_volume_shipping", "q2_min_cost_supplier",
-        "q8_market_share", "q9_nation_profit",
+        "q4_priority_semijoin", "q6_forecast_revenue", "q7_volume_shipping",
+        "q2_min_cost_supplier", "q8_market_share", "q9_nation_profit",
         "q11_important_stock", "q12_priority_shipping",
         "top_parts_per_brand", "doc_fingerprint", "quality_score", "lang_id",
         "grouping_sets_revenue", "rolling_revenue_7d", "pivot_status_by_priority",
