@@ -68,7 +68,15 @@ def _stream_events(spark: SparkSession, sf_dir: str):
     stage = _STAGED_SOURCES.get(sf_dir)
     if stage is None or not os.path.isdir(stage):
         stage = tempfile.mkdtemp(prefix="stream_events_src_")
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), stage)
+        src = os.path.join(sf_dir, "events.parquet")
+        if os.path.isdir(src):
+            # directory-shaped parquet dataset (the layout Spark itself
+            # writes): stage the part-files, skip _SUCCESS markers
+            for part in os.listdir(src):
+                if part.endswith(".parquet"):
+                    shutil.copy(os.path.join(src, part), stage)
+        else:
+            shutil.copy(src, stage)
         _STAGED_SOURCES[sf_dir] = stage
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     return normalize_events_ts(stream)

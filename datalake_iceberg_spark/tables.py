@@ -675,8 +675,18 @@ class LakeTable:
                 "sub-ranges on either side of the DDL commit instead"
             )
         non_key = [c for c in cols if c not in key]
+        # NULL-ness hashes as an explicit per-column flag: a bare string
+        # sentinel would make a real value equal to the sentinel collide
+        # with NULL and drop that update from the CDC output.
         row_hash = F.xxhash64(
-            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
+            *[
+                part
+                for c in cols
+                for part in (
+                    F.col(c).isNull().cast("int"),
+                    F.coalesce(F.col(c).cast("string"), F.lit("")),
+                )
+            ]
         )
         a = a_df.withColumn("__h_a", row_hash)
         b = b_df.withColumn("__h_b", row_hash)
@@ -1133,6 +1143,16 @@ class LakeTable:
             renames = {}  # rewritten dirs carry current logical names
 
         def build(parent):
+            # rebucket replaces the WHOLE table layout from the snapshot
+            # captured above; any intervening commit (append/merge/...)
+            # would be silently dropped if we rebased. Detect and refuse,
+            # matching the _replace_buckets conflict pattern.
+            if parent is None or parent.version != snap.version:
+                raise CommitConflict(
+                    f"rebucket on {self.location}: table advanced from "
+                    f"v{snap.version} to v{parent.version if parent else None} "
+                    "during the rewrite; re-run rebucket"
+                )
             return Snapshot(
                 version=parent.version + 1,
                 parent=parent.version,

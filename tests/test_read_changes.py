@@ -76,6 +76,29 @@ def test_insert_via_merge_classified(table):
     assert by_type == {"insert": 7}
 
 
+def test_update_between_sentinel_and_null_classified(table):
+    """A value update where either side is NULL (or a string equal to a
+    would-be sentinel) must classify as update_postimage — the row hash
+    carries NULL-ness as an explicit flag, not a sentinel string."""
+    t, orders = table
+    one = orders.orderBy("o_orderkey").limit(1)
+    t.merge(one.withColumn("o_orderpriority", F.lit("\x00null")))
+    v0 = t.current_version()
+    t.merge(one.withColumn("o_orderpriority", F.lit(None).cast("string")))
+    ch = t.read_changes(v0)
+    rows = ch.collect()
+    assert len(rows) == 1
+    assert rows[0]["_change_type"] == "update_postimage"
+    assert rows[0]["o_orderpriority"] is None
+    # and the reverse direction: NULL -> sentinel-looking string
+    v1 = t.current_version()
+    t.merge(one.withColumn("o_orderpriority", F.lit("\x00null")))
+    ch2 = t.read_changes(v1).collect()
+    assert len(ch2) == 1
+    assert ch2[0]["_change_type"] == "update_postimage"
+    assert ch2[0]["o_orderpriority"] == "\x00null"
+
+
 def test_validation(table):
     t, _ = table
     with pytest.raises(ValueError):

@@ -120,6 +120,36 @@ def test_rebucket_validations(orders_table):
         table.rebucket(0)
 
 
+def test_rebucket_detects_concurrent_commit(orders_table):
+    """A commit landing between rebucket's snapshot capture and its
+    commit must raise CommitConflict, not silently drop the concurrent
+    writer's data (rebucket replaces the whole table layout)."""
+    from datalake_iceberg_spark.tables import CommitConflict
+
+    table, orders = orders_table
+    extra = orders.limit(3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 900_000_000
+    )
+    real_commit = table._commit
+    raced = {"done": False}
+
+    def commit_with_race(build, operation):
+        if not raced["done"]:
+            raced["done"] = True
+            table._commit = real_commit  # the racing append commits cleanly
+            table.append(extra)
+        return real_commit(build, operation)
+
+    table._commit = commit_with_race
+    with pytest.raises(CommitConflict):
+        table.rebucket(4)  # metadata-only shrink path still must conflict
+    # the concurrent append survived, and a clean re-run succeeds
+    assert table.read().filter(F.col("o_orderkey") >= 900_000_000).count() == 3
+    table.rebucket(4)
+    assert table.snapshot().n_buckets == 4
+    assert table.read().filter(F.col("o_orderkey") >= 900_000_000).count() == 3
+
+
 def test_rebucket_requires_key(spark, sf_dir, tmp_path):
     cat = LakeCatalog(spark, str(tmp_path / "wh2"))
     t = cat.create_or_replace(
