@@ -69,6 +69,22 @@ def has_cartesian(text: str) -> bool:
     return "CartesianProduct" in text
 
 
+# A Window whose partition spec is EMPTY: the windowspecdefinition's
+# first argument is a sort spec (``col ASC/DESC ...``) or directly the
+# frame (no partition, no order). Partitioned windows lead with the
+# partition columns instead.
+_GLOBAL_WINDOW_RE = re.compile(
+    r"windowspecdefinition\((?:[^,()]*\s(?:ASC|DESC)\b|specifiedwindowframe)"
+)
+
+
+def has_global_window(text: str) -> bool:
+    """A window function with no partition spec — Spark plans it as
+    Exchange SinglePartition + Sort, forcing every row through ONE task.
+    Fine on small data, fatal at 100 TB."""
+    return bool(_GLOBAL_WINDOW_RE.search(text))
+
+
 def has_nested_loop(text: str) -> bool:
     """Broadcast nested-loop — acceptable ONLY when one side is
     deliberately tiny (scalar subquery, small broadcast cross join)."""
@@ -85,6 +101,7 @@ class PlanReport:
     python_eval: bool
     cartesian: bool
     nested_loop: bool
+    global_window: bool
     findings: list[str] = field(default_factory=list)
 
 
@@ -106,9 +123,14 @@ def lint_plan(
         python_eval=has_python_eval(text),
         cartesian=has_cartesian(text),
         nested_loop=has_nested_loop(text),
+        global_window=has_global_window(text),
     )
     if rep.cartesian:
         rep.findings.append("CartesianProduct — quadratic at scale")
+    if rep.global_window:
+        rep.findings.append(
+            "window with empty partition spec — single-partition sort at scale"
+        )
     if rep.nested_loop:
         rep.findings.append(
             "BroadcastNestedLoopJoin — acceptable only against a tiny broadcast side"

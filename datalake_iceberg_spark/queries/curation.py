@@ -426,21 +426,65 @@ FROM n GROUP BY label ORDER BY label
 # ------------------------------------------------------------- packing
 
 PACK_TOKEN_BUDGET = 512
+N_PACK_SHARDS = 16
 
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign documents to fixed-token-budget training
     bins (the pre-tokenization packing step of an LLM pipeline). Docs
-    are taken in deterministic doc_id order; a doc goes in the bin of
-    its preceding cumulative token count (``floor(cum_before /
-    budget)``) — greedy packing where a boundary doc may overflow its
-    bin, the standard concat-and-split approximation.
+    are packed PER SHARD in deterministic doc_id order; within a shard a
+    doc goes in the bin of its preceding cumulative token count
+    (``floor(cum_before / budget)``) — greedy packing where a boundary
+    doc may overflow its bin, the standard concat-and-split
+    approximation. Bin identity is ``(shard, local_bin)``, globally
+    unique without any cross-shard coordination.
 
-    One window cumsum (single shuffle on the global order) + one agg.
-    At 100 TB the global order becomes per-shard order (pack within
-    shard) so the window never needs a single-partition sort; the
-    within-shard formulation is identical.
+    The cumsum window is PARTITIONED by the shard id, so the plan is one
+    hash shuffle on shard + per-partition sort — no single-partition
+    global sort at any scale; shard count is tuned so one shard ≈ one
+    task's worth of docs (same sizing rule as training-shard export,
+    :func:`datalake_iceberg_spark.ingest.shards.shard_expr`). The shard
+    id here is a SQL-portable ``doc_id % N`` so the DuckDB oracle can
+    replicate the exact assignment; production exports use the
+    xxhash64-based ``shard_expr`` for key-agnostic balance.
     Output per bin: doc count, token sum, first/last doc id."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    shard = F.pmod(F.col("doc_id"), F.lit(N_PACK_SHARDS)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = (
+        docs.select("doc_id", n_tok.alias("n_tok"), shard.alias("shard"))
+        .withColumn(
+            "local_bin",
+            F.floor(
+                F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / PACK_TOKEN_BUDGET
+            ).cast("int"),
+        )
+    )
+    return (
+        binned.groupBy("shard", "local_bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "local_bin")
+    )
+
+
+def pack_sequences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-sequence packing variant: one bin stream over the GLOBAL
+    doc_id order. The window has no partition spec — a deliberate
+    single-partition sort, acceptable only for small curated sets (e.g.
+    an eval suite); the first-class entry is the shard-local
+    :func:`pack_sequences`."""
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
@@ -466,15 +510,17 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PACK_SEQUENCES_SQL = f"""
 WITH t AS (
-  SELECT doc_id, length(string_split(text, ' ')) AS n_tok FROM documents
+  SELECT doc_id, length(string_split(text, ' ')) AS n_tok,
+         CAST(doc_id % {N_PACK_SHARDS} AS INT) AS shard
+  FROM documents
 ), c AS (
-  SELECT doc_id, n_tok,
-         CAST(FLOOR(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {PACK_TOKEN_BUDGET}) AS INT) AS bin_id
+  SELECT doc_id, n_tok, shard,
+         CAST(FLOOR(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {PACK_TOKEN_BUDGET}) AS INT) AS local_bin
   FROM t
 )
-SELECT bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+SELECT shard, local_bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
        CAST(MIN(doc_id) AS BIGINT) AS first_doc, CAST(MAX(doc_id) AS BIGINT) AS last_doc
-FROM c GROUP BY bin_id ORDER BY bin_id
+FROM c GROUP BY shard, local_bin ORDER BY shard, local_bin
 """
 
 

@@ -25,6 +25,13 @@ SMALL_CROSS = {
 }
 
 
+# windows with an EMPTY partition spec (single-partition sort). NOTHING
+# on the graded surface may plan one — the shard-local pack_sequences
+# replaced the last offender; add a name here only with a documented
+# small-data justification.
+GLOBAL_WINDOW_OK: set[str] = set()
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_plan_lint(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
@@ -34,3 +41,7 @@ def test_plan_lint(spark, sf_dir, name):
         assert not rep.nested_loop, f"{name}: undeclared nested-loop join\n{rep}"
     if name not in PYTHON_SEAMS:
         assert not rep.python_eval, f"{name}: unexpected Python evaluation"
+    if name not in GLOBAL_WINDOW_OK:
+        assert not rep.global_window, (
+            f"{name}: window with empty partition spec — single-partition sort"
+        )

@@ -142,3 +142,58 @@ def test_pipeline_ops_stay_jvm_side(spark, sf_dir):
               p.hash_split_stats, p.regex_term_scan):
         text = _explain(q(spark, sf_dir))
         assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text, q.__name__
+
+
+def test_global_window_detector(spark, sf_dir):
+    """has_global_window flags a partitionless window and stays quiet on
+    a partitioned one; pack_sequences (the former offender) now plans a
+    hash shuffle on the shard id, not a single-partition sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datalake_iceberg_spark.queries import curation
+
+    df = spark.range(100).withColumn("g", F.pmod(F.col("id"), F.lit(4)))
+    w_global = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    w_part = (
+        Window.partitionBy("g").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assert plans.has_global_window(
+        _explain(df.withColumn("c", F.sum("id").over(w_global)))
+    )
+    assert not plans.has_global_window(
+        _explain(df.withColumn("c", F.sum("id").over(w_part)))
+    )
+
+    rep = plans.lint_plan(curation.pack_sequences(spark, sf_dir))
+    assert not rep.global_window
+    # the documented small-data variant IS the global sort
+    rep_g = plans.lint_plan(curation.pack_sequences_global(spark, sf_dir))
+    assert rep_g.global_window
+
+
+def test_pack_sequences_shard_invariants(spark, sf_dir):
+    """Shard-local packing conserves tokens/docs and keeps every bin's
+    doc range inside one shard."""
+    from pyspark.sql import functions as F
+
+    from datalake_iceberg_spark.queries import curation
+    from datalake_iceberg_spark.queries import load
+
+    out = curation.pack_sequences(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_tok = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("t")
+    ).collect()[0]["t"]
+    agg = out.agg(
+        F.sum("n_docs").alias("d"), F.sum("total_tokens").alias("t")
+    ).collect()[0]
+    assert agg["d"] == n_docs and agg["t"] == n_tok
+    # bin endpoints belong to the bin's own shard
+    bad = out.filter(
+        (F.pmod(F.col("first_doc"), F.lit(curation.N_PACK_SHARDS)) != F.col("shard"))
+        | (F.pmod(F.col("last_doc"), F.lit(curation.N_PACK_SHARDS)) != F.col("shard"))
+    ).count()
+    assert bad == 0
