@@ -175,6 +175,10 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_click": asof.ASOF_PURCHASE_CLICK_SQL,
         "errors_context_window": asof.ERRORS_CONTEXT_SQL,
         "value_percentiles": approx.VALUE_PERCENTILES_SQL,
+        # self-checking sketches: output = exact value + within-tolerance
+        # boolean computed in the same Spark job; the oracle asserts both
+        "approx_distinct_users": approx.APPROX_DISTINCT_SQL,
+        "approx_value_quantiles": approx.APPROX_QUANTILES_SQL,
         "props_json_stats": pipeline_ops.PROPS_JSON_SQL,
         "hash_split_stats": pipeline_ops.HASH_SPLIT_SQL,
         "bigram_counts": pipeline_ops.BIGRAM_SQL,
@@ -201,6 +205,9 @@ def oracle_sql() -> dict[str, str]:
         "column_profile": dq.COLUMN_PROFILE_SQL,
         "stream_hourly_rollup": stream_queries.STREAM_HOURLY_ROLLUP_SQL,
         "stream_dedup_count": stream_queries.STREAM_DEDUP_COUNT_SQL,
+        # decode seam: the mapInPandas plan stays, but the fake codec is
+        # md5-deterministic so the oracle reproduces it exactly
+        "mm_decode_features": multimodal.MM_DECODE_SQL,
         "term_scrub_stats": curation.TERM_SCRUB_SQL,
         "filter_funnel": curation.FILTER_FUNNEL_SQL,
         "shingle_repetition": curation.SHINGLE_REPETITION_SQL,
@@ -212,6 +219,4 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norm_stats": curation.EMBEDDING_NORM_SQL,
         "cube_revenue": curation.CUBE_REVENUE_SQL,
         "pack_sequences": curation.PACK_SEQUENCES_SQL,
-        # mm_decode_features: mapInPandas decode — not SQL-expressible,
-        # driver records the rows-only check.
     }

