@@ -50,6 +50,15 @@ class LocalFilesystem:
     def listdir(self, path: str) -> list[str]:
         return os.listdir(path)
 
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def open_input(self, path: str):
+        """Binary reader for metadata-sized files (parquet footers,
+        manifests) — callers must close it. Object-store adapters return
+        their native seekable stream."""
+        return open(path, "rb")
+
     def read_text(self, path: str) -> str:
         with open(path) as f:
             return f.read()

@@ -20,16 +20,28 @@ last Spark stage happened to have:
 - **Manifest**: per-shard row counts + bytes + the assignment spec,
   written as JSON next to the shards — the contract a data loader
   reads instead of listing the filesystem.
+
+All manifest I/O goes through the
+:mod:`datalake_iceberg_spark.fs` seam (like the lake core), so an
+S3/GCS adapter is a drop-in; only the parquet bytes themselves ride
+Spark's own Hadoop FileSystem. Row counts come from the written
+files' parquet footers — the manifest always describes the bytes on
+disk, even when the source DataFrame is non-deterministic. The footer
+sweep is driver-side over ``n_shards`` metadata reads; with a
+non-local FS at very high shard counts, lower ``n_shards`` (shards
+should be few and large anyway).
 """
 
 from __future__ import annotations
 
 import json
-import os
 from typing import Any
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.fs import DEFAULT_FS
 
 _SHARD_COL = "_shard"
 
@@ -47,10 +59,12 @@ def write_training_shards(
     n_shards: int,
     by: list[str] | None = None,
     compression: str = "zstd",
+    fs=None,
 ) -> dict[str, Any]:
     """Export ``df`` into ``n_shards`` deterministic parquet shards
     under ``path`` (dirs ``_shard=K``) and write ``manifest.json``.
     Returns the manifest dict."""
+    fs = fs or DEFAULT_FS
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     key = by or df.columns
@@ -66,20 +80,25 @@ def write_training_shards(
         .parquet(path)
     )
     shards: dict[str, dict[str, int]] = {}
-    for entry in sorted(os.listdir(path)):
+    for entry in sorted(fs.listdir(path)):
         if not entry.startswith(f"{_SHARD_COL}="):
             continue
-        sdir = os.path.join(path, entry)
-        files = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
-        n_bytes = sum(os.path.getsize(os.path.join(sdir, f)) for f in files)
-        shards[entry.split("=", 1)[1]] = {"files": len(files), "bytes": n_bytes}
-    # row counts in one job, not one count() per shard
-    counts = {
-        str(r[_SHARD_COL]): r["n"]
-        for r in staged.groupBy(_SHARD_COL).agg(F.count("*").alias("n")).collect()
-    }
-    for sid, meta in shards.items():
-        meta["rows"] = counts.get(sid, 0)
+        sdir = fs.join(path, entry)
+        n_files = n_bytes = n_rows = 0
+        for name in fs.listdir(sdir):
+            if not name.endswith(".parquet"):
+                continue
+            fpath = fs.join(sdir, name)
+            n_files += 1
+            n_bytes += fs.size(fpath)
+            # footer-only read: the manifest reports what is ON DISK
+            with fs.open_input(fpath) as f:
+                n_rows += pq.ParquetFile(f).metadata.num_rows
+        shards[entry.split("=", 1)[1]] = {
+            "files": n_files,
+            "bytes": n_bytes,
+            "rows": n_rows,
+        }
     manifest = {
         "n_shards": n_shards,
         "shard_key": key,
@@ -89,6 +108,8 @@ def write_training_shards(
         "total_bytes": sum(m["bytes"] for m in shards.values()),
         "shards": shards,
     }
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    fs.replace_atomic(
+        fs.join(path, "manifest.json"),
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
     return manifest

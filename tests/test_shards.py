@@ -54,3 +54,56 @@ def test_validations(docs, tmp_path):
         write_training_shards(docs, str(tmp_path / "x"), 0)
     with pytest.raises(ValueError):
         write_training_shards(docs, str(tmp_path / "y"), 4, by=["nope"])
+
+
+class _RecordingFs:
+    """Delegates to the real local FS but records every call — proves the
+    export touches the filesystem ONLY through the seam."""
+
+    def __init__(self):
+        from datalake_iceberg_spark.fs import LocalFilesystem
+
+        self._inner = LocalFilesystem()
+        self.calls: list[str] = []
+
+    def __getattr__(self, name):
+        fn = getattr(self._inner, name)
+        if callable(fn):
+            def wrapped(*a, **kw):
+                self.calls.append(name)
+                return fn(*a, **kw)
+            return wrapped
+        return fn
+
+
+def test_manifest_goes_through_fs_seam(docs, tmp_path):
+    fs = _RecordingFs()
+    m = write_training_shards(docs, str(tmp_path / "seam"), 4, by=["doc_id"], fs=fs)
+    # listing, sizing, footer reads, and the manifest write all recorded
+    for op in ("listdir", "size", "open_input", "replace_atomic"):
+        assert op in fs.calls, (op, set(fs.calls))
+    assert m["total_rows"] > 0
+
+
+def test_shards_module_has_no_direct_os_access():
+    """The module must not bypass the seam with os.* / open() — the
+    round-3 ADVICE defect."""
+    import inspect
+
+    from datalake_iceberg_spark.ingest import shards
+
+    src = inspect.getsource(shards)
+    assert "import os" not in src
+    assert "os.listdir" not in src and "os.path" not in src
+
+
+def test_manifest_rows_match_footers(spark, docs, tmp_path):
+    """Row counts come from the written files, not a source re-scan."""
+    out = str(tmp_path / "footer")
+    m = write_training_shards(docs, out, 4, by=["doc_id"])
+    back = spark.read.parquet(out)
+    per_shard = {
+        str(r["_shard"]): r["n"]
+        for r in back.groupBy("_shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert {k: v["rows"] for k, v in m["shards"].items()} == per_shard
