@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": analytics.grouping_sets_revenue,
         "rolling_revenue_7d": analytics.rolling_revenue_7d,
         "pivot_status_by_priority": analytics.pivot_status_by_priority,
+        "incremental_dedup": dedup.incremental_dedup,
         "exact_dedup": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textops.QUALITY_SCORE_SQL,
         "lang_id": textops.LANG_ID_SQL,
         "doc_fingerprint": textops.FINGERPRINT_SQL,
+        "incremental_dedup": dedup.INCREMENTAL_DEDUP_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "minhash_signatures": dedup.MINHASH_SIG_SQL,
         "minhash_lsh_pairs": dedup.MINHASH_LSH_SQL,

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "sessionize_events",
     "merge_upsert_orders",
     "exact_dedup",
+    "incremental_dedup",
     "minhash_lsh_pairs",
     "dup_clusters",
     "simhash",
@@ -212,6 +213,31 @@ def main() -> None:
         )
         dml["shard_export_64"] = round(time.perf_counter() - t0, 3)
         dml["shard_export_rows"] = man["total_rows"]
+
+        # incremental corpus dedup against a PERSISTED signature index:
+        # bootstrap cost ∝ corpus (one-time); per-batch probe+merge cost
+        # must scale with the batch — the small batch (~10% of the full
+        # one) should cost a fraction, not a constant dominated by the
+        # corpus side
+        from datalake_iceberg_spark.ops.incremental_dedup import SignatureIndex
+
+        docs_all = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        id_mod = F.col("doc_id") % 10
+        t0 = time.perf_counter()
+        sig_idx = SignatureIndex.create(
+            cat, "bench.sig_index", docs_all.filter(id_mod != 0)
+        )
+        dml["sig_index_bootstrap"] = round(time.perf_counter() - t0, 3)
+        batch_small = docs_all.filter(F.col("doc_id") % 100 == 0)
+        t0 = time.perf_counter()
+        r_small = sig_idx.dedup_batch(batch_small)
+        dml["incr_dedup_batch_small"] = round(time.perf_counter() - t0, 3)
+        dml["incr_dedup_batch_small_docs"] = r_small["batch_docs"]
+        batch_full = docs_all.filter(id_mod == 0)
+        t0 = time.perf_counter()
+        r_full = sig_idx.dedup_batch(batch_full)
+        dml["incr_dedup_batch_full"] = round(time.perf_counter() - t0, 3)
+        dml["incr_dedup_batch_full_docs"] = r_full["batch_docs"]
 
         # Structured Streaming drain: full watermarked windowed rollup
         # of the events stream (availableNow), end-to-end incl. source

@@ -107,11 +107,10 @@ def _sig_sql(i: int) -> str:
 _SIG_COLS_SQL = ", ".join(f"MIN({_sig_sql(i)}) AS sig_{i}" for i in range(N_HASHES))
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature: sig_i = min over shingles of hash_i(shingle),
-    where hash_i is a 32-bit slice of a seeded md5 (see ``_sig_expr``).
-    Hex-string min is a valid exchangeable hash-min (uniform over hex)
-    and engine-portable. Output: doc_id + N_HASHES columns.
+def signatures_for(docs: DataFrame) -> DataFrame:
+    """MinHash signatures for an arbitrary ``documents``-shaped frame
+    (doc_id, text): sig_i = min over shingles of hash_i(shingle).
+    Docs with < SHINGLE_N words yield no shingles and no signature row.
 
     Plan note (measured, sf0.1): the tempting zero-shuffle variant —
     ``array_min(transform(...))`` per row — is ~10× SLOWER, because
@@ -119,21 +118,50 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     no subexpression elimination). The relational explode → groupBy with
     map-side partial mins is the fast Spark plan: one shuffle of tiny
     (doc_id, 8×min) partial rows; codegen CSE evaluates each seeded md5
-    once per shingle.
-    """
-    docs = load_balanced(spark, sf_dir, "documents")
+    once per shingle."""
     sh = docs.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
     aggs = [F.min(_sig_expr(i)).alias(f"sig_{i}") for i in range(N_HASHES)]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _shingle_sql() -> str:
+def banded_for(sig: DataFrame) -> DataFrame:
+    """LSH band hashes from a signature frame: (doc_id, band_hash), one
+    row per band, band = md5 of band index + BAND_SIZE consecutive
+    signature values. The distinct() is a no-op set-wise (band index is
+    baked into the hash) but load-bearing plan-wise: its exchange is the
+    materialization point self-join legs reuse (ReusedExchange)."""
+    n_bands = N_HASHES // BAND_SIZE
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"sig_{b * BAND_SIZE + j}") for j in range(BAND_SIZE)],
+            )
+        ).alias("band_hash")
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band_hash")
+    ).distinct()
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature: sig_i = min over shingles of hash_i(shingle),
+    where hash_i is a 32-bit slice of a seeded md5 (see ``_sig_expr``).
+    Hex-string min is a valid exchangeable hash-min (uniform over hex)
+    and engine-portable. Output: doc_id + N_HASHES columns."""
+    docs = load_balanced(spark, sf_dir, "documents")
+    return signatures_for(docs).orderBy("doc_id")
+
+
+def _shingle_sql(where: str = "") -> str:
     return f"""
   SELECT DISTINCT doc_id, array_to_string(norm_tokens[i:i+{SHINGLE_N - 1}], ' ') AS shingle
   FROM (
     SELECT doc_id,
            string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS norm_tokens
-    FROM documents
+    FROM documents {where}
   ) t, UNNEST(generate_series(1, GREATEST(len(norm_tokens) - {SHINGLE_N - 1}, 0))) AS u(i)
   WHERE length(array_to_string(norm_tokens[i:i+{SHINGLE_N - 1}], ' ')) > 0
 """
@@ -153,25 +181,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band (band = md5 of BAND_SIZE
     consecutive signature values). Join happens per band bucket — the
     scale path (no all-pairs)."""
-    sig = minhash_signatures(spark, sf_dir)
-    n_bands = N_HASHES // BAND_SIZE
-    bands = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col(f"sig_{b * BAND_SIZE + j}") for j in range(BAND_SIZE)],
-            )
-        ).alias("band_hash")
-        for b in range(n_bands)
-    ]
-    # the distinct() is a no-op set-wise (band index is baked into the
-    # hash) but load-bearing plan-wise: its exchange is the
-    # materialization point both self-join legs reuse (ReusedExchange) —
-    # without it the whole signature pipeline is computed twice
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*bands)).alias("band_hash")
-    ).distinct()
+    docs = load_balanced(spark, sf_dir, "documents")
+    banded = banded_for(signatures_for(docs))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -437,4 +448,90 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2
 ORDER BY doc_a, doc_b
+"""
+
+
+# ------------------------------------------------------- incremental dedup
+
+BATCH_MOD = 10  # graded-entry batch split: doc_id % 10 == 0 is "new"
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: near-dup check of a NEW batch against
+    the existing corpus via an asymmetric LSH band join (new-vs-index,
+    never corpus-vs-corpus) — the daily-ingest shape of MinHash dedup.
+
+    The graded entry splits the fixture deterministically (doc_id %
+    BATCH_MOD == 0 is the incoming batch; the rest is the corpus, a
+    stand-in for the PERSISTED signature index — see
+    :class:`datalake_iceberg_spark.ops.incremental_dedup.SignatureIndex`
+    for the real persisted flow). At 100 TB the index side is a lake
+    table bucketed by band_hash: the probe shuffles ONLY the batch
+    (broadcast when small) and touches only colliding index buckets, so
+    cost scales with batch size, not corpus size.
+
+    Output, one row per batch doc: (batch_doc, is_dup, first_match =
+    min colliding corpus doc_id or NULL, n_matches = colliding corpus
+    docs)."""
+    docs = load_balanced(spark, sf_dir, "documents")
+    is_batch = F.pmod(F.col("doc_id"), F.lit(BATCH_MOD)) == 0
+    batch = docs.filter(is_batch)
+    corpus = docs.filter(~is_batch)
+    bands_b = banded_for(signatures_for(batch))
+    bands_c = banded_for(signatures_for(corpus))
+    cand = (
+        bands_b.alias("n")
+        .join(bands_c.alias("i"), F.col("n.band_hash") == F.col("i.band_hash"))
+        .select(
+            F.col("n.doc_id").alias("batch_doc"),
+            F.col("i.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    per_batch = cand.groupBy("batch_doc").agg(
+        F.min("corpus_doc").alias("first_match"),
+        F.count("*").alias("n_matches"),
+    )
+    return (
+        batch.select(F.col("doc_id").alias("batch_doc"))
+        .join(per_batch, "batch_doc", "left")
+        .select(
+            "batch_doc",
+            F.col("first_match").isNotNull().alias("is_dup"),
+            "first_match",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        )
+        .orderBy("batch_doc")
+    )
+
+
+_BANDED_CTE = f"""
+  SELECT DISTINCT doc_id, band_hash FROM (
+    SELECT doc_id, unnest([{", ".join(f"band_{b}" for b in range(N_HASHES // BAND_SIZE))}]) AS band_hash
+    FROM (SELECT doc_id, {_BAND_EXPRS_SQL} FROM {{sigs}})
+  )
+"""
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH bsh AS ({_shingle_sql(f"WHERE doc_id % {BATCH_MOD} = 0")}),
+csh AS ({_shingle_sql(f"WHERE doc_id % {BATCH_MOD} != 0")}),
+bsig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM bsh GROUP BY doc_id),
+csig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM csh GROUP BY doc_id),
+bband AS ({_BANDED_CTE.format(sigs="bsig")}),
+cband AS ({_BANDED_CTE.format(sigs="csig")}),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc
+  FROM bband b JOIN cband c ON b.band_hash = c.band_hash
+),
+per AS (
+  SELECT batch_doc, MIN(corpus_doc) AS first_match, COUNT(*) AS n_matches
+  FROM cand GROUP BY batch_doc
+)
+SELECT d.doc_id AS batch_doc,
+       per.first_match IS NOT NULL AS is_dup,
+       per.first_match,
+       CAST(COALESCE(per.n_matches, 0) AS BIGINT) AS n_matches
+FROM (SELECT doc_id FROM documents WHERE doc_id % {BATCH_MOD} = 0) d
+LEFT JOIN per ON d.doc_id = per.batch_doc
+ORDER BY batch_doc
 """

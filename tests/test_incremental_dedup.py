@@ -1,0 +1,101 @@
+"""Incremental corpus dedup: asymmetric LSH probe of a new batch
+against the corpus, and the persisted SignatureIndex flow (probe →
+drop near-dups → MERGE survivors back, idempotent)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.ops.incremental_dedup import SignatureIndex
+from datalake_iceberg_spark.queries import dedup
+from datalake_iceberg_spark.tables import LakeCatalog
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "how vexingly quick daft zebras jump today"),
+]
+
+
+def test_graded_entry_matches_oracle(spark, sf_dir):
+    import duckdb
+
+    out = dedup.incremental_dedup(spark, sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    orows = con.execute(dedup.INCREMENTAL_DEDUP_SQL).fetchall()
+    srows = [tuple(r) for r in out.collect()]
+    assert len(srows) == len(orows) and sorted(srows) == sorted(orows)
+    # every batch doc appears exactly once
+    n_batch = out.count()
+    assert out.select("batch_doc").distinct().count() == n_batch
+
+
+def test_index_flow_detects_cross_batch_dup(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    idx = SignatureIndex.create(
+        cat, "dd.sig_index", _docs(spark, CORPUS), n_buckets=4
+    )
+    batch1 = _docs(spark, [
+        (10, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+        (11, "a completely different sentence about training data"),
+    ])
+    r1 = idx.dedup_batch(batch1)
+    assert r1["near_dups_dropped"] == 1 and r1["admitted"] == 1
+    assert r1["index_docs"] == 4  # 3 corpus + doc 11
+
+    # batch 2 dups the doc ADMITTED in batch 1 — the index grew
+    batch2 = _docs(spark, [
+        (20, "a completely different sentence about training data"),  # dup of 11
+        (21, "yet another unique document with enough words here"),
+    ])
+    r2 = idx.dedup_batch(batch2)
+    assert r2["near_dups_dropped"] == 1 and r2["admitted"] == 1
+    assert r2["index_docs"] == 5
+    ids = {r["doc_id"] for r in idx.table.read().select("doc_id").collect()}
+    assert ids == {1, 2, 3, 11, 21}
+
+
+def test_index_rerun_is_idempotent(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "wh2"))
+    idx = SignatureIndex.create(
+        cat, "dd.sig_idem", _docs(spark, CORPUS), n_buckets=4
+    )
+    batch = _docs(spark, [(30, "totally novel words forming an original document")])
+    idx.dedup_batch(batch)
+    before = sorted(tuple(r) for r in idx.table.read().collect())
+    idx.dedup_batch(batch)  # re-run of the same batch
+    after = sorted(tuple(r) for r in idx.table.read().collect())
+    assert before == after
+
+
+def test_probe_is_readonly(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "wh3"))
+    idx = SignatureIndex.create(
+        cat, "dd.sig_ro", _docs(spark, CORPUS), n_buckets=4
+    )
+    v = idx.table.current_version()
+    cand = idx.probe(
+        _docs(spark, [(40, "pack my box with five dozen liquor jugs")])
+    )
+    assert cand.count() >= 1
+    assert {r["index_doc"] for r in cand.collect()} == {2}
+    assert idx.table.current_version() == v
+
+
+def test_short_docs_have_no_signature_but_survive(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "wh4"))
+    idx = SignatureIndex.create(
+        cat, "dd.sig_short", _docs(spark, CORPUS), n_buckets=4
+    )
+    r = idx.dedup_batch(_docs(spark, [(50, "two words")]))
+    assert r["near_dups_dropped"] == 0 and r["admitted"] == 1
+    assert r["index_docs"] == 3  # unsigned docs are not indexed
