@@ -95,6 +95,7 @@ def main() -> None:
     # the DML stress section (1024-bucket small-file cases), graded
     # separately from the headline queries
     query_phase_end_ms = int(time.time() * 1000)
+    dml_fill_start_ms = None
 
     # DML throughput on the lakehouse core (the reference's actual
     # workload: snapshot RTAS + keyed CDC merge/delete), at the same SF
@@ -247,6 +248,48 @@ def main() -> None:
         dml["stream_drain_hourly_rollup"] = round(time.perf_counter() - t0, 3)
         dml["stream_drain_windows"] = n_win
 
+        # DML health at REALISTIC bucket fill: the 1024-bucket tiers
+        # above deliberately stress tiny files (pruning-ratio proof),
+        # which makes their io-bound profile an sf0.1 artifact. This
+        # phase replays the core write path (RTAS / 1% merge / 1% CoW
+        # delete) with rows replicated ×SPARK_GRAFT_DML_FILL_X at 64
+        # buckets, so each bucket holds a few MB and the io-vs-cpu
+        # verdict reflects the design, not fixture granularity.
+        dml_fill_start_ms = int(time.time() * 1000)
+        fill_x = max(1, int(os.environ.get("SPARK_GRAFT_DML_FILL_X", "24")))
+        reps = F.array(*[F.lit(i) for i in range(fill_x)])
+        big = (
+            orders.withColumn("_rep", F.explode(reps))
+            .withColumn(
+                "id_iceberg", F.concat_ws("-", "id_iceberg", F.col("_rep"))
+            )
+            .drop("_rep")
+        )
+        t0 = time.perf_counter()
+        table_fill = cat.create_or_replace(
+            "bench.orders_fill", big, key=["id_iceberg"], n_buckets=64
+        )
+        dml["rtas_fill_64b"] = round(time.perf_counter() - t0, 3)
+        fill_bytes = 0
+        for dirs in table_fill.snapshot().buckets.values():
+            for rel in dirs:
+                d = os.path.join(table_fill.location, rel)
+                fill_bytes += sum(
+                    os.path.getsize(os.path.join(d, f))
+                    for f in os.listdir(d) if f.endswith(".parquet")
+                )
+        dml["fill_bucket_mb"] = round(fill_bytes / 64 / 1e6, 2)
+        upd_fill = big.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+            "o_orderpriority", F.lit("BENCH")
+        )
+        t0 = time.perf_counter()
+        table_fill.merge(upd_fill, assert_unique_key=False)
+        dml["merge_1pct_fill_64b"] = round(time.perf_counter() - t0, 3)
+        dels_fill = big.filter(F.col("o_orderkey") % 100 == 1).select("id_iceberg")
+        t0 = time.perf_counter()
+        table_fill.delete_keys(dels_fill)
+        dml["delete_cow_1pct_fill_64b"] = round(time.perf_counter() - t0, 3)
+
         for name, sec in dml.items():
             print(f"# dml {name}: {sec}", file=sys.stderr)
         shutil.rmtree(wh, ignore_errors=True)
@@ -284,6 +327,15 @@ def main() -> None:
                 "dml_cpu_efficiency": report["cpu_efficiency"],
                 "dml_cpu_verdict": report["cpu_verdict"],
             }
+            if dml_fill_start_ms is not None:
+                # the design-representative DML verdict: buckets hold a
+                # few MB here (see fill_bucket_mb), so io-vs-cpu is not
+                # dominated by per-file commit overhead
+                frep = el.analyze_eventlog(
+                    logs[0], since_epoch_ms=dml_fill_start_ms, events=events
+                )
+                health["dml_fill_cpu_efficiency"] = frep["cpu_efficiency"]
+                health["dml_fill_cpu_verdict"] = frep["cpu_verdict"]
             for f in report["findings"][:10]:
                 print(f"# health: stage {f['stage_id']} {f['findings']}", file=sys.stderr)
     except Exception as ex:  # health grading must never fail the bench

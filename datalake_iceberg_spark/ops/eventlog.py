@@ -269,21 +269,25 @@ def analyze_eventlog(
     path: str | Path,
     until_epoch_ms: int | None = None,
     events: list[dict[str, Any]] | None = None,
+    since_epoch_ms: int | None = None,
 ) -> dict[str, Any]:
     """Full-application report: per-stage stats + app-level verdicts.
 
-    ``until_epoch_ms`` restricts the report to stages SUBMITTED at or
-    before that epoch-ms timestamp — callers that run distinct phases in
-    one session (e.g. the bench's query phase vs its small-file DML
-    stress phase) can grade each phase against the health bands
-    separately instead of blending them into one misleading number.
-    Pass pre-parsed ``events`` to analyze several phase windows without
-    re-reading the log."""
+    ``since_epoch_ms`` / ``until_epoch_ms`` restrict the report to
+    stages SUBMITTED inside that epoch-ms window — callers that run
+    distinct phases in one session (e.g. the bench's query phase vs its
+    small-file DML stress phase vs its realistic-fill DML phase) can
+    grade each phase against the health bands separately instead of
+    blending them into one misleading number. Pass pre-parsed
+    ``events`` to analyze several phase windows without re-reading the
+    log."""
     if events is None:
         events = list(parse_events(path))
     stages = analyze_stages(iter(events))
     if until_epoch_ms is not None:
         stages = [s for s in stages if 0 < s.submission_ts <= until_epoch_ms]
+    if since_epoch_ms is not None:
+        stages = [s for s in stages if s.submission_ts > since_epoch_ms]
     app = {"app_name": None, "duration_ms": None, "executors": 0}
     start_ts = end_ts = None
     for ev in events:

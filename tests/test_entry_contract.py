@@ -29,22 +29,26 @@ def test_oracled_queries_inside_driver_window():
     # already green in a PRIOR driver round. This list must track the
     # rotation in queries(): update it whenever entries move across the
     # window, and never park an entry that has no green driver row yet.
-    parked_round3 = {
-        # green in CORRECTNESS_r01 AND _r02
-        "q4_priority_semijoin", "q6_forecast_revenue", "q7_volume_shipping",
-        "q2_min_cost_supplier", "q8_market_share", "q9_nation_profit",
-        "q11_important_stock", "q12_priority_shipping",
-        "top_parts_per_brand", "doc_fingerprint", "quality_score", "lang_id",
-        "grouping_sets_revenue", "rolling_revenue_7d", "pivot_status_by_priority",
-        # green in CORRECTNESS_r02 (first graded in round 2)
-        "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
-        "simhash", "ngram_jaccard_pairs", "dup_clusters",
-        "knn_bruteforce", "ann_lsh_buckets", "centroid_similarity",
-        "embedding_neardup_pairs", "ivf_ann_topk", "mm_asset_stats",
+    parked_round4 = {
+        # all green in CORRECTNESS_r03 (q13..q22, pipeline-text, DQ,
+        # curation layers); parked so the r2-stale and this round's
+        # changed entries get graded.
+        "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
+        "q16_supplier_part_count", "q17_small_qty_revenue",
+        "q18_large_volume", "q19_disjunctive_revenue",
+        "q20_volume_suppliers", "q21_waiting_suppliers",
+        "q22_dormant_customers",
+        "props_json_stats", "hash_split_stats", "bigram_counts",
+        "regex_term_scan", "tfidf_top_terms", "token_stats",
+        "dq_violations", "column_profile",
+        "term_scrub_stats", "filter_funnel", "shingle_repetition",
+        "stratified_sample_counts", "contamination_overlap",
+        "winsorized_value_stats", "token_len_histogram", "oov_rate",
+        "embedding_norm_stats", "cube_revenue",
     }
-    assert set(outside) <= parked_round3, (
+    assert set(outside) <= parked_round4, (
         f"oracled queries past entry {DRIVER_WINDOW} without a prior green row: "
-        f"{sorted(set(outside) - parked_round3)}"
+        f"{sorted(set(outside) - parked_round4)}"
     )
 
 
