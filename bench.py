@@ -185,6 +185,15 @@ def main() -> None:
         table_hb.rewrite_position_delete_files()
         dml["mor_fold_1024b"] = round(time.perf_counter() - t0, 3)
 
+        # changed-bucket-pruned keyed diff: same bucket count at both
+        # endpoints, so only buckets the deletes/fold touched are read —
+        # diff cost ∝ changed buckets (contrast read_changes_keyed_diff
+        # below, whose range spans a rebucket and takes the full path)
+        t0 = time.perf_counter()
+        n_pruned = table_hb.read_changes(v_before_deletes).count()
+        dml["read_changes_pruned_diff"] = round(time.perf_counter() - t0, 3)
+        dml["read_changes_pruned_rows"] = n_pruned
+
         # bucket-count evolution: integer-factor shrink is metadata-only
         # (O(buckets) regardless of data size), integer-factor grow is a
         # shuffle-free local-split rewrite

@@ -633,6 +633,16 @@ class LakeTable:
         snapshot reads on the key, classifying rows by presence and
         full-row hash inequality — one shuffle on the key, the same
         cost shape as a MERGE at the same scale.
+
+        Bucket pruning on the general path: data dirs are immutable, so
+        when both endpoints share a bucket count, a bucket whose dir
+        list AND merge-on-read delete entries are identical in both
+        snapshots cannot contain a change — the diff reads ONLY the
+        buckets that differ, making keyed-diff cost ∝ changed buckets,
+        not table size (a compaction-only commit re-points dirs, so its
+        buckets are re-read and diff to nothing — correct, just
+        unpruned). A rebucket in the range changes the bucket count and
+        falls back to the full two-snapshot diff.
         """
         to_v = self.current_version() if to_version is None else to_version
         if from_version > to_v:
@@ -667,7 +677,21 @@ class LakeTable:
             f.name
             for f in T.StructType.fromJson(json.loads(to_snap.schema_json)).fields
         ]
-        a_df, b_df = self.read(version=from_version), self.read(version=to_v)
+        a_snap = self.snapshot(from_version)
+        if a_snap.n_buckets == to_snap.n_buckets:
+            # changed-bucket pruning: immutable dirs + identical delete
+            # entries ⇒ identical bucket content, skip it on both sides
+            all_b = set(a_snap.buckets) | set(to_snap.buckets)
+            changed = sorted(
+                int(b)
+                for b in all_b
+                if a_snap.buckets.get(b, []) != to_snap.buckets.get(b, [])
+                or a_snap.deletes.get(b, []) != to_snap.deletes.get(b, [])
+            )
+            a_df = self.read_buckets(changed, version=from_version)
+            b_df = self.read_buckets(changed, version=to_v)
+        else:
+            a_df, b_df = self.read(version=from_version), self.read(version=to_v)
         if sorted(a_df.columns) != sorted(cols):
             raise ValueError(
                 f"read_changes range ({from_version}, {to_v}] spans a schema "

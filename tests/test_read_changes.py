@@ -99,6 +99,33 @@ def test_update_between_sentinel_and_null_classified(table):
     assert ch2[0]["o_orderpriority"] == "\x00null"
 
 
+def test_keyed_diff_prunes_unchanged_buckets(table):
+    """The general path must read only buckets whose dir/delete lists
+    differ between the endpoints — diff cost ∝ changed buckets."""
+    t, orders = table
+    v0 = t.current_version()
+    upd = orders.limit(3).withColumn("o_orderstatus", F.lit("Q"))
+    t.merge(upd)
+    calls = []
+    real = t.read_buckets
+
+    def spy(bucket_ids, version=None):
+        calls.append(list(bucket_ids))
+        return real(bucket_ids, version)
+
+    t.read_buckets = spy
+    try:
+        ch = t.read_changes(v0)
+        by_type = {r["_change_type"]: r["n"] for r in
+                   ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    finally:
+        t.read_buckets = real
+    assert by_type == {"update_postimage": 3}
+    # both endpoint reads requested the same ≤3 touched buckets (of 8)
+    assert len(calls) == 2
+    assert calls[0] == calls[1] and 1 <= len(calls[0]) <= 3
+
+
 def test_validation(table):
     t, _ = table
     with pytest.raises(ValueError):
