@@ -93,12 +93,18 @@ class SignatureIndex:
             .distinct()
         )
 
-    def dedup_batch(self, batch_docs: DataFrame) -> dict[str, int]:
+    def dedup_batch(
+        self, batch_docs: DataFrame, count_index: bool = False
+    ) -> dict[str, int]:
         """Run the incremental flow: probe, drop colliding batch docs,
         merge survivors' signatures + band rows into the index.
         Idempotent: self-collisions (a doc matching its own indexed
         bands on a re-run) are not dups, and band rows already present
-        are not re-appended."""
+        are not re-appended.
+
+        ``count_index=True`` adds ``index_docs`` to the result — an
+        O(corpus) scan, off by default so the per-batch cost contract
+        (∝ batch size) holds."""
         sigs = signatures_for(batch_docs).localCheckpoint()
         bands_new = banded_for(sigs).localCheckpoint()
         # hits are reused by three downstream plans — keep them local
@@ -123,9 +129,11 @@ class SignatureIndex:
         self.table.merge(survivors)
         if not new_band_rows.isEmpty():
             self.bands.append(new_band_rows)
-        return {
+        out = {
             "batch_docs": n_batch,
             "near_dups_dropped": n_dup,
             "admitted": n_batch - n_dup,
-            "index_docs": self.table.read().count(),
         }
+        if count_index:
+            out["index_docs"] = self.table.read().count()
+        return out

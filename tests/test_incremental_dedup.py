@@ -48,7 +48,7 @@ def test_index_flow_detects_cross_batch_dup(spark, tmp_path):
         (10, "the quick brown fox jumps over the lazy dog"),  # dup of 1
         (11, "a completely different sentence about training data"),
     ])
-    r1 = idx.dedup_batch(batch1)
+    r1 = idx.dedup_batch(batch1, count_index=True)
     assert r1["near_dups_dropped"] == 1 and r1["admitted"] == 1
     assert r1["index_docs"] == 4  # 3 corpus + doc 11
 
@@ -57,7 +57,7 @@ def test_index_flow_detects_cross_batch_dup(spark, tmp_path):
         (20, "a completely different sentence about training data"),  # dup of 11
         (21, "yet another unique document with enough words here"),
     ])
-    r2 = idx.dedup_batch(batch2)
+    r2 = idx.dedup_batch(batch2, count_index=True)
     assert r2["near_dups_dropped"] == 1 and r2["admitted"] == 1
     assert r2["index_docs"] == 5
     ids = {r["doc_id"] for r in idx.table.read().select("doc_id").collect()}
@@ -96,6 +96,20 @@ def test_short_docs_have_no_signature_but_survive(spark, tmp_path):
     idx = SignatureIndex.create(
         cat, "dd.sig_short", _docs(spark, CORPUS), n_buckets=4
     )
-    r = idx.dedup_batch(_docs(spark, [(50, "two words")]))
+    r = idx.dedup_batch(_docs(spark, [(50, "two words")]), count_index=True)
     assert r["near_dups_dropped"] == 0 and r["admitted"] == 1
     assert r["index_docs"] == 3  # unsigned docs are not indexed
+
+
+def test_incremental_consistent_with_corpus_level_pairs(spark, sf_dir):
+    """The asymmetric probe must flag exactly the batch docs that the
+    corpus-level LSH pair list connects to a corpus doc."""
+    inc = dedup.incremental_dedup(spark, sf_dir)
+    flagged = {r["batch_doc"] for r in inc.collect() if r["is_dup"]}
+    pairs = dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    expect = set()
+    for r in pairs:
+        a_batch, b_batch = r["doc_a"] % dedup.BATCH_MOD == 0, r["doc_b"] % dedup.BATCH_MOD == 0
+        if a_batch != b_batch:  # pair crosses the batch/corpus split
+            expect.add(r["doc_a"] if a_batch else r["doc_b"])
+    assert flagged == expect
