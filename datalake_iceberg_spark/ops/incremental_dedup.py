@@ -20,9 +20,14 @@ the corpus:
   path; reference anchor: the MERGE idempotence pattern at
   ``src/utils/cdc_pipeline.py:221-237``).
 
-In-batch near-duplicates are NOT collapsed here (both survive into the
-index); run the corpus-level ``dup_clusters`` periodically for that —
-the split keeps the daily op one-pass.
+In-batch near-duplicates are collapsed optionally
+(``collapse_batch=True``): a batch doc colliding with a smaller-id
+batch doc is dropped greedily (the standard keep-first survivor rule;
+transitive chains resolve to the chain's min because collisions are
+checked against ALL smaller ids, not only survivors — a deliberate,
+slightly-aggressive approximation). Default off: the corpus-level
+``dup_clusters`` gives exact components periodically, and the
+single-probe daily op stays one-pass.
 """
 
 from __future__ import annotations
@@ -94,13 +99,20 @@ class SignatureIndex:
         )
 
     def dedup_batch(
-        self, batch_docs: DataFrame, count_index: bool = False
+        self,
+        batch_docs: DataFrame,
+        count_index: bool = False,
+        collapse_batch: bool = False,
     ) -> dict[str, int]:
         """Run the incremental flow: probe, drop colliding batch docs,
         merge survivors' signatures + band rows into the index.
         Idempotent: self-collisions (a doc matching its own indexed
         bands on a re-run) are not dups, and band rows already present
         are not re-appended.
+
+        ``collapse_batch=True`` also drops batch docs whose bands
+        collide with a SMALLER-id batch doc (greedy keep-first in-batch
+        dedup — see module docstring for the approximation's shape).
 
         ``count_index=True`` adds ``index_docs`` to the result — an
         O(corpus) scan, off by default so the per-batch cost contract
@@ -119,6 +131,18 @@ class SignatureIndex:
             .select(F.col("n.doc_id").alias("doc_id"))
             .distinct()
         )
+        if collapse_batch:
+            in_batch = (
+                bands_new.alias("a")
+                .join(
+                    bands_new.alias("b"),
+                    (F.col("a.band_hash") == F.col("b.band_hash"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(F.col("b.doc_id").alias("doc_id"))
+                .distinct()
+            )
+            dup_ids = dup_ids.unionByName(in_batch).distinct()
         survivors = sigs.join(dup_ids, "doc_id", "left_anti")
         surv_bands = bands_new.join(dup_ids, "doc_id", "left_anti")
         new_band_rows = surv_bands.join(

@@ -113,3 +113,23 @@ def test_incremental_consistent_with_corpus_level_pairs(spark, sf_dir):
         if a_batch != b_batch:  # pair crosses the batch/corpus split
             expect.add(r["doc_a"] if a_batch else r["doc_b"])
     assert flagged == expect
+
+
+def test_collapse_batch_drops_in_batch_dups(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "wh5"))
+    idx = SignatureIndex.create(
+        cat, "dd.sig_collapse", _docs(spark, CORPUS), n_buckets=4
+    )
+    batch = _docs(spark, [
+        (60, "an entirely original passage with many unique words"),
+        (61, "an entirely original passage with many unique words"),  # in-batch dup of 60
+        (62, "pack my box with five dozen liquor jugs"),               # dup of corpus 2
+    ])
+    # default: in-batch dups both survive
+    r_default = idx.probe(batch)
+    assert {x["batch_doc"] for x in r_default.collect()} == {62}
+    r = idx.dedup_batch(batch, count_index=True, collapse_batch=True)
+    assert r["near_dups_dropped"] == 2  # 61 (in-batch) + 62 (vs corpus)
+    assert r["admitted"] == 1
+    ids = {x["doc_id"] for x in idx.table.read().select("doc_id").collect()}
+    assert 60 in ids and 61 not in ids and 62 not in ids
