@@ -325,30 +325,36 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bit b of a token = parity of the b-th hex char of md5(token); the
     signature bit is the sign of the weighted bit sum over the doc's
     distinct tokens. Pure integer arithmetic — portable and exact.
-    """
+
+    Plan note (measured, sf0.1): the zero-shuffle per-row form — 32
+    ``F.aggregate`` lambdas over the token-hash array — is ~25% SLOWER
+    than this relational explode → groupBy, because higher-order-
+    function lambdas are interpreted (no codegen, and each of the 32
+    re-walks the array). Exploding distinct tokens keeps every bit
+    contribution inside whole-stage codegen; the one shuffle carries
+    map-side-combined (doc_id, 32×int) partials — same tradeoff the
+    minhash pipeline makes (see :func:`signatures_for`)."""
     docs = load_balanced(spark, sf_dir, "documents")
-    # distinct tokens + their md5, per row via array HOFs — zero shuffles
-    # (vs explode → distinct → groupBy, which shuffles the token set twice)
     tok_arr = F.array_distinct(
         F.filter(F.split(_norm_text(), " "), lambda t: F.length(t) > 0)
     )
-    hashes = F.transform(tok_arr, lambda t: F.md5(t))
-    doc_h = docs.where(F.size(tok_arr) > 0).select(
-        "doc_id", hashes.alias("hs")
+    toks = docs.select("doc_id", F.explode(tok_arr).alias("tok"))
+    h = F.md5(F.col("tok"))
+    contrib = toks.select(
+        "doc_id",
+        *[
+            ((F.ascii(F.substring(h, b + 1, 1)) % 2) * 2 - 1).alias(f"c_{b}")
+            for b in range(32)
+        ],
     )
-    def _bit_merge(b):
-        return lambda acc, x: acc + (F.ascii(F.substring(x, b + 1, 1)) % 2) * 2 - 1
-
-    bit_bal = [
-        F.aggregate(F.col("hs"), F.lit(0), _bit_merge(b)).alias(f"bal_{b}")
-        for b in range(32)
-    ]
-    balances = doc_h.select("doc_id", *bit_bal)
+    bal = contrib.groupBy("doc_id").agg(
+        *[F.sum(f"c_{b}").alias(f"bal_{b}") for b in range(32)]
+    )
     sig = sum(
         F.when(F.col(f"bal_{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
         for b in range(32)
     )
-    return balances.select("doc_id", sig.alias("simhash32")).orderBy("doc_id")
+    return bal.select("doc_id", sig.alias("simhash32")).orderBy("doc_id")
 
 
 SIMHASH_SQL = """
