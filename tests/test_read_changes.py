@@ -130,3 +130,26 @@ def test_validation(table):
     t, _ = table
     with pytest.raises(ValueError):
         t.read_changes(5, 1)
+
+
+def test_keyed_diff_across_compaction_yields_no_changes(table):
+    """Compaction re-points dirs without changing rows: the pruned diff
+    re-reads those buckets and must classify nothing."""
+    t, _ = table
+    v0 = t.current_version()
+    t.rewrite_data_files(min_input_dirs=1)
+    assert t.current_version() > v0  # compaction actually committed
+    assert t.read_changes(v0).count() == 0
+
+
+def test_keyed_diff_mixed_merge_and_compaction(table):
+    """A range holding a merge AND a compaction surfaces exactly the
+    merged rows."""
+    t, orders = table
+    v0 = t.current_version()
+    t.merge(orders.limit(4).withColumn("o_orderstatus", F.lit("Y")))
+    t.rewrite_data_files(min_input_dirs=1)
+    ch = t.read_changes(v0)
+    rows = ch.collect()
+    assert len(rows) == 4
+    assert all(r["_change_type"] == "update_postimage" for r in rows)
