@@ -264,16 +264,22 @@ def main() -> None:
         # delete) with rows replicated ×SPARK_GRAFT_DML_FILL_X at 64
         # buckets, so each bucket holds a few MB and the io-vs-cpu
         # verdict reflects the design, not fixture granularity.
-        dml_fill_start_ms = int(time.time() * 1000)
         fill_x = max(1, int(os.environ.get("SPARK_GRAFT_DML_FILL_X", "24")))
         reps = F.array(*[F.lit(i) for i in range(fill_x)])
+        # synthetic input is MATERIALIZED balanced before the phase
+        # boundary: the tiers measure the write path at realistic
+        # bucket fill, not the explode-generation of the fixture (whose
+        # few-input-split scan would otherwise skew the timed stages)
         big = (
             orders.withColumn("_rep", F.explode(reps))
             .withColumn(
                 "id_iceberg", F.concat_ws("-", "id_iceberg", F.col("_rep"))
             )
             .drop("_rep")
+            .repartition(32)
+            .localCheckpoint()
         )
+        dml_fill_start_ms = int(time.time() * 1000)
         t0 = time.perf_counter()
         table_fill = cat.create_or_replace(
             "bench.orders_fill", big, key=["id_iceberg"], n_buckets=64
