@@ -62,7 +62,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": analytics.sessionize_events,
         "asof_purchase_click": asof.asof_purchase_click,
         "errors_context_window": asof.errors_context_window,
-        "value_percentiles": approx.value_percentiles,
         "stream_hourly_rollup": stream_queries.stream_hourly_rollup,
         "stream_dedup_count": stream_queries.stream_dedup_count,
         # --- changed/new this round: need fresh green rows ---
@@ -99,10 +98,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_similarity": similarity.centroid_similarity,
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
         "ivf_ann_topk": similarity.ivf_ann_topk,
+        "ivf_recall": similarity.ivf_recall,  # new r4: exact-oracled ANN recall audit
         "mm_asset_stats": multimodal.mm_asset_stats,
         # ---- entries past the driver's 50-entry window ----
         # all green in CORRECTNESS_r03; parked this round so the
         # r2-stale and changed entries get graded.
+        "value_percentiles": approx.value_percentiles,
         "q13_order_distribution": tpch_ext.q13_order_distribution,
         "q14_promo_revenue": analytics.q14_promo_revenue,
         "q15_top_supplier": tpch_ext.q15_top_supplier,
@@ -198,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         "centroid_similarity": similarity.CENTROID_SIM_SQL,
         "embedding_neardup_pairs": similarity.EMBEDDING_NEARDUP_SQL,
         "ivf_ann_topk": similarity.IVF_ANN_SQL,
+        "ivf_recall": similarity.IVF_RECALL_SQL,
         "mm_asset_stats": multimodal.MM_ASSET_STATS_SQL,
         "mm_frame_sample": multimodal.MM_FRAME_SAMPLE_SQL,
         "dq_violations": dq.DQ_VIOLATIONS_SQL,

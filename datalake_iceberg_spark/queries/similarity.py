@@ -397,3 +397,56 @@ SELECT e.vec_id, e.label,
 FROM embeddings e JOIN centroids c ON e.label = c.label
 ORDER BY e.vec_id
 """
+
+
+# ------------------------------------------------------------ recall audit
+
+def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: recall@K of the IVF probe against the exact
+    brute-force top-K, per query — the metric a deployed ANN index is
+    monitored by. Both pipelines are deterministic (literal
+    hyperplanes / label-centroid cells, fixed tie-breaks), so the
+    whole audit is exactly oracle-checkable, not just self-checked.
+    One job: both top-K sets build once; the semi-join intersects.
+    Output: (query_id, n_hits, recall_at_k).
+
+    On the synthetic fixture the recall is LOW (labels are not
+    semantic clusters, so the coarse quantizer cannot concentrate
+    neighbors) — which is the audit doing its job: a production
+    quantizer is retrained until this query says otherwise."""
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "cand_id")
+    approx = ivf_ann_topk(spark, sf_dir).select("query_id", "cand_id")
+    hits = (
+        exact.join(approx, ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = exact.select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)).cast("double") / TOP_K).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+IVF_RECALL_SQL = f"""
+WITH exact AS (SELECT query_id, cand_id FROM ({KNN_BRUTEFORCE_SQL})),
+approx AS (SELECT query_id, cand_id FROM ({IVF_ANN_SQL})),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hits
+  FROM exact e JOIN approx a ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+  GROUP BY e.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
+"""

@@ -22,6 +22,9 @@ PYTHON_SEAMS = {"mm_decode_features"}
 SMALL_CROSS = {
     "knn_bruteforce", "ivf_ann_topk", "q22_dormant_customers",
     "q11_important_stock",
+    # recall audit composes knn_bruteforce + ivf_ann_topk, inheriting
+    # their declared 10-row broadcast cross joins
+    "ivf_recall",
 }
 
 

@@ -31,8 +31,9 @@ def test_oracled_queries_inside_driver_window():
     # window, and never park an entry that has no green driver row yet.
     parked_round4 = {
         # all green in CORRECTNESS_r03 (q13..q22, pipeline-text, DQ,
-        # curation layers); parked so the r2-stale and this round's
-        # changed entries get graded.
+        # curation layers, value_percentiles); parked so the r2-stale
+        # and this round's changed entries get graded.
+        "value_percentiles",
         "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
         "q16_supplier_part_count", "q17_small_qty_revenue",
         "q18_large_volume", "q19_disjunctive_revenue",
