@@ -56,7 +56,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purge_keep_latest": analytics.purge_keep_latest,
         "semi_anti_join_events": analytics.semi_anti_join_events,
         "batch_stats_events": analytics.batch_stats_events,
-        "hourly_rollup_events": analytics.hourly_rollup_events,
         "surrogate_key_orders": analytics.surrogate_key_orders,
         "merge_upsert_orders": analytics.merge_upsert_orders,
         "sessionize_events": analytics.sessionize_events,
@@ -64,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "errors_context_window": asof.errors_context_window,
         "stream_hourly_rollup": stream_queries.stream_hourly_rollup,
         "stream_dedup_count": stream_queries.stream_dedup_count,
+        "stream_running_stats": stream_queries.stream_running_stats,  # new r4: applyInPandasWithState parity
         # --- changed/new this round: need fresh green rows ---
         "mm_frame_sample": multimodal.mm_frame_sample,
         "mm_decode_features": multimodal.mm_decode_features,
@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all green in CORRECTNESS_r03; parked this round so the
         # r2-stale and changed entries get graded.
         "value_percentiles": approx.value_percentiles,
+        "hourly_rollup_events": analytics.hourly_rollup_events,
         "q13_order_distribution": tpch_ext.q13_order_distribution,
         "q14_promo_revenue": analytics.q14_promo_revenue,
         "q15_top_supplier": tpch_ext.q15_top_supplier,
@@ -205,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_violations": dq.DQ_VIOLATIONS_SQL,
         "column_profile": dq.COLUMN_PROFILE_SQL,
         "stream_hourly_rollup": stream_queries.STREAM_HOURLY_ROLLUP_SQL,
+        "stream_running_stats": stream_queries.STREAM_RUNNING_STATS_SQL,
         "stream_dedup_count": stream_queries.STREAM_DEDUP_COUNT_SQL,
         # decode seam: the mapInPandas plan stays, but the fake codec is
         # md5-deterministic so the oracle reproduces it exactly

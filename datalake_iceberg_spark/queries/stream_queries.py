@@ -82,7 +82,7 @@ def _stream_events(spark: SparkSession, sf_dir: str):
     return normalize_events_ts(stream)
 
 
-def _drain(df: DataFrame, sink: str):
+def _drain(df: DataFrame, sink: str, output_mode: str = "complete"):
     """availableNow drain into a memory sink named ``sink``; the
     checkpoint dir is per-run (replaying one would skip the backlog)
     and deleted as soon as the drain terminates."""
@@ -91,7 +91,7 @@ def _drain(df: DataFrame, sink: str):
         q = (
             df.writeStream.format("memory")
             .queryName(sink)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -146,6 +146,56 @@ def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = _sink_name("stream_dedup", sf_dir)
     _drain(deduped.groupBy("event_type").agg(F.count("*").alias("n_unique")), sink)
     return spark.table(sink).select("event_type", "n_unique").orderBy("event_type")
+
+
+def stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-stateful-operator parity check: per-event-type running
+    (count, sum, max) computed BY ``applyInPandasWithState`` (Arrow
+    batches, state store, update mode) and drained with availableNow;
+    the LAST update per key is the final state, which must equal the
+    batch aggregate — grading the custom stateful path itself against
+    the DuckDB oracle. Values ride as exact integer micros (pandas sums
+    of integer-valued doubles are exact below 2^53), so stream-order
+    float accumulation cannot drift from the batch sum."""
+    from pyspark.sql import Window
+
+    from datalake_iceberg_spark.streaming.event_time import stateful_running_stats
+
+    ev = _stream_events(spark, sf_dir)
+    micros = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("double").alias("v"),
+    )
+    out = stateful_running_stats(micros, key_col="event_type", value_col="v")
+    sink = _sink_name("stream_running_stats", sf_dir)
+    _drain(out, sink, output_mode="update")
+    w = Window.partitionBy("key").orderBy(F.desc("n"))
+    final = (
+        spark.table(sink)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return final.select(
+        F.col("key").alias("event_type"),
+        F.col("n").alias("n_events"),
+        (F.col("total") / 1_000_000.0).alias("sum_value"),
+        (F.col("vmax") / 1_000_000.0).alias("max_value"),
+    ).orderBy("event_type")
+
+
+def _stream_running_stats_sql() -> str:
+    from datalake_iceberg_spark.queries.analytics import EVENTS_CTE
+
+    return f"""
+WITH {EVENTS_CTE}
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value,
+       CAST(MAX(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS max_value
+FROM events_us GROUP BY event_type ORDER BY event_type
+"""
+
+
+STREAM_RUNNING_STATS_SQL = _stream_running_stats_sql()
 
 
 def _stream_hourly_rollup_sql() -> str:

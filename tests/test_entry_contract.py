@@ -33,7 +33,7 @@ def test_oracled_queries_inside_driver_window():
         # all green in CORRECTNESS_r03 (q13..q22, pipeline-text, DQ,
         # curation layers, value_percentiles); parked so the r2-stale
         # and this round's changed entries get graded.
-        "value_percentiles",
+        "value_percentiles", "hourly_rollup_events",
         "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
         "q16_supplier_part_count", "q17_small_qty_revenue",
         "q18_large_volume", "q19_disjunctive_revenue",
