@@ -48,10 +48,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row within rounds 3-4 combined.
     return {
         # --- flagship + events/DML core (green r3, code paths touched) ---
+        # (q3/q5/q10 are parked this round — green r3, query code
+        # untouched in r4 — to make window room for the three new
+        # operators below.)
         "q1_pricing_summary": analytics.q1_pricing_summary,
-        "q3_shipping_priority": analytics.q3_shipping_priority,
-        "q5_regional_revenue": analytics.q5_regional_revenue,
-        "q10_returned_items": analytics.q10_returned_items,
         "dedup_latest_events": analytics.dedup_latest_events,
         "purge_keep_latest": analytics.purge_keep_latest,
         "semi_anti_join_events": analytics.semi_anti_join_events,
@@ -71,6 +71,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": approx.approx_distinct_users,
         "approx_value_quantiles": approx.approx_value_quantiles,
         "incremental_dedup": dedup.incremental_dedup,
+        "kmeans_clusters": similarity.kmeans_clusters,  # new r4: deterministic Lloyd semantic clustering
+        "boilerplate_ngrams": curation.boilerplate_ngrams,  # new r4: cross-doc boilerplate spans
+        "stream_click_attribution": stream_queries.stream_click_attribution,  # new r4: stream-stream interval join parity
         # --- last green in r2 (stale two rounds — rotate back in) ---
         "q2_min_cost_supplier": tpch_ext.q2_min_cost_supplier,
         "q4_priority_semijoin": analytics.q4_priority_semijoin,
@@ -103,6 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entries past the driver's 50-entry window ----
         # all green in CORRECTNESS_r03; parked this round so the
         # r2-stale and changed entries get graded.
+        "q3_shipping_priority": analytics.q3_shipping_priority,
+        "q5_regional_revenue": analytics.q5_regional_revenue,
+        "q10_returned_items": analytics.q10_returned_items,
         "value_percentiles": approx.value_percentiles,
         "hourly_rollup_events": analytics.hourly_rollup_events,
         "q13_order_distribution": tpch_ext.q13_order_distribution,
@@ -201,6 +207,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_pairs": similarity.EMBEDDING_NEARDUP_SQL,
         "ivf_ann_topk": similarity.IVF_ANN_SQL,
         "ivf_recall": similarity.IVF_RECALL_SQL,
+        "kmeans_clusters": similarity.KMEANS_SQL,
+        "boilerplate_ngrams": curation.BOILERPLATE_SQL,
+        "stream_click_attribution": stream_queries.STREAM_CLICK_ATTRIBUTION_SQL,
         "mm_asset_stats": multimodal.MM_ASSET_STATS_SQL,
         "mm_frame_sample": multimodal.MM_FRAME_SAMPLE_SQL,
         "dq_violations": dq.DQ_VIOLATIONS_SQL,

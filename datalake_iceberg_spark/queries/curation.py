@@ -561,3 +561,58 @@ SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY returnflag, linestatus
 """
+
+
+# ---------------------------------------------------------- boilerplate
+
+BOILERPLATE_N = 3  # n-gram length
+BOILERPLATE_MIN_DOCS = 2  # a span repeated across >= this many docs
+BOILERPLATE_TOP = 20
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span detector: word n-grams that recur across many
+    DISTINCT documents (headers, footers, license blurbs — the spans a
+    curation pipeline strips before training). Complements the pairwise
+    dedup family: doc-frequency of spans, not doc-pair similarity.
+
+    Plan: one scan; n-grams built with array HOFs in codegen (linear in
+    text length); ``array_distinct`` collapses within-doc repeats
+    BEFORE the explode so the shuffle carries one row per (doc, gram);
+    then a single agg + deterministic top-N. At 100 TB the gram agg is
+    the only shuffle and partials combine map-side.
+    Output: (gram, n_docs), top-N by (n_docs desc, gram asc)."""
+    docs = load_balanced(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    grams = F.when(
+        F.size("toks") >= BOILERPLATE_N,
+        F.expr(
+            f"transform(sequence(1, size(toks) - {BOILERPLATE_N - 1}), "
+            f"i -> array_join(slice(toks, i, {BOILERPLATE_N}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+    return (
+        per_doc.groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(BOILERPLATE_TOP)
+    )
+
+
+BOILERPLATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i + {BOILERPLATE_N - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, greatest(len(t) - {BOILERPLATE_N - 1}, 0) + 1)) AS g(i)
+)
+SELECT gram, COUNT(*) AS n_docs
+FROM grams GROUP BY gram
+HAVING COUNT(*) >= {BOILERPLATE_MIN_DOCS}
+ORDER BY n_docs DESC, gram ASC
+LIMIT {BOILERPLATE_TOP}
+"""

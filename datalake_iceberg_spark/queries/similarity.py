@@ -450,3 +450,135 @@ FROM (SELECT DISTINCT query_id FROM exact) q
 LEFT JOIN hits h USING (query_id)
 ORDER BY q.query_id
 """
+
+
+# ------------------------------------------------------- semantic clustering
+
+KMEANS_K = 8
+
+
+def _assign_to_centroids(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the K centroids against
+    every vector, cosine rounded to 6 dp (oracle parity — same operand
+    order as the DuckDB mirror), argmax per vector with a deterministic
+    tie-break on the smaller centroid id. ``cents`` must expose
+    ``(cid, c_emb, c_nrm)``. Output: (vec_id, embedding, cid, cos)."""
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(
+            _dot(F.col("embedding"), F.col("c_emb"))
+            / (_norm(F.col("embedding")) * F.col("c_nrm")),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding table — the
+    semantic-clustering / semantic-dedup building block (cluster, then
+    sample or keep representatives per cluster).
+
+    Fully declarative and exactly oracle-checkable: centroids init from
+    the K smallest ``vec_id`` rows (no RNG), one mean-update round, one
+    final assignment. Assignment is a K-row broadcast join + per-vector
+    argmax window (tie → smaller centroid id); the mean update is the
+    same posexplode → groupBy(avg) shape as the IVF coarse quantizer.
+
+    Scale: two linear scans, K-row broadcasts, and a 64×K-cell partial
+    aggregate — no all-pairs work, no driver round-trips; more Lloyd
+    rounds repeat the same stage. At 100 TB the assignment output is
+    the clustering key for semantic partitioning of the corpus.
+    Output: (cluster_id, n_members, rep_vec_id, avg_cosine)."""
+    emb = load_balanced(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
+    )
+    a0 = _assign_to_centroids(emb, seeds)
+    exploded = a0.select(
+        "cid", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    c1 = (
+        exploded.groupBy("cid", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+        .select("cid", F.transform("pairs", lambda s: s.cv).alias("c_emb"))
+        .select("cid", "c_emb", _norm(F.col("c_emb")).alias("c_nrm"))
+    )
+    a1 = _assign_to_centroids(emb, c1)
+    return (
+        a1.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("vec_id").alias("rep_vec_id"),
+            F.round(F.avg("cos"), 6).alias("avg_cosine"),
+        )
+        .select(
+            F.col("cid").alias("cluster_id"), "n_members", "rep_vec_id", "avg_cosine"
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_DOT_EC_SQL = (
+    "list_sum(list_transform(list_zip(e.embedding, c.c_emb), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+_NRM_E_SQL = (
+    "sqrt(list_sum(list_transform(e.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_NRM_C_SQL = (
+    "sqrt(list_sum(list_transform(c.c_emb, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+KMEANS_SQL = f"""
+WITH seeds AS (
+  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+scored0 AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ROUND({_DOT_EC_SQL} / ({_NRM_E_SQL} * {_NRM_C_SQL}), 6) AS cos
+  FROM embeddings e CROSS JOIN seeds c
+),
+a0 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM scored0
+  ) WHERE rn = 1
+),
+exploded AS (
+  SELECT cid, g.i AS pos, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+  FROM a0, UNNEST(generate_series(0, len(embedding) - 1)) AS g(i)
+),
+c1 AS (
+  SELECT cid, list(cv ORDER BY pos) AS c_emb
+  FROM (SELECT cid, pos, AVG(v) AS cv FROM exploded GROUP BY cid, pos)
+  GROUP BY cid
+),
+scored1 AS (
+  SELECT e.vec_id, c.cid,
+         ROUND({_DOT_EC_SQL} / ({_NRM_E_SQL} * {_NRM_C_SQL}), 6) AS cos
+  FROM embeddings e CROSS JOIN c1 c
+),
+a1 AS (
+  SELECT vec_id, cid, cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM scored1
+  ) WHERE rn = 1
+)
+SELECT cid AS cluster_id, COUNT(*) AS n_members, MIN(vec_id) AS rep_vec_id,
+       ROUND(AVG(cos), 6) AS avg_cosine
+FROM a1 GROUP BY cid ORDER BY cluster_id
+"""

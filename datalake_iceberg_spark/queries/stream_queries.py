@@ -216,3 +216,70 @@ STREAM_DEDUP_COUNT_SQL = """
 SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+ATTRIBUTION_WINDOW = "1 hour"
+
+
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM join parity check: purchases joined to the same
+    user's clicks in the preceding hour, computed BY THE STREAMING
+    ENGINE — two watermarked streams off the event source, an interval
+    join condition (equi user key + event-time range), append-mode
+    drain. The per-user match counts must equal the batch interval
+    self-join, so the stateful symmetric-hash join itself is graded by
+    the DuckDB oracle.
+
+    Scale: join state is bounded by the watermark + the 1 h range
+    condition (each side buffers ~1 h of rows per user key and is GC'd
+    as the watermark advances); the equi key keeps the join hash-
+    partitioned — the range predicate evaluates within partition.
+    Output: (user_id, n_attributed)."""
+    ev = _stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 minute")
+    )
+    pairs = purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND "
+            f"click_ts BETWEEN p_ts - INTERVAL {ATTRIBUTION_WINDOW} AND p_ts"
+        ),
+        "inner",
+    )
+    sink = _sink_name("stream_click_attr", sf_dir)
+    _drain(pairs, sink, output_mode="append")
+    return (
+        spark.table(sink)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count("*").alias("n_attributed"))
+        .orderBy("user_id")
+    )
+
+
+def _stream_click_attribution_sql() -> str:
+    from datalake_iceberg_spark.queries.analytics import EVENTS_CTE
+
+    return f"""
+WITH {EVENTS_CTE}
+SELECT p.user_id AS user_id, COUNT(*) AS n_attributed
+FROM events_us p JOIN events_us c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+GROUP BY p.user_id ORDER BY user_id
+"""
+
+
+STREAM_CLICK_ATTRIBUTION_SQL = _stream_click_attribution_sql()

@@ -25,6 +25,8 @@ SMALL_CROSS = {
     # recall audit composes knn_bruteforce + ivf_ann_topk, inheriting
     # their declared 10-row broadcast cross joins
     "ivf_recall",
+    # Lloyd assignment: every vector × the K=8 broadcast centroids
+    "kmeans_clusters",
 }
 
 

@@ -32,7 +32,8 @@ def test_oracled_queries_inside_driver_window():
     parked_round4 = {
         # all green in CORRECTNESS_r03 (q13..q22, pipeline-text, DQ,
         # curation layers, value_percentiles); parked so the r2-stale
-        # and this round's changed entries get graded.
+        # and this round's changed/new entries get graded.
+        "q3_shipping_priority", "q5_regional_revenue", "q10_returned_items",
         "value_percentiles", "hourly_rollup_events",
         "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
         "q16_supplier_part_count", "q17_small_qty_revenue",
