@@ -269,7 +269,14 @@ class LakeTable:
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.current_version() if version is None else version
-        return Snapshot.from_json(self.fs.read_text(self.fs.join(self.meta_dir, f"v{v}.json")))
+        try:
+            text = self.fs.read_text(self.fs.join(self.meta_dir, f"v{v}.json"))
+        except FileNotFoundError:
+            raise ValueError(
+                f"{self.location}: no snapshot v{v} "
+                f"(current version is {self.current_version()})"
+            ) from None
+        return Snapshot.from_json(text)
 
     def version_as_of(self, timestamp: str) -> int:
         """Latest committed version at or before an ISO-8601 UTC

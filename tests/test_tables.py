@@ -29,6 +29,13 @@ def test_rtas_and_read(catalog, spark):
     assert t.read(version=0).count() == 10
 
 
+def test_time_travel_to_missing_version_is_a_clear_error(catalog, spark):
+    df = spark.createDataFrame([Row(id=1, v="a")])
+    t = catalog.create_or_replace("db.tt_missing", df, key=["id"], n_buckets=2)
+    with pytest.raises(ValueError, match="no snapshot v999"):
+        t.read(version=999)
+
+
 def test_append_and_compact(catalog, spark):
     df = spark.createDataFrame([Row(id=i, v=i * 1.0) for i in range(5)])
     t = catalog.create_or_replace("db.a", df, key=["id"], n_buckets=2)
