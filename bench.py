@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "mm_decode_features",
     "shingle_repetition",
     "contamination_overlap",
+    "kmeans_clusters",
+    "boilerplate_ngrams",
 ]
 
 
@@ -256,6 +258,13 @@ def main() -> None:
         n_win = entrymod.queries()["stream_hourly_rollup"](spark, sf_dir).count()
         dml["stream_drain_hourly_rollup"] = round(time.perf_counter() - t0, 3)
         dml["stream_drain_windows"] = n_win
+
+        # stream-STREAM interval join drain: two watermarked streams,
+        # symmetric-hash join state, append sink — the stateful-join cost
+        t0 = time.perf_counter()
+        n_attr = entrymod.queries()["stream_click_attribution"](spark, sf_dir).count()
+        dml["stream_drain_click_attr"] = round(time.perf_counter() - t0, 3)
+        dml["stream_drain_click_attr_users"] = n_attr
 
         # DML health at REALISTIC bucket fill: the 1024-bucket tiers
         # above deliberately stress tiny files (pruning-ratio proof),

@@ -984,21 +984,29 @@ class LakeTable:
         if not snap.key:
             raise ValueError("merge requires a keyed table")
         source = self._align(source)
+        bounds = None
+        single_key = len(snap.key) == 1
         if assert_unique_key:
-            # one probe job serves both the duplicate-key guard and
-            # bucket pruning: per-key counts roll up to per-bucket max
+            # one probe job serves the duplicate-key guard, bucket
+            # pruning, AND dir pruning: per-key counts roll up to a
+            # per-bucket max + the bucket's source-key bounds
             # (≤ n_buckets rows collected)
             bucket = (
                 bucket_expr(snap.key, snap.n_buckets).alias("b")
                 if snap.n_buckets > 1
                 else F.lit(0).alias("b")
             )
+            sel = [bucket, "count"]
+            aggs = [F.max("count").alias("max_dup")]
+            if single_key:
+                sel.append(F.col(snap.key[0]).alias("k"))
+                aggs += [F.min("k").alias("kmin"), F.max("k").alias("kmax")]
             probe = (
                 source.groupBy(*snap.key)
                 .count()
-                .select(bucket, "count")
+                .select(*sel)
                 .groupBy("b")
-                .agg(F.max("count").alias("max_dup"))
+                .agg(*aggs)
                 .collect()
             )
             if any(r.max_dup > 1 for r in probe):
@@ -1006,15 +1014,82 @@ class LakeTable:
                     "MERGE source has duplicate keys; dedup-latest before merging"
                 )
             affected = sorted(r.b for r in probe)
+            if single_key:
+                bounds = {r.b: (r.kmin, r.kmax) for r in probe}
         else:
             affected = self._affected_buckets(source, snap)
-        target = self.read_buckets(affected)
+        touched, kept = self._split_dirs_by_key_bounds(snap, affected, bounds)
+        if any(snap.deletes.get(b) for b in touched):
+            target = self._read_with_deletes(snap, touched)
+        else:
+            target = self._read_dirs(
+                [d for ds in touched.values() for d in ds], snap
+            )
         merged = target.join(source, on=snap.key, how="left_anti").unionByName(source)
-        per_bucket = self._write_bucketed(merged, snap.key, snap.n_buckets)
-        per_bucket = {str(b): per_bucket.get(str(b), []) for b in affected}
+        new_dirs = self._write_bucketed(merged, snap.key, snap.n_buckets)
+        per_bucket = {
+            str(b): kept.get(str(b), []) + new_dirs.get(str(b), []) for b in affected
+        }
         return self._replace_buckets(
-            snap, per_bucket, affected, "merge", {"affected_buckets": affected}
+            snap,
+            per_bucket,
+            affected,
+            "merge",
+            {
+                "affected_buckets": affected,
+                "pruned_dirs": sum(len(v) for v in kept.values()),
+                "rewritten_dirs": sum(len(v) for v in touched.values()),
+            },
         )
+
+    def _split_dirs_by_key_bounds(
+        self,
+        snap: Snapshot,
+        affected: list[int],
+        bounds: dict[int, tuple] | None,
+    ) -> tuple[dict[str, list[str]], dict[str, list[str]]]:
+        """Dir-level data skipping for keyed DML (the Iceberg
+        file-level min/max pruning analogue, applied to the WRITE path):
+        within each affected bucket, a data dir whose harvested key
+        min/max range cannot intersect the source batch's per-bucket key
+        bounds contains no matched rows — it is carried into the new
+        snapshot untouched, and only intersecting dirs are read and
+        rewritten. On a time-ordered key (the CDC common case: recent
+        keys churn, old keys are cold) this turns a bucket-wide CoW
+        rewrite into one proportional to the hot dirs, independent of
+        how much history the bucket has accumulated.
+
+        Conservative by construction: composite keys, absent bounds,
+        missing footer stats, or incomparable types all degrade to
+        "touched" (= the pre-pruning behavior, full-bucket rewrite).
+        Returns ``(touched, kept)`` dir-lists per bucket string id."""
+        touched: dict[str, list[str]] = {}
+        kept: dict[str, list[str]] = {}
+        kcol = snap.key[0] if snap.key else None
+        for b in affected:
+            bs = str(b)
+            dirs = snap.buckets.get(bs, [])
+            if (
+                bounds is None
+                or b not in bounds
+                or bounds[b][0] is None
+                or bounds[b][1] is None
+            ):
+                touched[bs], kept[bs] = list(dirs), []
+                continue
+            kmin, kmax = bounds[b]
+            filters = [(kcol, ">=", kmin), (kcol, "<=", kmax)]
+            t: list[str] = []
+            k: list[str] = []
+            for d in dirs:
+                if self._dir_may_match(
+                    snap.stats.get(d, {}), filters, snap.renames.get(d)
+                ):
+                    t.append(d)
+                else:
+                    k.append(d)
+            touched[bs], kept[bs] = t, k
+        return touched, kept
 
     def delete_keys(self, keys_df: DataFrame, mode: str = "copy-on-write") -> Snapshot:
         """DELETE WHERE EXISTS (semi-join delete set) — the reference's CDC
@@ -1036,13 +1111,47 @@ class LakeTable:
         if not snap.key:
             raise ValueError("delete_keys requires a keyed table")
         keys_df = keys_df.select(*snap.key).distinct()
-        affected = self._affected_buckets(keys_df, snap)
-        target = self.read_buckets(affected)
+        bounds = None
+        if len(snap.key) == 1:
+            # one probe job: affected buckets + per-bucket key bounds
+            # for dir-level pruning (see _split_dirs_by_key_bounds)
+            bucket = (
+                bucket_expr(snap.key, snap.n_buckets).alias("b")
+                if snap.n_buckets > 1
+                else F.lit(0).alias("b")
+            )
+            probe = (
+                keys_df.select(bucket, F.col(snap.key[0]).alias("k"))
+                .groupBy("b")
+                .agg(F.min("k").alias("kmin"), F.max("k").alias("kmax"))
+                .collect()
+            )
+            affected = sorted(r.b for r in probe)
+            bounds = {r.b: (r.kmin, r.kmax) for r in probe}
+        else:
+            affected = self._affected_buckets(keys_df, snap)
+        touched, kept = self._split_dirs_by_key_bounds(snap, affected, bounds)
+        if any(snap.deletes.get(b) for b in touched):
+            target = self._read_with_deletes(snap, touched)
+        else:
+            target = self._read_dirs(
+                [d for ds in touched.values() for d in ds], snap
+            )
         remaining = target.join(keys_df, on=snap.key, how="left_anti")
-        per_bucket = self._write_bucketed(remaining, snap.key, snap.n_buckets)
-        per_bucket = {str(b): per_bucket.get(str(b), []) for b in affected}
+        new_dirs = self._write_bucketed(remaining, snap.key, snap.n_buckets)
+        per_bucket = {
+            str(b): kept.get(str(b), []) + new_dirs.get(str(b), []) for b in affected
+        }
         return self._replace_buckets(
-            snap, per_bucket, affected, "delete", {"affected_buckets": affected}
+            snap,
+            per_bucket,
+            affected,
+            "delete",
+            {
+                "affected_buckets": affected,
+                "pruned_dirs": sum(len(v) for v in kept.values()),
+                "rewritten_dirs": sum(len(v) for v in touched.values()),
+            },
         )
 
     def _delete_keys_mor(self, keys_df: DataFrame) -> Snapshot:

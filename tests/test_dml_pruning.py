@@ -1,0 +1,139 @@
+"""Dir-level data skipping in keyed DML (merge / CoW delete).
+
+Within an affected bucket, a data dir whose harvested key min/max range
+cannot intersect the source batch's key bounds is carried forward
+untouched instead of being rewritten (``_split_dirs_by_key_bounds``).
+These tests build a bucket with several disjoint key-range dirs (one
+per append) and assert both the pruning metric and, always, the exact
+post-DML table state.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.tables import LakeCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _mk_range_table(catalog, spark, name="db.pruned", n_buckets=2):
+    """id 0..99 at create, 100..199 and 200..299 via appends — three
+    dirs per bucket with disjoint footer id-ranges."""
+    t = catalog.create_or_replace(
+        name,
+        spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(100)]),
+        key=["id"],
+        n_buckets=n_buckets,
+    )
+    t.append(spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(100, 200)]))
+    t.append(spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(200, 300)]))
+    return t
+
+
+def test_merge_prunes_cold_dirs(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    src = spark.createDataFrame([Row(id=i, v="hot") for i in range(250, 260)])
+    snap = t.merge(src)
+    # the 0..99 and 100..199 dirs of every affected bucket stay untouched
+    assert snap.summary["pruned_dirs"] > 0
+    assert snap.summary["rewritten_dirs"] > 0
+    got = _rows(t.read())
+    want = {(i, "hot" if 250 <= i < 260 else f"v{i}") for i in range(300)}
+    assert got == want
+
+
+def test_merge_insert_only_batch_prunes_everything(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    n_dirs_before = sum(len(d) for d in t.snapshot().buckets.values())
+    src = spark.createDataFrame([Row(id=i, v="new") for i in range(1000, 1010)])
+    snap = t.merge(src)
+    # no existing dir overlaps [1000, 1010) — all carried forward
+    assert snap.summary["pruned_dirs"] == n_dirs_before
+    assert snap.summary["rewritten_dirs"] == 0
+    assert t.read().count() == 310
+
+
+def test_merge_spanning_batch_rewrites_everything_correctly(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    src = spark.createDataFrame([Row(id=i, v="hot") for i in (0, 150, 299)])
+    t.merge(src)
+    got = _rows(t.read())
+    want = {(i, "hot" if i in (0, 150, 299) else f"v{i}") for i in range(300)}
+    assert got == want
+
+
+def test_delete_prunes_cold_dirs(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    snap = t.delete_keys(
+        spark.createDataFrame([Row(id=i) for i in range(250, 260)])
+    )
+    assert snap.summary["pruned_dirs"] > 0
+    got = _rows(t.read())
+    want = {(i, f"v{i}") for i in range(300) if not 250 <= i < 260}
+    assert got == want
+
+
+def test_merge_after_mor_delete_keeps_cold_deletes_applied(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    # MoR-delete ids 10..19 (cold range), then merge the hot range: the
+    # cold dirs are pruned from the rewrite, so their delete entries
+    # must survive the commit and stay applied on read
+    t.delete_keys(
+        spark.createDataFrame([Row(id=i) for i in range(10, 20)]),
+        mode="merge-on-read",
+    )
+    snap = t.merge(spark.createDataFrame([Row(id=i, v="hot") for i in range(290, 300)]))
+    assert snap.summary["pruned_dirs"] > 0
+    got = _rows(t.read())
+    want = {
+        (i, "hot" if i >= 290 else f"v{i}")
+        for i in range(300)
+        if not 10 <= i < 20
+    }
+    assert got == want
+
+
+def test_merge_hitting_mor_deleted_range_resurrects_only_source_keys(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    t.delete_keys(
+        spark.createDataFrame([Row(id=i) for i in range(0, 20)]),
+        mode="merge-on-read",
+    )
+    # merge re-inserts ids 5..9 — they land as source rows; 0..4 and
+    # 10..19 must stay deleted even though their dirs get rewritten
+    t.merge(spark.createDataFrame([Row(id=i, v="back") for i in range(5, 10)]))
+    got = _rows(t.read())
+    want = {(i, "back") for i in range(5, 10)} | {
+        (i, f"v{i}") for i in range(20, 300)
+    }
+    assert got == want
+
+
+def test_composite_key_merge_skips_pruning_but_stays_correct(catalog, spark):
+    t = catalog.create_or_replace(
+        "db.comp",
+        spark.createDataFrame([Row(a=i, b=i % 3, v=f"v{i}") for i in range(50)]),
+        key=["a", "b"],
+        n_buckets=2,
+    )
+    t.append(spark.createDataFrame([Row(a=i, b=i % 3, v=f"v{i}") for i in range(50, 100)]))
+    snap = t.merge(spark.createDataFrame([Row(a=7, b=1, v="hot")]))
+    assert snap.summary["pruned_dirs"] == 0
+    got = _rows(t.read())
+    want = {(i, i % 3, "hot" if i == 7 else f"v{i}") for i in range(100)}
+    assert got == want
+
+
+def test_time_travel_unaffected_by_pruned_merge(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    v_before = t.current_version()
+    t.merge(spark.createDataFrame([Row(id=299, v="hot")]))
+    assert _rows(t.read(version=v_before)) == {(i, f"v{i}") for i in range(300)}
