@@ -314,6 +314,42 @@ def main() -> None:
         table_fill.delete_keys(dels_fill)
         dml["delete_cow_1pct_fill_64b"] = round(time.perf_counter() - t0, 3)
 
+        # dir-level pruning on a TIME-ORDERED key: the fill table above
+        # is keyed by a hash surrogate (key ranges overlap every dir, so
+        # pruning correctly degrades to the full-bucket rewrite). Real
+        # CDC tables keyed by a monotonic id see the opposite shape —
+        # history accumulates as cold dirs and the day's batch touches
+        # only the newest era. Model: three disjoint-id eras (create +
+        # two appends = three dirs per bucket), then merge a batch that
+        # lives entirely inside the newest era; the two cold eras must
+        # be carried forward unread and unwritten.
+        seq = (
+            orders.select("o_orderkey", "o_orderpriority")
+            .withColumn("_rep", F.explode(reps))
+            .select(
+                (F.col("o_orderkey") * fill_x + F.col("_rep")).alias("id"),
+                "o_orderpriority",
+            )
+        )
+        seq.write.mode("overwrite").parquet(os.path.join(wh, "_seq_src"))
+        seq = spark.read.parquet(os.path.join(wh, "_seq_src"))
+        era = 100_000_000
+        table_seq = cat.create_or_replace(
+            "bench.orders_seq", seq, key=["id"], n_buckets=64
+        )
+        for e in (1, 2):
+            table_seq.append(seq.withColumn("id", F.col("id") + F.lit(e * era)))
+        hot = (
+            seq.filter(F.col("id") % 100 == 0)
+            .withColumn("id", F.col("id") + F.lit(2 * era))
+            .withColumn("o_orderpriority", F.lit("BENCH"))
+        )
+        t0 = time.perf_counter()
+        s = table_seq.merge(hot)
+        dml["merge_hot_era_fill_64b"] = round(time.perf_counter() - t0, 3)
+        dml["merge_hot_era_pruned_dirs"] = s.summary["pruned_dirs"]
+        dml["merge_hot_era_rewritten_dirs"] = s.summary["rewritten_dirs"]
+
         for name, sec in dml.items():
             print(f"# dml {name}: {sec}", file=sys.stderr)
         shutil.rmtree(wh, ignore_errors=True)
