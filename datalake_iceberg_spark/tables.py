@@ -1202,18 +1202,72 @@ class LakeTable:
         return self._replace_buckets(snap, per_bucket, affected, "delete", {})
 
     def update_where(self, condition, assignments: dict[str, Any]) -> Snapshot:
-        """Bulk UPDATE ... SET (reference: ``scripts/migrate_v2_naming.sql:43-49``)."""
+        """Bulk UPDATE ... SET (reference: ``scripts/migrate_v2_naming.sql:43-49``).
+
+        ``condition`` forms:
+        - SQL string or Column: arbitrary predicate, full-table rewrite
+          (every bucket's dirs are read and rewritten).
+        - list of ``(col, op, value)`` tuples (the ``scan()`` filter
+          vocabulary, AND-ed): same semantics, plus dir-level data
+          skipping — dirs whose footer min/max cannot satisfy the
+          conjunction are carried forward untouched, and buckets with
+          no matching dir are left out of the commit entirely, so a
+          narrow UPDATE costs ∝ the dirs it can touch, not table size.
+        """
         snap = self.snapshot()
-        cond = F.expr(condition) if isinstance(condition, str) else condition
-        df = self.read()
+        filters = condition if isinstance(condition, list) else None
+        if filters is not None:
+            ops = {
+                ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
+                "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
+                "=": lambda c, v: c == v, "==": lambda c, v: c == v,
+            }
+            cond = None
+            for col, op, value in filters:
+                term = ops[op](F.col(col), F.lit(value))
+                cond = term if cond is None else cond & term
+            touched: dict[str, list[str]] = {}
+            kept: dict[str, list[str]] = {}
+            for bs, dirs in snap.buckets.items():
+                t = [
+                    d
+                    for d in dirs
+                    if self._dir_may_match(
+                        snap.stats.get(d, {}), filters, snap.renames.get(d)
+                    )
+                ]
+                if t:
+                    touched[bs] = t
+                    kept[bs] = [d for d in dirs if d not in set(t)]
+            affected = sorted(int(b) for b in touched)
+            if any(snap.deletes.get(b) for b in touched):
+                df = self._read_with_deletes(snap, touched)
+            else:
+                df = self._read_dirs(
+                    [d for ds in touched.values() for d in ds], snap
+                )
+        else:
+            cond = F.expr(condition) if isinstance(condition, str) else condition
+            kept = {}
+            affected = list(range(snap.n_buckets))
+            df = self.read()
         for col, val in assignments.items():
             expr = F.expr(val) if isinstance(val, str) else F.lit(val)
             df = df.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
         updated = self._align(df)
-        per_bucket = self._write_bucketed(updated, snap.key, snap.n_buckets)
-        affected = list(range(snap.n_buckets))
-        per_bucket = {str(b): per_bucket.get(str(b), []) for b in affected}
-        return self._replace_buckets(snap, per_bucket, affected, "update", {})
+        new_dirs = self._write_bucketed(updated, snap.key, snap.n_buckets)
+        per_bucket = {
+            str(b): kept.get(str(b), []) + new_dirs.get(str(b), []) for b in affected
+        }
+        summary = (
+            {
+                "pruned_dirs": sum(len(v) for v in kept.values()),
+                "rewritten_dirs": sum(len(v) for v in touched.values()),
+            }
+            if filters is not None
+            else {}
+        )
+        return self._replace_buckets(snap, per_bucket, affected, "update", summary)
 
     # ------------------------------------------------------------------ maintenance
     def rebucket(self, new_n_buckets: int) -> Snapshot:

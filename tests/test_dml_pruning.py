@@ -132,6 +132,47 @@ def test_composite_key_merge_skips_pruning_but_stays_correct(catalog, spark):
     assert got == want
 
 
+def test_update_where_filters_prunes_and_updates(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    snap = t.update_where([("id", ">=", 250)], {"v": "'upd'"})
+    assert snap.summary["pruned_dirs"] > 0
+    got = _rows(t.read())
+    want = {(i, "upd" if i >= 250 else f"v{i}") for i in range(300)}
+    assert got == want
+
+
+def test_update_where_filters_no_match_is_a_noop_commit(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    before = _rows(t.read())
+    snap = t.update_where([("id", ">=", 10_000)], {"v": "'upd'"})
+    assert snap.summary["rewritten_dirs"] == 0
+    assert _rows(t.read()) == before
+
+
+def test_update_where_string_condition_still_full_rewrite(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    t.update_where("id % 2 = 0", {"v": "'even'"})
+    got = _rows(t.read())
+    want = {(i, "even" if i % 2 == 0 else f"v{i}") for i in range(300)}
+    assert got == want
+
+
+def test_update_where_filters_respects_mor_deletes(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    t.delete_keys(
+        spark.createDataFrame([Row(id=i) for i in range(250, 255)]),
+        mode="merge-on-read",
+    )
+    t.update_where([("id", ">=", 200)], {"v": "'upd'"})
+    got = _rows(t.read())
+    want = {
+        (i, "upd" if i >= 200 else f"v{i}")
+        for i in range(300)
+        if not 250 <= i < 255
+    }
+    assert got == want
+
+
 def test_time_travel_unaffected_by_pruned_merge(catalog, spark):
     t = _mk_range_table(catalog, spark)
     v_before = t.current_version()
