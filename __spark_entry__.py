@@ -58,7 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_stats_events": analytics.batch_stats_events,
         "surrogate_key_orders": analytics.surrogate_key_orders,
         "merge_upsert_orders": analytics.merge_upsert_orders,
-        "sessionize_events": analytics.sessionize_events,
+        "stream_session_stats": stream_queries.stream_session_stats,  # new r4: session_window parity
         "asof_purchase_click": asof.asof_purchase_click,
         "errors_context_window": asof.errors_context_window,
         "stream_hourly_rollup": stream_queries.stream_hourly_rollup,
@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "q5_regional_revenue": analytics.q5_regional_revenue,
         "q10_returned_items": analytics.q10_returned_items,
+        "sessionize_events": analytics.sessionize_events,
         "value_percentiles": approx.value_percentiles,
         "hourly_rollup_events": analytics.hourly_rollup_events,
         "q13_order_distribution": tpch_ext.q13_order_distribution,
@@ -216,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         "column_profile": dq.COLUMN_PROFILE_SQL,
         "stream_hourly_rollup": stream_queries.STREAM_HOURLY_ROLLUP_SQL,
         "stream_running_stats": stream_queries.STREAM_RUNNING_STATS_SQL,
+        "stream_session_stats": stream_queries.STREAM_SESSION_STATS_SQL,
         "stream_dedup_count": stream_queries.STREAM_DEDUP_COUNT_SQL,
         # decode seam: the mapInPandas plan stays, but the fake codec is
         # md5-deterministic so the oracle reproduces it exactly

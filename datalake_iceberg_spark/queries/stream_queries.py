@@ -283,3 +283,60 @@ GROUP BY p.user_id ORDER BY user_id
 
 
 STREAM_CLICK_ATTRIBUTION_SQL = _stream_click_attribution_sql()
+
+
+SESSION_GAP = "30 minutes"
+
+
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-window parity check: per-user session counts computed BY
+    THE STREAMING ENGINE's ``session_window`` (dynamic-gap merging
+    state), drained complete — must equal the batch gap-based
+    sessionization. Spark's session semantics: an event extends the
+    session iff it lands strictly inside ``last_event + gap``, so the
+    batch oracle opens a new session when the time delta is ``>= gap``.
+
+    Scale: session state is per (user, open session) and merges as
+    events arrive; with a watermark + append mode (production shape)
+    closed sessions emit incrementally and state stays bounded — the
+    complete-mode memory sink here is bench-only, like the other
+    drains. Output: (user_id, n_sessions, n_events)."""
+    ev = _stream_events(spark, sf_dir)
+    sess = (
+        ev.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", SESSION_GAP), F.col("user_id"))
+        .agg(F.count("*").alias("n_ev"))
+    )
+    sink = _sink_name("stream_session_stats", sf_dir)
+    _drain(sess, sink)
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_ev").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _stream_session_stats_sql() -> str:
+    from datalake_iceberg_spark.queries.analytics import EVENTS_CTE
+
+    return f"""
+WITH {EVENTS_CTE},
+seq AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_start
+  FROM events_us
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM seq GROUP BY user_id ORDER BY user_id
+"""
+
+
+STREAM_SESSION_STATS_SQL = _stream_session_stats_sql()
