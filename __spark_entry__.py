@@ -53,8 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operators below.)
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "dedup_latest_events": analytics.dedup_latest_events,
-        "purge_keep_latest": analytics.purge_keep_latest,
-        "semi_anti_join_events": analytics.semi_anti_join_events,
+        "mixture_weights": curation.mixture_weights,  # new r4: deterministic data-mixing sampler
+        "quality_deciles": curation.quality_deciles,  # new r4: per-source NTILE quality bands
         "batch_stats_events": analytics.batch_stats_events,
         "surrogate_key_orders": analytics.surrogate_key_orders,
         "merge_upsert_orders": analytics.merge_upsert_orders,
@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_regional_revenue": analytics.q5_regional_revenue,
         "q10_returned_items": analytics.q10_returned_items,
         "sessionize_events": analytics.sessionize_events,
+        "purge_keep_latest": analytics.purge_keep_latest,
+        "semi_anti_join_events": analytics.semi_anti_join_events,
         "value_percentiles": approx.value_percentiles,
         "hourly_rollup_events": analytics.hourly_rollup_events,
         "q13_order_distribution": tpch_ext.q13_order_distribution,
@@ -233,4 +235,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norm_stats": curation.EMBEDDING_NORM_SQL,
         "cube_revenue": curation.CUBE_REVENUE_SQL,
         "pack_sequences": curation.PACK_SEQUENCES_SQL,
+        "mixture_weights": curation.MIXTURE_SQL,
+        "quality_deciles": curation.QUALITY_DECILES_SQL,
     }

@@ -563,6 +563,139 @@ ORDER BY returnflag, linestatus
 """
 
 
+# -------------------------------------------------------------- mixture
+
+MIXTURE_BUDGET_FRAC = 2  # budget = total_docs // 2
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing sampler — the stage that reshapes a raw
+    corpus into a target source mixture before tokenization. Per-source
+    target weights derive in-plan from the source name (stand-in for a
+    configured mixture table); the per-source acceptance rate is
+    ``min(1, target_n / n_s)`` quantized to integer permyriad, and a doc
+    is accepted iff its md5 bucket falls under the rate — identical
+    row picks on any engine, run, or cluster (no RNG state).
+
+    Plan shape: one tiny per-source aggregate + a 1-row totals cross
+    (broadcast), then one corpus scan joined (broadcast) to the ≤
+    |sources| rate rows — no shuffle of the corpus itself; exact
+    integer arithmetic end-to-end so both engines floor identically.
+    Output: (source, n_docs, target_n, n_sampled, realized_rate)."""
+    docs = load(spark, sf_dir, "documents")
+    w = (F.ascii(F.substring("source", 4, 1)) % 3 + 1).cast("long")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.max(w).alias("w")
+    )
+    totals = per_src.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum("w").alias("w_sum")
+    )
+    rates = (
+        per_src.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "target_n",
+            (F.floor(F.col("total_docs") / MIXTURE_BUDGET_FRAC) * F.col("w"))
+            .cast("long")
+            / F.col("w_sum"),
+        )
+        .withColumn("target_n", F.floor("target_n").cast("long"))
+        .withColumn(
+            "rate_pm",
+            F.least(
+                F.lit(10_000),
+                F.floor(F.lit(10_000) * F.col("target_n") / F.col("n_docs")),
+            ).cast("long"),
+        )
+        .select("source", "n_docs", "target_n", "rate_pm")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10_000
+    )
+    picked = docs.select("source", bucket.alias("bkt")).join(
+        F.broadcast(rates), "source"
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("target_n").alias("target_n"),
+            F.sum((F.col("bkt") < F.col("rate_pm")).cast("long")).alias("n_sampled"),
+        )
+        .withColumn(
+            "realized_rate",
+            F.col("n_sampled").cast("double") / F.col("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_SQL = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         MAX(CAST(ascii(substr(source, 4, 1)) % 3 + 1 AS BIGINT)) AS w
+  FROM documents GROUP BY source
+),
+totals AS (
+  SELECT SUM(n_docs) AS total_docs, SUM(w) AS w_sum FROM per_src
+),
+rates AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(CAST(FLOOR(total_docs / {MIXTURE_BUDGET_FRAC}) * w AS BIGINT) / w_sum) AS BIGINT) AS target_n
+  FROM per_src CROSS JOIN totals
+),
+rated AS (
+  SELECT source, n_docs, target_n,
+         LEAST(10000, CAST(FLOOR(10000 * target_n / n_docs) AS BIGINT)) AS rate_pm
+  FROM rates
+)
+SELECT d.source, MAX(r.n_docs) AS n_docs, MAX(r.target_n) AS target_n,
+       CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+                     < r.rate_pm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+                     < r.rate_pm THEN 1 ELSE 0 END) AS DOUBLE) / MAX(r.n_docs) AS realized_rate
+FROM documents d JOIN rated r USING (source)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+# -------------------------------------------------------------- deciles
+
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source NTILE(10) binning by document length — the
+    curriculum / quality-band assignment step (train on high bands
+    first, or drop the bottom band). Deterministic: the tile order
+    breaks ties on doc_id, and NTILE's extra-rows-to-early-buckets
+    rule is engine-standard. One hash shuffle on source + per-partition
+    sort. Output: (source, decile, n_docs, min_chars, max_chars)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        docs.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("source", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+QUALITY_DECILES_SQL = """
+SELECT source, decile, COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM (
+  SELECT source, n_chars,
+         NTILE(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+GROUP BY source, decile ORDER BY source, decile
+"""
+
+
 # ---------------------------------------------------------- boilerplate
 
 BOILERPLATE_N = 3  # n-gram length

@@ -27,6 +27,8 @@ SMALL_CROSS = {
     "ivf_recall",
     # Lloyd assignment: every vector × the K=8 broadcast centroids
     "kmeans_clusters",
+    # 1-row broadcast totals × the per-source aggregate (scalar-subquery shape)
+    "mixture_weights",
 }
 
 

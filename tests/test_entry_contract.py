@@ -34,7 +34,7 @@ def test_oracled_queries_inside_driver_window():
         # curation layers, value_percentiles); parked so the r2-stale
         # and this round's changed/new entries get graded.
         "q3_shipping_priority", "q5_regional_revenue", "q10_returned_items",
-        "sessionize_events",
+        "sessionize_events", "purge_keep_latest", "semi_anti_join_events",
         "value_percentiles", "hourly_rollup_events",
         "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
         "q16_supplier_part_count", "q17_small_qty_revenue",
