@@ -330,6 +330,11 @@ def main() -> None:
                 (F.col("o_orderkey") * fill_x + F.col("_rep")).alias("id"),
                 "o_orderpriority",
             )
+            # balanced fixture materialization, same as `big` above: the
+            # explode runs on the orders scan's 1-2 input splits, so an
+            # unbalanced write would leave one giant part-file whose
+            # re-scan skews every downstream era write
+            .repartition(32)
         )
         seq.write.mode("overwrite").parquet(os.path.join(wh, "_seq_src"))
         seq = spark.read.parquet(os.path.join(wh, "_seq_src"))
@@ -377,13 +382,21 @@ def main() -> None:
                 logs[0], until_epoch_ms=query_phase_end_ms, events=events
             )
             report = el.analyze_eventlog(logs[0], events=events)
+            # BASELINE.md's bands grade the headline QUERY phase; the
+            # DML stress section (deliberate 1024-bucket tiny-file
+            # cases, multi-MB fill-table rewrites, streaming state
+            # machinery) is reported under dml_* with the same metrics
+            # so regressions there stay visible without polluting the
+            # query-phase band check — symmetric with the cpu split.
             health = {
                 "cpu_efficiency": qreport["cpu_efficiency"],
                 "cpu_verdict": qreport["cpu_verdict"],
                 "python_time_ms": qreport["python_time_ms"],
                 "total_spill_bytes": report["total_spill_bytes"],
-                "max_skew_ratio": report["max_skew_ratio"],
-                "n_stage_findings": len(report["findings"]),
+                "max_skew_ratio": qreport["max_skew_ratio"],
+                "n_stage_findings": len(qreport["findings"]),
+                "dml_max_skew_ratio": report["max_skew_ratio"],
+                "dml_n_stage_findings": len(report["findings"]),
                 "dml_cpu_efficiency": report["cpu_efficiency"],
                 "dml_cpu_verdict": report["cpu_verdict"],
             }

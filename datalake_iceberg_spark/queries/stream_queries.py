@@ -82,12 +82,30 @@ def _stream_events(spark: SparkSession, sf_dir: str):
     return normalize_events_ts(stream)
 
 
-def _drain(df: DataFrame, sink: str, output_mode: str = "complete"):
+def _drain(
+    df: DataFrame,
+    sink: str,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = 8,
+):
     """availableNow drain into a memory sink named ``sink``; the
     checkpoint dir is per-run (replaying one would skip the backlog)
-    and deleted as soon as the drain terminates."""
+    and deleted as soon as the drain terminates.
+
+    ``shuffle_partitions`` bounds the STATEFUL-operator parallelism for
+    the drain (state-store instances = shuffle partitions, captured at
+    query start and pinned by the checkpoint): the fixture key
+    cardinalities are small, so 8 loaded stores beat 32 mostly-empty
+    ones on both wall clock and task-skew profile. A production
+    deployment sizes this to key cardinality × throughput instead; pass
+    ``None`` to inherit the session setting. The session conf is
+    restored after the drain either way."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_q_")
     try:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         q = (
             df.writeStream.format("memory")
             .queryName(sink)
@@ -98,6 +116,7 @@ def _drain(df: DataFrame, sink: str, output_mode: str = "complete"):
         )
         q.awaitTermination()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
