@@ -314,6 +314,20 @@ def main() -> None:
         table_fill.delete_keys(dels_fill)
         dml["delete_cow_1pct_fill_64b"] = round(time.perf_counter() - t0, 3)
 
+        # the MoR merge alternative on the same table: O(batch) commit
+        # (new dirs + an equality-delete era) vs the CoW tier's
+        # bucket-wide rewrite — the hot-ingest write path; the fold tier
+        # below it shows the deferred cost being paid back
+        upd_mor = big.filter(F.col("o_orderkey") % 100 == 2).withColumn(
+            "o_orderpriority", F.lit("BENCH-MOR")
+        )
+        t0 = time.perf_counter()
+        table_fill.merge(upd_mor, assert_unique_key=False, mode="merge-on-read")
+        dml["merge_mor_1pct_fill_64b"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        table_fill.rewrite_position_delete_files()
+        dml["mor_fold_fill_64b"] = round(time.perf_counter() - t0, 3)
+
         # dir-level pruning on a TIME-ORDERED key: the fill table above
         # is keyed by a hash surrogate (key ranges overlap every dir, so
         # pruning correctly degrades to the full-bucket rewrite). Real

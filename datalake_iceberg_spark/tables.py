@@ -966,7 +966,12 @@ class LakeTable:
 
         return self._commit(build, operation)
 
-    def merge(self, source: DataFrame, assert_unique_key: bool = True) -> Snapshot:
+    def merge(
+        self,
+        source: DataFrame,
+        assert_unique_key: bool = True,
+        mode: str = "copy-on-write",
+    ) -> Snapshot:
         """Keyed upsert: WHEN MATCHED UPDATE SET all / WHEN NOT MATCHED INSERT all.
 
         Semantics of the reference's ``MERGE INTO`` (``src/utils/
@@ -975,11 +980,26 @@ class LakeTable:
         update-all/insert-all semantics the merged state of an affected
         bucket is simply ``target ⟕anti source  ∪  source`` — one anti
         join + union, no full-outer join, and only affected buckets are
-        read & rewritten (manifest-level partition pruning).
+        read & rewritten (manifest-level partition pruning), and within
+        them only the dirs whose key range can intersect the batch.
+
+        ``mode="merge-on-read"`` (Iceberg's ``write.merge.mode``
+        choice): the batch appends as new data dirs and its key set
+        doubles as an equality-delete era covering only the PRE-commit
+        dirs — matched target rows are masked at read, every source row
+        lands, and commit cost is O(batch) regardless of how big the
+        touched buckets are. Reads pay one anti-join per merge/delete
+        era until ``rewrite_position_delete_files`` folds them in; the
+        hot-ingest pattern is MoR merges + a scheduled fold, exactly
+        like MoR deletes.
 
         Like Iceberg, duplicate keys in ``source`` are an error — callers
         dedup first (see ``cdc.pipeline.dedup_latest``).
         """
+        if mode == "merge-on-read":
+            return self._merge_mor(source, assert_unique_key)
+        if mode != "copy-on-write":
+            raise ValueError(f"unknown merge mode {mode!r}")
         snap = self.snapshot()
         if not snap.key:
             raise ValueError("merge requires a keyed table")
@@ -1153,6 +1173,66 @@ class LakeTable:
                 "rewritten_dirs": sum(len(v) for v in touched.values()),
             },
         )
+
+    def _merge_mor(self, source: DataFrame, assert_unique_key: bool = True) -> Snapshot:
+        """Merge-on-read MERGE: write the batch once as new data dirs;
+        the same dirs serve as the equality-delete key source (the
+        delete reader projects just the key columns), with ``covers``
+        limited to the dirs live at commit time so the batch's own rows
+        are never masked. Concurrent commits rebase like
+        ``_delete_keys_mor``: a dir appended between snapshot and commit
+        is covered too (newest-key-wins, same stance as MoR delete)."""
+        snap = self.snapshot()
+        if not snap.key:
+            raise ValueError("merge requires a keyed table")
+        source = self._align(source)
+        if assert_unique_key:
+            dup = (
+                source.groupBy(*snap.key)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "MERGE source has duplicate keys; dedup-latest before merging"
+                )
+        new_dirs = self._write_bucketed(source, snap.key, snap.n_buckets)
+
+        def build(parent):
+            deletes = {b: list(entries) for b, entries in parent.deletes.items()}
+            buckets = {b: list(d) for b, d in parent.buckets.items()}
+            touched = []
+            for b, dirs in new_dirs.items():
+                covers = list(parent.buckets.get(b, []))
+                for d in dirs:
+                    if covers:
+                        deletes.setdefault(b, []).append(
+                            {"dir": d, "covers": covers}
+                        )
+                buckets.setdefault(b, [])
+                buckets[b] = buckets[b] + dirs
+                touched.append(int(b))
+            return Snapshot(
+                version=parent.version + 1,
+                parent=parent.version,
+                timestamp=_utcnow(),
+                operation="merge-mor",
+                schema_json=parent.schema_json,
+                key=parent.key,
+                n_buckets=parent.n_buckets,
+                buckets=buckets,
+                properties=parent.properties,
+                summary={
+                    "affected_buckets": sorted(touched),
+                    "mode": "merge-on-read",
+                },
+                deletes=deletes,
+                renames=parent.renames,
+            )
+
+        return self._commit(build, "merge-mor")
 
     def _delete_keys_mor(self, keys_df: DataFrame) -> Snapshot:
         """Merge-on-read DELETE: bucket-partitioned equality-delete files,
