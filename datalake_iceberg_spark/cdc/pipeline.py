@@ -111,15 +111,27 @@ def transform_and_dedup(
     return split_upserts_deletes(deduped)
 
 
-def apply_cdc_changes(table: LakeTable, upserts: DataFrame, deletes: DataFrame) -> dict:
+def apply_cdc_changes(
+    table: LakeTable,
+    upserts: DataFrame,
+    deletes: DataFrame,
+    mode: str = "copy-on-write",
+) -> dict:
     """MERGE the upserts, DELETE the delete-set (reference
-    ``cdc_pipeline.py:221-251``). Dedup already guarantees unique keys."""
+    ``cdc_pipeline.py:221-251``). Dedup already guarantees unique keys.
+
+    ``mode`` selects the write strategy for BOTH applies —
+    ``"copy-on-write"`` (read-optimized, the reference's default) or
+    ``"merge-on-read"`` (O(batch) commits for hot high-frequency
+    streams; schedule ``rewrite_position_delete_files`` to fold the
+    accumulated eras, as the reference does via
+    ``position_delete_interval``)."""
     stats = {"upserts": 0, "deletes": 0}
     if not upserts.isEmpty():
-        table.merge(upserts, assert_unique_key=False)
+        table.merge(upserts, assert_unique_key=False, mode=mode)
         stats["upserts"] = 1
     if not deletes.isEmpty():
-        table.delete_keys(deletes.select(SURROGATE_KEY_COL))
+        table.delete_keys(deletes.select(SURROGATE_KEY_COL), mode=mode)
         stats["deletes"] = 1
     return stats
 

@@ -61,6 +61,12 @@ class SourceConfig:
     # from_avro when the spark-avro jar is deployed (the analogue of the
     # reference's in-stream Confluent decode, cdc_pipeline.py:406-410)
     pre_transform: "object | None" = None
+    # write strategy for the per-batch MERGE/DELETE apply:
+    # "copy-on-write" (read-optimized default) or "merge-on-read"
+    # (O(batch) commits for hot topics; pair with the maintenance
+    # service's position-delete fold, as the reference schedules via
+    # position_delete_interval)
+    write_mode: str = "copy-on-write"
 
 
 class StopSignal:
@@ -186,7 +192,7 @@ class CdcStreamRunner:
             casted = cast_to_target_schema(flat, target)
             deduped = dedup_latest(casted)
             upserts, deletes = split_upserts_deletes(deduped)
-            apply_cdc_changes(target, upserts, deletes)
+            apply_cdc_changes(target, upserts, deletes, mode=source.write_mode)
             if self.store:
                 stats = batch_stats(flat)
                 schema_name, _, table_name = source.name.rpartition(".")

@@ -32,13 +32,13 @@ def _fresh_table(spark, tmp_path, tag):
     )
 
 
-def _apply_batches(spark, table, batches):
+def _apply_batches(spark, table, batches, mode="copy-on-write"):
     for batch in batches:
         if not batch:
             continue
         env = datagen.envelope_df(spark, SCHEMA, KEYS, batch)
         upserts, deletes = cdc.transform_and_dedup(env, table, KEYS)
-        cdc.apply_cdc_changes(table, upserts, deletes)
+        cdc.apply_cdc_changes(table, upserts, deletes, mode=mode)
 
 
 def _table_state(table):
@@ -76,6 +76,21 @@ def test_duplicated_and_shuffled_batches_converge(spark, tmp_path):
 
     table = _fresh_table(spark, tmp_path, "dup")
     _apply_batches(spark, table, [b1_shuffled, replay_of_b1_tail + b2_shuffled])
+    assert _table_state(table) == expected
+
+
+def test_merge_on_read_mode_converges_to_same_state(spark, tmp_path):
+    """The hot-ingest write strategy (MoR merge + MoR delete, fold
+    scheduled mid-stream) must converge to exactly the CoW replay
+    state — the mode changes the commit cost shape, never the data."""
+    events = list(datagen.generate_envelope_stream(SCHEMA, KEYS, 120, seed=31))
+    expected = datagen.expected_final_state(events, KEYS)
+
+    table = _fresh_table(spark, tmp_path, "mor")
+    batches = [events[:40], events[40:90], events[90:]]
+    _apply_batches(spark, table, batches[:2], mode="merge-on-read")
+    table.rewrite_position_delete_files()  # fold mid-stream
+    _apply_batches(spark, table, batches[2:], mode="merge-on-read")
     assert _table_state(table) == expected
 
 

@@ -91,3 +91,45 @@ def test_debezium_stream_to_lake_exactly_once(spark, tmp_path):
     assert len(cdc_rows) >= 2
     assert any(r.event_count == 4 for r in cdc_rows)
     assert any(r.event_count == 1 for r in cdc_rows)
+
+
+def test_debezium_stream_merge_on_read_mode(spark, tmp_path):
+    """Same stream path with write_mode='merge-on-read': O(batch)
+    commits (no bucket rewrites) must land the identical table state;
+    the fold then compacts the accumulated eras away."""
+    wh, src_dir = str(tmp_path / "wh"), str(tmp_path / "src")
+    cat = LakeCatalog(spark, wh)
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], PAYLOAD
+    )
+    target = cat.create_or_replace(
+        "store.tb", surrogate_key(base, ["pk"]), key=["id_iceberg"]
+    )
+    runner = CdcStreamRunner(
+        spark, checkpoint_root=str(tmp_path / "ck"), dag_id="it_mor"
+    )
+    source = SourceConfig(
+        name="store.tb",
+        path=src_dir,
+        format="parquet",
+        schema="value binary, offset long",
+        key_cols=["pk"],
+        options={"recursiveFileLookup": "true"},
+        pre_transform=lambda df: dz.parse_json_envelope(df, PAYLOAD),
+        write_mode="merge-on-read",
+    )
+    _write_batch(
+        spark, src_dir,
+        [_msg("u", 2, "b2", 2.5, 1000), _msg("c", 4, "d", 4.0, 1001),
+         _msg("d", 3, "c", 3.0, 1002)],
+        [10, 11, 12], "b1",
+    )
+    runner.run_source(source, target, timeout_sec=120)
+    snap = target.snapshot()
+    assert snap.deletes  # MoR eras accumulated, nothing rewritten
+    state = {r.pk: (r.name, r.amount) for r in target.read().collect()}
+    assert state == {1: ("a", 1.0), 2: ("b2", 2.5), 4: ("d", 4.0)}
+    target.rewrite_position_delete_files()
+    assert not target.snapshot().deletes
+    state = {r.pk: (r.name, r.amount) for r in target.read().collect()}
+    assert state == {1: ("a", 1.0), 2: ("b2", 2.5), 4: ("d", 4.0)}
