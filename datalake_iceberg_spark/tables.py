@@ -36,6 +36,7 @@ only manifest bookkeeping happens on the driver.
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -608,12 +609,16 @@ class LakeTable:
         return out
 
     # ------------------------------------------------------------------ reads
-    def read(self, version: int | None = None, as_of: str | None = None) -> DataFrame:
+    def read(self, version: int | None = None, as_of: str | None = None,
+             tag: str | None = None) -> DataFrame:
         """Snapshot read; ``version=N`` is VERSION AS OF, ``as_of=iso_ts``
-        is TIMESTAMP AS OF (latest snapshot committed ≤ the timestamp).
+        is TIMESTAMP AS OF (latest snapshot committed ≤ the timestamp),
+        ``tag=name`` reads the version a named ref pins.
         Merge-on-read delete files, if any, are applied as anti-joins."""
-        if version is not None and as_of is not None:
-            raise ValueError("pass version or as_of, not both")
+        if sum(x is not None for x in (version, as_of, tag)) > 1:
+            raise ValueError("pass at most one of version / as_of / tag")
+        if tag is not None:
+            version = self._resolve_tag(tag)
         if as_of is not None:
             version = self.version_as_of(as_of)
         snap = self.snapshot(version)
@@ -826,6 +831,198 @@ class LakeTable:
 
     def history(self) -> DataFrame:
         return self.snapshots().select("version", "committed_at", "operation")
+
+    # ------------------------------------------------------------------ refs
+    def _refs_path(self) -> str:
+        return self.fs.join(self.meta_dir, "refs.json")
+
+    def refs(self) -> dict[str, int]:
+        """Named snapshot refs (Iceberg tag analogue): name -> pinned
+        version. Tagged versions are retained by ``expire_snapshots``
+        (and therefore by ``remove_orphan_files``) until the tag is
+        dropped — Iceberg's ref-aware snapshot retention."""
+        try:
+            return json.loads(self.fs.read_text(self._refs_path()))
+        except FileNotFoundError:
+            return {}
+
+    def create_tag(self, name: str, version: int | None = None,
+                   replace: bool = False) -> int:
+        """Pin ``name`` to a snapshot version (current when omitted).
+        Refs are control-plane metadata updated with a read-modify-write
+        ``replace_atomic`` — like Iceberg's refs, tag DDL is expected to
+        come from one administrative writer, not the data plane."""
+        v = self.current_version() if version is None else version
+        self.snapshot(v)  # raises if the version doesn't exist / expired
+        refs = self.refs()
+        if name in refs and not replace:
+            raise ValueError(f"tag {name!r} already exists (-> v{refs[name]}); "
+                             f"pass replace=True to move it")
+        refs[name] = v
+        self.fs.replace_atomic(self._refs_path(), json.dumps(refs, sort_keys=True))
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        refs = self.refs()
+        if name not in refs:
+            raise ValueError(f"no tag {name!r} on {self.location}")
+        del refs[name]
+        self.fs.replace_atomic(self._refs_path(), json.dumps(refs, sort_keys=True))
+
+    def _resolve_tag(self, name: str) -> int:
+        refs = self.refs()
+        if name not in refs:
+            raise ValueError(f"no tag {name!r} on {self.location} "
+                             f"(tags: {sorted(refs)})")
+        return refs[name]
+
+    def rollback_to(self, version: int) -> Snapshot:
+        """Roll the table back to an earlier snapshot's state (Iceberg
+        ``rollback_to_snapshot``). Commits a NEW version whose content is
+        a metadata-level copy of the target — zero data movement, history
+        preserved, time travel to the in-between versions still works.
+        Rollback declares the whole table state, so unlike DML it does
+        not rebase over concurrent commits — last rollback wins."""
+        target = self.snapshot(version)
+        # re-attach the target's data-skipping stats: its dirs may have
+        # left the CURRENT snapshot, so stats inheritance alone (which
+        # carries parent stats) would drop them
+        self._pending_stats.update(target.stats)
+
+        def build(parent):
+            return Snapshot(
+                version=parent.version + 1,
+                parent=parent.version,
+                timestamp=_utcnow(),
+                operation="rollback",
+                schema_json=target.schema_json,
+                key=target.key,
+                n_buckets=target.n_buckets,
+                buckets={b: list(d) for b, d in target.buckets.items()},
+                properties=dict(target.properties),
+                summary={"rolled_back_to": version},
+                deletes={
+                    b: [{"dir": e["dir"], "covers": list(e["covers"])} for e in es]
+                    for b, es in target.deletes.items()
+                },
+                renames={d: dict(m) for d, m in target.renames.items()},
+            )
+
+        return self._commit(build, "rollback")
+
+    # --------------------------------------------------- write-audit-publish
+    def _staged_dir(self) -> str:
+        return self.fs.join(self.meta_dir, "staged")
+
+    def _staged_path(self, wap_id: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", wap_id):
+            raise ValueError(f"wap_id must be [A-Za-z0-9._-]+, got {wap_id!r}")
+        return self.fs.join(self._staged_dir(), f"{wap_id}.json")
+
+    def stage_append(self, df: DataFrame, wap_id: str) -> dict:
+        """Write-audit-publish, stage step (Iceberg's ``wap.id`` staged
+        commit): write the data files NOW under a staged ref that is
+        invisible to readers, audit via ``read_staged``, then
+        ``publish_staged`` (metadata-only, zero data movement) or
+        ``abort_staged``. The heavy lifting — shuffle, bucketed write,
+        footer-stats harvest — happens at stage time, so the publish gate
+        adds no write amplification however large the batch."""
+        path = self._staged_path(wap_id)
+        cur = self.snapshot()
+        new = self._write_bucketed(self._align(df), cur.key, cur.n_buckets)
+        new_dirs = [d for dirs in new.values() for d in dirs]
+        stats = {d: self._pending_stats.pop(d) for d in new_dirs
+                 if d in self._pending_stats}
+        doc = {
+            "wap_id": wap_id,
+            "base_version": cur.version,
+            "schema_json": cur.schema_json,
+            "key": cur.key,
+            "n_buckets": cur.n_buckets,
+            "timestamp": _utcnow(),
+            "buckets": new,
+            "stats": stats,
+        }
+        self.fs.makedirs(self._staged_dir())
+        self.fs.write_exclusive(path, json.dumps(doc, indent=1, sort_keys=True))
+        return doc
+
+    def staged_ids(self) -> list[str]:
+        d = self._staged_dir()
+        if not self.fs.isdir(d):
+            return []
+        return sorted(n[:-5] for n in self.fs.listdir(d) if n.endswith(".json"))
+
+    def _load_staged(self, wap_id: str) -> dict:
+        try:
+            return json.loads(self.fs.read_text(self._staged_path(wap_id)))
+        except FileNotFoundError:
+            raise ValueError(
+                f"no staged write {wap_id!r} on {self.location} "
+                f"(staged: {self.staged_ids()})"
+            ) from None
+
+    def _check_staged_layout(self, doc: dict, snap: Snapshot) -> None:
+        if (snap.schema_json != doc["schema_json"] or snap.key != doc["key"]
+                or snap.n_buckets != doc["n_buckets"]):
+            raise CommitConflict(
+                f"staged write {doc['wap_id']!r} was staged against v"
+                f"{doc['base_version']} and the table's schema or bucket "
+                f"layout changed since — abort and re-stage"
+            )
+
+    def read_staged(self, wap_id: str) -> DataFrame:
+        """Audit view: the current table plus the staged (unpublished)
+        rows — what the table WILL be after ``publish_staged``."""
+        doc = self._load_staged(wap_id)
+        snap = self.snapshot()
+        self._check_staged_layout(doc, snap)
+        staged_dirs = [d for dirs in doc["buckets"].values() for d in dirs]
+        return self.read().unionByName(self._read_dirs(staged_dirs, snap))
+
+    def publish_staged(self, wap_id: str) -> Snapshot:
+        """Publish a staged append: merge its (already-written) dirs into
+        the current snapshot — a metadata-only commit that rebases over
+        concurrent appends like ``append`` does, but refuses (raising
+        ``CommitConflict``) if the schema or bucket layout changed since
+        staging, since that would invalidate the staged files' bucket
+        assignment."""
+        doc = self._load_staged(wap_id)
+        self._pending_stats.update(doc["stats"])
+
+        def build(parent):
+            self._check_staged_layout(doc, parent)
+            merged = {b: list(dirs) for b, dirs in parent.buckets.items()}
+            for b, dirs in doc["buckets"].items():
+                merged.setdefault(b, []).extend(dirs)
+            return Snapshot(
+                version=parent.version + 1,
+                parent=parent.version,
+                timestamp=_utcnow(),
+                operation="publish",
+                schema_json=parent.schema_json,
+                key=parent.key,
+                n_buckets=parent.n_buckets,
+                buckets=merged,
+                properties=parent.properties,
+                summary={"wap_id": wap_id, "base_version": doc["base_version"]},
+                deletes=parent.deletes,
+                renames=parent.renames,
+            )
+
+        snap = self._commit(build, "publish")
+        self.fs.remove(self._staged_path(wap_id))
+        return snap
+
+    def abort_staged(self, wap_id: str) -> None:
+        """Drop a staged write: its data dirs and the staged ref."""
+        doc = self._load_staged(wap_id)
+        commits = {d.split("/")[1] for dirs in doc["buckets"].values() for d in dirs}
+        for c in sorted(commits):
+            p = self.fs.join(self.data_dir, c)
+            if self.fs.isdir(p):
+                self.fs.rmtree(p)
+        self.fs.remove(self._staged_path(wap_id))
 
     # ------------------------------------------------------------------ DDL/DML
     def create_or_replace(
@@ -1714,27 +1911,36 @@ class LakeTable:
 
     def expire_snapshots(self, keep_last: int = 1) -> dict[str, int]:
         """Drop old manifests (Iceberg ``expire_snapshots``,
-        ``src/utils/maintenance.py:151``). Data dirs are only reclaimed by
-        ``remove_orphan_files``."""
+        ``src/utils/maintenance.py:151``). Tagged versions are retained
+        until their tag is dropped (Iceberg ref-aware retention). Data
+        dirs are only reclaimed by ``remove_orphan_files``."""
         cur = self.current_version()
+        pinned = set(self.refs().values())
         removed = 0
         for name in self.fs.listdir(self.meta_dir):
             if name.startswith("v") and name.endswith(".json"):
                 v = int(name[1:-5])
-                if v <= cur - keep_last:
+                if v <= cur - keep_last and v not in pinned:
                     self.fs.remove(self.fs.join(self.meta_dir, name))
                     removed += 1
         return {"expired_snapshots": removed}
 
     def remove_orphan_files(self) -> dict[str, int]:
         """Delete data dirs unreferenced by any remaining manifest
-        (Iceberg ``remove_orphan_files``, ``src/utils/maintenance.py:266-271``)."""
+        (Iceberg ``remove_orphan_files``, ``src/utils/maintenance.py:266-271``).
+        Staged-but-unpublished WAP writes count as referenced — their
+        data must survive until ``publish_staged`` / ``abort_staged``."""
         live: set[str] = set()
         for name in self.fs.listdir(self.meta_dir):
             if name.startswith("v") and name.endswith(".json"):
                 snap = Snapshot.from_json(self.fs.read_text(self.fs.join(self.meta_dir, name)))
                 for d in snap.all_dirs() + snap.all_delete_dirs():
                     live.add(d.split("/")[1])  # commit dir component
+        for wap_id in self.staged_ids():
+            doc = self._load_staged(wap_id)
+            for dirs in doc["buckets"].values():
+                for d in dirs:
+                    live.add(d.split("/")[1])
         removed = 0
         if self.fs.isdir(self.data_dir):
             for entry in self.fs.listdir(self.data_dir):

@@ -1,0 +1,206 @@
+"""Named refs (tags), rollback, and write-audit-publish staging.
+
+Iceberg parity features on top of the snapshot ledger:
+- ``create_tag`` / ``read(tag=)`` / ref-aware ``expire_snapshots``
+- ``rollback_to`` (metadata-only state restore, history preserved)
+- ``stage_append`` / ``read_staged`` / ``publish_staged`` / ``abort_staged``
+  (the WAP gate: data written once at stage time, publish is metadata-only)
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from datalake_iceberg_spark.tables import CommitConflict, LakeCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _mk(catalog, spark, name, n=10):
+    df = spark.createDataFrame([Row(id=i, v=f"x{i}") for i in range(n)])
+    return catalog.create_or_replace(name, df, key=["id"], n_buckets=4)
+
+
+# ---------------------------------------------------------------- tags
+
+
+def test_tag_create_read_drop(catalog, spark):
+    t = _mk(catalog, spark, "db.tags")
+    assert t.create_tag("launch") == 0
+    t.append(spark.createDataFrame([Row(id=100, v="new")]))
+    assert t.refs() == {"launch": 0}
+    assert t.read(tag="launch").count() == 10
+    assert _rows(t.read(tag="launch")) == _rows(t.read(version=0))
+    t.drop_tag("launch")
+    with pytest.raises(ValueError, match="no tag"):
+        t.read(tag="launch")
+
+
+def test_tag_collision_and_replace(catalog, spark):
+    t = _mk(catalog, spark, "db.tagdup")
+    t.create_tag("rc")
+    t.append(spark.createDataFrame([Row(id=50, v="y")]))
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_tag("rc")
+    assert t.create_tag("rc", replace=True) == 1
+    assert t.refs()["rc"] == 1
+
+
+def test_tag_of_missing_version_raises(catalog, spark):
+    t = _mk(catalog, spark, "db.tagmiss")
+    with pytest.raises(ValueError, match="no snapshot v9"):
+        t.create_tag("bad", version=9)
+
+
+def test_expire_keeps_tagged_versions(catalog, spark):
+    t = _mk(catalog, spark, "db.tagexp")
+    t.create_tag("pinned", version=0)
+    for i in range(3):
+        t.append(spark.createDataFrame([Row(id=100 + i, v="a")]))
+    out = t.expire_snapshots(keep_last=1)
+    # v1, v2 expired; v0 pinned by the tag, v3 current
+    assert out["expired_snapshots"] == 2
+    assert t.read(tag="pinned").count() == 10
+    with pytest.raises(ValueError, match="no snapshot v1"):
+        t.read(version=1)
+    # orphan cleanup must not reclaim the tagged version's data
+    t.remove_orphan_files()
+    assert t.read(tag="pinned").count() == 10
+    # dropping the tag releases it on the next expire
+    t.drop_tag("pinned")
+    assert t.expire_snapshots(keep_last=1)["expired_snapshots"] == 1
+
+
+# ------------------------------------------------------------- rollback
+
+
+def test_rollback_restores_state_and_keeps_history(catalog, spark):
+    t = _mk(catalog, spark, "db.rb")
+    before = _rows(t.read())
+    t.append(spark.createDataFrame([Row(id=100, v="oops")]))
+    t.delete_keys(spark.createDataFrame([Row(id=1)]))
+    snap = t.rollback_to(0)
+    assert snap.operation == "rollback"
+    assert snap.version == 3
+    assert snap.summary == {"rolled_back_to": 0}
+    assert _rows(t.read()) == before
+    # the in-between states remain time-travelable
+    assert t.read(version=1).count() == 11
+    ops = [r.operation for r in t.history().orderBy("version").collect()]
+    assert ops == ["create_or_replace", "append", "delete", "rollback"]
+
+
+def test_rollback_preserves_data_skipping_stats(catalog, spark):
+    t = _mk(catalog, spark, "db.rbstats", n=50)
+    with_stats = len(t.snapshot().stats)
+    assert with_stats > 0
+    # replace wipes the old dirs; rollback must bring their stats back
+    t.create_or_replace(
+        spark.createDataFrame([Row(id=1, v="tiny")]), key=["id"], n_buckets=4
+    )
+    snap = t.rollback_to(0)
+    assert len(snap.stats) == with_stats
+
+
+def test_rollback_to_mor_snapshot_carries_deletes(catalog, spark):
+    t = _mk(catalog, spark, "db.rbmor")
+    t.delete_keys(spark.createDataFrame([Row(id=3)]), mode="merge-on-read")
+    assert t.read().count() == 9
+    t.append(spark.createDataFrame([Row(id=100, v="later")]))
+    t.rollback_to(1)
+    assert t.read().count() == 9
+    assert _rows(t.read().select("id")) == {(i,) for i in range(10) if i != 3}
+
+
+# ------------------------------------------------- write-audit-publish
+
+
+def test_wap_stage_audit_publish(catalog, spark):
+    t = _mk(catalog, spark, "db.wap")
+    v_before = t.current_version()
+    t.stage_append(spark.createDataFrame([Row(id=100, v="staged")]), "batch-01")
+    # invisible to readers until published
+    assert t.current_version() == v_before
+    assert t.read().count() == 10
+    assert t.staged_ids() == ["batch-01"]
+    # audit view = current + staged
+    audit = t.read_staged("batch-01")
+    assert audit.count() == 11
+    assert (100, "staged") in _rows(audit)
+    snap = t.publish_staged("batch-01")
+    assert snap.operation == "publish"
+    assert snap.summary["wap_id"] == "batch-01"
+    assert t.read().count() == 11
+    assert t.staged_ids() == []
+
+
+def test_wap_publish_rebases_over_concurrent_append(catalog, spark):
+    t = _mk(catalog, spark, "db.wapconc")
+    t.stage_append(spark.createDataFrame([Row(id=100, v="staged")]), "b")
+    t.append(spark.createDataFrame([Row(id=200, v="concurrent")]))
+    t.publish_staged("b")
+    got = _rows(t.read().select("id"))
+    assert (100,) in got and (200,) in got
+    assert t.read().count() == 12
+
+
+def test_wap_abort_reclaims_data(catalog, spark):
+    t = _mk(catalog, spark, "db.wapabort")
+    doc = t.stage_append(spark.createDataFrame([Row(id=100, v="staged")]), "bad")
+    staged_commits = {d.split("/")[1] for ds in doc["buckets"].values() for d in ds}
+    t.abort_staged("bad")
+    assert t.staged_ids() == []
+    live = set(t.fs.listdir(t.data_dir))
+    assert not (staged_commits & live)
+    assert t.read().count() == 10
+
+
+def test_wap_publish_refuses_after_layout_change(catalog, spark):
+    t = _mk(catalog, spark, "db.wapconflict")
+    t.stage_append(spark.createDataFrame([Row(id=100, v="staged")]), "b")
+    t.rebucket(8)
+    with pytest.raises(CommitConflict, match="layout changed since"):
+        t.publish_staged("b")
+    with pytest.raises(CommitConflict, match="layout changed since"):
+        t.read_staged("b")
+    t.abort_staged("b")  # still cleanly abortable
+
+
+def test_wap_publish_refuses_after_schema_change(catalog, spark):
+    t = _mk(catalog, spark, "db.wapschema")
+    t.stage_append(spark.createDataFrame([Row(id=100, v="staged")]), "b")
+    t.rename_column("v", "val")
+    with pytest.raises(CommitConflict, match="schema or bucket"):
+        t.publish_staged("b")
+
+
+def test_wap_orphan_cleanup_spares_staged_dirs(catalog, spark):
+    t = _mk(catalog, spark, "db.waporphan")
+    t.stage_append(spark.createDataFrame([Row(id=100, v="staged")]), "keepme")
+    assert t.remove_orphan_files()["orphan_dirs_removed"] == 0
+    t.publish_staged("keepme")
+    assert t.read().count() == 11
+
+
+def test_wap_unknown_and_bad_ids(catalog, spark):
+    t = _mk(catalog, spark, "db.wapids")
+    with pytest.raises(ValueError, match="no staged write"):
+        t.publish_staged("ghost")
+    with pytest.raises(ValueError, match="wap_id"):
+        t.stage_append(spark.createDataFrame([Row(id=1, v="a")]), "../escape")
+
+
+def test_wap_stage_aligns_to_table_schema(catalog, spark):
+    t = _mk(catalog, spark, "db.wapalign")
+    # extra column is dropped, int id arrives as long-compatible cast
+    src = spark.createDataFrame([Row(id=100, v="s", extra=1)])
+    t.stage_append(src, "b")
+    t.publish_staged("b")
+    assert t.read().columns == ["id", "v"]
+    assert (100, "s") in _rows(t.read())
