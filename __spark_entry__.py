@@ -48,19 +48,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row within rounds 3-4 combined.
     return {
         # --- flagship + events/DML core (green r3, code paths touched) ---
-        # (q3/q5/q10 are parked this round — green r3, query code
-        # untouched in r4 — to make window room for the three new
-        # operators below.)
+        # (q3/q5/q10, batch_stats_events, surrogate_key_orders, and the
+        # as-of pair are parked this round — all green r3, query code
+        # untouched in r4 — to make window room for the new operators
+        # below.)
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "dedup_latest_events": analytics.dedup_latest_events,
         "mixture_weights": curation.mixture_weights,  # new r4: deterministic data-mixing sampler
         "quality_deciles": curation.quality_deciles,  # new r4: per-source NTILE quality bands
-        "batch_stats_events": analytics.batch_stats_events,
-        "surrogate_key_orders": analytics.surrogate_key_orders,
         "merge_upsert_orders": analytics.merge_upsert_orders,
         "stream_session_stats": stream_queries.stream_session_stats,  # new r4: session_window parity
-        "asof_purchase_click": asof.asof_purchase_click,
-        "errors_context_window": asof.errors_context_window,
+        "semantic_dedup": similarity.semantic_dedup,  # new r4: SemDedup cluster-local pruning
+        "ngram_lm_score": textops.ngram_lm_score,  # new r4: bigram-LM quality filter
+        "chunk_documents": curation.chunk_documents,  # new r4: sliding-window RAG chunking
+        "weighted_sample": curation.weighted_sample,  # new r4: deterministic A-ES weighted sampling
         "stream_hourly_rollup": stream_queries.stream_hourly_rollup,
         "stream_dedup_count": stream_queries.stream_dedup_count,
         "stream_running_stats": stream_queries.stream_running_stats,  # new r4: applyInPandasWithState parity
@@ -109,6 +110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "q5_regional_revenue": analytics.q5_regional_revenue,
         "q10_returned_items": analytics.q10_returned_items,
+        "batch_stats_events": analytics.batch_stats_events,
+        "surrogate_key_orders": analytics.surrogate_key_orders,
+        "asof_purchase_click": asof.asof_purchase_click,
+        "errors_context_window": asof.errors_context_window,
         "sessionize_events": analytics.sessionize_events,
         "purge_keep_latest": analytics.purge_keep_latest,
         "semi_anti_join_events": analytics.semi_anti_join_events,
@@ -211,6 +216,10 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": similarity.IVF_ANN_SQL,
         "ivf_recall": similarity.IVF_RECALL_SQL,
         "kmeans_clusters": similarity.KMEANS_SQL,
+        "semantic_dedup": similarity.SEMDEDUP_SQL,
+        "ngram_lm_score": textops.NGRAM_LM_SQL,
+        "chunk_documents": curation.CHUNK_DOCUMENTS_SQL,
+        "weighted_sample": curation.WEIGHTED_SAMPLE_SQL,
         "boilerplate_ngrams": curation.BOILERPLATE_SQL,
         "stream_click_attribution": stream_queries.STREAM_CLICK_ATTRIBUTION_SQL,
         "mm_asset_stats": multimodal.MM_ASSET_STATS_SQL,

@@ -22,7 +22,7 @@ Spark auto-broadcasts. No Python execution anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalake_iceberg_spark.queries import load, load_balanced
@@ -748,4 +748,133 @@ FROM grams GROUP BY gram
 HAVING COUNT(*) >= {BOILERPLATE_MIN_DOCS}
 ORDER BY n_docs DESC, gram ASC
 LIMIT {BOILERPLATE_TOP}
+"""
+
+
+# ------------------------------------------------------------- chunking
+
+CHUNK_SIZE = 16  # tokens per chunk
+CHUNK_STRIDE = 12  # overlap = CHUNK_SIZE - CHUNK_STRIDE
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking — the RAG / context-window prep step:
+    split each document into overlapping ``CHUNK_SIZE``-token windows
+    advancing by ``CHUNK_STRIDE``, fingerprint each chunk (md5 of the
+    re-joined tokens) for downstream chunk-level dedup.
+
+    Chunk count and offsets are pure integer arithmetic per document
+    (``1 + ceil((n - size) / stride)`` when n > size, else 1), generated
+    with ``sequence`` + ``transform`` — one explode, zero shuffles, zero
+    Python. At 100 TB this is an embarrassingly parallel map stage whose
+    output partitioning inherits the scan's.
+    Output: (doc_id, chunk_id, chunk_start, n_chunk_tokens, chunk_md5)."""
+    docs = load_balanced(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.where(F.trim(F.col("text")) != "").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).withColumn("n", F.size("w"))
+    n_chunks = F.when(
+        F.col("n") <= CHUNK_SIZE, F.lit(1)
+    ).otherwise(
+        F.lit(1) + F.ceil((F.col("n") - F.lit(CHUNK_SIZE)) / F.lit(CHUNK_STRIDE)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            (i * CHUNK_STRIDE).alias("chunk_start"),
+            F.slice(F.col("w"), i * CHUNK_STRIDE + 1, CHUNK_SIZE).alias("toks"),
+        ),
+    )
+    return (
+        words.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").cast("int").alias("chunk_id"),
+            F.col("c.chunk_start").cast("int").alias("chunk_start"),
+            F.size("c.toks").alias("n_chunk_tokens"),
+            F.md5(F.array_join("c.toks", " ")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+CHUNK_DOCUMENTS_SQL = rf"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE trim(text) != ''
+),
+sized AS (
+  SELECT doc_id, w, len(w) AS n,
+         CASE WHEN len(w) <= {CHUNK_SIZE} THEN 1
+              ELSE 1 + CAST(ceil((len(w) - {CHUNK_SIZE}) / CAST({CHUNK_STRIDE} AS DOUBLE)) AS INT)
+         END AS n_chunks
+  FROM words
+),
+chunks AS (
+  SELECT doc_id, g.i AS chunk_id, g.i * {CHUNK_STRIDE} AS chunk_start,
+         w[g.i * {CHUNK_STRIDE} + 1 : g.i * {CHUNK_STRIDE} + {CHUNK_SIZE}] AS toks
+  FROM sized, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(chunk_start AS INT) AS chunk_start,
+       CAST(len(toks) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(toks, ' ')) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""
+
+
+# ------------------------------------------------- weighted sampling
+
+SAMPLE_TOP_K = 20
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis
+    A-ES scheme with a DETERMINISTIC pseudo-uniform: u(doc) derives
+    from an md5 prefix of the doc id (content-hash convention shared
+    with ``stratified_sample_counts``), priority key = -ln(u) / weight
+    (weight = n_chars), and the K smallest keys per source win — longer
+    documents are proportionally likelier to be drawn, yet reruns and
+    both engines select IDENTICAL rows.
+
+    Scale: the key is a projection; selection is one top-K-per-group
+    window (partial-aggregated rank, no global sort). This is the
+    standard distributed weighted-reservoir formulation — at 100 TB the
+    same plan runs as a map + per-source top-K tree reduce.
+    Output: (source, rank, doc_id, n_chars)."""
+    docs = load_balanced(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") + F.lit(1.0)
+    ) / F.lit(4294967296.0)  # (h+1)/2^32 in (0, 1]
+    key = -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    w = Window.partitionBy("source").orderBy(F.col("es_key").asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("es_key", key)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= SAMPLE_TOP_K)
+        .select("source", "rank", "doc_id", "n_chars")
+        .orderBy("source", "rank")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         -ln(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1 AS DOUBLE)
+             / CAST(4294967296 AS DOUBLE))
+         / CAST(greatest(n_chars, 1) AS DOUBLE) AS es_key
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY es_key ASC, doc_id ASC) AS rank
+  FROM keyed
+)
+SELECT source, CAST(rank AS INT) AS rank, doc_id, n_chars
+FROM ranked WHERE rank <= {SAMPLE_TOP_K}
+ORDER BY source, rank
 """

@@ -481,22 +481,12 @@ def _assign_to_centroids(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic Lloyd k-means over the embedding table — the
-    semantic-clustering / semantic-dedup building block (cluster, then
-    sample or keep representatives per cluster).
-
-    Fully declarative and exactly oracle-checkable: centroids init from
-    the K smallest ``vec_id`` rows (no RNG), one mean-update round, one
-    final assignment. Assignment is a K-row broadcast join + per-vector
-    argmax window (tie → smaller centroid id); the mean update is the
-    same posexplode → groupBy(avg) shape as the IVF coarse quantizer.
-
-    Scale: two linear scans, K-row broadcasts, and a 64×K-cell partial
-    aggregate — no all-pairs work, no driver round-trips; more Lloyd
-    rounds repeat the same stage. At 100 TB the assignment output is
-    the clustering key for semantic partitioning of the corpus.
-    Output: (cluster_id, n_members, rep_vec_id, avg_cosine)."""
+def _lloyd_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd round over the embedding table: seed from
+    the K smallest ``vec_id`` rows (no RNG), mean-update, final
+    assignment. Returns (vec_id, embedding, cid, cos) — shared by
+    ``kmeans_clusters`` (summary) and ``semantic_dedup`` (within-cluster
+    near-dup pruning)."""
     emb = load_balanced(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     seeds = emb.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"),
@@ -515,7 +505,26 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", F.transform("pairs", lambda s: s.cv).alias("c_emb"))
         .select("cid", "c_emb", _norm(F.col("c_emb")).alias("c_nrm"))
     )
-    a1 = _assign_to_centroids(emb, c1)
+    return _assign_to_centroids(emb, c1)
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding table — the
+    semantic-clustering / semantic-dedup building block (cluster, then
+    sample or keep representatives per cluster).
+
+    Fully declarative and exactly oracle-checkable: centroids init from
+    the K smallest ``vec_id`` rows (no RNG), one mean-update round, one
+    final assignment. Assignment is a K-row broadcast join + per-vector
+    argmax window (tie → smaller centroid id); the mean update is the
+    same posexplode → groupBy(avg) shape as the IVF coarse quantizer.
+
+    Scale: two linear scans, K-row broadcasts, and a 64×K-cell partial
+    aggregate — no all-pairs work, no driver round-trips; more Lloyd
+    rounds repeat the same stage. At 100 TB the assignment output is
+    the clustering key for semantic partitioning of the corpus.
+    Output: (cluster_id, n_members, rep_vec_id, avg_cosine)."""
+    a1 = _lloyd_assignments(spark, sf_dir)
     return (
         a1.groupBy("cid")
         .agg(
@@ -543,8 +552,9 @@ _NRM_C_SQL = (
     "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 )
 
-KMEANS_SQL = f"""
-WITH seeds AS (
+# shared CTE chain for one deterministic Lloyd round (mirrors
+# ``_lloyd_assignments``); ``a1`` exposes (vec_id, embedding, cid, cos)
+_LLOYD_CTES = f"""seeds AS (
   SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < {KMEANS_K}
 ),
 scored0 AS (
@@ -568,17 +578,99 @@ c1 AS (
   GROUP BY cid
 ),
 scored1 AS (
-  SELECT e.vec_id, c.cid,
+  SELECT e.vec_id, e.embedding, c.cid,
          ROUND({_DOT_EC_SQL} / ({_NRM_E_SQL} * {_NRM_C_SQL}), 6) AS cos
   FROM embeddings e CROSS JOIN c1 c
 ),
 a1 AS (
-  SELECT vec_id, cid, cos FROM (
+  SELECT vec_id, embedding, cid, cos FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
     FROM scored1
   ) WHERE rn = 1
-)
+)"""
+
+KMEANS_SQL = f"""
+WITH {_LLOYD_CTES}
 SELECT cid AS cluster_id, COUNT(*) AS n_members, MIN(vec_id) AS rep_vec_id,
        ROUND(AVG(cos), 6) AS avg_cosine
 FROM a1 GROUP BY cid ORDER BY cluster_id
+"""
+
+
+# ------------------------------------------------------- semantic dedup
+
+SEMDEDUP_TAU = 0.35
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style pruning (Abbas et al. 2023, public arXiv): cluster
+    the embeddings, then inside each cluster drop every vector that has
+    a smaller-id neighbor with cosine ≥ τ — a deterministic,
+    parallel-friendly keep-first rule (same convention as the MinHash
+    keep-smallest-doc-id dedup), so no iterative greedy pass is needed.
+
+    Scale: the candidate self-join is CLUSTER-LOCAL — pair work is
+    Σ|cluster|², never n²; at 100 TB K grows with the corpus (cells
+    sized to a bounded |cluster|, exactly the IVF sizing rule) and the
+    assignment output doubles as the shuffle key, so each cluster's
+    pair scoring is one co-located partition. Norms are computed once
+    per vector before the join.
+    Output: (cluster_id, n_members, n_dropped, n_kept)."""
+    a1 = _lloyd_assignments(spark, sf_dir)
+    withn = a1.select(
+        "cid", "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    a = withn.select(
+        "cid", F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm"),
+    )
+    b = withn.select(
+        "cid", F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm"),
+    )
+    cos = _dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("cid", "b_id", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= SEMDEDUP_TAU)
+        .select("cid", F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        a1.join(dropped.withColumn("is_dropped", F.lit(1)), ["cid", "vec_id"], "left")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.count("is_dropped").alias("n_dropped"),
+            (F.count("*") - F.count("is_dropped")).alias("n_kept"),
+        )
+        .select(F.col("cid").alias("cluster_id"), "n_members", "n_dropped", "n_kept")
+        .orderBy("cluster_id")
+    )
+
+
+_PAIR_COS_SQL = (
+    "ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm), 6)"
+)
+
+SEMDEDUP_SQL = f"""
+WITH {_LLOYD_CTES},
+nrm AS (
+  SELECT cid, vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM a1
+),
+dropped AS (
+  SELECT DISTINCT a.cid, b.vec_id
+  FROM nrm a JOIN nrm b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_PAIR_COS_SQL} >= {SEMDEDUP_TAU}
+)
+SELECT a1.cid AS cluster_id, COUNT(*) AS n_members,
+       COUNT(d.vec_id) AS n_dropped,
+       COUNT(*) - COUNT(d.vec_id) AS n_kept
+FROM a1 LEFT JOIN dropped d ON a1.cid = d.cid AND a1.vec_id = d.vec_id
+GROUP BY a1.cid ORDER BY cluster_id
 """

@@ -208,3 +208,109 @@ SELECT doc_id, content_md5,
 FROM d
 ORDER BY doc_id
 """
+
+
+# ----------------------------------------------------- n-gram LM scoring
+
+
+def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM negative log-likelihood per document, aggregated per
+    source — the n-gram stand-in for the KenLM-perplexity quality
+    filter in public web-corpus pipelines (CCNet-style): fluent text
+    made of corpus-frequent transitions scores low, repetitive or
+    out-of-distribution text scores high.
+
+    Model: add-one-smoothed bigram probabilities estimated on the SAME
+    corpus — P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), where c(w1·) counts
+    w1 as a bigram left-context and V is the distinct-token count.
+    doc_nll = -mean ln P over the document's bigrams (rounded 6 dp).
+
+    Scale: one explode for bigrams; counts are two partial-aggregated
+    shuffles; scoring joins doc-bigrams to the count tables ON THE
+    BIGRAM KEY — a plain shuffle join that AQE can skew-split (stopword
+    bigrams are hot keys); V is a one-row broadcast, never a collect.
+    Output: (source, n_docs, avg_nll, min_nll, max_nll)."""
+    docs = load_balanced(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    words = docs.select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).withColumn("n", F.size("w"))
+    bigrams = F.zip_with(
+        F.slice("w", 1, F.col("n") - 1),
+        F.slice("w", 2, F.col("n") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    doc_big = (
+        words.where(F.col("n") >= 2)
+        .select("doc_id", "source", F.explode(bigrams).alias("bg"))
+        .select("doc_id", "source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c2 = doc_big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = doc_big.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        words.select(F.explode("w").alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    scored = (
+        doc_big.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id", "source",
+            # integer counts cast to double BEFORE the divide: both
+            # engines then run the same IEEE double division (a DECIMAL
+            # intermediate on the oracle side would round differently)
+            F.log(
+                (F.col("c2") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.round(-F.avg("lp"), 6).alias("nll")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+            F.round(F.min("nll"), 4).alias("min_nll"),
+            F.round(F.max("nll"), 4).alias("max_nll"),
+        )
+        .orderBy("source")
+    )
+
+
+NGRAM_LM_SQL = r"""
+WITH words AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+doc_big AS (
+  SELECT doc_id, source, w[g.i] AS w1, w[g.i + 1] AS w2
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+  WHERE len(w) >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM doc_big GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM doc_big GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT UNNEST(w) AS tok FROM words)
+),
+scored AS (
+  SELECT d.doc_id, d.source,
+         ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vocab.v AS DOUBLE)) AS lp
+  FROM doc_big d
+  JOIN c2 ON d.w1 = c2.w1 AND d.w2 = c2.w2
+  JOIN c1 ON d.w1 = c1.w1
+  CROSS JOIN vocab
+),
+per_doc AS (
+  SELECT doc_id, source, ROUND(-AVG(lp), 6) AS nll
+  FROM scored GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(nll), 4) AS avg_nll,
+       ROUND(MIN(nll), 4) AS min_nll,
+       ROUND(MAX(nll), 4) AS max_nll
+FROM per_doc GROUP BY source ORDER BY source
+"""

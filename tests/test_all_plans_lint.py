@@ -27,8 +27,13 @@ SMALL_CROSS = {
     "ivf_recall",
     # Lloyd assignment: every vector × the K=8 broadcast centroids
     "kmeans_clusters",
+    # semantic dedup reuses the Lloyd assignment (K=8 broadcast); its
+    # candidate pair join itself is a cluster-local equi join on cid
+    "semantic_dedup",
     # 1-row broadcast totals × the per-source aggregate (scalar-subquery shape)
     "mixture_weights",
+    # 1-row broadcast vocabulary size × doc-bigrams (scalar-subquery shape)
+    "ngram_lm_score",
 }
 
 

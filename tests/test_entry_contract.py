@@ -36,6 +36,8 @@ def test_oracled_queries_inside_driver_window():
         "q3_shipping_priority", "q5_regional_revenue", "q10_returned_items",
         "sessionize_events", "purge_keep_latest", "semi_anti_join_events",
         "value_percentiles", "hourly_rollup_events",
+        "batch_stats_events", "surrogate_key_orders",
+        "asof_purchase_click", "errors_context_window",
         "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
         "q16_supplier_part_count", "q17_small_qty_revenue",
         "q18_large_volume", "q19_disjunctive_revenue",
