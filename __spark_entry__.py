@@ -53,7 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched in r4 — to make window room for the new operators
         # below.)
         "q1_pricing_summary": analytics.q1_pricing_summary,
-        "dedup_latest_events": analytics.dedup_latest_events,
+        "ngram_contamination": curation.ngram_contamination,  # new r4: GPT-3-style n-gram decontamination
+        "zipf_stats": textops.zipf_stats,  # new r4: Zipf rank-frequency corpus audit
         "mixture_weights": curation.mixture_weights,  # new r4: deterministic data-mixing sampler
         "quality_deciles": curation.quality_deciles,  # new r4: per-source NTILE quality bands
         "merge_upsert_orders": analytics.merge_upsert_orders,
@@ -66,7 +67,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_count": stream_queries.stream_dedup_count,
         "stream_running_stats": stream_queries.stream_running_stats,  # new r4: applyInPandasWithState parity
         # --- changed/new this round: need fresh green rows ---
-        "mm_frame_sample": multimodal.mm_frame_sample,
         "mm_decode_features": multimodal.mm_decode_features,
         "pack_sequences": curation.pack_sequences,
         "approx_distinct_users": approx.approx_distinct_users,
@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "q5_regional_revenue": analytics.q5_regional_revenue,
         "q10_returned_items": analytics.q10_returned_items,
+        "dedup_latest_events": analytics.dedup_latest_events,
+        "mm_frame_sample": multimodal.mm_frame_sample,
         "batch_stats_events": analytics.batch_stats_events,
         "surrogate_key_orders": analytics.surrogate_key_orders,
         "asof_purchase_click": asof.asof_purchase_click,
@@ -220,6 +222,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_lm_score": textops.NGRAM_LM_SQL,
         "chunk_documents": curation.CHUNK_DOCUMENTS_SQL,
         "weighted_sample": curation.WEIGHTED_SAMPLE_SQL,
+        "ngram_contamination": curation.NGRAM_CONTAMINATION_SQL,
+        "zipf_stats": textops.ZIPF_SQL,
         "boilerplate_ngrams": curation.BOILERPLATE_SQL,
         "stream_click_attribution": stream_queries.STREAM_CLICK_ATTRIBUTION_SQL,
         "mm_asset_stats": multimodal.MM_ASSET_STATS_SQL,

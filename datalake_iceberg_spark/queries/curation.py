@@ -878,3 +878,93 @@ SELECT source, CAST(rank AS INT) AS rank, doc_id, n_chars
 FROM ranked WHERE rank <= {SAMPLE_TOP_K}
 ORDER BY source, rank
 """
+
+
+# ------------------------------------- n-gram-level decontamination
+
+CONTAM_NGRAM_N = 3
+
+
+def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-level benchmark decontamination — the published GPT-3
+    appendix-C rule (flag a training doc if it shares any long word
+    n-gram with an eval set), at n=3 to suit this corpus' short docs
+    and tiny synthetic vocabulary (production corpora use 8-13).
+    Complements ``contamination_overlap`` (whole-doc hash): n-gram
+    containment catches partial inclusions a doc hash misses.
+
+    Plan: the benchmark side (doc_id % 97 == 0) distills to a DISTINCT
+    set of gram md5s — tiny, so Spark broadcasts the semi-join; corpus
+    grams are ``array_distinct``-ed per doc BEFORE the explode, and the
+    doc-level verdict is a distinct on (source, doc_id) after the
+    semi-join. At 100 TB: one corpus scan, gram build in codegen, the
+    broadcast semi-join filters at the map side, and the only shuffles
+    carry (source, doc_id) survivors and the final per-source partials.
+    Output: (source, n_docs, n_contaminated)."""
+    docs = load_balanced(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    grams = F.when(
+        F.size("toks") >= CONTAM_NGRAM_N,
+        F.expr(
+            f"transform(sequence(1, size(toks) - {CONTAM_NGRAM_N - 1}), "
+            f"i -> md5(array_join(slice(toks, i, {CONTAM_NGRAM_N}), ' ')))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_grams = docs.select(
+        "doc_id", "source", F.array_distinct(grams).alias("grams")
+    )
+    bench = (
+        with_grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    corpus = with_grams.filter(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        corpus.select("doc_id", "source", F.explode("grams").alias("g"))
+        .join(bench, "g", "left_semi")
+        .select("source", "doc_id")
+        .distinct()
+    )
+    return (
+        corpus.groupBy("source").agg(F.count("*").alias("n_docs"))
+        .join(
+            contaminated.groupBy("source").agg(F.count("*").alias("n_contaminated")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+NGRAM_CONTAMINATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         md5(array_to_string(t[i:i + {CONTAM_NGRAM_N - 1}], ' ')) AS g
+  FROM toks, UNNEST(range(1, greatest(len(t) - {CONTAM_NGRAM_N - 1}, 0) + 1)) AS gs(i)
+  WHERE len(t) >= {CONTAM_NGRAM_N}
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+corpus_docs AS (
+  SELECT doc_id, source FROM toks WHERE doc_id % 97 != 0
+),
+contaminated AS (
+  SELECT DISTINCT gr.source, gr.doc_id
+  FROM grams gr JOIN bench b ON gr.g = b.g
+  WHERE gr.doc_id % 97 != 0
+)
+SELECT c.source, COUNT(*) AS n_docs,
+       CAST(COALESCE(MAX(x.n), 0) AS BIGINT) AS n_contaminated
+FROM corpus_docs c
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM contaminated GROUP BY source) x
+  ON c.source = x.source
+GROUP BY c.source ORDER BY c.source
+"""

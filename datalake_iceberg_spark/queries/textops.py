@@ -314,3 +314,87 @@ SELECT source, COUNT(*) AS n_docs,
        ROUND(MAX(nll), 4) AS max_nll
 FROM per_doc GROUP BY source ORDER BY source
 """
+
+
+# ------------------------------------------------------ Zipf audit
+
+ZIPF_TOP = 100
+
+
+def zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency audit: OLS slope of ln(freq) on ln(rank)
+    over the top-``ZIPF_TOP`` corpus terms. Natural-language corpora
+    sit near slope ≈ -1; a strong deviation flags synthetic, templated,
+    or degenerate text — a cheap whole-corpus health probe to run after
+    every major ingest.
+
+    Plan: term counts are one explode + one partial-aggregated shuffle;
+    the top-N cut is an ``orderBy().limit()`` (tree-reduced top-K, no
+    global sort materialization). Rank is then derived WITHOUT a
+    partitionless window: a count over the N×N self-join of the tiny
+    top-N set (broadcast nested loop over ≤100 rows — declared, same
+    class as the scalar-subquery shapes). The OLS closed form runs on
+    exact ln values; only the final slope/intercept round.
+    Output: one row (n_terms, slope, intercept)."""
+    docs = load_balanced(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(ZIPF_TOP)
+    )
+    a = counts.select(F.col("tok").alias("a_tok"), F.col("cnt").alias("a_cnt"))
+    b = counts.select(F.col("tok").alias("b_tok"), F.col("cnt").alias("b_cnt"))
+    ahead = (F.col("b_cnt") > F.col("a_cnt")) | (
+        (F.col("b_cnt") == F.col("a_cnt")) & (F.col("b_tok") < F.col("a_tok"))
+    )
+    ranked = (
+        a.join(b, ahead, "left")
+        .groupBy("a_tok", "a_cnt")
+        .agg((F.count("b_tok") + F.lit(1)).alias("rank"))
+        .select(
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("a_cnt").cast("double")).alias("y"),
+        )
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias("intercept"),
+    )
+
+
+ZIPF_SQL = rf"""
+WITH counts AS (
+  SELECT tok, COUNT(*) AS cnt
+  FROM (SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+  GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT {ZIPF_TOP}
+),
+ranked AS (
+  SELECT ln(CAST((SELECT COUNT(*) FROM counts b
+                  WHERE b.cnt > a.cnt OR (b.cnt = a.cnt AND b.tok < a.tok)) + 1
+             AS DOUBLE)) AS x,
+         ln(CAST(a.cnt AS DOUBLE)) AS y
+  FROM counts a
+),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM ranked
+)
+SELECT n AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept
+FROM agg
+"""

@@ -34,6 +34,9 @@ SMALL_CROSS = {
     "mixture_weights",
     # 1-row broadcast vocabulary size × doc-bigrams (scalar-subquery shape)
     "ngram_lm_score",
+    # rank-by-count over the top-100 term set: ≤100-row broadcast
+    # nested loop replaces a partitionless window (see zipf_stats doc)
+    "zipf_stats",
 }
 
 

@@ -38,6 +38,7 @@ def test_oracled_queries_inside_driver_window():
         "value_percentiles", "hourly_rollup_events",
         "batch_stats_events", "surrogate_key_orders",
         "asof_purchase_click", "errors_context_window",
+        "dedup_latest_events", "mm_frame_sample",
         "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
         "q16_supplier_part_count", "q17_small_qty_revenue",
         "q18_large_volume", "q19_disjunctive_revenue",
