@@ -1865,6 +1865,54 @@ class LakeTable:
 
         return self._commit_metadata(mutate, "rename_column")
 
+    #: safe widening promotions (Iceberg ``updateColumn`` type promotion;
+    #: Spark 4's parquet readers — vectorized and row-based — upcast the
+    #: narrower physical type on read, so no file is rewritten)
+    _TYPE_PROMOTIONS = {
+        "tinyint": {"smallint", "int", "bigint", "double"},
+        "smallint": {"int", "bigint", "double"},
+        "int": {"bigint", "double"},
+        "bigint": set(),
+        "float": {"double"},
+    }
+
+    def alter_column_type(self, name: str, new_type) -> Snapshot:
+        """ALTER COLUMN ... TYPE — metadata-only type WIDENING (Iceberg
+        type promotion): int → bigint/double, tinyint/smallint up the
+        integral chain, float → double. Existing dirs keep their narrow
+        physical type; every read requests the widened logical schema
+        and Spark's parquet readers upcast in the scan. Narrowing or
+        cross-family changes are rejected — they would need a rewrite
+        and can silently corrupt (Iceberg rejects them too).
+
+        Key columns may widen: bucket assignment hashes the STRING form
+        of the key (``bucket_expr``), which is value-stable across
+        integral widths, so existing bucket layouts remain valid."""
+        dt = self._resolve_type(new_type)
+
+        def mutate(snap):
+            schema = T.StructType.fromJson(json.loads(snap.schema_json))
+            if name not in schema.fieldNames():
+                raise ValueError(f"no such column {name!r}")
+            old_dt = schema[name].dataType
+            old_s, new_s = old_dt.simpleString(), dt.simpleString()
+            if new_s == old_s:
+                raise ValueError(f"column {name!r} is already {new_s}")
+            if new_s not in self._TYPE_PROMOTIONS.get(old_s, set()):
+                raise ValueError(
+                    f"cannot alter {name!r} from {old_s} to {new_s}: only "
+                    f"widening promotions are metadata-safe "
+                    f"({', '.join(f'{k} -> {sorted(v)}' for k, v in self._TYPE_PROMOTIONS.items() if v)})"
+                )
+            snap.schema_json = T.StructType(
+                [T.StructField(f.name, dt if f.name == name else f.dataType,
+                               f.nullable, f.metadata)
+                 for f in schema.fields]
+            ).json()
+            snap.summary = {"alter_column_type": [name, old_s, new_s]}
+
+        return self._commit_metadata(mutate, "alter_column_type")
+
     def drop_column(self, name: str) -> Snapshot:
         """ALTER TABLE DROP COLUMN — metadata-only: the column leaves the
         logical schema; parquet column pruning means the dead bytes are
