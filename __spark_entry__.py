@@ -149,6 +149,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": curation.oov_rate,
         "embedding_norm_stats": curation.embedding_norm_stats,
         "cube_revenue": curation.cube_revenue,
+        # ---- new in late r4, QUEUED for the r5 grading window (the 50
+        # slots are full of entries that must earn r4 rows); until then
+        # their oracles are enforced by tests/test_oracle_parity.py at
+        # sf0.001 and by the sf0.01 parity sweep.
+        "funnel_conversion": analytics.funnel_conversion,
+        "retention_cohorts": analytics.retention_cohorts,
     }
 
 
@@ -224,6 +230,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": curation.WEIGHTED_SAMPLE_SQL,
         "ngram_contamination": curation.NGRAM_CONTAMINATION_SQL,
         "zipf_stats": textops.ZIPF_SQL,
+        "funnel_conversion": analytics.FUNNEL_SQL,
+        "retention_cohorts": analytics.RETENTION_SQL,
         "boilerplate_ngrams": curation.BOILERPLATE_SQL,
         "stream_click_attribution": stream_queries.STREAM_CLICK_ATTRIBUTION_SQL,
         "mm_asset_stats": multimodal.MM_ASSET_STATS_SQL,

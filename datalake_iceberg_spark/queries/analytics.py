@@ -890,3 +890,136 @@ WHERE {cents_sql('c_acctbal')} > (
 GROUP BY n_name
 ORDER BY n_name
 """
+
+
+# -------------------------------------------------------- funnel / cohorts
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: how many users
+    performed view → click → purchase IN ORDER (any gaps allowed) — the
+    product-analytics staple Spark has no built-in for.
+
+    Plan: ONE shuffle (groupBy user), then a per-user ``array_sort`` +
+    ``aggregate`` fold that advances a stage counter through the sorted
+    event sequence — greedy first-occurrence matching, which is optimal
+    for subsequence tests, all in codegen'd higher-order functions.
+    The oracle states the same semantics as a min-timestamp chain
+    (first view, first click ≥ it, first purchase ≥ that) — equivalent
+    because greedy earliest matching dominates any other witness.
+    Per-user event sequences are bounded, so the collected array is
+    small at any corpus scale; 100 TB of events still shuffles once.
+    Output: (stage_idx, stage, n_users)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*FUNNEL_STAGES)
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
+    )
+    stage = F.aggregate(
+        "seq",
+        F.lit(0),
+        lambda acc, x: F.when((acc == 0) & (x.event_type == "view"), 1)
+        .when((acc == 1) & (x.event_type == "click"), 2)
+        .when((acc == 2) & (x.event_type == "purchase"), 3)
+        .otherwise(acc),
+    )
+    agg = per_user.select(stage.alias("stage")).agg(
+        F.count("*").alias("n_total"),
+        F.sum((F.col("stage") >= 1).cast("long")).alias("n_view"),
+        F.sum((F.col("stage") >= 2).cast("long")).alias("n_click"),
+        F.sum((F.col("stage") >= 3).cast("long")).alias("n_purchase"),
+    )
+    return agg.select(
+        F.stack(
+            F.lit(4),
+            F.lit(0), F.lit("users_with_any_stage_event"), "n_total",
+            F.lit(1), F.lit("viewed"), "n_view",
+            F.lit(2), F.lit("clicked_after_view"), "n_click",
+            F.lit(3), F.lit("purchased_after_click"), "n_purchase",
+        ).alias("stage_idx", "stage", "n_users")
+    )
+
+
+FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS t1
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+  GROUP BY e.user_id
+),
+a AS (
+  SELECT COUNT(*) AS n_total,
+         CAST(SUM(CASE WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         CAST(SUM(CASE WHEN t2.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(SUM(CASE WHEN t3.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+  FROM t1
+  LEFT JOIN t2 ON t1.user_id = t2.user_id
+  LEFT JOIN t3 ON t1.user_id = t3.user_id
+)
+SELECT * FROM (
+  SELECT 0 AS stage_idx, 'users_with_any_stage_event' AS stage, n_total AS n_users FROM a
+  UNION ALL SELECT 1, 'viewed', n_view FROM a
+  UNION ALL SELECT 2, 'clicked_after_view', n_click FROM a
+  UNION ALL SELECT 3, 'purchased_after_click', n_purchase FROM a
+)
+"""
+
+COHORT_EPOCH = "2024-01-01"
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by their first active
+    week; each (cohort, week-offset) cell counts how many of them were
+    active that many weeks later — the retention triangle every growth
+    dashboard is built on.
+
+    Weeks are integer indexes from a fixed epoch (pure date arithmetic,
+    no locale/ISO-week hazard between engines). Two aggregations, both
+    keyed compatibly (user → cohort, then (cohort, week)): the user-
+    level exchange is reused by Catalyst for the join back. At 100 TB
+    the cells aggregate partially map-side; no collect anywhere.
+    Output: (cohort_week, week_offset, n_users)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit(COHORT_EPOCH).cast("date")) / 7
+        ).cast("int").alias("week"),
+    ).distinct()
+    cohorts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(cohorts, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+RETENTION_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(datediff('day', DATE '{COHORT_EPOCH}', CAST(ts AS DATE)) / 7.0) AS INT) AS week
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+)
+SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+GROUP BY c.cohort_week, e.week - c.cohort_week
+ORDER BY cohort_week, week_offset
+"""

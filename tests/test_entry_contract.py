@@ -52,6 +52,13 @@ def test_oracled_queries_inside_driver_window():
         "winsorized_value_stats", "token_len_histogram", "oov_rate",
         "embedding_norm_stats", "cube_revenue",
     }
+    # new late-r4 entries QUEUED for the r5 window: the 50 slots are
+    # already committed to entries that must earn r4 rows; these two are
+    # oracle-enforced by tests/test_oracle_parity.py (sf0.001 + the
+    # sf0.01 sweep) until they rotate in. Rotate them INTO the window in
+    # r5 and move them out of this set.
+    queued_for_r5 = {"funnel_conversion", "retention_cohorts"}
+    parked_round4 |= queued_for_r5
     assert set(outside) <= parked_round4, (
         f"oracled queries past entry {DRIVER_WINDOW} without a prior green row: "
         f"{sorted(set(outside) - parked_round4)}"
