@@ -84,7 +84,7 @@ def test_timestamp_time_travel(catalog, spark):
     # before the table existed -> error
     with pytest.raises(ValueError, match="no snapshot"):
         t.read(as_of="1990-01-01T00:00:00")
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         t.read(version=0, as_of=ts_after_v0)
 
 
