@@ -1024,6 +1024,122 @@ class LakeTable:
                 self.fs.rmtree(p)
         self.fs.remove(self._staged_path(wap_id))
 
+    # ------------------------------------------------------------------ branches
+    def _branches_dir(self) -> str:
+        return self.fs.join(self.meta_dir, "branches")
+
+    def branches(self) -> list[str]:
+        """Names of the writeable branches forked off this table."""
+        if not self.fs.isdir(self._branches_dir()):
+            return []
+        return sorted(self.fs.listdir(self._branches_dir()))
+
+    def create_branch(self, name: str, version: int | None = None) -> "LakeBranch":
+        """Fork a WRITEABLE branch (Iceberg branch ref; tags are the
+        read-only counterpart). Metadata-only: the branch's v0 manifest
+        points at the same data dirs as the forked snapshot — zero bytes
+        move at any table size. The branch then takes the full DML/DDL
+        surface (append/merge/delete/compact/schema evolution) with its
+        own branch-local version chain, invisible to main readers, and
+        can be promoted back with :meth:`fast_forward` or discarded with
+        :meth:`drop_branch`. Data dirs are shared with main; dirs only a
+        dropped branch referenced are reclaimed by the MAIN table's
+        ``remove_orphan_files``."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"branch name must be [A-Za-z0-9._-]+, got {name!r}")
+        v = self.current_version() if version is None else version
+        base = self.snapshot(v)
+        br = LakeBranch(self, name)
+        if br.exists():
+            raise ValueError(f"branch {name!r} already exists on {self.location}")
+        br._pending_stats.update(base.stats)
+
+        def build(parent):
+            return Snapshot(
+                version=0,
+                parent=None,
+                timestamp=_utcnow(),
+                operation="fork",
+                schema_json=base.schema_json,
+                key=base.key,
+                n_buckets=base.n_buckets,
+                buckets={b: list(d) for b, d in base.buckets.items()},
+                properties=dict(base.properties),
+                summary={"forked_from": v},
+                deletes={
+                    b: [{"dir": e["dir"], "covers": list(e["covers"])} for e in es]
+                    for b, es in base.deletes.items()
+                },
+                renames={d: dict(m) for d, m in base.renames.items()},
+            )
+
+        br._commit(build, "fork")
+        # fork base lives in its own file (not the v0 summary) so
+        # fast_forward still has it after branch-local expire_snapshots
+        self.fs.replace_atomic(
+            self.fs.join(br.meta_dir, "fork.json"), json.dumps({"forked_from": v})
+        )
+        return br
+
+    def branch(self, name: str) -> "LakeBranch":
+        br = LakeBranch(self, name)
+        if not br.exists():
+            raise ValueError(f"no branch {name!r} on {self.location} "
+                             f"(branches: {self.branches()})")
+        return br
+
+    def drop_branch(self, name: str) -> None:
+        """Remove a branch's metadata. Its data dirs stay on disk until
+        the main table's ``remove_orphan_files`` confirms nothing else
+        references them — same two-phase reclaim as expire_snapshots."""
+        br = LakeBranch(self, name)
+        if not br.exists():
+            raise ValueError(f"no branch {name!r} on {self.location}")
+        self.fs.rmtree(br.meta_dir)
+
+    def fast_forward(self, name: str) -> Snapshot:
+        """Advance MAIN to a branch's head (Iceberg ``fast_forward``).
+        Allowed only while main still sits at the branch's fork base —
+        i.e. main is an ancestor of the branch, so the promotion is a
+        true fast-forward, never a silent overwrite of concurrent main
+        commits (those raise ``CommitConflict``; re-fork to rebase).
+        Metadata-only: commits one new main snapshot that adopts the
+        branch head's content — schema, buckets, deletes, renames —
+        without touching a data file."""
+        br = self.branch(name)
+        head = br.snapshot()
+        fork_base = json.loads(
+            self.fs.read_text(self.fs.join(br.meta_dir, "fork.json"))
+        )["forked_from"]
+        self._pending_stats.update(head.stats)
+
+        def build(parent):
+            if parent.version != fork_base:
+                raise CommitConflict(
+                    f"fast_forward {name!r}: main is at v{parent.version}, "
+                    f"branch forked from v{fork_base} — re-fork to pick up "
+                    f"the intervening main commits"
+                )
+            return Snapshot(
+                version=parent.version + 1,
+                parent=parent.version,
+                timestamp=_utcnow(),
+                operation="fast_forward",
+                schema_json=head.schema_json,
+                key=head.key,
+                n_buckets=head.n_buckets,
+                buckets={b: list(d) for b, d in head.buckets.items()},
+                properties=dict(head.properties),
+                summary={"fast_forward_from": name, "branch_head": head.version},
+                deletes={
+                    b: [{"dir": e["dir"], "covers": list(e["covers"])} for e in es]
+                    for b, es in head.deletes.items()
+                },
+                renames={d: dict(m) for d, m in head.renames.items()},
+            )
+
+        return self._commit(build, "fast_forward")
+
     # ------------------------------------------------------------------ DDL/DML
     def create_or_replace(
         self,
@@ -1977,18 +2093,29 @@ class LakeTable:
         """Delete data dirs unreferenced by any remaining manifest
         (Iceberg ``remove_orphan_files``, ``src/utils/maintenance.py:266-271``).
         Staged-but-unpublished WAP writes count as referenced — their
-        data must survive until ``publish_staged`` / ``abort_staged``."""
+        data must survive until ``publish_staged`` / ``abort_staged`` —
+        and so does everything any live BRANCH manifest references
+        (branches share main's data dirs)."""
         live: set[str] = set()
-        for name in self.fs.listdir(self.meta_dir):
-            if name.startswith("v") and name.endswith(".json"):
-                snap = Snapshot.from_json(self.fs.read_text(self.fs.join(self.meta_dir, name)))
-                for d in snap.all_dirs() + snap.all_delete_dirs():
-                    live.add(d.split("/")[1])  # commit dir component
-        for wap_id in self.staged_ids():
-            doc = self._load_staged(wap_id)
-            for dirs in doc["buckets"].values():
-                for d in dirs:
-                    live.add(d.split("/")[1])
+
+        def _walk_meta(meta_dir, table):
+            for name in self.fs.listdir(meta_dir):
+                if name.startswith("v") and name.endswith(".json"):
+                    snap = Snapshot.from_json(
+                        self.fs.read_text(self.fs.join(meta_dir, name))
+                    )
+                    for d in snap.all_dirs() + snap.all_delete_dirs():
+                        live.add(d.split("/")[1])  # commit dir component
+            for wap_id in table.staged_ids():
+                doc = table._load_staged(wap_id)
+                for dirs in doc["buckets"].values():
+                    for d in dirs:
+                        live.add(d.split("/")[1])
+
+        _walk_meta(self.meta_dir, self)
+        for br_name in self.branches():
+            br = self.branch(br_name)
+            _walk_meta(br.meta_dir, br)
         removed = 0
         if self.fs.isdir(self.data_dir):
             for entry in self.fs.listdir(self.data_dir):
@@ -1996,6 +2123,43 @@ class LakeTable:
                     self.fs.rmtree(self.fs.join(self.data_dir, entry))
                     removed += 1
         return {"orphan_dirs_removed": removed}
+
+
+class LakeBranch(LakeTable):
+    """A writeable branch of a :class:`LakeTable` (Iceberg branch ref).
+
+    Same table location — data dirs are SHARED with main — but its own
+    metadata namespace (``metadata/branches/<name>/``) with a
+    branch-local version chain, so every inherited operation (reads,
+    time travel, full DML, compaction, schema evolution, WAP staging)
+    works unchanged and stays invisible to main until
+    :meth:`LakeTable.fast_forward` promotes the branch head.
+    """
+
+    def __init__(self, main: LakeTable, name: str):
+        super().__init__(main.spark, main.location, fs=main.fs)
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"branch name must be [A-Za-z0-9._-]+, got {name!r}")
+        self.branch_name = name
+        self.main_meta_dir = self.meta_dir
+        self.meta_dir = self.fs.join(self.meta_dir, "branches", name)
+
+    # one level of branching only — a branch of a branch has no
+    # fast-forward story and would nest metadata namespaces unboundedly
+    def create_branch(self, name, version=None):
+        raise ValueError("nested branches are not supported; fork from main")
+
+    def branch(self, name):
+        raise ValueError("nested branches are not supported; use the main table")
+
+    def fast_forward(self, name):
+        raise ValueError("fast_forward runs on the MAIN table")
+
+    def remove_orphan_files(self):
+        # a branch-scoped walk would miss main's manifests and delete
+        # dirs main still references — GC is a whole-table operation
+        raise ValueError("remove_orphan_files runs on the MAIN table "
+                         "(it walks every branch's manifests)")
 
 
 class LakeCatalog:

@@ -1,0 +1,167 @@
+"""Writeable branches (Iceberg branch refs).
+
+A branch forks metadata-only off a snapshot, shares main's data dirs,
+takes the full DML/DDL surface under its own branch-local version
+chain, and promotes back via a true fast-forward (conflict on
+intervening main commits). Dirs only a dropped branch referenced are
+reclaimed by the MAIN table's ``remove_orphan_files``.
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from datalake_iceberg_spark.tables import CommitConflict, LakeCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _mk(catalog, spark, name, n=10):
+    df = spark.createDataFrame([Row(id=i, v=f"x{i}") for i in range(n)])
+    return catalog.create_or_replace(name, df, key=["id"], n_buckets=4)
+
+
+def _data_dirs(t):
+    return set(t.fs.listdir(t.data_dir)) if t.fs.isdir(t.data_dir) else set()
+
+
+def test_fork_is_metadata_only_and_reads_fork_state(catalog, spark):
+    t = _mk(catalog, spark, "db.br")
+    before = _data_dirs(t)
+    br = t.create_branch("audit")
+    assert _data_dirs(t) == before  # zero data movement
+    assert t.branches() == ["audit"]
+    assert _rows(br.read()) == _rows(t.read())
+    assert br.snapshot().operation == "fork"
+    assert br.snapshot().summary == {"forked_from": 0}
+
+
+def test_branch_writes_invisible_to_main(catalog, spark):
+    t = _mk(catalog, spark, "db.br")
+    br = t.create_branch("audit")
+    br.append(spark.createDataFrame([Row(id=100, v="branch-only")]))
+    br.merge(spark.createDataFrame([Row(id=0, v="patched")]))
+    br.delete_keys(spark.createDataFrame([Row(id=1)]))
+    assert t.read().count() == 10  # main untouched
+    assert _rows(t.read(version=0)) == _rows(t.read())
+    got = {r["id"]: r["v"] for r in br.read().collect()}
+    assert got[100] == "branch-only" and got[0] == "patched" and 1 not in got
+    # branch-local version chain: fork v0 + three DML commits
+    assert br.current_version() == 3
+    assert _rows(br.read(version=0)) == _rows(t.read())
+
+
+def test_fast_forward_promotes_branch_head(catalog, spark):
+    t = _mk(catalog, spark, "db.br")
+    br = t.create_branch("load")
+    br.append(spark.createDataFrame([Row(id=100, v="new")]))
+    snap = t.fast_forward("load")
+    assert snap.operation == "fast_forward"
+    assert snap.summary == {"fast_forward_from": "load", "branch_head": 1}
+    assert t.read().count() == 11
+    assert _rows(t.read()) == _rows(br.read())
+    # main history preserved: pre-promotion state still time-travelable
+    assert t.read(version=0).count() == 10
+    # promoted state survives branch drop + GC
+    t.drop_branch("load")
+    t.remove_orphan_files()
+    assert t.read().count() == 11
+
+
+def test_fast_forward_conflicts_on_intervening_main_commit(catalog, spark):
+    t = _mk(catalog, spark, "db.br")
+    br = t.create_branch("load")
+    br.append(spark.createDataFrame([Row(id=100, v="new")]))
+    t.append(spark.createDataFrame([Row(id=200, v="main-race")]))
+    with pytest.raises(CommitConflict, match="re-fork"):
+        t.fast_forward("load")
+    assert t.read().count() == 11  # main keeps its own commit
+
+
+def test_orphan_gc_spares_live_branch_dirs(catalog, spark):
+    t = _mk(catalog, spark, "db.br")
+    br = t.create_branch("audit")
+    br.append(spark.createDataFrame([Row(id=100, v="branch-only")]))
+    t.remove_orphan_files()
+    assert _rows(br.read()) >= {(100, "branch-only")}  # still readable
+    # after drop, the branch-only dir IS reclaimable
+    before = _data_dirs(t)
+    t.drop_branch("audit")
+    out = t.remove_orphan_files()
+    assert out["orphan_dirs_removed"] >= 1
+    assert _data_dirs(t) < before
+    assert t.read().count() == 10  # main data intact
+
+
+def test_branch_schema_evolution_promotes(catalog, spark):
+    t = _mk(catalog, spark, "db.br")
+    br = t.create_branch("migrate")
+    br.rename_column("v", "label")
+    assert "label" in br.read().columns
+    assert "v" in t.read().columns  # main still old schema
+    t.fast_forward("migrate")
+    assert "label" in t.read().columns
+
+
+def test_branch_compaction_stays_branch_local(catalog, spark):
+    t = _mk(catalog, spark, "db.br")
+    br = t.create_branch("maint")
+    br.append(spark.createDataFrame([Row(id=100, v="a")]))
+    br.rewrite_data_files()
+    assert _rows(br.read()) == _rows(t.read()) | {(100, "a")}
+    assert t.read().count() == 10
+
+
+def test_branch_from_older_version_cannot_fast_forward(catalog, spark):
+    t = _mk(catalog, spark, "db.br")
+    t.append(spark.createDataFrame([Row(id=100, v="new")]))  # main -> v1
+    br = t.create_branch("old", version=0)
+    assert br.read().count() == 10
+    with pytest.raises(CommitConflict, match="re-fork"):
+        t.fast_forward("old")
+
+
+def test_fast_forward_carries_skipping_stats(catalog, spark):
+    t = _mk(catalog, spark, "db.br")
+    br = t.create_branch("load")
+    br.append(spark.createDataFrame([Row(id=100, v="new")]))
+    assert br.snapshot().stats  # fork carried + append harvested
+    snap = t.fast_forward("load")
+    assert set(snap.stats) == set(br.snapshot().stats)
+
+
+def test_branch_guards(catalog, spark):
+    t = _mk(catalog, spark, "db.br")
+    br = t.create_branch("a")
+    with pytest.raises(ValueError, match="nested"):
+        br.create_branch("b")
+    with pytest.raises(ValueError, match="MAIN"):
+        br.remove_orphan_files()
+    with pytest.raises(ValueError, match="MAIN"):
+        br.fast_forward("a")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("a")
+    with pytest.raises(ValueError, match="no branch"):
+        t.branch("missing")
+    with pytest.raises(ValueError, match="no branch"):
+        t.drop_branch("missing")
+    with pytest.raises(ValueError, match="branch name"):
+        t.create_branch("../escape")
+
+
+def test_branch_expire_snapshots_is_branch_local(catalog, spark):
+    t = _mk(catalog, spark, "db.br")
+    br = t.create_branch("load")
+    for i in range(3):
+        br.append(spark.createDataFrame([Row(id=100 + i, v="n")]))
+    br.expire_snapshots(keep_last=1)
+    # fork.json survives expiry, so promotion still works
+    t.fast_forward("load")
+    assert t.read().count() == 13
+    assert t.snapshot(0) is not None  # main manifests untouched
