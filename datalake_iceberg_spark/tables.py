@@ -61,6 +61,9 @@ MAX_AUTO_BUCKETS = 1024
 #: n_buckets on big writes, while small CDC merges stay 1 task/bucket
 TARGET_WRITE_BYTES = 128 * 1024 * 1024
 MAX_WRITE_SPLITS = 16
+# above this many distinct keys a lookup stays a broadcast semi-join —
+# an IN-list that size stops being a "point" lookup and bloats the plan
+MAX_PUSHED_LOOKUP_KEYS = 1024
 
 
 def _utcnow() -> str:
@@ -260,6 +263,9 @@ class LakeTable:
         # rel_dir -> {col: [min, max]} harvested by _write_bucketed,
         # attached to the snapshot by _commit
         self._pending_stats: dict[str, dict[str, list]] = {}
+        # properties of an in-flight create_or_replace, visible to the
+        # write path before the snapshot that carries them exists
+        self._pending_props: dict[str, str] | None = None
 
     # ------------------------------------------------------------------ meta
     def exists(self) -> bool:
@@ -397,6 +403,7 @@ class LakeTable:
         """
         rel = self._new_commit_dir()
         abs_dir = self.fs.join(self.location, rel)
+        bloom_opts = self._bloom_options()
         if keys and n_buckets > 1:
             splits = self._write_parallelism(df, n_buckets)
             # Shuffle-partition count is capped by what the data VOLUME
@@ -446,6 +453,7 @@ class LakeTable:
             (
                 staged.write.partitionBy("_bucket")
                 .mode("overwrite")
+                .options(**bloom_opts)
                 .parquet(abs_dir)
             )
             out: dict[str, list[str]] = {}
@@ -458,9 +466,35 @@ class LakeTable:
             df = df.sortWithinPartitions(*sort_by)
         if drop_after_sort:
             df = df.drop(*drop_after_sort)
-        df.write.mode("overwrite").parquet(abs_dir)
+        df.write.mode("overwrite").options(**bloom_opts).parquet(abs_dir)
         self._harvest_stats([rel])
         return {"0": [rel]}
+
+    def _bloom_options(self) -> dict[str, str]:
+        """Parquet bloom-filter writer options from table properties
+        (Iceberg ``write.parquet.bloom-filter-enabled.column.<col>``
+        analogue, spelled as one list property here). Bloom filters give
+        point lookups row-group skipping on HIGH-CARDINALITY columns
+        where min/max footer stats can't discriminate (a surrogate key
+        spread uniformly across the table makes every row group's range
+        overlap every probe). Opt-in per table because they cost write
+        time + file bytes; ``write.parquet.bloom-filter-ndv`` sizes the
+        filter per row group (default 100k ≈ 120 KB at 1% fpp)."""
+        props = {}
+        if self._pending_props is not None:
+            props = self._pending_props
+        elif self.exists():
+            props = self.snapshot().properties
+        raw = props.get("write.parquet.bloom-filter-columns", "")
+        cols = [c.strip() for c in raw.split(",") if c.strip()]
+        if not cols:
+            return {}
+        ndv = props.get("write.parquet.bloom-filter-ndv", "100000")
+        opts = {}
+        for c in cols:
+            opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+            opts[f"parquet.bloom.filter.expected.ndv#{c}"] = ndv
+        return opts
 
     def _harvest_stats(self, rel_dirs: list[str]) -> None:
         """Per-column min/max for each data dir, from parquet FOOTERS only
@@ -1154,7 +1188,11 @@ class LakeTable:
         ~``TARGET_BUCKET_BYTES`` of input, power of two) so a 100 TB RTAS
         doesn't land in 16 giant buckets."""
         nb = n_buckets or (auto_bucket_count(df) if key else 1)
-        buckets = self._write_bucketed(df, key, nb)
+        self._pending_props = properties
+        try:
+            buckets = self._write_bucketed(df, key, nb)
+        finally:
+            self._pending_props = None
 
         def build(parent):
             return Snapshot(
@@ -1229,9 +1267,20 @@ class LakeTable:
             )
         keys_df = keys_df.select(*snap.key).distinct()
         affected = self._affected_buckets(keys_df, snap)
-        return self.read_buckets(affected, version).join(
-            F.broadcast(keys_df), on=snap.key, how="left_semi"
-        )
+        pruned = self.read_buckets(affected, version)
+        if len(snap.key) == 1:
+            # single-column key: the lookup IS an IN-list predicate, and
+            # expressing it as one pushes it into the parquet scan where
+            # row groups are skipped by dictionary/bloom-filter checks
+            # (enable via the write.parquet.bloom-filter-columns table
+            # property for high-cardinality keys whose min/max ranges
+            # overlap every probe). Bounded: _affected_buckets already
+            # collected this ≤ point-lookup-sized key set once.
+            k = snap.key[0]
+            vals = [r[0] for r in keys_df.collect()]
+            if len(vals) <= MAX_PUSHED_LOOKUP_KEYS:
+                return pruned.where(F.col(k).isin(vals))
+        return pruned.join(F.broadcast(keys_df), on=snap.key, how="left_semi")
 
     def _affected_buckets(self, source: DataFrame, snap: Snapshot) -> list[int]:
         if snap.n_buckets <= 1:

@@ -1,0 +1,106 @@
+"""Parquet bloom filters on key columns + pushed-down point lookups.
+
+High-cardinality keys defeat min/max footer stats (every row group's
+range overlaps every probe); bloom filters restore row-group skipping.
+The write path plumbs the standard parquet-mr options from the
+``write.parquet.bloom-filter-columns`` table property, and single-key
+``lookup`` pushes an IN-list into the scan so the filters actually see
+the probe values.
+"""
+
+import glob
+
+import pytest
+from pyspark.sql import Row
+
+from datalake_iceberg_spark.tables import LakeCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def _mk(catalog, spark, name, props=None, n=500):
+    df = spark.createDataFrame([Row(id=i, v=f"x{i}") for i in range(n)])
+    return catalog.create_or_replace(
+        name, df, key=["id"], n_buckets=4, properties=props
+    )
+
+
+BLOOM_PROPS = {"write.parquet.bloom-filter-columns": "id",
+               "write.parquet.bloom-filter-ndv": "1000"}
+
+
+def _bloom_offsets(table):
+    """Per-column bloom-filter offsets read from a data file's footer by
+    parquet-mr itself (the same reader Spark's scan uses; pyarrow 16 and
+    duckdb 1.0 don't surface bloom metadata yet). -1 = no filter."""
+    spark = table.spark
+    f = sorted(glob.glob(f"{table.location}/data/*/**/*.parquet", recursive=True))[0]
+    jvm = spark._jvm
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(f"file://{f}"),
+        spark._jsc.hadoopConfiguration(),
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        out = {}
+        cols = reader.getFooter().getBlocks().get(0).getColumns()
+        for i in range(cols.size()):
+            cc = cols.get(i)
+            out[cc.getPath().toDotString()] = cc.getBloomFilterOffset()
+        return out
+    finally:
+        reader.close()
+
+
+def test_bloom_filter_written_for_declared_column(catalog, spark):
+    t = _mk(catalog, spark, "db.bloom", props=BLOOM_PROPS)
+    offs = _bloom_offsets(t)
+    assert offs["id"] >= 0  # bloom filter present on the key
+    assert offs["v"] == -1  # and only on the declared column
+
+
+def test_no_bloom_filter_by_default(catalog, spark):
+    t = _mk(catalog, spark, "db.nobloom")
+    offs = _bloom_offsets(t)
+    assert offs["id"] == -1 and offs["v"] == -1
+
+
+def test_compaction_preserves_bloom_filters(catalog, spark):
+    t = _mk(catalog, spark, "db.bloom", props=BLOOM_PROPS)
+    t.append(spark.createDataFrame([Row(id=1000 + i, v="a") for i in range(50)]))
+    t.rewrite_data_files()
+    t.expire_snapshots()
+    t.remove_orphan_files()
+    assert _bloom_offsets(t)["id"] >= 0
+
+
+def test_single_key_lookup_pushes_in_filter(catalog, spark):
+    t = _mk(catalog, spark, "db.bloom", props=BLOOM_PROPS)
+    probe = spark.createDataFrame([Row(id=7), Row(id=333), Row(id=999999)])
+    out = t.lookup(probe)
+    assert {r["id"] for r in out.collect()} == {7, 333}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(id" in plan
+    assert "Join" not in plan  # the IN-list replaced the semi-join
+
+
+def test_large_key_set_falls_back_to_semi_join(catalog, spark):
+    t = _mk(catalog, spark, "db.bloom", n=3000)
+    probe = spark.createDataFrame([Row(id=i) for i in range(0, 3000, 2)])
+    out = t.lookup(probe)
+    assert out.count() == 1500
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan
+
+
+def test_lookup_matches_read_filter(catalog, spark):
+    t = _mk(catalog, spark, "db.bloom", props=BLOOM_PROPS)
+    t.merge(spark.createDataFrame([Row(id=7, v="patched")]))
+    probe = spark.createDataFrame([Row(id=7), Row(id=42)])
+    got = {(r["id"], r["v"]) for r in t.lookup(probe).collect()}
+    want = {(r["id"], r["v"])
+            for r in t.read().where("id in (7, 42)").collect()}
+    assert got == want == {(7, "patched"), (42, "x42")}
