@@ -403,7 +403,7 @@ class LakeTable:
         """
         rel = self._new_commit_dir()
         abs_dir = self.fs.join(self.location, rel)
-        bloom_opts = self._bloom_options()
+        writer_opts = self._writer_options()
         if keys and n_buckets > 1:
             splits = self._write_parallelism(df, n_buckets)
             # Shuffle-partition count is capped by what the data VOLUME
@@ -453,7 +453,7 @@ class LakeTable:
             (
                 staged.write.partitionBy("_bucket")
                 .mode("overwrite")
-                .options(**bloom_opts)
+                .options(**writer_opts)
                 .parquet(abs_dir)
             )
             out: dict[str, list[str]] = {}
@@ -466,31 +466,40 @@ class LakeTable:
             df = df.sortWithinPartitions(*sort_by)
         if drop_after_sort:
             df = df.drop(*drop_after_sort)
-        df.write.mode("overwrite").options(**bloom_opts).parquet(abs_dir)
+        df.write.mode("overwrite").options(**writer_opts).parquet(abs_dir)
         self._harvest_stats([rel])
         return {"0": [rel]}
 
-    def _bloom_options(self) -> dict[str, str]:
-        """Parquet bloom-filter writer options from table properties
-        (Iceberg ``write.parquet.bloom-filter-enabled.column.<col>``
-        analogue, spelled as one list property here). Bloom filters give
-        point lookups row-group skipping on HIGH-CARDINALITY columns
-        where min/max footer stats can't discriminate (a surrogate key
-        spread uniformly across the table makes every row group's range
-        overlap every probe). Opt-in per table because they cost write
-        time + file bytes; ``write.parquet.bloom-filter-ndv`` sizes the
-        filter per row group (default 100k ≈ 120 KB at 1% fpp)."""
+    def _writer_options(self) -> dict[str, str]:
+        """Parquet writer options derived from table properties (the
+        Iceberg ``write.parquet.*`` property family), applied to every
+        data write — DML, compaction, staging — so layout choices follow
+        the TABLE, not the code path that happened to write:
+
+        - ``write.parquet.compression-codec``: zstd / snappy / gzip /
+          lz4 / uncompressed (Spark's default stays when unset). At
+          100 TB the codec choice is a double-digit-% storage and
+          scan-throughput lever, so it belongs in table metadata.
+        - ``write.parquet.bloom-filter-columns`` (+ ``...-ndv``): bloom
+          filters give point lookups row-group skipping on
+          HIGH-CARDINALITY columns where min/max footer stats can't
+          discriminate (a surrogate key spread uniformly across the
+          table makes every row group's range overlap every probe).
+          Opt-in because they cost write time + file bytes; the ndv
+          property sizes the filter per row group (default 100k
+          ≈ 120 KB at 1% fpp)."""
         props = {}
         if self._pending_props is not None:
             props = self._pending_props
         elif self.exists():
             props = self.snapshot().properties
+        opts: dict[str, str] = {}
+        codec = props.get("write.parquet.compression-codec", "").strip()
+        if codec:
+            opts["compression"] = codec
         raw = props.get("write.parquet.bloom-filter-columns", "")
         cols = [c.strip() for c in raw.split(",") if c.strip()]
-        if not cols:
-            return {}
         ndv = props.get("write.parquet.bloom-filter-ndv", "100000")
-        opts = {}
         for c in cols:
             opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
             opts[f"parquet.bloom.filter.expected.ndv#{c}"] = ndv
@@ -2122,29 +2131,44 @@ class LakeTable:
         )
         return {"rewritten_buckets": len(todo), "removed_delete_files": n_delete_files}
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict[str, int]:
+    def expire_snapshots(self, keep_last: int = 1,
+                         older_than: str | None = None) -> dict[str, int]:
         """Drop old manifests (Iceberg ``expire_snapshots``,
         ``src/utils/maintenance.py:151``). Tagged versions are retained
-        until their tag is dropped (Iceberg ref-aware retention). Data
-        dirs are only reclaimed by ``remove_orphan_files``."""
+        until their tag is dropped (Iceberg ref-aware retention), and
+        the current version is never expired. ``older_than`` (ISO-8601
+        UTC) additionally restricts expiry to snapshots COMMITTED before
+        that instant — Iceberg's timestamp-based retention; combined
+        with ``keep_last`` both conditions must hold. Data dirs are
+        only reclaimed by ``remove_orphan_files``."""
         cur = self.current_version()
         pinned = set(self.refs().values())
+        cutoff = _parse_iso_utc(older_than) if older_than else None
         removed = 0
         for name in self.fs.listdir(self.meta_dir):
             if name.startswith("v") and name.endswith(".json"):
                 v = int(name[1:-5])
-                if v <= cur - keep_last and v not in pinned:
-                    self.fs.remove(self.fs.join(self.meta_dir, name))
-                    removed += 1
+                if v > cur - keep_last or v in pinned:
+                    continue
+                if cutoff is not None:
+                    snap = Snapshot.from_json(
+                        self.fs.read_text(self.fs.join(self.meta_dir, name))
+                    )
+                    if _parse_iso_utc(snap.timestamp) >= cutoff:
+                        continue
+                self.fs.remove(self.fs.join(self.meta_dir, name))
+                removed += 1
         return {"expired_snapshots": removed}
 
-    def remove_orphan_files(self) -> dict[str, int]:
+    def remove_orphan_files(self, dry_run: bool = False) -> dict:
         """Delete data dirs unreferenced by any remaining manifest
         (Iceberg ``remove_orphan_files``, ``src/utils/maintenance.py:266-271``).
         Staged-but-unpublished WAP writes count as referenced — their
         data must survive until ``publish_staged`` / ``abort_staged`` —
         and so does everything any live BRANCH manifest references
-        (branches share main's data dirs)."""
+        (branches share main's data dirs). ``dry_run=True`` reports the
+        dirs that WOULD be deleted without touching them (the
+        look-before-you-GC audit every irreversible delete deserves)."""
         live: set[str] = set()
 
         def _walk_meta(meta_dir, table):
@@ -2165,13 +2189,16 @@ class LakeTable:
         for br_name in self.branches():
             br = self.branch(br_name)
             _walk_meta(br.meta_dir, br)
-        removed = 0
+        orphans = []
         if self.fs.isdir(self.data_dir):
             for entry in self.fs.listdir(self.data_dir):
                 if entry not in live:
-                    self.fs.rmtree(self.fs.join(self.data_dir, entry))
-                    removed += 1
-        return {"orphan_dirs_removed": removed}
+                    orphans.append(entry)
+        if dry_run:
+            return {"orphan_dirs_removed": 0, "orphan_dirs_found": sorted(orphans)}
+        for entry in orphans:
+            self.fs.rmtree(self.fs.join(self.data_dir, entry))
+        return {"orphan_dirs_removed": len(orphans)}
 
 
 class LakeBranch(LakeTable):
@@ -2204,7 +2231,7 @@ class LakeBranch(LakeTable):
     def fast_forward(self, name):
         raise ValueError("fast_forward runs on the MAIN table")
 
-    def remove_orphan_files(self):
+    def remove_orphan_files(self, dry_run: bool = False):
         # a branch-scoped walk would miss main's manifests and delete
         # dirs main still references — GC is a whole-table operation
         raise ValueError("remove_orphan_files runs on the MAIN table "
