@@ -53,8 +53,12 @@ def build_session_builder(
     memory) belong to the server and are skipped client-side.
     """
     cores = (settings.cpus if settings and settings.cpus else None) or default_parallelism()
+    # local[N] runs every executor thread inside the driver JVM, so the
+    # driver heap is the whole cluster's heap: 16g across 32 task threads
+    # showed 6-8% GC time in the heaviest DML stages (bench health
+    # findings); 32g clears them with ample host headroom
     driver_mem = (
-        settings.driver_memory if settings else os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        settings.driver_memory if settings else os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
     )
     remote = (
         remote

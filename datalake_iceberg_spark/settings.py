@@ -155,7 +155,7 @@ class Settings:
     vault: VaultSettings = field(default_factory=VaultSettings)
     runner: RunnerSettings = field(default_factory=RunnerSettings)
     cpus: int | None = None
-    driver_memory: str = "16g"
+    driver_memory: str = "32g"
     # Spark Connect URL (sc://host:port); None = classic in-process
     remote: str | None = None
 
