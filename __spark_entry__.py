@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sf0.001 and by the sf0.01 parity sweep.
         "funnel_conversion": analytics.funnel_conversion,
         "retention_cohorts": analytics.retention_cohorts,
+        "duplicate_span_fraction": dedup.duplicate_span_fraction,
     }
 
 
@@ -232,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_stats": textops.ZIPF_SQL,
         "funnel_conversion": analytics.FUNNEL_SQL,
         "retention_cohorts": analytics.RETENTION_SQL,
+        "duplicate_span_fraction": dedup.DUPSPAN_SQL,
         "boilerplate_ngrams": curation.BOILERPLATE_SQL,
         "stream_click_attribution": stream_queries.STREAM_CLICK_ATTRIBUTION_SQL,
         "mm_asset_stats": multimodal.MM_ASSET_STATS_SQL,

@@ -541,3 +541,93 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % {BATCH_MOD} = 0) d
 LEFT JOIN per ON d.doc_id = per.batch_doc
 ORDER BY batch_doc
 """
+
+
+# ------------------------------------------------- duplicate span audit
+
+DUPSPAN_N = 5  # word n-gram span length (Lee et al. use 50-token spans
+               # at corpus scale; 5 keeps the small fixtures meaningful)
+
+
+def duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicated-span mass — the exact-substring-dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (2107.06499), at n-gram granularity: how many of a
+    source's word-``DUPSPAN_N``-gram POSITIONS sit inside a span that
+    also occurs in at least one OTHER document. Unlike
+    ``boilerplate_ngrams`` (top-N offender spans) this measures the
+    per-source fraction of text that span-level dedup would remove.
+
+    Plan: one scan; spans built with array HOFs in codegen and exploded
+    WITH multiplicity (every position counts). First shuffle: agg by
+    (gram, source) — map-side partial combine collapses within-source
+    repeats early. Second agg by gram alone reuses the same hash
+    partitioning, and the gram-level doc frequency is the SUM of
+    per-source distinct-doc counts (each doc lives in exactly one
+    source), so no second pass over raw spans and the gs⋈gdf join is
+    co-partitioned — no extra exchange. Final agg by source is a
+    few-row shuffle. Integer counts end-to-end: exact on any engine.
+    Output: (source, n_docs, total_spans, dup_spans)."""
+    docs = load_balanced(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    grams = F.when(
+        F.size("toks") >= DUPSPAN_N,
+        F.expr(
+            f"transform(sequence(1, size(toks) - {DUPSPAN_N - 1}), "
+            f"i -> array_join(slice(toks, i, {DUPSPAN_N}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = docs.select("doc_id", "source", F.explode(grams).alias("gram"))
+    gs = spans.groupBy("gram", "source").agg(
+        F.count("*").alias("occ"),
+        F.count_distinct("doc_id").alias("docs_in_source"),
+    )
+    gdf = gs.groupBy("gram").agg(F.sum("docs_in_source").alias("df"))
+    per_source = (
+        gs.join(gdf, "gram")
+        .groupBy("source")
+        .agg(
+            F.sum("occ").alias("total_spans"),
+            F.sum(F.when(F.col("df") >= 2, F.col("occ")).otherwise(0)).alias(
+                "dup_spans"
+            ),
+        )
+    )
+    n_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        n_docs.join(per_source, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("total_spans", F.lit(0)).alias("total_spans"),
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+        )
+        .orderBy("source")
+    )
+
+
+DUPSPAN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+spans AS (
+  SELECT doc_id, source, array_to_string(t[i:i + {DUPSPAN_N - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, greatest(len(t) - {DUPSPAN_N - 1}, 0) + 1)) AS g(i)
+),
+gs AS (
+  SELECT gram, source, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS docs_in_source
+  FROM spans GROUP BY gram, source
+),
+gdf AS (SELECT gram, SUM(docs_in_source) AS df FROM gs GROUP BY gram),
+agg AS (
+  SELECT s.source, SUM(s.occ) AS total_spans,
+         SUM(CASE WHEN g.df >= 2 THEN s.occ ELSE 0 END) AS dup_spans
+  FROM gs s JOIN gdf g USING (gram) GROUP BY s.source
+),
+nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+SELECT nd.source, nd.n_docs,
+       CAST(COALESCE(agg.total_spans, 0) AS BIGINT) AS total_spans,
+       CAST(COALESCE(agg.dup_spans, 0) AS BIGINT) AS dup_spans
+FROM nd LEFT JOIN agg USING (source) ORDER BY nd.source
+"""
