@@ -1836,11 +1836,34 @@ class LakeTable:
           every clustered column's extent shrinks per row group, so
           range predicates on ANY of them prune. Column ranges for bit
           scaling come from one min/max agg over the rewritten data
-          (maintenance-time job, not a read-path cost)."""
+          (maintenance-time job, not a read-path cost).
+
+        When neither argument is given, the TABLE's declared clustering
+        applies — properties ``write.sort-order`` / ``write.zorder-by``
+        (comma-separated columns, Iceberg's table-level SortOrder
+        metadata analogue) — so every scheduled compaction re-clusters
+        the way the table owner declared, not the way the caller
+        remembered to ask."""
         if sort_by and zorder_by:
             raise ValueError("pass sort_by or zorder_by, not both")
         snap = self.snapshot()
-        min_dirs = 1 if (sort_by or zorder_by) else min_input_dirs
+        # an EXPLICIT clustering request re-clusters every bucket; the
+        # declared table order only shapes buckets compaction was going
+        # to rewrite anyway (scheduled runs stay O(fragmented buckets))
+        explicit_cluster = bool(sort_by or zorder_by)
+        if not explicit_cluster:
+            declared_sort = snap.properties.get("write.sort-order", "").strip()
+            declared_z = snap.properties.get("write.zorder-by", "").strip()
+            if declared_sort and declared_z:
+                raise ValueError(
+                    "table declares both write.sort-order and write.zorder-by; "
+                    "keep one"
+                )
+            if declared_sort:
+                sort_by = [c.strip() for c in declared_sort.split(",") if c.strip()]
+            elif declared_z:
+                zorder_by = [c.strip() for c in declared_z.split(",") if c.strip()]
+        min_dirs = 1 if explicit_cluster else min_input_dirs
         # buckets carrying merge-on-read delete files always qualify:
         # compaction is what folds the deletes in
         todo = [

@@ -77,3 +77,61 @@ def test_orphan_dry_run_reports_without_deleting(catalog, spark):
     real = t.remove_orphan_files()
     assert real["orphan_dirs_removed"] == len(dry["orphan_dirs_found"])
     assert t.read().count() == 200
+
+
+def _rg_ranges(table, col_idx=0):
+    """(min, max) per row group for the given column across data files."""
+    out = []
+    for f in glob.glob(f"{table.location}/data/*/**/*.parquet", recursive=True):
+        md = pq.ParquetFile(f).metadata
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(col_idx).statistics
+            out.append((st.min, st.max))
+    return out
+
+
+def test_declared_sort_order_applies_on_compaction(spark, catalog):
+    import random
+    rng = random.Random(7)
+    ids = list(range(4000))
+    rng.shuffle(ids)
+    df = spark.createDataFrame([Row(id=i, v=i % 97) for i in ids])
+    t = catalog.create_or_replace(
+        "db.sorted", df, key=["id"], n_buckets=2,
+        properties={"write.sort-order": "v"},
+    )
+    t.append(spark.createDataFrame([Row(id=10_000 + i, v=i % 97) for i in range(500)]))
+    out = t.rewrite_data_files()  # no args: declared order applies
+    assert out["rewritten_buckets"] == 2
+    t.expire_snapshots()
+    t.remove_orphan_files()  # drop pre-compaction files before globbing
+    # every rewritten file is v-sorted (the fixture fits one row group
+    # per file, so order — not min/max extents — is the observable)
+    files = glob.glob(f"{t.location}/data/*/**/*.parquet", recursive=True)
+    assert files
+    for f in files:
+        vs = pq.read_table(f, columns=["v"])["v"].to_pylist()
+        assert vs == sorted(vs), f
+    assert t.read().count() == 4500
+
+
+def test_declared_order_does_not_force_recluster(spark, catalog):
+    df = spark.createDataFrame([Row(id=i, v=i) for i in range(100)])
+    t = catalog.create_or_replace(
+        "db.nofrc", df, key=["id"], n_buckets=2,
+        properties={"write.sort-order": "v"},
+    )
+    # single dir per bucket, nothing fragmented: scheduled run is a no-op
+    assert t.rewrite_data_files() == {"rewritten_buckets": 0, "rewritten_dirs": 0}
+    # explicit request still re-clusters everything
+    assert t.rewrite_data_files(sort_by=["v"])["rewritten_buckets"] == 2
+
+
+def test_conflicting_declared_orders_rejected(spark, catalog):
+    df = spark.createDataFrame([Row(id=i, v=i) for i in range(10)])
+    t = catalog.create_or_replace(
+        "db.conflict", df, key=["id"], n_buckets=2,
+        properties={"write.sort-order": "v", "write.zorder-by": "id,v"},
+    )
+    with pytest.raises(ValueError, match="keep one"):
+        t.rewrite_data_files()
