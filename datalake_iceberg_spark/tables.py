@@ -653,11 +653,15 @@ class LakeTable:
 
     # ------------------------------------------------------------------ reads
     def read(self, version: int | None = None, as_of: str | None = None,
-             tag: str | None = None) -> DataFrame:
+             tag: str | None = None, branch: str | None = None) -> DataFrame:
         """Snapshot read; ``version=N`` is VERSION AS OF, ``as_of=iso_ts``
         is TIMESTAMP AS OF (latest snapshot committed ≤ the timestamp),
-        ``tag=name`` reads the version a named ref pins.
+        ``tag=name`` reads the version a named ref pins. ``branch=name``
+        reads from a branch instead of main and COMPOSES with the other
+        selectors, which then resolve in the branch's own version chain.
         Merge-on-read delete files, if any, are applied as anti-joins."""
+        if branch is not None:
+            return self.branch(branch).read(version=version, as_of=as_of, tag=tag)
         if sum(x is not None for x in (version, as_of, tag)) > 1:
             raise ValueError("pass at most one of version / as_of / tag")
         if tag is not None:

@@ -165,3 +165,15 @@ def test_branch_expire_snapshots_is_branch_local(catalog, spark):
     t.fast_forward("load")
     assert t.read().count() == 13
     assert t.snapshot(0) is not None  # main manifests untouched
+
+
+def test_read_branch_selector(catalog, spark):
+    t = _mk(catalog, spark, "db.br")
+    br = t.create_branch("load")
+    br.append(spark.createDataFrame([Row(id=100, v="new")]))
+    assert t.read(branch="load").count() == 11
+    assert _rows(t.read(branch="load", version=0)) == _rows(t.read())
+    with pytest.raises(ValueError, match="no branch"):
+        t.read(branch="missing")
+    with pytest.raises(ValueError, match="nested"):
+        br.read(branch="load")
