@@ -674,14 +674,20 @@ class LakeTable:
         return self._read_dirs(snap.all_dirs(), snap)
 
     def read_changes(
-        self, from_version: int, to_version: int | None = None
+        self, from_version: int, to_version: int | None = None,
+        include_preimages: bool = False,
     ) -> DataFrame:
         """Incremental changes between two snapshots (the Iceberg
         incremental-scan / Delta change-data-feed analogue; the
         reference exposes this only implicitly through Iceberg's
         ``VERSION AS OF`` diffing). Output: the table's columns plus
         ``_change_type`` ∈ {'insert', 'update_postimage', 'delete'}
-        (deletes carry the pre-image row).
+        (deletes carry the pre-image row). With
+        ``include_preimages=True`` every update additionally emits its
+        OLD row as ``'update_preimage'`` (Delta CDF's four-type feed) —
+        what a downstream incremental aggregation needs to SUBTRACT the
+        update's previous contribution. Free on the diff path: the
+        full-outer join already holds both sides of every update.
 
         Fast path: when every commit in (from, to] is an ``append``,
         the changes are exactly the rows of the NEW data dirs — read
@@ -789,11 +795,20 @@ class LakeTable:
             .alias(c)
             for c in non_key
         ]
-        return (
-            j.withColumn("_change_type", change)
-            .filter(F.col("_change_type").isNotNull())
-            .select(*out_cols, "_change_type")
+        classified = j.withColumn("_change_type", change)
+        out = classified.filter(F.col("_change_type").isNotNull()).select(
+            *out_cols, "_change_type"
         )
+        if include_preimages:
+            pre = classified.filter(
+                F.col("_change_type") == "update_postimage"
+            ).select(
+                *([F.col(k) for k in key]
+                  + [F.col(f"__a_{c}").alias(c) for c in non_key]),
+                F.lit("update_preimage").alias("_change_type"),
+            )
+            out = out.unionByName(pre)
+        return out
 
     @staticmethod
     def _dir_may_match(

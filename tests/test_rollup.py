@@ -1,0 +1,153 @@
+"""Incrementally maintained rollups: after ANY DML sequence on the
+source, ``refresh()`` must leave the target identical to a full
+GROUP-BY recompute — counts, sums, and SQL NULL semantics included.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.ops.rollup import SOURCE_VERSION_PROP, MaterializedRollup
+from datalake_iceberg_spark.tables import LakeCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "wh"))
+
+
+def _mk_source(catalog, spark, rows):
+    df = spark.createDataFrame(rows, "id BIGINT, grp STRING, val BIGINT")
+    return catalog.create_or_replace("db.src", df, key=["id"], n_buckets=4)
+
+
+def _rollup(catalog, source):
+    return MaterializedRollup(
+        source, catalog.table("db.gold"), group_by=["grp"], sum_cols=["val"]
+    )
+
+
+def _expected(source):
+    return {
+        tuple(r)
+        for r in source.read()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("val").alias("sum_val"))
+        .collect()
+    }
+
+
+def _got(ru):
+    return {tuple(r) for r in ru.read().select("grp", "n_rows", "sum_val").collect()}
+
+
+BASE = [Row(id=i, grp=f"g{i % 3}", val=i) for i in range(30)]
+
+
+def test_first_refresh_builds(catalog, spark):
+    src = _mk_source(catalog, spark, BASE)
+    ru = _rollup(catalog, src)
+    out = ru.refresh()
+    assert out["mode"] == "rebuild"
+    assert _got(ru) == _expected(src)
+    assert ru.refresh()["mode"] == "noop"
+
+
+def test_incremental_matches_recompute_after_mixed_dml(catalog, spark):
+    src = _mk_source(catalog, spark, BASE)
+    ru = _rollup(catalog, src)
+    ru.refresh()
+    # inserts into existing + brand-new groups
+    src.append(spark.createDataFrame(
+        [Row(id=100, grp="g0", val=7), Row(id=101, grp="g9", val=1)],
+        "id BIGINT, grp STRING, val BIGINT"))
+    # updates: value change within a group AND a group move
+    src.merge(spark.createDataFrame(
+        [Row(id=0, grp="g0", val=999), Row(id=1, grp="g2", val=1)],
+        "id BIGINT, grp STRING, val BIGINT"))
+    # deletes
+    src.delete_keys(spark.createDataFrame([Row(id=2), Row(id=5)]))
+    out = ru.refresh()
+    assert out["mode"] == "incremental"
+    assert _got(ru) == _expected(src)
+
+
+def test_group_emptied_is_removed(catalog, spark):
+    rows = [Row(id=1, grp="solo", val=5), Row(id=2, grp="big", val=1),
+            Row(id=3, grp="big", val=2)]
+    src = _mk_source(catalog, spark, rows)
+    ru = _rollup(catalog, src)
+    ru.refresh()
+    src.delete_keys(spark.createDataFrame([Row(id=1)]))
+    ru.refresh()
+    assert _got(ru) == _expected(src)
+    assert "solo" not in {r[0] for r in _got(ru)}
+
+
+def test_sum_reverts_to_null_when_last_value_deleted(catalog, spark):
+    rows = [Row(id=1, grp="g", val=9), Row(id=2, grp="g", val=None)]
+    src = _mk_source(catalog, spark, rows)
+    ru = _rollup(catalog, src)
+    ru.refresh()
+    src.delete_keys(spark.createDataFrame([Row(id=1)]))
+    ru.refresh()
+    assert _got(ru) == _expected(src) == {("g", 1, None)}
+
+
+def test_repeated_refreshes_converge(catalog, spark):
+    src = _mk_source(catalog, spark, BASE)
+    ru = _rollup(catalog, src)
+    ru.refresh()
+    for step in range(3):
+        src.merge(spark.createDataFrame(
+            [Row(id=step, grp=f"g{(step + 1) % 3}", val=step * 11)],
+            "id BIGINT, grp STRING, val BIGINT"))
+        ru.refresh()
+        assert _got(ru) == _expected(src)
+    # version pin advanced to the source head
+    assert int(ru.target.snapshot().properties[SOURCE_VERSION_PROP]) == \
+        src.current_version()
+
+
+def test_rebucket_in_range_still_converges(catalog, spark):
+    # a bucket-count change mid-range drops read_changes to the
+    # unpruned two-snapshot diff — refresh stays incremental and exact
+    src = _mk_source(catalog, spark, BASE)
+    ru = _rollup(catalog, src)
+    ru.refresh()
+    src.rebucket(8)
+    src.append(spark.createDataFrame([Row(id=200, grp="g1", val=3)],
+                                     "id BIGINT, grp STRING, val BIGINT"))
+    out = ru.refresh()
+    assert out["mode"] == "incremental"
+    assert _got(ru) == _expected(src)
+
+
+def test_schema_change_falls_back_to_rebuild(catalog, spark):
+    src = _mk_source(catalog, spark, BASE)
+    ru = _rollup(catalog, src)
+    ru.refresh()
+    src.rename_column("val", "val2")
+    src.rename_column("val2", "val")  # same logical schema, DDL in range
+    src.append(spark.createDataFrame([Row(id=201, grp="g1", val=4)],
+                                     "id BIGINT, grp STRING, val BIGINT"))
+    out = ru.refresh()
+    assert out["mode"] in ("rebuild", "incremental")
+    assert _got(ru) == _expected(src)
+
+
+def test_null_group_rejected(catalog, spark):
+    rows = [Row(id=1, grp=None, val=1), Row(id=2, grp="g", val=2)]
+    src = _mk_source(catalog, spark, rows)
+    ru = _rollup(catalog, src)
+    with pytest.raises(ValueError, match="NULL value in rollup group"):
+        ru.refresh()
+
+
+def test_bad_specs_rejected(catalog, spark):
+    src = _mk_source(catalog, spark, BASE)
+    with pytest.raises(ValueError, match="at least one"):
+        MaterializedRollup(src, catalog.table("db.g"), group_by=[], sum_cols=["val"])
+    with pytest.raises(ValueError, match="both keys and sums"):
+        MaterializedRollup(src, catalog.table("db.g"), group_by=["grp"],
+                           sum_cols=["grp"])
