@@ -240,6 +240,41 @@ def main() -> None:
         dml["shard_export_64"] = round(time.perf_counter() - t0, 3)
         dml["shard_export_rows"] = man["total_rows"]
 
+        # incremental rollup maintenance. Two refresh regimes:
+        # - append batch -> read_changes fast path reads ONLY the new
+        #   dirs: O(batch) at any table size (the streaming-ingest case)
+        # - keyed churn -> diff of the changed buckets + pinpoint merge:
+        #   ∝ changed buckets, which a uniformly-hashed 0.5% batch makes
+        #   ~the whole table at bench scale (worst case, reported as such)
+        from datalake_iceberg_spark.ops.rollup import MaterializedRollup
+
+        rollup = MaterializedRollup(
+            table, cat.table("bench.orders_by_prio"),
+            group_by=["o_orderpriority"], sum_cols=["o_totalprice"],
+        )
+        t0 = time.perf_counter()
+        rollup.refresh()
+        dml["rollup_full_build"] = round(time.perf_counter() - t0, 3)
+        table.append(
+            orders.filter(F.col("o_orderkey") % 100 == 9).withColumn(
+                "id_iceberg", F.concat(F.col("id_iceberg"), F.lit("-r"))
+            )
+        )
+        t0 = time.perf_counter()
+        out = rollup.refresh()
+        dml["rollup_refresh_append_1pct"] = round(time.perf_counter() - t0, 3)
+        assert out["mode"] == "incremental"
+        table.merge(
+            orders.filter(F.col("o_orderkey") % 200 == 3).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            ),
+            assert_unique_key=False,
+        )
+        t0 = time.perf_counter()
+        out = rollup.refresh()
+        dml["rollup_refresh_keyed_churn"] = round(time.perf_counter() - t0, 3)
+        assert out["mode"] == "incremental"
+
         # incremental corpus dedup against a PERSISTED signature index:
         # bootstrap cost ∝ corpus (one-time); per-batch probe+merge cost
         # must scale with the batch — the small batch (~10% of the full

@@ -138,9 +138,16 @@ class MaterializedRollup:
         w = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))
-        deltas = self._reject_null_groups(
-            ch.groupBy(*self.group_by).agg(*self._aggs(weight=w))
+        # materialize the delta aggregate ONCE (one row per touched
+        # group): the bucket probe inside lookup, the IN-list collect,
+        # and the upsert join would otherwise each re-run the whole
+        # CDC diff + aggregation plan
+        deltas = (
+            ch.groupBy(*self.group_by)
+            .agg(*self._aggs(weight=w))
+            .localCheckpoint(eager=True)
         )
+        deltas = self._reject_null_groups(deltas)
         current = self.target.lookup(deltas.select(*self.group_by))
         sum_cols = []
         for c in self.sum_cols:
@@ -166,15 +173,26 @@ class MaterializedRollup:
             .alias(COUNT_COL),
             *sum_cols,
         )
-        merged = merged.localCheckpoint(eager=True)  # split upsert/delete reuse one pass
-        upserts = merged.filter(F.col(COUNT_COL) > 0)
-        dead = merged.filter(F.col(COUNT_COL) <= 0).select(*self.group_by)
+        # materialize once: the upsert/dead split reuses it, and merge()
+        # must not read the target through a plan that itself reads the
+        # target (self-referential read-write)
+        merged = merged.localCheckpoint(eager=True)
+        counts = merged.agg(
+            F.sum((F.col(COUNT_COL) > 0).cast("int")).alias("up"),
+            F.sum((F.col(COUNT_COL) <= 0).cast("int")).alias("dead"),
+        ).collect()[0]
         n_up = n_dead = 0
-        if not upserts.isEmpty():
-            self.target.merge(upserts)
+        if counts["up"]:
+            # unique by construction (one row per group from the agg) —
+            # skip the duplicate-key probe job
+            self.target.merge(
+                merged.filter(F.col(COUNT_COL) > 0), assert_unique_key=False
+            )
             n_up = 1
-        if not dead.isEmpty():
-            self.target.delete_keys(dead)
+        if counts["dead"]:
+            self.target.delete_keys(
+                merged.filter(F.col(COUNT_COL) <= 0).select(*self.group_by)
+            )
             n_dead = 1
         self.target.set_properties({SOURCE_VERSION_PROP: str(to_v)})
         return {
