@@ -558,16 +558,18 @@ def duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``boilerplate_ngrams`` (top-N offender spans) this measures the
     per-source fraction of text that span-level dedup would remove.
 
-    Plan: one scan; spans built with array HOFs in codegen and exploded
-    WITH multiplicity (every position counts). First shuffle: agg by
-    (gram, source) — map-side partial combine collapses within-source
-    repeats early. Second agg by gram alone reuses the same hash
-    partitioning, and the gram-level doc frequency is the SUM of
-    per-source distinct-doc counts (each doc lives in exactly one
-    source), so no second pass over raw spans and the gs⋈gdf join is
-    co-partitioned — no extra exchange. Final agg by source is a
-    few-row shuffle. Integer counts end-to-end: exact on any engine.
+    Plan: ONE scan, one pass. Spans are built with array HOFs in
+    codegen and exploded WITH multiplicity (every position counts);
+    first shuffle aggs by (gram, source) with map-side partial combine.
+    The gram-level doc frequency is the SUM of per-source distinct-doc
+    counts (each doc lives in exactly one source), computed as a WINDOW
+    over ``partitionBy(gram)`` — no self-join, no diamond that would
+    re-scan and re-explode the corpus (grams are high-cardinality, so
+    the window parallelizes fully). Final agg by source is a few-row
+    shuffle. Integer counts end-to-end: exact on any engine.
     Output: (source, n_docs, total_spans, dup_spans)."""
+    from pyspark.sql import Window
+
     docs = load_balanced(spark, sf_dir, "documents").withColumn(
         "toks", F.split(F.col("text"), " ")
     )
@@ -583,9 +585,9 @@ def duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("occ"),
         F.count_distinct("doc_id").alias("docs_in_source"),
     )
-    gdf = gs.groupBy("gram").agg(F.sum("docs_in_source").alias("df"))
+    df_over_gram = F.sum("docs_in_source").over(Window.partitionBy("gram"))
     per_source = (
-        gs.join(gdf, "gram")
+        gs.withColumn("df", df_over_gram)
         .groupBy("source")
         .agg(
             F.sum("occ").alias("total_spans"),
