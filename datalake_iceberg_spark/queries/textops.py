@@ -225,10 +225,14 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 as a bigram left-context and V is the distinct-token count.
     doc_nll = -mean ln P over the document's bigrams (rounded 6 dp).
 
-    Scale: one explode for bigrams; counts are two partial-aggregated
-    shuffles; scoring joins doc-bigrams to the count tables ON THE
-    BIGRAM KEY — a plain shuffle join that AQE can skew-split (stopword
-    bigrams are hot keys); V is a one-row broadcast, never a collect.
+    Scale: ONE explode for bigrams, materialized once
+    (``localCheckpoint``) because the count estimation and the scoring
+    join both consume it — unmaterialized, each consumer re-explodes
+    the corpus. Left-context counts derive from the bigram counts
+    (c(w1·) = Σ_w2 c(w1,w2)) instead of a second pass. Scoring joins
+    doc-bigrams to the count table ON THE BIGRAM KEY — a plain shuffle
+    join that AQE can skew-split (stopword bigrams are hot keys); V is
+    a one-row broadcast, never a collect.
     Output: (source, n_docs, avg_nll, min_nll, max_nll)."""
     docs = load_balanced(spark, sf_dir, "documents").select("doc_id", "source", "text")
     words = docs.select(
@@ -243,9 +247,10 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.where(F.col("n") >= 2)
         .select("doc_id", "source", F.explode(bigrams).alias("bg"))
         .select("doc_id", "source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .localCheckpoint(eager=True)
     )
     c2 = doc_big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = doc_big.groupBy("w1").agg(F.count("*").alias("c1"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (
         words.select(F.explode("w").alias("tok"))
         .agg(F.count_distinct("tok").alias("v"))
