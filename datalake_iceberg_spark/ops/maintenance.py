@@ -27,6 +27,7 @@ COMPACTION = "rewrite_data_files"
 EXPIRE = "expire_snapshots"
 ORPHANS = "remove_orphan_files"
 POSITION_DELETES = "rewrite_position_delete_files"
+ROLLUP_REFRESH = "rollup_refresh"
 
 
 class ProcessedTableTracker:
@@ -124,6 +125,23 @@ class MaintenanceService:
         return self._run_recorded(
             table_name, POSITION_DELETES, t.rewrite_position_delete_files
         )
+
+    def run_rollup_refresh(
+        self, rollup, interval_sec: int = 0,
+        last_completed: datetime | None = None,
+    ) -> dict:
+        """Refresh a :class:`~datalake_iceberg_spark.ops.rollup.
+        MaterializedRollup` under the same interval gate + recorded-run
+        policy as the other procedures — gold tables are maintained
+        artifacts like compacted files, not ad-hoc jobs. The ledger row
+        lands against the TARGET table (that's what the refresh
+        mutates)."""
+        name = rollup.target.location.rsplit("/", 1)[-1]
+        schema = rollup.target.location.rsplit("/", 2)[-2]
+        table_name = f"{schema}.{name}"
+        if interval_sec and not WatermarkStore.should_run(last_completed, interval_sec):
+            return self._record_skipped(table_name, ROLLUP_REFRESH)
+        return self._run_recorded(table_name, ROLLUP_REFRESH, rollup.refresh)
 
     def run_all(
         self, schema: str = "default", compaction_interval_sec: int = 14_400

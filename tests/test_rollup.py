@@ -151,3 +151,28 @@ def test_bad_specs_rejected(catalog, spark):
     with pytest.raises(ValueError, match="both keys and sums"):
         MaterializedRollup(src, catalog.table("db.g"), group_by=["grp"],
                            sum_cols=["grp"])
+
+
+def test_maintenance_service_schedules_rollup_refresh(catalog, spark, tmp_path):
+    from datetime import datetime
+
+    from datalake_iceberg_spark.ops.maintenance import MaintenanceService
+    from datalake_iceberg_spark.ops.watermark import WatermarkStore
+
+    src = _mk_source(catalog, spark, BASE)
+    ru = _rollup(catalog, src)
+    store = WatermarkStore(catalog)
+    store.ensure_tables()
+    svc = MaintenanceService(catalog, store)
+    res = svc.run_rollup_refresh(ru)
+    assert res["status"] == "success" and res["mode"] == "rebuild"
+    assert _got(ru) == _expected(src)
+    # interval gate: a just-completed refresh is skipped
+    gated = svc.run_rollup_refresh(ru, interval_sec=3600,
+                                   last_completed=datetime.utcnow())
+    assert gated["status"] == "skipped"
+    # ledger rows recorded against the TARGET table
+    rows = {(r.table_name, r.procedure_type, r.status)
+            for r in store.maintenance().read().collect()}
+    assert ("gold", "rollup_refresh", "success") in rows
+    assert ("gold", "rollup_refresh", "skipped") in rows
