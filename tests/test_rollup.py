@@ -176,3 +176,42 @@ def test_maintenance_service_schedules_rollup_refresh(catalog, spark, tmp_path):
             for r in store.maintenance().read().collect()}
     assert ("gold", "rollup_refresh", "success") in rows
     assert ("gold", "rollup_refresh", "skipped") in rows
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_random_dml_sequences_converge(catalog, spark, seed):
+    """Seeded-random append/merge/delete churn with a refresh after
+    every k steps must always equal the full recompute (the MERGE-
+    idempotence convergence property, applied to derived tables)."""
+    import random
+
+    rng = random.Random(seed)
+    src = _mk_source(catalog, spark, BASE)
+    ru = _rollup(catalog, src)
+    ru.refresh()
+    live = set(range(30))
+    next_id = 1000
+    for step in range(6):
+        op = rng.choice(["append", "merge", "delete"])
+        if op == "append" or not live:
+            rows = [Row(id=next_id + i, grp=f"g{rng.randrange(5)}",
+                        val=rng.choice([None, rng.randrange(100)]))
+                    for i in range(rng.randrange(1, 4))]
+            live.update(r.id for r in rows)
+            next_id += 10
+            src.append(spark.createDataFrame(rows, "id BIGINT, grp STRING, val BIGINT"))
+        elif op == "merge":
+            ids = rng.sample(sorted(live), min(3, len(live)))
+            rows = [Row(id=i, grp=f"g{rng.randrange(5)}",
+                        val=rng.choice([None, rng.randrange(100)]))
+                    for i in ids]
+            src.merge(spark.createDataFrame(rows, "id BIGINT, grp STRING, val BIGINT"))
+        else:
+            ids = rng.sample(sorted(live), min(2, len(live)))
+            live.difference_update(ids)
+            src.delete_keys(spark.createDataFrame([Row(id=i) for i in ids]))
+        if step % 2 == 1:  # refresh every other step: multi-commit ranges
+            ru.refresh()
+            assert _got(ru) == _expected(src), f"diverged at step {step}"
+    ru.refresh()
+    assert _got(ru) == _expected(src)
