@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": analytics.funnel_conversion,
         "retention_cohorts": analytics.retention_cohorts,
         "duplicate_span_fraction": dedup.duplicate_span_fraction,
+        "gopher_quality": curation.gopher_quality,
     }
 
 
@@ -234,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": analytics.FUNNEL_SQL,
         "retention_cohorts": analytics.RETENTION_SQL,
         "duplicate_span_fraction": dedup.DUPSPAN_SQL,
+        "gopher_quality": curation.GOPHER_SQL,
         "boilerplate_ngrams": curation.BOILERPLATE_SQL,
         "stream_click_attribution": stream_queries.STREAM_CLICK_ATTRIBUTION_SQL,
         "mm_asset_stats": multimodal.MM_ASSET_STATS_SQL,

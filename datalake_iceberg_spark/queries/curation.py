@@ -968,3 +968,101 @@ LEFT JOIN (SELECT source, COUNT(*) AS n FROM contaminated GROUP BY source) x
   ON c.source = x.source
 GROUP BY c.source ORDER BY c.source
 """
+
+
+# ------------------------------------------------------- gopher quality
+
+#: Rae et al. 2021 (Gopher, arXiv 2112.11446) appendix-A quality rules —
+#: the canonical named rule set public web-corpus pipelines apply before
+#: training. Thresholds are the published ones; comparisons are kept in
+#: INTEGER form (3n <= Σlen <= 10n instead of 3 <= Σlen/n <= 10) so both
+#: engines evaluate bit-identical predicates.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule audit: per source, how many docs fail each
+    rule and how many pass ALL of them — the go/no-go gate before a
+    corpus enters training. One scan, one agg shuffle; every rule is a
+    codegen array-HOF expression over the tokenized text, no Python,
+    no floating-point thresholds (integer cross-multiplied forms).
+
+    Rules: word count in [50, 100k]; mean word length in [3, 10];
+    ≥2 stopwords from the published 8-word list; ≥80% of words contain
+    an alphabetic character; symbol-to-word ratio ('#' chars and '...'
+    runs) ≤ 10%.
+    Output: (source, n_docs, fail_*, pass_all) — all BIGINT."""
+    docs = load_balanced(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / 3
+    f_wc = (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS)
+    f_mwl = (sum_len < 3 * n) | (sum_len > 10 * n)
+    f_stop = n_stop < GOPHER_MIN_STOPWORDS
+    f_alpha = n_alpha * 5 < n * 4
+    f_sym = (n_hash + n_ellipsis) * 10 > n
+    flags = [
+        ("fail_word_count", f_wc),
+        ("fail_mean_word_len", f_mwl),
+        ("fail_stopwords", f_stop),
+        ("fail_alpha_ratio", f_alpha),
+        ("fail_symbol_ratio", f_sym),
+    ]
+    pass_all = ~(f_wc | f_mwl | f_stop | f_alpha | f_sym)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            *[F.sum(c.cast("long")).alias(name) for name, c in flags],
+            F.sum(pass_all.cast("long")).alias("pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+GOPHER_SQL = rf"""
+WITH t AS (
+  SELECT source,
+         string_split_regex(trim(text), '\s+') AS w,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis
+  FROM documents
+), f AS (
+  SELECT source,
+         len(w) AS n,
+         list_sum(list_transform(w, x -> length(x))) AS sum_len,
+         len(list_filter(w, x -> x IN {GOPHER_STOPWORDS})) AS n_stop,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         n_hash, n_ellipsis
+  FROM t
+), g AS (
+  SELECT source,
+         (n < {GOPHER_MIN_WORDS} OR n > {GOPHER_MAX_WORDS}) AS f_wc,
+         (sum_len < 3 * n OR sum_len > 10 * n) AS f_mwl,
+         (n_stop < {GOPHER_MIN_STOPWORDS}) AS f_stop,
+         (n_alpha * 5 < n * 4) AS f_alpha,
+         ((n_hash + n_ellipsis) * 10 > n) AS f_sym
+  FROM f
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+       CAST(SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+       CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+       CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_ratio,
+       CAST(SUM(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+       CAST(SUM(CASE WHEN NOT (f_wc OR f_mwl OR f_stop OR f_alpha OR f_sym)
+                THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+FROM g GROUP BY source ORDER BY source
+"""

@@ -57,7 +57,8 @@ def test_oracled_queries_inside_driver_window():
     # oracle-enforced by tests/test_oracle_parity.py (sf0.001 + the
     # sf0.01 sweep) until they rotate in. Rotate them INTO the window in
     # r5 and move them out of this set.
-    queued_for_r5 = {"funnel_conversion", "retention_cohorts", "duplicate_span_fraction"}
+    queued_for_r5 = {"funnel_conversion", "retention_cohorts",
+                         "duplicate_span_fraction", "gopher_quality"}
     parked_round4 |= queued_for_r5
     assert set(outside) <= parked_round4, (
         f"oracled queries past entry {DRIVER_WINDOW} without a prior green row: "
