@@ -215,3 +215,25 @@ def test_random_dml_sequences_converge(catalog, spark, seed):
             assert _got(ru) == _expected(src), f"diverged at step {step}"
     ru.refresh()
     assert _got(ru) == _expected(src)
+
+
+def test_multi_column_group_keys(catalog, spark):
+    rows = [Row(id=i, grp=f"g{i % 2}", val=i % 4) for i in range(20)]
+    df = spark.createDataFrame(rows, "id BIGINT, grp STRING, val BIGINT")
+    src = catalog.create_or_replace("db.src2", df, key=["id"], n_buckets=4)
+    ru = MaterializedRollup(
+        src, catalog.table("db.gold2"), group_by=["grp", "val"], sum_cols=["id"]
+    )
+    ru.refresh()
+    src.merge(spark.createDataFrame(
+        [Row(id=0, grp="g1", val=3), Row(id=1, grp="g0", val=0)],
+        "id BIGINT, grp STRING, val BIGINT"))
+    src.delete_keys(spark.createDataFrame([Row(id=2)]))
+    out = ru.refresh()
+    assert out["mode"] == "incremental"
+    got = {tuple(r) for r in
+           ru.read().select("grp", "val", "n_rows", "sum_id").collect()}
+    want = {tuple(r) for r in
+            src.read().groupBy("grp", "val")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")).collect()}
+    assert got == want
