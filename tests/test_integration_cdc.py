@@ -133,3 +133,66 @@ def test_debezium_stream_merge_on_read_mode(spark, tmp_path):
     assert not target.snapshot().deletes
     state = {r.pk: (r.name, r.amount) for r in target.read().collect()}
     assert state == {1: ("a", 1.0), 2: ("b2", 2.5), 4: ("d", 4.0)}
+
+
+def test_stream_to_lake_to_gold_rollup(spark, tmp_path):
+    """Medallion flow end-to-end: streamed Debezium batches MERGE into
+    the silver lake table, and the gold rollup refreshes from the CDC
+    feed after each drain — staying equal to a full recompute through
+    updates, inserts, and deletes."""
+    from datalake_iceberg_spark.ops.rollup import MaterializedRollup
+
+    wh, src_dir = str(tmp_path / "wh"), str(tmp_path / "src")
+    cat = LakeCatalog(spark, wh)
+    store = WatermarkStore(cat)
+    store.ensure_tables()
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)], PAYLOAD
+    )
+    target = cat.create_or_replace(
+        "store.tb", surrogate_key(base, ["pk"]), key=["id_iceberg"]
+    )
+    gold = MaterializedRollup(
+        target, cat.table("store.tb_by_name"),
+        group_by=["name"], sum_cols=["amount"],
+    )
+    gold.refresh()
+
+    def _expected():
+        return {
+            tuple(r) for r in target.read().groupBy("name")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("amount").alias("sum_amount"))
+            .collect()
+        }
+
+    def _gold():
+        return {
+            tuple(r)
+            for r in gold.read().select("name", "n_rows", "sum_amount").collect()
+        }
+
+    runner = CdcStreamRunner(
+        spark, store=store, checkpoint_root=str(tmp_path / "ck"), dag_id="gold"
+    )
+    source = SourceConfig(
+        name="store.tb", path=src_dir, format="parquet",
+        schema="value binary, offset long", key_cols=["pk"],
+        options={"recursiveFileLookup": "true"},
+        pre_transform=lambda df: dz.parse_json_envelope(df, PAYLOAD),
+    )
+    _write_batch(
+        spark, src_dir,
+        [_msg("u", 2, "a", 2.5, 1000), _msg("c", 4, "b", 4.0, 1001),
+         _msg("d", 3, "a", 3.0, 1002)],
+        [10, 11, 12], "b1",
+    )
+    runner.run_source(source, target, timeout_sec=120)
+    out = gold.refresh()
+    assert out["mode"] == "incremental"
+    assert _gold() == _expected()
+
+    _write_batch(spark, src_dir, [_msg("d", 4, "b", 4.0, 2000)], [13], "b2")
+    runner.run_source(source, target, timeout_sec=120)
+    gold.refresh()
+    assert _gold() == _expected()
+    assert "b" not in {r[0] for r in _gold()}  # emptied group removed
