@@ -155,6 +155,56 @@ def parse_json_envelope(
     )
 
 
+def parse_avro_envelope_python(
+    df: DataFrame,
+    payload_schema: T.StructType,
+    avro_schema_json: str,
+    value_col: str = "value",
+    confluent_framed: bool = True,
+) -> DataFrame:
+    """Debezium-AVRO bytes → typed envelope, pure-Python decode path.
+
+    The jar-equipped fast path is ``try_from_avro`` (JVM ``from_avro``
+    FAILFAST, the reference's mode at ``cdc_pipeline.py:168-170``);
+    this seam lifts the no-jar environment from a JSON stand-in to a
+    REAL Avro decode using ``cdc/avro_codec.py`` inside one
+    Arrow-batched ``mapInPandas`` — the only Python eval on the path,
+    batch-amortized, FAILFAST on any malformed datum (including
+    trailing bytes). ``confluent_framed=True`` strips the 5-byte
+    magic+schema-id header JVM-side before a byte reaches Python.
+
+    Same output contract as ``parse_json_envelope``: envelope columns
+    (before/after/source/op/ts_ms) followed by the passthrough columns
+    (offsets etc.), so the downstream CDC pipeline is identical."""
+    from datalake_iceberg_spark.cdc.avro_codec import decode_record, parse_schema
+
+    schema = parse_schema(avro_schema_json)
+    env_schema = debezium_envelope_schema(payload_schema)
+    passthrough = [c for c in df.columns if c != value_col]
+    out_schema = T.StructType(
+        list(env_schema.fields) + [df.schema[c] for c in passthrough]
+    )
+    body = (
+        F.expr(f"substring({value_col}, 6, length({value_col}) - 5)")
+        if confluent_framed
+        else F.col(value_col)
+    )
+    src = df.select(body.alias("__avro"), *passthrough)
+    env_names = [f.name for f in env_schema.fields]
+
+    def _decode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = [decode_record(bytes(b), schema) for b in pdf["__avro"]]
+            data = {name: [r.get(name) for r in recs] for name in env_names}
+            for c in passthrough:
+                data[c] = pdf[c]
+            yield pd.DataFrame(data)
+
+    return src.mapInPandas(_decode_batches, schema=out_schema)
+
+
 @_dataclass
 class AvroFieldSpec:
     """One payload column as the registry schema describes it."""
