@@ -158,7 +158,7 @@ def parse_json_envelope(
 def parse_avro_envelope_python(
     df: DataFrame,
     payload_schema: T.StructType,
-    avro_schema_json: str,
+    avro_schema_json: str | dict[int, str],
     value_col: str = "value",
     confluent_framed: bool = True,
 ) -> DataFrame:
@@ -173,12 +173,27 @@ def parse_avro_envelope_python(
     trailing bytes). ``confluent_framed=True`` strips the 5-byte
     magic+schema-id header JVM-side before a byte reaches Python.
 
+    ``avro_schema_json`` is either ONE writer schema, or a registry
+    map ``{schema_id: schema_json}`` — then each message is decoded
+    with the schema its own Confluent header names (a live Debezium
+    topic carries several schema versions at once; the reference
+    resolves them against the registry, ``cdc_pipeline.py:384-395``).
+    An id absent from the map raises (FAILFAST — silently skipping an
+    unknown-schema message would drop CDC events).
+
     Same output contract as ``parse_json_envelope``: envelope columns
     (before/after/source/op/ts_ms) followed by the passthrough columns
     (offsets etc.), so the downstream CDC pipeline is identical."""
     from datalake_iceberg_spark.cdc.avro_codec import decode_record, parse_schema
 
-    schema = parse_schema(avro_schema_json)
+    by_id = (
+        {int(k): parse_schema(v) for k, v in avro_schema_json.items()}
+        if isinstance(avro_schema_json, dict)
+        else None
+    )
+    if by_id is not None and not confluent_framed:
+        raise ValueError("schema-id dispatch requires Confluent framing")
+    single = parse_schema(avro_schema_json) if by_id is None else None
     env_schema = debezium_envelope_schema(payload_schema)
     passthrough = [c for c in df.columns if c != value_col]
     out_schema = T.StructType(
@@ -189,14 +204,30 @@ def parse_avro_envelope_python(
         if confluent_framed
         else F.col(value_col)
     )
-    src = df.select(body.alias("__avro"), *passthrough)
+    sel = [body.alias("__avro"), *passthrough]
+    if by_id is not None:
+        from datalake_iceberg_spark.functions.temporal import confluent_schema_id
+
+        sel.insert(1, confluent_schema_id(value_col).alias("__sid"))
+    src = df.select(*sel)
     env_names = [f.name for f in env_schema.fields]
 
     def _decode_batches(batches):
         import pandas as pd
 
         for pdf in batches:
-            recs = [decode_record(bytes(b), schema) for b in pdf["__avro"]]
+            if by_id is None:
+                recs = [decode_record(bytes(b), single) for b in pdf["__avro"]]
+            else:
+                recs = []
+                for b, sid in zip(pdf["__avro"], pdf["__sid"]):
+                    schema = by_id.get(int(sid))
+                    if schema is None:
+                        raise ValueError(
+                            f"schema id {int(sid)} not in the registry map "
+                            f"(known: {sorted(by_id)})"
+                        )
+                    recs.append(decode_record(bytes(b), schema))
             data = {name: [r.get(name) for r in recs] for name in env_names}
             for c in passthrough:
                 data[c] = pdf[c]

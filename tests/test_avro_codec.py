@@ -231,3 +231,57 @@ def test_avro_seam_failfast_in_spark(spark):
     out = dz.parse_avro_envelope_python(df, PAYLOAD_SPARK, ENVELOPE_AVRO)
     with pytest.raises(Exception, match="truncated|PythonException"):
         out.collect()
+
+
+def test_multi_schema_registry_dispatch(spark):
+    """Two schema versions live on the same topic: each message decodes
+    with the schema its own Confluent header names; an unknown id
+    fails fast."""
+    from datalake_iceberg_spark.cdc import debezium as dz
+
+    v2_payload = {
+        "type": "record", "name": "Row2",
+        "fields": [{"name": "pk", "type": "long"},
+                   {"name": "name", "type": ["null", "string"]},
+                   {"name": "amount", "type": ["null", "double"]},
+                   {"name": "extra", "type": ["null", "string"]}],
+    }
+    v2 = json.dumps({
+        "type": "record", "name": "Envelope2",
+        "fields": [
+            {"name": "before", "type": ["null", v2_payload]},
+            {"name": "after", "type": ["null", "Row2"]},
+            {"name": "source", "type": {
+                "type": "record", "name": "Source2",
+                "fields": [{"name": "version", "type": "string"},
+                           {"name": "connector", "type": "string"},
+                           {"name": "name", "type": "string"},
+                           {"name": "ts_ms", "type": "long"},
+                           {"name": "snapshot", "type": ["null", "string"]},
+                           {"name": "db", "type": "string"},
+                           {"name": "table", "type": "string"}]}},
+            {"name": "op", "type": "string"},
+            {"name": "ts_ms", "type": ["null", "long"]},
+        ],
+    })
+    s1 = parse_schema(ENVELOPE_AVRO)
+    s2 = parse_schema(v2)
+    m1 = _env("c", 10, "ten", 10.0, 100)
+    m2 = _env("c", 11, "eleven", 11.0, 101)
+    m2["after"]["extra"] = "new-col"
+
+    def frame(sid, msg, schema):
+        return b"\x00" + sid.to_bytes(4, "big") + encode_record(msg, schema)
+
+    rows = [(frame(1, m1, s1), 1), (frame(2, m2, s2), 2)]
+    df = spark.createDataFrame(rows, "value binary, offset long")
+    out = dz.parse_avro_envelope_python(
+        df, PAYLOAD_SPARK, {1: ENVELOPE_AVRO, 2: v2}
+    )
+    got = {r["after"]["pk"]: r["after"]["name"] for r in out.collect()}
+    assert got == {10: "ten", 11: "eleven"}
+
+    # unknown id -> FAILFAST
+    bad = dz.parse_avro_envelope_python(df, PAYLOAD_SPARK, {1: ENVELOPE_AVRO})
+    with pytest.raises(Exception, match="not in the registry|PythonException"):
+        bad.collect()
