@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "ngram_lm_score",
     "chunk_documents",
     "weighted_sample",
+    "duplicate_span_fraction",
+    "gopher_quality",
 ]
 
 
