@@ -285,3 +285,40 @@ def test_multi_schema_registry_dispatch(spark):
     bad = dz.parse_avro_envelope_python(df, PAYLOAD_SPARK, {1: ENVELOPE_AVRO})
     with pytest.raises(Exception, match="not in the registry|PythonException"):
         bad.collect()
+
+
+def test_decimal_logical_through_spark_seam(spark):
+    """Connect-style decimal payload field survives the Arrow hop into
+    a DecimalType column exactly (no float detour)."""
+    from datalake_iceberg_spark.cdc import debezium as dz
+
+    payload = {
+        "type": "record", "name": "P",
+        "fields": [{"name": "pk", "type": "long"},
+                   {"name": "price", "type": ["null", {
+                       "type": "bytes", "logicalType": "decimal",
+                       "precision": 10, "scale": 2}]}],
+    }
+    env = json.dumps({
+        "type": "record", "name": "E",
+        "fields": [
+            {"name": "before", "type": ["null", payload]},
+            {"name": "after", "type": ["null", "P"]},
+            {"name": "source", "type": ["null", "string"]},
+            {"name": "op", "type": "string"},
+            {"name": "ts_ms", "type": ["null", "long"]},
+        ],
+    })
+    spark_payload = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("price", T.DecimalType(10, 2)),
+    ])
+    s = parse_schema(env)
+    msg = {"before": None,
+           "after": {"pk": 1, "price": Decimal("-12345.67")},
+           "source": None, "op": "c", "ts_ms": 1}
+    wire = b"\x00" + (7).to_bytes(4, "big") + encode_record(msg, s)
+    df = spark.createDataFrame([(wire, 1)], "value binary, offset long")
+    out = dz.parse_avro_envelope_python(df, spark_payload, env).collect()[0]
+    assert out["after"]["price"] == Decimal("-12345.67")
+    assert out["op"] == "c"
