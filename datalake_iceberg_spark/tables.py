@@ -363,13 +363,32 @@ class LakeTable:
         (sub-splitting it would only fragment files and widen the
         shuffle); a full-table RTAS fans out to ``n_buckets × splits``
         tasks. Falls back to core-count/buckets when Catalyst can't size
-        the plan."""
+        the plan.
+
+        The per-task byte target defaults to ``TARGET_WRITE_BYTES`` and
+        is overridable per table via ``write.target-file-size-bytes``
+        (Iceberg's property of the same name): a scan-heavy analytics
+        table wants fewer, larger files than a lookup-heavy CDC target,
+        and that choice belongs to the TABLE, not the writing code
+        path."""
+        target = TARGET_WRITE_BYTES
+        try:
+            props = (
+                self._pending_props
+                if self._pending_props is not None
+                else (self.snapshot().properties if self.exists() else {})
+            )
+            declared = int(props.get("write.target-file-size-bytes", 0))
+            if declared > 0:
+                target = declared
+        except (ValueError, TypeError):
+            pass  # malformed property -> default sizing, never a failed write
         size = plan_size_bytes(df)
         if size is None:
             cores = self.spark.sparkContext.defaultParallelism
             return max(1, min(MAX_WRITE_SPLITS, -(-cores // max(1, n_buckets))))
         per_bucket = size // max(1, n_buckets)
-        return max(1, min(MAX_WRITE_SPLITS, -(-per_bucket // TARGET_WRITE_BYTES)))
+        return max(1, min(MAX_WRITE_SPLITS, -(-per_bucket // target)))
 
     def _write_bucketed(
         self,

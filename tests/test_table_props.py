@@ -135,3 +135,22 @@ def test_conflicting_declared_orders_rejected(spark, catalog):
     )
     with pytest.raises(ValueError, match="keep one"):
         t.rewrite_data_files()
+
+
+def test_target_file_size_property_fans_out_writes(spark, catalog, tmp_path):
+    import glob as _g
+    # parquet-backed input: Catalyst can SIZE the plan, so the per-task
+    # byte target actually drives the split count (in-memory relations
+    # fall back to core-count sizing where the property is moot)
+    rows = [Row(id=i, v="x" * 2000) for i in range(3000)]
+    spark.createDataFrame(rows).write.parquet(str(tmp_path / "in"))
+    df = spark.read.parquet(str(tmp_path / "in"))
+    t = catalog.create_or_replace(
+        "db.small_files", df, key=["id"], n_buckets=2,
+        properties={"write.target-file-size-bytes": "65536"},
+    )
+    many = len(_g.glob(f"{t.location}/data/*/**/*.parquet", recursive=True))
+    t2 = catalog.create_or_replace("db.big_files", df, key=["id"], n_buckets=2)
+    few = len(_g.glob(f"{t2.location}/data/*/**/*.parquet", recursive=True))
+    assert many > few >= 2
+    assert t.read().count() == t2.read().count() == 3000
