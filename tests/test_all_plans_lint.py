@@ -60,3 +60,35 @@ def test_plan_lint(spark, sf_dir, name):
         assert not rep.global_window, (
             f"{name}: window with empty partition spec — single-partition sort"
         )
+
+
+# ------------------------------------------------------ scan-count budget
+
+#: Structural re-scan budget: an entry may scan base tables at most this
+#: many times in its EXECUTED plan. Catalyst does not deduplicate a
+#: shared subplan consumed twice (a DAG "diamond" re-runs the whole
+#: branch from the scan), so a count above the budget almost always
+#: means a missing materialization — the r4 audit found semantic_dedup
+#: re-running its Lloyd pipeline 3× (9 corpus scans) and ngram_lm_score
+#: re-exploding the corpus per count table. Multi-table joins legally
+#: scan once per table; the budget is sized for the widest (q8: 7-table
+#: join + a reused nation scan). Raise a name's budget only with a
+#: written justification, as for SMALL_CROSS above.
+SCAN_BUDGET_DEFAULT = 8
+SCAN_BUDGET = {
+    # composes the exact baseline AND the IVF probe pipelines by design
+    # (it grades one against the other), so both sides' scans appear
+    "ivf_recall": 10,
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_scan_count_budget(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("FileScan")
+    budget = SCAN_BUDGET.get(name, SCAN_BUDGET_DEFAULT)
+    assert n <= budget, (
+        f"{name}: {n} FileScans > budget {budget} — likely an"
+        " unmaterialized shared subplan re-running from the scan"
+    )
