@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": analytics.retention_cohorts,
         "duplicate_span_fraction": dedup.duplicate_span_fraction,
         "gopher_quality": curation.gopher_quality,
+        "event_spike_hours": pipeline_ops.event_spike_hours,
     }
 
 
@@ -236,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": analytics.RETENTION_SQL,
         "duplicate_span_fraction": dedup.DUPSPAN_SQL,
         "gopher_quality": curation.GOPHER_SQL,
+        "event_spike_hours": pipeline_ops.EVENT_SPIKE_SQL,
         "boilerplate_ngrams": curation.BOILERPLATE_SQL,
         "stream_click_attribution": stream_queries.STREAM_CLICK_ATTRIBUTION_SQL,
         "mm_asset_stats": multimodal.MM_ASSET_STATS_SQL,

@@ -210,3 +210,73 @@ FROM (
 WHERE rank <= {TOP_TERMS}
 ORDER BY doc_id, rank
 """
+
+
+# -------------------------------------------------------- spike detection
+
+SPIKE_Z = 3  # flag hours whose count sits more than 3 sigma off the mean
+
+
+def event_spike_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type traffic-spike audit: how many HOURS deviate more
+    than ``SPIKE_Z`` standard deviations from that type's mean hourly
+    volume — the ops-monitoring primitive behind ingest anomaly alerts.
+
+    Exactness trick: the z-test runs entirely in INTEGER arithmetic.
+    With n hours, total = Σc and sum_sq = Σc², the condition
+    |z| > Z  ⟺  (c·n − total)² > Z² · (n·sum_sq − total²)
+    — both sides are exact BIGINT products, so the Spark plan and the
+    DuckDB oracle evaluate the identical predicate with no
+    floating-point variance ordering to disagree about.
+
+    Plan: one scan → (type, hour) count (map-side combine) → per-type
+    moment aggregate (a FEW rows) broadcast back against the hourly
+    counts → exact predicate → per-type result. Two shuffles total, the
+    second over #types·#hours rows, never raw events.
+    Output: (event_type, n_hours, total_events, spike_hours)."""
+    from datalake_iceberg_spark.queries.analytics import load_events
+
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("c"))
+    )
+    moments = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    joined = hourly.join(F.broadcast(moments), "event_type")
+    dev = F.col("c") * F.col("n") - F.col("total")
+    var_n3 = F.col("n") * F.col("sum_sq") - F.col("total") * F.col("total")
+    spike = (dev * dev) > (SPIKE_Z * SPIKE_Z) * var_n3
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.first("n").alias("n_hours"),
+            F.first("total").alias("total_events"),
+            F.sum(spike.cast("long")).alias("spike_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_SPIKE_SQL = f"""
+WITH {EVENTS_CTE},
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+  FROM events_us GROUP BY event_type, h
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n, SUM(c) AS total, SUM(c * c) AS sum_sq
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type,
+       CAST(MIN(m.n) AS BIGINT) AS n_hours,
+       CAST(MIN(m.total) AS BIGINT) AS total_events,
+       CAST(SUM(CASE WHEN (h.c * m.n - m.total) * (h.c * m.n - m.total)
+                      > {SPIKE_Z * SPIKE_Z} * (m.n * m.sum_sq - m.total * m.total)
+                THEN 1 ELSE 0 END) AS BIGINT) AS spike_hours
+FROM hourly h JOIN m USING (event_type)
+GROUP BY h.event_type ORDER BY h.event_type
+"""

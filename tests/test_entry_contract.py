@@ -58,7 +58,8 @@ def test_oracled_queries_inside_driver_window():
     # sf0.01 sweep) until they rotate in. Rotate them INTO the window in
     # r5 and move them out of this set.
     queued_for_r5 = {"funnel_conversion", "retention_cohorts",
-                         "duplicate_span_fraction", "gopher_quality"}
+                         "duplicate_span_fraction", "gopher_quality",
+                         "event_spike_hours"}
     parked_round4 |= queued_for_r5
     assert set(outside) <= parked_round4, (
         f"oracled queries past entry {DRIVER_WINDOW} without a prior green row: "
