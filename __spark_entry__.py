@@ -36,77 +36,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver grades the FIRST 50 entries only.
-    # Round-4 rotation: the window holds (a) everything changed or new
-    # this round — the shard-local pack_sequences, the now-oracled
-    # sketches + decode seam, incremental_dedup — (b) the entries whose
-    # last green row is CORRECTNESS_r02 (two rounds stale by now: the
-    # q2..q12 family, textops trio, window/pivot shapes, the
-    # dedup/similarity families, mm_asset_stats), and (c) flagship +
-    # events/DML/stream entries re-confirmed after this round's reader
-    # and table-core changes. The r3-green q13..q22 / pipeline-text /
-    # DQ / curation layers ride the tail, so every entry has a green
-    # driver row within rounds 3-4 combined.
+    # Round-5 rotation: the window holds (a) entries that have NEVER
+    # been driver-graded — the five queued late in r4 plus the seven
+    # new r5 operators — and (b) the r3-green set parked through r4
+    # (q3/q5/q10, the events/DML/as-of core, q13..q22, pipeline-text,
+    # DQ, most of the curation layer), which is otherwise two rounds
+    # stale. The r4-window entries ride the tail this round; five
+    # single-scan curation aggregates (winsorized / token-histogram /
+    # oov / embedding-norm / cube), all r3-green and untouched since,
+    # stay parked one more round for window room and rotate back in r6.
     return {
-        # --- flagship + events/DML core (green r3, code paths touched) ---
-        # (q3/q5/q10, batch_stats_events, surrogate_key_orders, and the
-        # as-of pair are parked this round — all green r3, query code
-        # untouched in r4 — to make window room for the new operators
-        # below.)
+        # --- flagship: graded every round ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
-        "ngram_contamination": curation.ngram_contamination,  # new r4: GPT-3-style n-gram decontamination
-        "zipf_stats": textops.zipf_stats,  # new r4: Zipf rank-frequency corpus audit
-        "mixture_weights": curation.mixture_weights,  # new r4: deterministic data-mixing sampler
-        "quality_deciles": curation.quality_deciles,  # new r4: per-source NTILE quality bands
-        "merge_upsert_orders": analytics.merge_upsert_orders,
-        "stream_session_stats": stream_queries.stream_session_stats,  # new r4: session_window parity
-        "semantic_dedup": similarity.semantic_dedup,  # new r4: SemDedup cluster-local pruning
-        "ngram_lm_score": textops.ngram_lm_score,  # new r4: bigram-LM quality filter
-        "chunk_documents": curation.chunk_documents,  # new r4: sliding-window RAG chunking
-        "weighted_sample": curation.weighted_sample,  # new r4: deterministic A-ES weighted sampling
-        "stream_hourly_rollup": stream_queries.stream_hourly_rollup,
-        "stream_dedup_count": stream_queries.stream_dedup_count,
-        "stream_running_stats": stream_queries.stream_running_stats,  # new r4: applyInPandasWithState parity
-        # --- changed/new this round: need fresh green rows ---
-        "mm_decode_features": multimodal.mm_decode_features,
-        "pack_sequences": curation.pack_sequences,
-        "approx_distinct_users": approx.approx_distinct_users,
-        "approx_value_quantiles": approx.approx_value_quantiles,
-        "incremental_dedup": dedup.incremental_dedup,
-        "kmeans_clusters": similarity.kmeans_clusters,  # new r4: deterministic Lloyd semantic clustering
-        "boilerplate_ngrams": curation.boilerplate_ngrams,  # new r4: cross-doc boilerplate spans
-        "stream_click_attribution": stream_queries.stream_click_attribution,  # new r4: stream-stream interval join parity
-        # --- last green in r2 (stale two rounds — rotate back in) ---
-        "q2_min_cost_supplier": tpch_ext.q2_min_cost_supplier,
-        "q4_priority_semijoin": analytics.q4_priority_semijoin,
-        "q6_forecast_revenue": analytics.q6_forecast_revenue,
-        "q7_volume_shipping": analytics.q7_volume_shipping,
-        "q8_market_share": tpch_ext.q8_market_share,
-        "q9_nation_profit": tpch_ext.q9_nation_profit,
-        "q11_important_stock": tpch_ext.q11_important_stock,
-        "q12_priority_shipping": tpch_ext.q12_priority_shipping,
-        "top_parts_per_brand": analytics.top_parts_per_brand,
-        "doc_fingerprint": textops.fingerprint,
-        "quality_score": textops.quality_score,
-        "lang_id": textops.lang_id,
-        "grouping_sets_revenue": analytics.grouping_sets_revenue,
-        "rolling_revenue_7d": analytics.rolling_revenue_7d,
-        "pivot_status_by_priority": analytics.pivot_status_by_priority,
-        "exact_dedup": dedup.exact_dedup,
-        "minhash_signatures": dedup.minhash_signatures,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "simhash": dedup.simhash,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "dup_clusters": dedup.dup_clusters,
-        "knn_bruteforce": similarity.knn_bruteforce,
-        "ann_lsh_buckets": similarity.ann_lsh_buckets,
-        "centroid_similarity": similarity.centroid_similarity,
-        "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
-        "ivf_ann_topk": similarity.ivf_ann_topk,
-        "ivf_recall": similarity.ivf_recall,  # new r4: exact-oracled ANN recall audit
-        "mm_asset_stats": multimodal.mm_asset_stats,
-        # ---- entries past the driver's 50-entry window ----
-        # all green in CORRECTNESS_r03; parked this round so the
-        # r2-stale and changed entries get graded.
+        # --- queued late-r4, never graded ---
+        "funnel_conversion": analytics.funnel_conversion,
+        "retention_cohorts": analytics.retention_cohorts,
+        "duplicate_span_fraction": dedup.duplicate_span_fraction,
+        "gopher_quality": curation.gopher_quality,
+        "event_spike_hours": pipeline_ops.event_spike_hours,
+        # --- new in r5, never graded ---
+        "pmi_collocations": textops.pmi_collocations,  # adjacent-pair PMI collocation mining
+        "vocab_growth": textops.vocab_growth,  # Heaps-law vocabulary audit per source
+        "unigram_entropy": textops.unigram_entropy,  # repetition-collapse entropy bands
+        "decayed_engagement": pipeline_ops.decayed_engagement,  # half-life-decayed user scores
+        "props_pii_scan": pipeline_ops.props_pii_scan,  # email/IPv4/digit-run PII gate
+        "salted_user_stats": pipeline_ops.salted_user_stats,  # two-phase salted hot-key agg
+        "sq8_quant_error": similarity.sq8_quant_error,  # int8 scalar-quantization fidelity
+        # --- r3-green, parked through r4 — rotate back in ---
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "q5_regional_revenue": analytics.q5_regional_revenue,
         "q10_returned_items": analytics.q10_returned_items,
@@ -144,20 +100,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_repetition": curation.shingle_repetition,
         "stratified_sample_counts": curation.stratified_sample_counts,
         "contamination_overlap": curation.contamination_overlap,
+        # ---- entries past the driver's 50-entry window ----
+        # The whole r4 window rides the tail this round (graded in r4 if
+        # the driver recorded that round; their query code is untouched
+        # in r5 and stays pinned by tests/test_oracle_parity.py either
+        # way), plus the five parked curation aggregates noted above.
+        "ngram_contamination": curation.ngram_contamination,
+        "zipf_stats": textops.zipf_stats,
+        "mixture_weights": curation.mixture_weights,
+        "quality_deciles": curation.quality_deciles,
+        "merge_upsert_orders": analytics.merge_upsert_orders,
+        "stream_session_stats": stream_queries.stream_session_stats,
+        "semantic_dedup": similarity.semantic_dedup,
+        "ngram_lm_score": textops.ngram_lm_score,
+        "chunk_documents": curation.chunk_documents,
+        "weighted_sample": curation.weighted_sample,
+        "stream_hourly_rollup": stream_queries.stream_hourly_rollup,
+        "stream_dedup_count": stream_queries.stream_dedup_count,
+        "stream_running_stats": stream_queries.stream_running_stats,
+        "mm_decode_features": multimodal.mm_decode_features,
+        "pack_sequences": curation.pack_sequences,
+        "approx_distinct_users": approx.approx_distinct_users,
+        "approx_value_quantiles": approx.approx_value_quantiles,
+        "incremental_dedup": dedup.incremental_dedup,
+        "kmeans_clusters": similarity.kmeans_clusters,
+        "boilerplate_ngrams": curation.boilerplate_ngrams,
+        "stream_click_attribution": stream_queries.stream_click_attribution,
+        "q2_min_cost_supplier": tpch_ext.q2_min_cost_supplier,
+        "q4_priority_semijoin": analytics.q4_priority_semijoin,
+        "q6_forecast_revenue": analytics.q6_forecast_revenue,
+        "q7_volume_shipping": analytics.q7_volume_shipping,
+        "q8_market_share": tpch_ext.q8_market_share,
+        "q9_nation_profit": tpch_ext.q9_nation_profit,
+        "q11_important_stock": tpch_ext.q11_important_stock,
+        "q12_priority_shipping": tpch_ext.q12_priority_shipping,
+        "top_parts_per_brand": analytics.top_parts_per_brand,
+        "doc_fingerprint": textops.fingerprint,
+        "quality_score": textops.quality_score,
+        "lang_id": textops.lang_id,
+        "grouping_sets_revenue": analytics.grouping_sets_revenue,
+        "rolling_revenue_7d": analytics.rolling_revenue_7d,
+        "pivot_status_by_priority": analytics.pivot_status_by_priority,
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_signatures": dedup.minhash_signatures,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash": dedup.simhash,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dup_clusters": dedup.dup_clusters,
+        "knn_bruteforce": similarity.knn_bruteforce,
+        "ann_lsh_buckets": similarity.ann_lsh_buckets,
+        "centroid_similarity": similarity.centroid_similarity,
+        "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
+        "ivf_ann_topk": similarity.ivf_ann_topk,
+        "ivf_recall": similarity.ivf_recall,
+        "mm_asset_stats": multimodal.mm_asset_stats,
         "winsorized_value_stats": curation.winsorized_value_stats,
         "token_len_histogram": curation.token_len_histogram,
         "oov_rate": curation.oov_rate,
         "embedding_norm_stats": curation.embedding_norm_stats,
         "cube_revenue": curation.cube_revenue,
-        # ---- new in late r4, QUEUED for the r5 grading window (the 50
-        # slots are full of entries that must earn r4 rows); until then
-        # their oracles are enforced by tests/test_oracle_parity.py at
-        # sf0.001 and by the sf0.01 parity sweep.
-        "funnel_conversion": analytics.funnel_conversion,
-        "retention_cohorts": analytics.retention_cohorts,
-        "duplicate_span_fraction": dedup.duplicate_span_fraction,
-        "gopher_quality": curation.gopher_quality,
-        "event_spike_hours": pipeline_ops.event_spike_hours,
     }
 
 
@@ -238,6 +239,13 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_span_fraction": dedup.DUPSPAN_SQL,
         "gopher_quality": curation.GOPHER_SQL,
         "event_spike_hours": pipeline_ops.EVENT_SPIKE_SQL,
+        "pmi_collocations": textops.PMI_SQL,
+        "vocab_growth": textops.VOCAB_GROWTH_SQL,
+        "unigram_entropy": textops.UNIGRAM_ENTROPY_SQL,
+        "decayed_engagement": pipeline_ops.DECAYED_ENGAGEMENT_SQL,
+        "props_pii_scan": pipeline_ops.PROPS_PII_SQL,
+        "salted_user_stats": pipeline_ops.SALTED_USER_STATS_SQL,
+        "sq8_quant_error": similarity.SQ8_QUANT_SQL,
         "boilerplate_ngrams": curation.BOILERPLATE_SQL,
         "stream_click_attribution": stream_queries.STREAM_CLICK_ATTRIBUTION_SQL,
         "mm_asset_stats": multimodal.MM_ASSET_STATS_SQL,

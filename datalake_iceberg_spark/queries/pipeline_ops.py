@@ -280,3 +280,169 @@ SELECT h.event_type,
 FROM hourly h JOIN m USING (event_type)
 GROUP BY h.event_type ORDER BY h.event_type
 """
+
+
+# ------------------------------------------- time-decayed engagement
+
+DECAY_HALF_LIFE_US = 7 * 86_400 * 1_000_000  # 7-day half-life, in µs
+
+
+def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed engagement score — the
+    freshness-weighted feature a ranking / sampling pipeline derives
+    from an event stream: each event contributes ``value · 0.5^(age /
+    half_life)`` with age measured from the corpus max timestamp.
+
+    Plan: the reference timestamp is a 1-row aggregate broadcast onto
+    the scan (no window, no second shuffle); decay is a pure projection
+    in codegen; one user-keyed partial-agg shuffle ends the plan. Ages
+    are exact integer microseconds so both engines exponentiate the
+    same double."""
+    ev = load_events(spark, sf_dir)
+    ref = ev.agg(F.max(F.unix_micros("ts")).alias("ref_us"))
+    decay = F.pow(
+        F.lit(0.5),
+        (F.col("ref_us") - F.unix_micros("ts")).cast("double")
+        / F.lit(float(DECAY_HALF_LIFE_US)),
+    )
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value") * decay), 4).alias("decayed_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+DECAYED_ENGAGEMENT_SQL = f"""
+WITH {EVENTS_CTE},
+ref AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events_us)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value * POWER(0.5,
+             CAST(ref.ref_us - epoch_us(ts) AS DOUBLE) / {float(DECAY_HALF_LIFE_US)})), 4)
+         AS decayed_value,
+       MAX(ts) AS last_ts
+FROM events_us CROSS JOIN ref
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------- PII-pattern scan
+
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_IPV4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+PII_DIGIT_RUN = "[0-9]+"
+
+
+def props_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / sensitive-pattern scan over the raw ``props`` payload —
+    the pre-release gate every training-data export runs: email, IPv4
+    and digit-run detectors per event_type, plus the digit mass that a
+    redaction pass would scrub. On this corpus the email/IPv4 counts
+    are structurally zero (synthetic payloads) — the point is the scan
+    executes the same compiled-regex projection a real corpus needs,
+    entirely in codegen, one partial-agg shuffle, no Python.
+
+    A real redaction (``regexp_replace(props, pat, '<pii>')``) is the
+    same projection shape; see ``term_scrub_stats`` for the scrub-mass
+    variant over document text."""
+    ev = load_events(spark, sf_dir)
+    digit_runs = F.regexp_extract_all("props", F.lit(PII_DIGIT_RUN), 0)
+    digit_sum = F.aggregate(
+        F.transform(digit_runs, lambda x: x.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.regexp_count("props", F.lit(PII_EMAIL)).alias("n_email"),
+            F.regexp_count("props", F.lit(PII_IPV4)).alias("n_ipv4"),
+            F.size(digit_runs).alias("n_digit_runs"),
+            digit_sum.alias("digit_mass"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("n_email").alias("email_hits"),
+            F.sum("n_ipv4").alias("ipv4_hits"),
+            F.sum("n_digit_runs").alias("digit_runs"),
+            F.sum("digit_mass").alias("digit_mass"),
+            F.sum(F.when(F.col("n_digit_runs") > 0, 1).otherwise(0)).alias(
+                "events_with_digits"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+PROPS_PII_SQL = f"""
+WITH {EVENTS_CTE},
+scanned AS (
+  SELECT event_type,
+         len(regexp_extract_all(props, '{PII_EMAIL}')) AS n_email,
+         len(regexp_extract_all(props, '{PII_IPV4}')) AS n_ipv4,
+         regexp_extract_all(props, '{PII_DIGIT_RUN}') AS runs
+  FROM events_us
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(n_email) AS BIGINT) AS email_hits,
+       CAST(SUM(n_ipv4) AS BIGINT) AS ipv4_hits,
+       CAST(SUM(len(runs)) AS BIGINT) AS digit_runs,
+       CAST(SUM(list_sum(list_transform(runs, x -> CAST(x AS BIGINT)))) AS BIGINT)
+         AS digit_mass,
+       CAST(SUM(CASE WHEN len(runs) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS events_with_digits
+FROM scanned GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------- salted hot-key rollup
+
+
+def salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key engagement rollup through the salted two-phase
+    aggregation (:func:`datalake_iceberg_spark.functions.skew.salted_agg`):
+    the events key domain (15 users) is far below any
+    real cluster's parallelism, so a plain groupBy pins each hot user
+    to ONE reducer — exactly the shape AQE cannot split. Phase 1
+    spreads each user over 16 salt reducers, phase 2 merges 16 partial
+    rows per user.
+
+    Values sum as exact integer cents (per-row ``floor(v·100+0.5)``),
+    so the two-phase regrouping cannot perturb an IEEE sum order —
+    result is bit-identical to the plain aggregate the oracle runs."""
+    from datalake_iceberg_spark.functions.skew import salted_agg
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "value_cents",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+    )
+    out = salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "n_events": ("event_id", "count"),
+            "value_cents": (F.col("value_cents"), "sum"),
+            "first_event": ("ts", "min"),
+            "last_event": ("ts", "max"),
+        },
+        n_salt=16,
+    )
+    return out.orderBy("user_id")
+
+
+SALTED_USER_STATS_SQL = f"""
+WITH {EVENTS_CTE}
+SELECT user_id,
+       COUNT(event_id) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+       MIN(ts) AS first_event,
+       MAX(ts) AS last_event
+FROM events_us GROUP BY user_id ORDER BY user_id
+"""

@@ -677,3 +677,108 @@ SELECT a1.cid AS cluster_id, COUNT(*) AS n_members,
 FROM a1 LEFT JOIN dropped d ON a1.cid = d.cid AND a1.vec_id = d.vec_id
 GROUP BY a1.cid ORDER BY cluster_id
 """
+
+
+# ------------------------------------------ int8 scalar quantization
+
+SQ_LEVELS = 255  # 8-bit codes 0..255
+
+
+def sq8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization audit — the storage-tier decision every
+    100 TB vector corpus makes: quantize each embedding to 8-bit codes
+    against its own [min, max] range (the faiss ``SQ8``-per-vector
+    shape), reconstruct, and report per-label reconstruction RMSE and
+    cosine fidelity. A label whose fidelity falls off the corpus band
+    needs float16/float32 retention or per-dimension trained bounds.
+
+    Plan: everything is a projection of JVM higher-order functions
+    (transform / array_min / array_max / aggregate) — quantize,
+    reconstruct and error fold run per row inside codegen with NO
+    Python and NO shuffle; the only exchange is the final label
+    rollup. Per-vector metrics round to 6 dp before aggregating (the
+    module's FP discipline), group means re-round to 4.
+    """
+    emb = load_balanced(spark, sf_dir, "embeddings")
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mn = F.array_min(d)
+    mx = F.array_max(d)
+    scale = (mx - mn) / F.lit(float(SQ_LEVELS))
+    # constant vectors (scale == 0) reconstruct exactly as mn
+    recon = F.when(scale == 0, d).otherwise(
+        F.transform(
+            d,
+            lambda x: mn
+            + F.least(
+                F.lit(float(SQ_LEVELS)),
+                F.floor((x - mn) / scale + F.lit(0.5)).cast("double"),
+            )
+            * scale,
+        )
+    )
+    err2 = F.aggregate(
+        F.zip_with(d, recon, lambda x, r: (x - r) * (x - r)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_vec = emb.select(
+        "label",
+        F.round(F.sqrt(err2 / F.size(d)), 6).alias("rmse"),
+        F.round(
+            _dot(d, recon) / (F.sqrt(_dot(d, d)) * F.sqrt(_dot(recon, recon))), 6
+        ).alias("cos_fid"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("rmse"), 4).alias("avg_rmse"),
+            F.round(F.max("rmse"), 4).alias("max_rmse"),
+            F.round(F.avg("cos_fid"), 4).alias("avg_cos_fid"),
+            F.round(F.min("cos_fid"), 4).alias("min_cos_fid"),
+        )
+        .orderBy("label")
+    )
+
+
+SQ8_QUANT_SQL = f"""
+WITH v AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+  FROM embeddings
+),
+q AS (
+  SELECT label, d,
+         list_aggregate(d, 'min') AS mn,
+         (list_aggregate(d, 'max') - list_aggregate(d, 'min'))
+           / {float(SQ_LEVELS)} AS scale
+  FROM v
+),
+r AS (
+  SELECT label, d,
+         CASE WHEN scale = 0 THEN d
+              ELSE list_transform(d, x -> mn
+                   + LEAST({float(SQ_LEVELS)},
+                           CAST(FLOOR((x - mn) / scale + 0.5) AS DOUBLE))
+                   * scale)
+         END AS recon
+  FROM q
+),
+per_vec AS (
+  SELECT label,
+         ROUND(SQRT(list_sum(list_transform(range(1, len(d) + 1),
+                    i -> (d[i] - recon[i]) * (d[i] - recon[i]))) / len(d)), 6)
+           AS rmse,
+         ROUND(list_sum(list_transform(range(1, len(d) + 1), i -> d[i] * recon[i]))
+               / (SQRT(list_sum(list_transform(d, x -> x * x)))
+                  * SQRT(list_sum(list_transform(recon, x -> x * x)))), 6)
+           AS cos_fid
+  FROM r
+)
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(AVG(rmse), 4) AS avg_rmse,
+       ROUND(MAX(rmse), 4) AS max_rmse,
+       ROUND(AVG(cos_fid), 4) AS avg_cos_fid,
+       ROUND(MIN(cos_fid), 4) AS min_cos_fid
+FROM per_vec GROUP BY label ORDER BY label
+"""

