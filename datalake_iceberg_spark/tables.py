@@ -318,27 +318,35 @@ class LakeTable:
         )
         self.fs.replace_atomic(self.fs.join(self.meta_dir, "_current"), str(snap.version))
 
+    def _finalize_snapshot(self, snap: Snapshot, parent: Snapshot | None) -> Snapshot:
+        """Post-build snapshot fixup shared by direct commits and staged
+        transactional commits (``txn.CatalogTransaction``): attach
+        per-dir column stats and prune rename mappings. Leaves
+        ``_pending_stats`` in place — the caller clears it only once a
+        manifest actually publishes."""
+        # carry forward / attach per-dir column stats for the dirs
+        # that survive into this snapshot (data-skipping manifests)
+        inherited = dict(parent.stats) if parent else {}
+        inherited.update(self._pending_stats)
+        snap.stats = {
+            d: inherited[d] for d in snap.all_dirs() if d in inherited
+        }
+        # prune rename mappings to live dirs. Builders carry the
+        # parent's mappings forward explicitly (like ``deletes``) —
+        # merging here would resurrect entries a rename-back DDL
+        # deliberately deleted. Dirs (re)written this commit use
+        # current logical names, so they simply have no entry.
+        live = set(snap.all_dirs()) | set(snap.all_delete_dirs())
+        snap.renames = {
+            d: dict(m) for d, m in snap.renames.items() if d in live and m
+        }
+        return snap
+
     def _commit(self, build_snapshot, operation: str) -> Snapshot:
         """Optimistic-retry commit: ``build_snapshot(parent) -> Snapshot``."""
         for attempt in range(COMMIT_RETRIES + 1):
             parent = self.snapshot() if self.exists() else None
-            snap = build_snapshot(parent)
-            # carry forward / attach per-dir column stats for the dirs
-            # that survive into this snapshot (data-skipping manifests)
-            inherited = dict(parent.stats) if parent else {}
-            inherited.update(self._pending_stats)
-            snap.stats = {
-                d: inherited[d] for d in snap.all_dirs() if d in inherited
-            }
-            # prune rename mappings to live dirs. Builders carry the
-            # parent's mappings forward explicitly (like ``deletes``) —
-            # merging here would resurrect entries a rename-back DDL
-            # deliberately deleted. Dirs (re)written this commit use
-            # current logical names, so they simply have no entry.
-            live = set(snap.all_dirs()) | set(snap.all_delete_dirs())
-            snap.renames = {
-                d: dict(m) for d, m in snap.renames.items() if d in live and m
-            }
+            snap = self._finalize_snapshot(build_snapshot(parent), parent)
             try:
                 self._write_manifest(snap)
                 self._pending_stats = {}
@@ -2325,6 +2333,20 @@ class LakeCatalog:
         loc = self._loc(name)
         if purge and self.fs.isdir(loc):
             self.fs.rmtree(loc)
+
+    def transaction(self):
+        """Multi-table atomic commit scope — see
+        :class:`datalake_iceberg_spark.txn.CatalogTransaction`."""
+        from datalake_iceberg_spark.txn import CatalogTransaction
+
+        return CatalogTransaction(self)
+
+    def recover_transactions(self) -> list[dict]:
+        """Roll forward transactions interrupted mid-publish — see
+        :func:`datalake_iceberg_spark.txn.recover_transactions`."""
+        from datalake_iceberg_spark.txn import recover_transactions
+
+        return recover_transactions(self)
 
     def list_tables(self, schema: str = "default") -> list[str]:
         d = self.fs.join(self.warehouse, schema)
