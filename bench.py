@@ -84,6 +84,13 @@ def main() -> None:
     )
     qs = entrymod.queries()
 
+    def _case(label: str) -> float:
+        """Start a bench case: tag every job it submits with the case
+        name (surfaces in the health report's findings as `case`) and
+        return the perf-counter start time."""
+        spark.sparkContext.setJobDescription(label)
+        return time.perf_counter()
+
     # warmup: JVM + codegen + parquet footer caches
     qs["q1_pricing_summary"](spark, sf_dir).collect()
 
@@ -92,7 +99,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         best, n = None, -1
         for _ in range(n_runs):
-            t0 = time.perf_counter()
+            t0 = _case(f"query:{name}")
             df = qs[name](spark, sf_dir)
             n = df.count()
             elapsed = time.perf_counter() - t0
@@ -131,35 +138,35 @@ def main() -> None:
         orders = surrogate_key(
             spark.read.parquet(f"{sf_dir}/orders.parquet"), ["o_orderkey"]
         )
-        t0 = time.perf_counter()
+        t0 = _case("dml:rtas_orders")
         table = cat.create_or_replace("bench.orders", orders, key=["id_iceberg"])
         dml["rtas_orders"] = round(time.perf_counter() - t0, 3)
 
         upd = orders.filter(F.col("o_orderkey") % 100 == 0).withColumn(
             "o_orderpriority", F.lit("BENCH")
         )
-        t0 = time.perf_counter()
+        t0 = _case("dml:merge_1pct")
         table.merge(upd, assert_unique_key=False)
         dml["merge_1pct"] = round(time.perf_counter() - t0, 3)
 
         dels = orders.filter(F.col("o_orderkey") % 100 == 1).select("id_iceberg")
-        t0 = time.perf_counter()
+        t0 = _case("dml:delete_1pct")
         table.delete_keys(dels)
         dml["delete_1pct"] = round(time.perf_counter() - t0, 3)
 
-        t0 = time.perf_counter()
+        t0 = _case("dml:compact_expire")
         table.rewrite_data_files(min_input_dirs=1)
         table.expire_snapshots(keep_last=1)
         dml["compact_expire"] = round(time.perf_counter() - t0, 3)
 
-        t0 = time.perf_counter()
+        t0 = _case("dml:zorder_rewrite")
         table.rewrite_data_files(zorder_by=["o_custkey", "o_totalprice"])
         dml["zorder_rewrite"] = round(time.perf_counter() - t0, 3)
 
         # bucket-pruning proof at high bucket count: a small CDC batch
         # against a 1024-bucket table must rewrite only the touched
         # buckets' bytes, not the table (merge cost ∝ touched/total)
-        t0 = time.perf_counter()
+        t0 = _case("dml:rtas_1024b")
         table_hb = cat.create_or_replace(
             "bench.orders_hb", orders, key=["id_iceberg"], n_buckets=1024
         )
@@ -167,7 +174,7 @@ def main() -> None:
         upd_small = orders.filter(F.col("o_orderkey") % 1000 == 7).withColumn(
             "o_orderpriority", F.lit("BENCH")
         )
-        t0 = time.perf_counter()
+        t0 = _case("dml:merge_0p1pct_1024b")
         snap_hb = table_hb.merge(upd_small, assert_unique_key=False)
         dml["merge_0p1pct_1024b"] = round(time.perf_counter() - t0, 3)
         touched = snap_hb.summary.get("affected_buckets", [])
@@ -192,14 +199,14 @@ def main() -> None:
         # CoW rewrites every touched bucket; fold is the deferred cost
         v_before_deletes = table_hb.current_version()
         dels_a = orders.filter(F.col("o_orderkey") % 1000 == 13).select("id_iceberg")
-        t0 = time.perf_counter()
+        t0 = _case("dml:delete_mor_0p1pct_1024b")
         table_hb.delete_keys(dels_a, mode="merge-on-read")
         dml["delete_mor_0p1pct_1024b"] = round(time.perf_counter() - t0, 3)
         dels_b = orders.filter(F.col("o_orderkey") % 1000 == 19).select("id_iceberg")
-        t0 = time.perf_counter()
+        t0 = _case("dml:delete_cow_0p1pct_1024b")
         table_hb.delete_keys(dels_b)  # copy-on-write
         dml["delete_cow_0p1pct_1024b"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
+        t0 = _case("dml:mor_fold_1024b")
         table_hb.rewrite_position_delete_files()
         dml["mor_fold_1024b"] = round(time.perf_counter() - t0, 3)
 
@@ -207,7 +214,7 @@ def main() -> None:
         # endpoints, so only buckets the deletes/fold touched are read —
         # diff cost ∝ changed buckets (contrast read_changes_keyed_diff
         # below, whose range spans a rebucket and takes the full path)
-        t0 = time.perf_counter()
+        t0 = _case("dml:read_changes_pruned_diff")
         n_pruned = table_hb.read_changes(v_before_deletes).count()
         dml["read_changes_pruned_diff"] = round(time.perf_counter() - t0, 3)
         dml["read_changes_pruned_rows"] = n_pruned
@@ -215,17 +222,17 @@ def main() -> None:
         # bucket-count evolution: integer-factor shrink is metadata-only
         # (O(buckets) regardless of data size), integer-factor grow is a
         # shuffle-free local-split rewrite
-        t0 = time.perf_counter()
+        t0 = _case("dml:rebucket_shrink_4x_metadata_only")
         table_hb.rebucket(256)
         dml["rebucket_shrink_4x_metadata_only"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
+        t0 = _case("dml:rebucket_grow_2x_local_split")
         table_hb.rebucket(512)
         dml["rebucket_grow_2x_local_split"] = round(time.perf_counter() - t0, 3)
 
         # incremental changes read (CDC-out): the keyed diff across the
         # delete + fold + rebucket commits must surface exactly the two
         # delete batches (rebuckets move bytes, not rows)
-        t0 = time.perf_counter()
+        t0 = _case("dml:read_changes_keyed_diff")
         n_changes = table_hb.read_changes(v_before_deletes).count()
         dml["read_changes_keyed_diff"] = round(time.perf_counter() - t0, 3)
         dml["read_changes_rows"] = n_changes
@@ -235,7 +242,7 @@ def main() -> None:
         from datalake_iceberg_spark.ingest.shards import write_training_shards
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        t0 = time.perf_counter()
+        t0 = _case("dml:shard_export_64")
         man = write_training_shards(
             docs, tempfile.mkdtemp(prefix="bench_shards_"), 64, by=["doc_id"]
         )
@@ -254,7 +261,7 @@ def main() -> None:
             table, cat.table("bench.orders_by_prio"),
             group_by=["o_orderpriority"], sum_cols=["o_totalprice"],
         )
-        t0 = time.perf_counter()
+        t0 = _case("dml:rollup_full_build")
         rollup.refresh()
         dml["rollup_full_build"] = round(time.perf_counter() - t0, 3)
         table.append(
@@ -262,7 +269,7 @@ def main() -> None:
                 "id_iceberg", F.concat(F.col("id_iceberg"), F.lit("-r"))
             )
         )
-        t0 = time.perf_counter()
+        t0 = _case("dml:rollup_refresh_append_1pct")
         out = rollup.refresh()
         dml["rollup_refresh_append_1pct"] = round(time.perf_counter() - t0, 3)
         assert out["mode"] == "incremental"
@@ -272,7 +279,7 @@ def main() -> None:
             ),
             assert_unique_key=False,
         )
-        t0 = time.perf_counter()
+        t0 = _case("dml:rollup_refresh_keyed_churn")
         out = rollup.refresh()
         dml["rollup_refresh_keyed_churn"] = round(time.perf_counter() - t0, 3)
         assert out["mode"] == "incremental"
@@ -286,18 +293,18 @@ def main() -> None:
 
         docs_all = spark.read.parquet(f"{sf_dir}/documents.parquet")
         id_mod = F.col("doc_id") % 10
-        t0 = time.perf_counter()
+        t0 = _case("dml:sig_index_bootstrap")
         sig_idx = SignatureIndex.create(
             cat, "bench.sig_index", docs_all.filter(id_mod != 0)
         )
         dml["sig_index_bootstrap"] = round(time.perf_counter() - t0, 3)
         batch_small = docs_all.filter(F.col("doc_id") % 100 == 0)
-        t0 = time.perf_counter()
+        t0 = _case("dml:incr_dedup_batch_small")
         r_small = sig_idx.dedup_batch(batch_small)
         dml["incr_dedup_batch_small"] = round(time.perf_counter() - t0, 3)
         dml["incr_dedup_batch_small_docs"] = r_small["batch_docs"]
         batch_full = docs_all.filter(id_mod == 0)
-        t0 = time.perf_counter()
+        t0 = _case("dml:incr_dedup_batch_full")
         r_full = sig_idx.dedup_batch(batch_full)
         dml["incr_dedup_batch_full"] = round(time.perf_counter() - t0, 3)
         dml["incr_dedup_batch_full_docs"] = r_full["batch_docs"]
@@ -305,14 +312,14 @@ def main() -> None:
         # Structured Streaming drain: full watermarked windowed rollup
         # of the events stream (availableNow), end-to-end incl. source
         # listing, state store, and sink — the streaming ops cost
-        t0 = time.perf_counter()
+        t0 = _case("dml:stream_drain_hourly_rollup")
         n_win = entrymod.queries()["stream_hourly_rollup"](spark, sf_dir).count()
         dml["stream_drain_hourly_rollup"] = round(time.perf_counter() - t0, 3)
         dml["stream_drain_windows"] = n_win
 
         # stream-STREAM interval join drain: two watermarked streams,
         # symmetric-hash join state, append sink — the stateful-join cost
-        t0 = time.perf_counter()
+        t0 = _case("dml:stream_drain_click_attr")
         n_attr = entrymod.queries()["stream_click_attribution"](spark, sf_dir).count()
         dml["stream_drain_click_attr"] = round(time.perf_counter() - t0, 3)
         dml["stream_drain_click_attr_users"] = n_attr
@@ -340,7 +347,7 @@ def main() -> None:
             .localCheckpoint()
         )
         dml_fill_start_ms = int(time.time() * 1000)
-        t0 = time.perf_counter()
+        t0 = _case("dml:rtas_fill_64b")
         table_fill = cat.create_or_replace(
             "bench.orders_fill", big, key=["id_iceberg"], n_buckets=64
         )
@@ -357,11 +364,11 @@ def main() -> None:
         upd_fill = big.filter(F.col("o_orderkey") % 100 == 0).withColumn(
             "o_orderpriority", F.lit("BENCH")
         )
-        t0 = time.perf_counter()
+        t0 = _case("dml:merge_1pct_fill_64b")
         table_fill.merge(upd_fill, assert_unique_key=False)
         dml["merge_1pct_fill_64b"] = round(time.perf_counter() - t0, 3)
         dels_fill = big.filter(F.col("o_orderkey") % 100 == 1).select("id_iceberg")
-        t0 = time.perf_counter()
+        t0 = _case("dml:delete_cow_1pct_fill_64b")
         table_fill.delete_keys(dels_fill)
         dml["delete_cow_1pct_fill_64b"] = round(time.perf_counter() - t0, 3)
 
@@ -372,10 +379,10 @@ def main() -> None:
         upd_mor = big.filter(F.col("o_orderkey") % 100 == 2).withColumn(
             "o_orderpriority", F.lit("BENCH-MOR")
         )
-        t0 = time.perf_counter()
+        t0 = _case("dml:merge_mor_1pct_fill_64b")
         table_fill.merge(upd_mor, assert_unique_key=False, mode="merge-on-read")
         dml["merge_mor_1pct_fill_64b"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
+        t0 = _case("dml:mor_fold_fill_64b")
         table_fill.rewrite_position_delete_files()
         dml["mor_fold_fill_64b"] = round(time.perf_counter() - t0, 3)
 
@@ -414,7 +421,7 @@ def main() -> None:
             .withColumn("id", F.col("id") + F.lit(2 * era))
             .withColumn("o_orderpriority", F.lit("BENCH"))
         )
-        t0 = time.perf_counter()
+        t0 = _case("dml:merge_hot_era_fill_64b")
         s = table_seq.merge(hot)
         dml["merge_hot_era_fill_64b"] = round(time.perf_counter() - t0, 3)
         dml["merge_hot_era_pruned_dirs"] = s.summary["pruned_dirs"]
@@ -475,7 +482,11 @@ def main() -> None:
                 health["dml_fill_cpu_efficiency"] = frep["cpu_efficiency"]
                 health["dml_fill_cpu_verdict"] = frep["cpu_verdict"]
             for f in report["findings"][:10]:
-                print(f"# health: stage {f['stage_id']} {f['findings']}", file=sys.stderr)
+                print(
+                    f"# health: stage {f['stage_id']} [{f.get('case') or f['name']}] "
+                    f"{f['findings']}",
+                    file=sys.stderr,
+                )
     except Exception as ex:  # health grading must never fail the bench
         print(f"# health analysis skipped: {ex}", file=sys.stderr)
 

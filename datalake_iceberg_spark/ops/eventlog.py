@@ -119,6 +119,10 @@ class TaskRecord:
 class StageStats:
     stage_id: int
     name: str = ""
+    #: the submitting job's ``spark.job.description`` (set via
+    #: ``sc.setJobDescription``) — lets findings name the CALLER'S case
+    #: (e.g. a bench tier) instead of an opaque codegen stage name
+    description: str = ""
     n_tasks: int = 0
     total_duration_ms: float = 0.0
     max_duration_ms: float = 0.0
@@ -181,6 +185,7 @@ def analyze_stages(events: Iterator[dict[str, Any]]) -> list[StageStats]:
     tasks: dict[int, list[TaskRecord]] = {}
     names: dict[int, str] = {}
     submitted: dict[int, int] = {}
+    descriptions: dict[int, str] = {}
     for ev in events:
         kind = ev.get("Event")
         if kind == "SparkListenerTaskEnd":
@@ -191,6 +196,11 @@ def analyze_stages(events: Iterator[dict[str, Any]]) -> list[StageStats]:
             si = ev.get("Stage Info") or {}
             names[si.get("Stage ID", -1)] = si.get("Stage Name", "")
             submitted[si.get("Stage ID", -1)] = si.get("Submission Time", 0)
+        elif kind == "SparkListenerJobStart":
+            desc = (ev.get("Properties") or {}).get("spark.job.description", "")
+            if desc:
+                for si in ev.get("Stage Infos") or []:
+                    descriptions[si.get("Stage ID", -1)] = desc
 
     out: list[StageStats] = []
     for stage_id in sorted(tasks):
@@ -200,6 +210,7 @@ def analyze_stages(events: Iterator[dict[str, Any]]) -> list[StageStats]:
         st = StageStats(
             stage_id=stage_id,
             name=names.get(stage_id, ""),
+            description=descriptions.get(stage_id, ""),
             submission_ts=submitted.get(stage_id, 0),
             n_tasks=len(recs),
             total_duration_ms=sum(durations),
@@ -328,7 +339,12 @@ def analyze_eventlog(
             max((s.skew_ratio for s in stages if s.significant), default=0.0), 2
         ),
         "findings": [
-            {"stage_id": s.stage_id, "name": s.name[:80], "findings": s.findings}
+            {
+                "stage_id": s.stage_id,
+                "name": s.name[:80],
+                "case": s.description[:80],
+                "findings": s.findings,
+            }
             for s in stages
             if s.findings
         ],

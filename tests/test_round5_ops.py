@@ -1,0 +1,154 @@
+"""Edge cases for the round-5 operators that the TESTDATA fixtures
+cannot exercise: PII detectors against payloads that actually contain
+emails/IPv4 (the synthetic corpus has none — the driver oracle proves
+the zero path, these prove the hit path), decay weights at exact
+half-life boundaries, entropy degenerate cases, and SQ8 on constant
+vectors (scale == 0 guard)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.queries import pipeline_ops, similarity, textops
+
+
+@pytest.fixture()
+def pii_events_dir(spark, tmp_path):
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, "signup", 1.0,
+         '{"email": "alice@example.com", "note": "x"}'),
+        (1, "2024-01-01 01:00:00", 1, "click", 2.0,
+         '{"ip": "10.0.0.1", "k": 42}'),
+        (2, "2024-01-01 02:00:00", 2, "click", 3.0,
+         '{"k": 7, "msg": "reach me at bob.smith+spam@sub.domain.org"}'),
+        (3, "2024-01-01 03:00:00", 2, "view", 4.0, '{"plain": true}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(f"{out}/events.parquet")
+    return out
+
+
+def test_pii_scan_detects_emails_and_ips(spark, pii_events_dir):
+    got = {
+        r["event_type"]: r.asDict()
+        for r in pipeline_ops.props_pii_scan(spark, pii_events_dir).collect()
+    }
+    assert got["signup"]["email_hits"] == 1
+    assert got["click"]["email_hits"] == 1  # the bob.smith+spam address
+    assert got["click"]["ipv4_hits"] == 1
+    assert got["view"]["email_hits"] == 0 and got["view"]["ipv4_hits"] == 0
+    # click digit runs: row 1 has 10,0,0,1,42 (5 runs); row 2 has 7 (1 run)
+    assert got["click"]["digit_runs"] == 6
+    assert got["click"]["digit_mass"] == 10 + 0 + 0 + 1 + 42 + 7
+
+
+def test_decay_weight_at_exact_half_life(spark, tmp_path):
+    # two events: one AT the reference timestamp (weight 1), one exactly
+    # 7 days earlier (weight 0.5) — decayed sum must be v0*0.5 + v1*1
+    rows = [
+        (0, "2024-01-01 00:00:00", 5, "click", 8.0, "{}"),
+        (1, "2024-01-08 00:00:00", 5, "click", 2.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = str(tmp_path / "ev2")
+    df.coalesce(1).write.parquet(f"{out}/events.parquet")
+    row = pipeline_ops.decayed_engagement(spark, out).collect()[0]
+    assert row["n_events"] == 2
+    assert row["decayed_value"] == pytest.approx(8.0 * 0.5 + 2.0, abs=1e-4)
+
+
+def test_unigram_entropy_degenerate_docs(spark, tmp_path):
+    rows = [
+        (0, "same same same same", "en", "s", 19),      # entropy 0
+        (1, "a b", "en", "s", 3),                       # ln 2
+        (2, "", "en", "s", 0),                          # filtered out
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    got = textops.unigram_entropy(spark, out).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_docs"] == 2  # the empty doc never enters
+    assert r["min_entropy"] == pytest.approx(0.0, abs=1e-6)
+    assert r["max_entropy"] == pytest.approx(math.log(2), abs=1e-4)
+
+
+def test_sq8_constant_vector_reconstructs_exactly(spark, tmp_path):
+    rows = [
+        (0, [1.5] * 8, 0),            # constant: scale==0 guard path
+        (1, [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 255.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = str(tmp_path / "emb")
+    df.coalesce(1).write.parquet(f"{out}/embeddings.parquet")
+    got = {r["label"]: r.asDict() for r in similarity.sq8_quant_error(spark, out).collect()}
+    assert got[0]["avg_rmse"] == 0.0
+    assert got[0]["avg_cos_fid"] == 1.0
+    # non-constant vector quantizes with bounded error (scale = 1)
+    assert got[1]["avg_rmse"] < 1.0
+    assert got[1]["min_cos_fid"] > 0.99
+
+
+def test_pmi_prefers_collocated_pair(spark, tmp_path):
+    # "x y" always adjacent; "a"/"b" frequent but never adjacent to each
+    # other except via x y filler — PMI must rank (x, y) on top
+    text_hot = " ".join(["x y"] * 30)
+    text_noise = " ".join(["a b c d"] * 15)
+    rows = [(0, text_hot, "en", "s", len(text_hot)),
+            (1, text_noise, "en", "s", len(text_noise))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "docs2")
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    top = textops.pmi_collocations(spark, out).collect()[0]
+    assert (top["w1"], top["w2"]) == ("x", "y")
+
+
+def test_vocab_growth_hapax_and_ttr(spark, tmp_path):
+    rows = [(0, "a a b unique", "en", "s1", 12),
+            (1, "c c c", "en", "s2", 5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "docs3")
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    got = {r["source"]: r.asDict() for r in textops.vocab_growth(spark, out).collect()}
+    assert got["s1"]["n_tokens"] == 4 and got["s1"]["n_types"] == 3
+    assert got["s1"]["n_hapax"] == 2  # b, unique
+    assert got["s2"]["n_types"] == 1 and got["s2"]["n_hapax"] == 0
+    assert got["s2"]["ttr"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_salted_user_stats_matches_plain_groupby(spark, sf_dir):
+    salted = {tuple(r) for r in pipeline_ops.salted_user_stats(spark, sf_dir).collect()}
+    from datalake_iceberg_spark.queries.analytics import load_events
+
+    ev = load_events(spark, sf_dir)
+    plain = {
+        tuple(r)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "value_cents"
+            ),
+            F.min("ts").alias("first_event"),
+            F.max("ts").alias("last_event"),
+        )
+        .collect()
+    }
+    assert salted == plain
