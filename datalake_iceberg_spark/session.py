@@ -90,6 +90,18 @@ def build_session_builder(
         .config("spark.rdd.compress", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
+        # distributed file listing (InMemoryFileIndex): above 32 paths
+        # Spark fans the listing out as a job with ONE TASK PER PATH —
+        # at 1024 bucket dirs that is 1024 near-empty tasks whose
+        # scheduling jitter reads as task skew (bench health flagged the
+        # listing stages, not the scans). Cap the listing tasks at a
+        # multiple of the core count so each task lists a batch of
+        # paths; on a real cluster the same cap scales with
+        # defaultParallelism via this session factory.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.parallelism",
+            str(4 * cores),
+        )
     )
     if preserve_explicit_casts:
         builder = builder.config("spark.sql.optimizer.excludedRules", SIMPLIFY_CASTS_RULE)

@@ -793,15 +793,15 @@ class LakeTable:
         non_key = [c for c in cols if c not in key]
         # NULL-ness hashes as an explicit per-column flag: a bare string
         # sentinel would make a real value equal to the sentinel collide
-        # with NULL and drop that update from the CDC output.
+        # with NULL and drop that update from the CDC output. Values hash
+        # RAW (xxhash64 consumes native binary representations) — the
+        # earlier cast-to-string built N short-lived strings per row,
+        # which bench health flagged as GC pressure on the wide diff.
         row_hash = F.xxhash64(
             *[
                 part
                 for c in cols
-                for part in (
-                    F.col(c).isNull().cast("int"),
-                    F.coalesce(F.col(c).cast("string"), F.lit("")),
-                )
+                for part in (F.col(c).isNull().cast("int"), F.col(c))
             ]
         )
         a = a_df.withColumn("__h_a", row_hash)
