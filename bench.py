@@ -60,6 +60,12 @@ BENCH_QUERIES = [
     "weighted_sample",
     "duplicate_span_fraction",
     "gopher_quality",
+    "pmi_collocations",
+    "vocab_growth",
+    "unigram_entropy",
+    "sq8_quant_error",
+    "decayed_engagement",
+    "salted_user_stats",
 ]
 
 

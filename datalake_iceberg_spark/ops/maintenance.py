@@ -161,3 +161,127 @@ class MaintenanceService:
             )
             self.run_orphan_cleanup(name)
         return out
+
+
+# ---------------------------------------------------------------- advisor
+
+#: buckets averaging at least this many data dirs warrant a bin-pack
+ADVISE_DIRS_PER_BUCKET = 3
+#: MoR delete commits outstanding before a fold is recommended
+ADVISE_DELETE_ERAS = 2
+#: retained snapshots before expiry is recommended
+ADVISE_SNAPSHOTS = 20
+
+
+def advise(table) -> list[dict]:
+    """Manifest-derived maintenance recommendations — the decision layer
+    the reference leaves to fixed cron intervals. Reads ONLY snapshot
+    metadata (O(manifest), zero data IO, no file listings), so it can
+    run on every commit of a 100 TB table:
+
+    - **bin-pack**: accumulated small commits — avg dirs/bucket ≥
+      ``ADVISE_DIRS_PER_BUCKET`` (each dir is ≥1 file; dir count is the
+      manifest's own fragmentation measure).
+    - **re-cluster**: the table declares ``write.sort-order`` /
+      ``write.zorder-by`` but commits landed after the last rewrite,
+      so recent dirs are unclustered and data-skipping decays.
+    - **fold deletes**: merge-on-read delete entries spanning ≥
+      ``ADVISE_DELETE_ERAS`` distinct commits tax every read with
+      anti-joins.
+    - **expire**: ≥ ``ADVISE_SNAPSHOTS`` retained snapshots (time
+      travel keeps every era's dirs alive; expiry unblocks orphan GC).
+
+    Returns ``[{procedure, reason, severity}]``, most urgent first.
+    Feed to :meth:`MaintenanceService.run_advised` to execute through
+    the recorded-run policy.
+    """
+    snap = table.snapshot()
+    recs: list[dict] = []
+    n_buckets = max(1, len(snap.buckets) or snap.n_buckets)
+    n_dirs = sum(len(d) for d in snap.buckets.values())
+    dirs_per_bucket = n_dirs / n_buckets
+    if dirs_per_bucket >= ADVISE_DIRS_PER_BUCKET:
+        recs.append({
+            "procedure": COMPACTION,
+            "reason": f"avg {dirs_per_bucket:.1f} dirs/bucket over "
+                      f"{n_buckets} buckets — bin-pack small commits",
+            "severity": "high" if dirs_per_bucket >= 2 * ADVISE_DIRS_PER_BUCKET
+                        else "medium",
+        })
+    declared = snap.properties.get("write.sort-order") or snap.properties.get(
+        "write.zorder-by"
+    )
+    if declared and not recs:
+        # find the latest rewrite commit; any data commit after it left
+        # unclustered dirs behind
+        latest_rewrite = -1
+        dirty_after = False
+        for v in range(snap.version, -1, -1):
+            try:
+                s = table.snapshot(v)
+            except ValueError:
+                break
+            if s.operation == "rewrite_data_files":
+                latest_rewrite = v
+                break
+            if s.operation in ("append", "merge", "delete", "update"):
+                dirty_after = True
+        if dirty_after and latest_rewrite < snap.version:
+            recs.append({
+                "procedure": COMPACTION,
+                "reason": f"declared clustering {declared!r} but data "
+                          "commits landed since the last rewrite",
+                "severity": "medium",
+            })
+    delete_eras = {
+        e["dir"].split("/")[1]
+        for entries in snap.deletes.values()
+        for e in entries
+    }
+    if len(delete_eras) >= ADVISE_DELETE_ERAS:
+        recs.append({
+            "procedure": POSITION_DELETES,
+            "reason": f"{len(delete_eras)} merge-on-read delete commits "
+                      "outstanding — every read pays their anti-joins",
+            "severity": "high",
+        })
+    n_snaps = snap.version + 1
+    if n_snaps >= ADVISE_SNAPSHOTS:
+        recs.append({
+            "procedure": EXPIRE,
+            "reason": f"{n_snaps} snapshots retained — old eras pin "
+                      "rewritten dirs against GC",
+            "severity": "medium",
+        })
+    order = {"high": 0, "medium": 1, "low": 2}
+    recs.sort(key=lambda r: order[r["severity"]])
+    return recs
+
+
+def _advised_runner(service: "MaintenanceService"):
+    """Bind advisor procedures to MaintenanceService runners."""
+    return {
+        # interval 1 + last_completed None: the ADVISOR is the gate here
+        # (it already decided the work is due), not the wall clock
+        COMPACTION: lambda name: service.run_compaction(
+            name, interval_sec=1, last_completed=None
+        ),
+        POSITION_DELETES: lambda name: service.run_position_delete_compaction(name),
+        EXPIRE: lambda name: service._run_recorded(
+            name, EXPIRE, lambda: service.catalog.table(name).expire_snapshots()
+        ),
+    }
+
+
+def run_advised(service: MaintenanceService, table_name: str) -> list[dict]:
+    """Execute exactly the procedures :func:`advise` recommends for the
+    table, through the recorded-run (never-raise) policy. Returns the
+    recommendations annotated with each run's status."""
+    t = service.catalog.table(table_name)
+    recs = advise(t)
+    runners = _advised_runner(service)
+    out = []
+    for rec in recs:
+        res = runners[rec["procedure"]](table_name)
+        out.append({**rec, "run": res.get("status", "unknown")})
+    return out
