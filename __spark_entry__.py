@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": similarity.ivf_ann_topk,
         "ivf_recall": similarity.ivf_recall,
         "mm_asset_stats": multimodal.mm_asset_stats,
+        # ---- new in r5, QUEUED for the r6 grading window (the 50
+        # slots are committed to never-graded + r3-stale entries);
+        # oracle-enforced by tests/test_oracle_parity.py until then.
+        "minhash_recall": dedup.minhash_recall,
         "winsorized_value_stats": curation.winsorized_value_stats,
         "token_len_histogram": curation.token_len_histogram,
         "oov_rate": curation.oov_rate,
@@ -246,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "props_pii_scan": pipeline_ops.PROPS_PII_SQL,
         "salted_user_stats": pipeline_ops.SALTED_USER_STATS_SQL,
         "sq8_quant_error": similarity.SQ8_QUANT_SQL,
+        "minhash_recall": dedup.MINHASH_RECALL_SQL,
         "boilerplate_ngrams": curation.BOILERPLATE_SQL,
         "stream_click_attribution": stream_queries.STREAM_CLICK_ATTRIBUTION_SQL,
         "mm_asset_stats": multimodal.MM_ASSET_STATS_SQL,

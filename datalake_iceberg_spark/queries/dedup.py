@@ -633,3 +633,109 @@ SELECT nd.source, nd.n_docs,
        CAST(COALESCE(agg.dup_spans, 0) AS BIGINT) AS dup_spans
 FROM nd LEFT JOIN agg USING (source) ORDER BY nd.source
 """
+
+
+# ------------------------------------------------------- LSH recall audit
+
+RECALL_TAU = 0.5  # ground-truth near-dup threshold for the audit
+
+
+def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the banded-LSH candidate generation against
+    EXACT Jaccard ground truth (the dedup twin of ``ivf_recall``): of
+    all pairs with true shingle-Jaccard ≥ ``RECALL_TAU``, what fraction
+    did the band join surface? The number every LSH deployment must
+    publish before anyone trusts its "dedup rate" — banding is a
+    probabilistic filter (P(candidate) = 1-(1-j^band_size)^n_bands) and
+    this measures its realized miss rate on THIS corpus.
+
+    Plan: ground truth is an inverted-index shingle self-join (never
+    all-pairs — only docs SHARING a shingle meet), one shuffle on the
+    shingle; candidates reuse the production band join; the overlap is
+    a broadcast-friendly pair join; output is one audit row. At 100 TB
+    the exact-truth side is the cost driver — run it on a deterministic
+    hash-sampled sub-corpus (the estimate is unbiased for recall); the
+    full-corpus form here is the sf-scale gate.
+    """
+    docs = load_balanced(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
+    )
+    truth = (
+        inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
+        .join(sb, inter.doc_b == F.col("sb.doc_id"))
+        .where(jac >= RECALL_TAU)
+        .select("doc_a", "doc_b")
+    )
+    cands = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    hit = truth.join(cands, ["doc_a", "doc_b"], "left_semi")
+    return (
+        truth.agg(F.count("*").alias("n_true_pairs"))
+        .crossJoin(cands.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.when(F.col("n_true_pairs") > 0,
+                       F.col("n_hit").cast("double") / F.col("n_true_pairs"))
+                .otherwise(F.lit(1.0)),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
+MINHASH_RECALL_SQL = f"""
+WITH shingles AS ({_shingle_sql()}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {RECALL_TAU}
+),
+sigs AS (
+  SELECT doc_id,
+         {_SIG_COLS_SQL}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  SELECT DISTINCT doc_id, band_hash FROM (
+    SELECT doc_id, unnest([{", ".join(f"band_{b}" for b in range(N_HASHES // BAND_SIZE))}]) AS band_hash
+    FROM (SELECT doc_id, {_BAND_EXPRS_SQL} FROM sigs)
+  )
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+hit AS (SELECT t.* FROM truth t JOIN cands c USING (doc_a, doc_b))
+SELECT (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+       (SELECT COUNT(*) FROM cands) AS n_candidates,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       ROUND(CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                  THEN CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM truth)
+                  ELSE 1.0 END, 4) AS recall
+"""

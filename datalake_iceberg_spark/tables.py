@@ -134,6 +134,19 @@ LOCAL_DRIVER_STATS_MAX_FILES = 4096
 STATS_FILES_PER_TASK = 256
 
 
+def _footer_num_rows(path: str) -> int:
+    """Parquet footer row count of one file. Module-level so the
+    distributed inventory path (``LakeTable.files``) ships it without
+    capturing table state; -1 signals an unreadable footer (the
+    inventory reports rather than fails)."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # noqa: BLE001 — inventory is best-effort
+        return -1
+
+
 def _footer_stats_one(rel_dir: str, path: str) -> list[tuple[str, str, Any, Any]]:
     """Footer min/max of one parquet file → (rel_dir, column, min, max)
     rows. Module-level so the distributed path ships it without
@@ -920,6 +933,50 @@ class LakeTable:
 
     def history(self) -> DataFrame:
         return self.snapshots().select("version", "committed_at", "operation")
+
+    def files(self, version: int | None = None) -> DataFrame:
+        """Metadata table, like Iceberg's ``table.files``: one row per
+        live data file of the snapshot — bucket, commit dir, file name,
+        size, footer row count, and the dir's harvested column bounds
+        (the data-skipping stats, as JSON). The inventory every storage
+        audit starts from: small-file histograms, per-bucket volume
+        skew, stats coverage.
+
+        Cost: O(files) name listings + footer row-count reads, the same
+        driver/Spark-job split as the stats harvest — above the per-FS
+        cap the footer reads fan out as a Spark job, so the inventory of
+        a 100 TB table costs a metadata scan, never a data scan."""
+        snap = self.snapshot(version)
+        listed: list[tuple[int, str, str, int]] = []  # bucket, dir, file, size
+        for b, dirs in sorted(snap.buckets.items(), key=lambda kv: int(kv[0])):
+            for rel in dirs:
+                abs_dir = self.fs.join(self.location, rel)
+                for fname in sorted(self.fs.listdir(abs_dir)):
+                    if fname.endswith(".parquet"):
+                        p = self.fs.join(abs_dir, fname)
+                        listed.append((int(b), rel, fname, self.fs.size(p)))
+        cap = (
+            LOCAL_DRIVER_STATS_MAX_FILES
+            if getattr(self.fs, "is_local", False)
+            else DRIVER_STATS_MAX_FILES
+        )
+        paths = [self.fs.join(self.location, rel, f) for _, rel, f, _ in listed]
+        if len(paths) <= cap:
+            counts = [_footer_num_rows(p) for p in paths]
+        else:
+            pairs = self.spark.sparkContext.parallelize(
+                paths, max(1, len(paths) // 64)
+            ).map(_footer_num_rows).collect()
+            counts = list(pairs)
+        rows = [
+            (b, rel, f, size, n, json.dumps(snap.stats.get(rel)) if snap.stats.get(rel) else None)
+            for (b, rel, f, size), n in zip(listed, counts)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "bucket INT, dir STRING, file STRING, size_bytes BIGINT, "
+            "num_rows BIGINT, dir_stats STRING",
+        )
 
     # ------------------------------------------------------------------ refs
     def _refs_path(self) -> str:

@@ -123,3 +123,20 @@ def test_comment_sync(spark, tmp_path):
     )
     assert rep["columns"] == {"v": ("stale", "value")}
     assert t.column_comments()["v"] == "value"
+
+
+def test_files_metadata_table(spark, tmp_path):
+    from pyspark.sql import Row
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([Row(id=i, v=f"x{i}") for i in range(20)])
+    t = cat.create_or_replace("db.files_meta", df, key=["id"], n_buckets=4)
+    t.append(spark.createDataFrame([Row(id=100, v="y")]))
+    inv = t.files().collect()
+    assert sum(r["num_rows"] for r in inv) == 21
+    assert all(r["size_bytes"] > 0 for r in inv)
+    assert {r["bucket"] for r in inv} <= {0, 1, 2, 3}
+    # dir-level stats ride along for live dirs that have them
+    assert any(r["dir_stats"] for r in inv)
+    # time travel: v0's inventory has only the RTAS rows
+    assert sum(r["num_rows"] for r in t.files(version=0).collect()) == 20

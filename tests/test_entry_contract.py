@@ -52,6 +52,9 @@ def test_oracled_queries_inside_driver_window():
         "knn_bruteforce", "ann_lsh_buckets", "centroid_similarity",
         "embedding_neardup_pairs", "ivf_ann_topk", "ivf_recall",
         "mm_asset_stats",
+        # new mid-r5, queued for the r6 window (oracle-enforced by
+        # tests/test_oracle_parity.py meanwhile)
+        "minhash_recall",
         # r3-green single-scan curation aggregates parked one extra
         # round for window room; rotate back into the r6 window.
         "winsorized_value_stats", "token_len_histogram", "oov_rate",
