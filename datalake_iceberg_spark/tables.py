@@ -908,6 +908,33 @@ class LakeTable:
             df = df.filter(ops[op](F.col(col), F.lit(value)))
         return df
 
+    def scan_report(self, filters, version: int | None = None) -> dict:
+        """EXPLAIN for manifest-level data skipping: which dirs a
+        ``scan(filters)`` would read vs prune, and why pruning could
+        not apply (no stats harvested, or bounds overlap). O(manifest),
+        no data IO — run it before a 100 TB scan to check the predicate
+        actually hits the clustered/bucketed layout (a report showing
+        0 pruned on a time filter means the table needs a sort-order
+        declaration + compaction, not a bigger cluster)."""
+        snap = self.snapshot(version)
+        all_dirs = snap.all_dirs()
+        kept = set(self.candidate_dirs(filters, version))
+        cols = [c for c, _, _ in filters]
+        no_stats = [
+            d for d in all_dirs
+            if d in kept and not any(c in snap.stats.get(d, {}) for c in cols)
+        ]
+        return {
+            "filters": [list(f) for f in filters],
+            "total_dirs": len(all_dirs),
+            "read_dirs": len(kept),
+            "pruned_dirs": len(all_dirs) - len(kept),
+            "kept_without_stats": len(no_stats),
+            "pruned_pct": round(
+                100.0 * (len(all_dirs) - len(kept)) / max(1, len(all_dirs)), 1
+            ),
+        }
+
     def read_buckets(self, bucket_ids: list[int], version: int | None = None) -> DataFrame:
         """Bucket-pruned scan — the point-lookup / merge-target path.
         Applies each bucket's merge-on-read deletes, so DML that reads

@@ -61,3 +61,22 @@ def test_skipping_survives_dml(spark, tmp_path):
     assert set(snap2.stats) == set(snap2.all_dirs())
     total = t.scan([("pk", "<", 1000)]).count()
     assert total == 200
+
+
+def test_scan_report_explains_pruning(spark, tmp_path):
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    df = spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    t = cat.create_or_replace("db.sr", df.where("id < 50"), key=["id"], n_buckets=2)
+    t.append(df.where("id >= 50"))
+    rep = t.scan_report([("id", ">=", 90)])
+    assert rep["total_dirs"] == rep["read_dirs"] + rep["pruned_dirs"]
+    assert rep["pruned_dirs"] >= 1  # the id<50 commit can't match
+    assert rep["pruned_pct"] > 0
+    # matching rows still come back from the real scan
+    assert t.scan([("id", ">=", 90)]).count() == 10
+    # a filter on an unstated column prunes nothing and says why
+    rep2 = t.scan_report([("nonexistent_col", ">=", 1)])
+    assert rep2["pruned_dirs"] == 0
+    assert rep2["kept_without_stats"] == rep2["total_dirs"]
