@@ -116,6 +116,8 @@ def apply_cdc_changes(
     upserts: DataFrame,
     deletes: DataFrame,
     mode: str = "copy-on-write",
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> dict:
     """MERGE the upserts, DELETE the delete-set (reference
     ``cdc_pipeline.py:221-251``). Dedup already guarantees unique keys.
@@ -127,11 +129,18 @@ def apply_cdc_changes(
     accumulated eras, as the reference does via
     ``position_delete_interval``)."""
     stats = {"upserts": 0, "deletes": 0}
+    # distinct app ids per sub-operation: one replayed micro-batch must
+    # skip BOTH applies independently (the merge landing must not mask
+    # an unapplied delete, or vice versa)
+    up_app = f"{txn_app}:upsert" if txn_app else None
+    del_app = f"{txn_app}:delete" if txn_app else None
     if not upserts.isEmpty():
-        table.merge(upserts, assert_unique_key=False, mode=mode)
+        table.merge(upserts, assert_unique_key=False, mode=mode,
+                    txn_app=up_app, txn_version=txn_version)
         stats["upserts"] = 1
     if not deletes.isEmpty():
-        table.delete_keys(deletes.select(SURROGATE_KEY_COL), mode=mode)
+        table.delete_keys(deletes.select(SURROGATE_KEY_COL), mode=mode,
+                          txn_app=del_app, txn_version=txn_version)
         stats["deletes"] = 1
     return stats
 

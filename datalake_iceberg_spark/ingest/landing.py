@@ -47,21 +47,32 @@ def with_time_partitions(
     return out
 
 
+RAW_FORMATS = ("parquet", "json", "csv", "orc")
+
+
 def write_raw_partitioned(
     df: DataFrame,
     path: str,
     ts_col: str = "timestamp",
     granularity: str = "day",
     mode: str = "append",
+    fmt: str = "parquet",
 ) -> None:
-    parts = list(TIME_PARTS[: {"day": 3, "hour": 4}[granularity]])
-    (
+    """Partitioned landing write. ``fmt`` ∈ RAW_FORMATS: parquet is the
+    promotion default; json/csv cover interchange drops from systems
+    that can't emit parquet; orc for ecosystems standardized on it. All
+    four ride the same dynamic-partition writer (no shuffle)."""
+    if fmt not in RAW_FORMATS:
+        raise ValueError(f"fmt must be one of {RAW_FORMATS}, got {fmt!r}")
+    writer = (
         with_time_partitions(df, ts_col, granularity)
-        .write.format("parquet")
-        .partitionBy(*parts)
+        .write.format(fmt)
+        .partitionBy(*list(TIME_PARTS[: {"day": 3, "hour": 4}[granularity]]))
         .mode(mode)
-        .save(path)
     )
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)
 
 
 def land_stream(
@@ -92,8 +103,23 @@ def land_stream(
     return writer.start()
 
 
-def read_raw(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.option("recursiveFileLookup", "false").parquet(path)
+def read_raw(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None
+) -> DataFrame:
+    """Landing scan (S9). Partition columns come back from the Hive
+    layout in every format; csv/json readers take an explicit
+    ``schema`` to avoid a schema-inference pass over the whole landing
+    zone (mandatory at scale — inference reads every file twice)."""
+    if fmt not in RAW_FORMATS:
+        raise ValueError(f"fmt must be one of {RAW_FORMATS}, got {fmt!r}")
+    reader = spark.read.option("recursiveFileLookup", "false")
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+        if schema is None:
+            reader = reader.option("inferSchema", "true")
+    return reader.format(fmt).load(path)
 
 
 def promote_raw(

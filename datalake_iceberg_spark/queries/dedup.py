@@ -124,6 +124,16 @@ def signatures_for(docs: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def signatures_for_shingles(sh: DataFrame) -> DataFrame:
+    """Signatures from an existing (doc_id, shingle) frame — for
+    callers that already materialized the shingle stage for other
+    consumers (``minhash_recall``). MinHash is duplicate-invariant, so
+    the distinct-set form yields signatures identical to
+    :func:`signatures_for`'s multiset explode."""
+    aggs = [F.min(_sig_expr(i)).alias(f"sig_{i}") for i in range(N_HASHES)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def banded_for(sig: DataFrame) -> DataFrame:
     """LSH band hashes from a signature frame: (doc_id, band_hash), one
     row per band, band = md5 of band index + BAND_SIZE consecutive
@@ -651,14 +661,20 @@ def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ground truth is an inverted-index shingle self-join (never
     all-pairs — only docs SHARING a shingle meet), one shuffle on the
-    shingle; candidates reuse the production band join; the overlap is
-    a broadcast-friendly pair join; output is one audit row. At 100 TB
-    the exact-truth side is the cost driver — run it on a deterministic
-    hash-sampled sub-corpus (the estimate is unbiased for recall); the
-    full-corpus form here is the sf-scale gate.
+    shingle; candidates reuse the production band join; truth and
+    candidates then meet in ONE full-outer pair join whose single
+    aggregation yields all three counts (a crossJoin of separate
+    count branches would re-run each pipeline from the scan — the
+    plan-lint scan budget exists to catch exactly that). The shingle
+    stage is materialized once (``localCheckpoint``) because four
+    consumers (self-join both sides, sizes, signatures) would
+    otherwise each re-explode the corpus. At 100 TB the exact-truth
+    side is the cost driver — run it on a deterministic hash-sampled
+    sub-corpus (the estimate is unbiased for recall); the full-corpus
+    form here is the sf-scale gate.
     """
     docs = load_balanced(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    sh = _shingles(docs).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -677,25 +693,34 @@ def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
         .join(sb, inter.doc_b == F.col("sb.doc_id"))
         .where(jac >= RECALL_TAU)
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", F.lit(1).alias("is_true"))
     )
-    cands = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    hit = truth.join(cands, ["doc_a", "doc_b"], "left_semi")
-    return (
-        truth.agg(F.count("*").alias("n_true_pairs"))
-        .crossJoin(cands.agg(F.count("*").alias("n_candidates")))
-        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
-        .select(
-            "n_true_pairs",
-            "n_candidates",
-            "n_hit",
-            F.round(
-                F.when(F.col("n_true_pairs") > 0,
-                       F.col("n_hit").cast("double") / F.col("n_true_pairs"))
-                .otherwise(F.lit(1.0)),
-                4,
-            ).alias("recall"),
-        )
+    cands = banded_for(signatures_for_shingles(sh))
+    a2, b2 = cands.alias("a"), cands.alias("b")
+    cand_pairs = (
+        a2.join(b2, (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .withColumn("is_cand", F.lit(1))
+    )
+    j = truth.join(cand_pairs, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.sum("is_true").cast("long").alias("n_true_pairs"),
+        F.sum("is_cand").cast("long").alias("n_candidates"),
+        F.sum(
+            F.when((F.col("is_true") == 1) & (F.col("is_cand") == 1), 1).otherwise(0)
+        ).cast("long").alias("n_hit"),
+    ).select(
+        "n_true_pairs",
+        "n_candidates",
+        "n_hit",
+        F.round(
+            F.when(F.col("n_true_pairs") > 0,
+                   F.col("n_hit").cast("double") / F.col("n_true_pairs"))
+            .otherwise(F.lit(1.0)),
+            4,
+        ).alias("recall"),
     )
 
 

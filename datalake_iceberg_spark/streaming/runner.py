@@ -192,7 +192,13 @@ class CdcStreamRunner:
             casted = cast_to_target_schema(flat, target)
             deduped = dedup_latest(casted)
             upserts, deletes = split_upserts_deletes(deduped)
-            apply_cdc_changes(target, upserts, deletes, mode=source.write_mode)
+            # exactly-once under foreachBatch replay: Structured
+            # Streaming re-delivers a micro-batch with the SAME batch_id
+            # after a crash-before-checkpoint; the table-side txn marker
+            # (Delta txnAppId/txnVersion analogue) turns the re-apply
+            # into a no-op commit instead of a double-write.
+            apply_cdc_changes(target, upserts, deletes, mode=source.write_mode,
+                              txn_app=f"cdc:{source.name}", txn_version=batch_id)
             if self.store:
                 stats = batch_stats(flat)
                 schema_name, _, table_name = source.name.rpartition(".")

@@ -241,6 +241,39 @@ class Snapshot:
         return [e["dir"] for entries in self.deletes.values() for e in entries]
 
 
+class _AlreadyApplied(Exception):
+    """Internal: a transactional write (txn_app, txn_version) was
+    already committed — carry the snapshot that proves it."""
+
+    def __init__(self, snap):
+        self.snap = snap
+
+
+def _txn_wrap(build_snapshot, txn_app: str | None, txn_version: int | None):
+    """Wrap a commit builder with exactly-once write semantics (the
+    Delta ``txnAppId``/``txnVersion`` and Iceberg WAP-id idea): when the
+    parent snapshot already records ``txn.{app} >= version``, the write
+    was applied by an earlier attempt — raise ``_AlreadyApplied`` so the
+    commit becomes a no-op. The check runs INSIDE the builder, i.e.
+    against the CURRENT parent on every optimistic retry, so two racing
+    replays of the same micro-batch cannot both land: the loser rebases,
+    sees the winner's marker, and skips."""
+    if txn_app is None:
+        return build_snapshot
+    if txn_version is None:
+        raise ValueError("txn_app requires txn_version")
+    prop = f"txn.{txn_app}"
+
+    def wrapped(parent):
+        if parent is not None and txn_version <= int(parent.properties.get(prop, -1)):
+            raise _AlreadyApplied(parent)
+        snap = build_snapshot(parent)
+        snap.properties = {**snap.properties, prop: str(txn_version)}
+        return snap
+
+    return wrapped
+
+
 class CommitConflict(Exception):
     pass
 
@@ -355,11 +388,20 @@ class LakeTable:
         }
         return snap
 
-    def _commit(self, build_snapshot, operation: str) -> Snapshot:
-        """Optimistic-retry commit: ``build_snapshot(parent) -> Snapshot``."""
+    def _commit(
+        self, build_snapshot, operation: str,
+        txn_app: str | None = None, txn_version: int | None = None,
+    ) -> Snapshot:
+        """Optimistic-retry commit: ``build_snapshot(parent) -> Snapshot``.
+        ``txn_app``/``txn_version`` make the write idempotent (exactly-
+        once under foreachBatch replay) — see :func:`_txn_wrap`."""
+        build_snapshot = _txn_wrap(build_snapshot, txn_app, txn_version)
         for attempt in range(COMMIT_RETRIES + 1):
             parent = self.snapshot() if self.exists() else None
-            snap = self._finalize_snapshot(build_snapshot(parent), parent)
+            try:
+                snap = self._finalize_snapshot(build_snapshot(parent), parent)
+            except _AlreadyApplied as done:
+                return done.snap
             try:
                 self._write_manifest(snap)
                 self._pending_stats = {}
@@ -370,6 +412,22 @@ class LakeTable:
                         f"{operation} on {self.location}: lost {COMMIT_RETRIES} commit races"
                     )
                 time.sleep(COMMIT_RETRY_WAIT_S)
+
+    def _txn_applied(self, txn_app: str | None, txn_version: int | None):
+        """Fast path for idempotent writes: the snapshot proving the
+        (app, version) write already landed, else None. Checking BEFORE
+        the data write avoids re-writing files a replayed micro-batch
+        would only orphan; the authoritative race-window check is the
+        in-builder one (:func:`_txn_wrap`)."""
+        if txn_app is None:
+            return None
+        if txn_version is None:
+            raise ValueError("txn_app requires txn_version")
+        if self.exists():
+            snap = self.snapshot()
+            if txn_version <= int(snap.properties.get(f"txn.{txn_app}", -1)):
+                return snap
+        return None
 
     # ------------------------------------------------------------------ io
     def _new_commit_dir(self) -> str:
@@ -1349,9 +1407,15 @@ class LakeTable:
 
         return self._commit(build, "create_or_replace")
 
-    def append(self, df: DataFrame) -> Snapshot:
+    def append(self, df: DataFrame, txn_app: str | None = None,
+               txn_version: int | None = None) -> Snapshot:
         """Append-only commit (watermark-ledger path — conflict-free under
-        concurrency because rebase just re-unions directory lists)."""
+        concurrency because rebase just re-unions directory lists).
+        ``txn_app``/``txn_version`` make the append exactly-once under
+        replay (Delta txnAppId/txnVersion analogue)."""
+        done = self._txn_applied(txn_app, txn_version)
+        if done is not None:
+            return done
         cur = self.snapshot()
         new = self._write_bucketed(df, cur.key, cur.n_buckets)
 
@@ -1376,7 +1440,7 @@ class LakeTable:
                 renames=parent.renames,
             )
 
-        return self._commit(build, "append")
+        return self._commit(build, "append", txn_app=txn_app, txn_version=txn_version)
 
     def _align(self, df: DataFrame) -> DataFrame:
         """Cast/order source columns to the table schema (the reference casts
@@ -1434,6 +1498,7 @@ class LakeTable:
     def _replace_buckets(
         self, snap_before: Snapshot, per_bucket: dict[str, list[str]],
         affected: list[int], operation: str, summary: dict[str, Any],
+        txn_app: str | None = None, txn_version: int | None = None,
     ) -> Snapshot:
         affected_s = {str(b) for b in affected}
 
@@ -1465,13 +1530,15 @@ class LakeTable:
                 renames=parent.renames,
             )
 
-        return self._commit(build, operation)
+        return self._commit(build, operation, txn_app=txn_app, txn_version=txn_version)
 
     def merge(
         self,
         source: DataFrame,
         assert_unique_key: bool = True,
         mode: str = "copy-on-write",
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> Snapshot:
         """Keyed upsert: WHEN MATCHED UPDATE SET all / WHEN NOT MATCHED INSERT all.
 
@@ -1497,8 +1564,12 @@ class LakeTable:
         Like Iceberg, duplicate keys in ``source`` are an error — callers
         dedup first (see ``cdc.pipeline.dedup_latest``).
         """
+        done = self._txn_applied(txn_app, txn_version)
+        if done is not None:
+            return done
         if mode == "merge-on-read":
-            return self._merge_mor(source, assert_unique_key)
+            return self._merge_mor(source, assert_unique_key,
+                                   txn_app=txn_app, txn_version=txn_version)
         if mode != "copy-on-write":
             raise ValueError(f"unknown merge mode {mode!r}")
         snap = self.snapshot()
@@ -1561,6 +1632,8 @@ class LakeTable:
                 "pruned_dirs": sum(len(v) for v in kept.values()),
                 "rewritten_dirs": sum(len(v) for v in touched.values()),
             },
+            txn_app=txn_app,
+            txn_version=txn_version,
         )
 
     def _split_dirs_by_key_bounds(
@@ -1612,7 +1685,9 @@ class LakeTable:
             touched[bs], kept[bs] = t, k
         return touched, kept
 
-    def delete_keys(self, keys_df: DataFrame, mode: str = "copy-on-write") -> Snapshot:
+    def delete_keys(self, keys_df: DataFrame, mode: str = "copy-on-write",
+                    txn_app: str | None = None,
+                    txn_version: int | None = None) -> Snapshot:
         """DELETE WHERE EXISTS (semi-join delete set) — the reference's CDC
         delete path (``src/utils/cdc_pipeline.py:239-251``).
 
@@ -1624,8 +1699,12 @@ class LakeTable:
         folds them in (Iceberg's ``write.delete.mode`` choice; the
         reference schedules the fold via ``position_delete_interval``,
         ``src/utils/cdc_pipeline.py:421-425``)."""
+        done = self._txn_applied(txn_app, txn_version)
+        if done is not None:
+            return done
         if mode == "merge-on-read":
-            return self._delete_keys_mor(keys_df)
+            return self._delete_keys_mor(keys_df, txn_app=txn_app,
+                                         txn_version=txn_version)
         if mode != "copy-on-write":
             raise ValueError(f"unknown delete mode {mode!r}")
         snap = self.snapshot()
@@ -1673,9 +1752,13 @@ class LakeTable:
                 "pruned_dirs": sum(len(v) for v in kept.values()),
                 "rewritten_dirs": sum(len(v) for v in touched.values()),
             },
+            txn_app=txn_app,
+            txn_version=txn_version,
         )
 
-    def _merge_mor(self, source: DataFrame, assert_unique_key: bool = True) -> Snapshot:
+    def _merge_mor(self, source: DataFrame, assert_unique_key: bool = True,
+                   txn_app: str | None = None,
+                   txn_version: int | None = None) -> Snapshot:
         """Merge-on-read MERGE: write the batch once as new data dirs;
         the same dirs serve as the equality-delete key source (the
         delete reader projects just the key columns), with ``covers``
@@ -1733,9 +1816,11 @@ class LakeTable:
                 renames=parent.renames,
             )
 
-        return self._commit(build, "merge-mor")
+        return self._commit(build, "merge-mor", txn_app=txn_app, txn_version=txn_version)
 
-    def _delete_keys_mor(self, keys_df: DataFrame) -> Snapshot:
+    def _delete_keys_mor(self, keys_df: DataFrame,
+                         txn_app: str | None = None,
+                         txn_version: int | None = None) -> Snapshot:
         """Merge-on-read DELETE: bucket-partitioned equality-delete files,
         each covering exactly the data dirs live at commit time."""
         snap = self.snapshot()
@@ -1769,7 +1854,7 @@ class LakeTable:
                 renames=parent.renames,
             )
 
-        return self._commit(build, "delete-mor")
+        return self._commit(build, "delete-mor", txn_app=txn_app, txn_version=txn_version)
 
     def delete_where(self, condition) -> Snapshot:
         """Predicate delete (the reference's retention purge shape,

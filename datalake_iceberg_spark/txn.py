@@ -61,6 +61,7 @@ from datalake_iceberg_spark.tables import (
     CommitConflict,
     LakeTable,
     Snapshot,
+    _AlreadyApplied,
 )
 
 
@@ -81,7 +82,12 @@ class _StagedTable(LakeTable):
         self._txn = txn
         self._staged = None  # (build_snapshot, operation)
 
-    def _commit(self, build_snapshot, operation: str) -> Snapshot:
+    def _commit(
+        self, build_snapshot, operation: str,
+        txn_app: str | None = None, txn_version: int | None = None,
+    ) -> Snapshot:
+        from datalake_iceberg_spark.tables import _txn_wrap
+
         if self._staged is not None:
             raise ValueError(
                 f"transaction already stages {self._staged[1]!r} on "
@@ -89,6 +95,7 @@ class _StagedTable(LakeTable):
                 "— a second would need to read its own uncommitted "
                 "predecessor. Commit first, or use a second transaction."
             )
+        build_snapshot = _txn_wrap(build_snapshot, txn_app, txn_version)
         parent = self.snapshot() if self.exists() else None
         preview = self._finalize_snapshot(build_snapshot(parent), parent)
         self._staged = (build_snapshot, operation)
@@ -147,7 +154,15 @@ class CatalogTransaction:
                 # CommitConflict here and aborts the transaction — the
                 # staged rewrite is against stale data, retrying the
                 # metadata alone cannot fix it
-                built.append((t, t._finalize_snapshot(build(parent), parent)))
+                try:
+                    built.append((t, t._finalize_snapshot(build(parent), parent)))
+                except _AlreadyApplied:
+                    # idempotent write already landed (txn_app/version
+                    # replay) — this table needs no flip; the rest of
+                    # the transaction proceeds
+                    continue
+            if not built:  # every staged write was an already-applied replay
+                return {}
             reserved: list[tuple[_StagedTable, Snapshot]] = []
             race = False
             for t, snap in built:

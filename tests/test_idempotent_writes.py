@@ -1,0 +1,98 @@
+"""Exactly-once transactional writes (Delta txnAppId/txnVersion
+analogue): replayed micro-batches no-op instead of double-applying."""
+
+import pytest
+from pyspark.sql import Row
+
+from datalake_iceberg_spark.cdc.pipeline import apply_cdc_changes
+from datalake_iceberg_spark.tables import LakeCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "wh"))
+
+
+def _mk(catalog, spark, name="db.t", n=10):
+    df = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(n)])
+    return catalog.create_or_replace(name, df, key=["id"], n_buckets=2)
+
+
+def test_append_replay_is_noop(catalog, spark):
+    t = _mk(catalog, spark)
+    batch = spark.createDataFrame([Row(id=100, v=1.0)])
+    s1 = t.append(batch, txn_app="ingest", txn_version=7)
+    v_after = t.current_version()
+    s2 = t.append(batch, txn_app="ingest", txn_version=7)  # replay
+    assert s2.version == s1.version
+    assert t.current_version() == v_after
+    assert t.read().where("id = 100").count() == 1
+    # the NEXT batch id applies normally
+    t.append(spark.createDataFrame([Row(id=101, v=1.0)]),
+             txn_app="ingest", txn_version=8)
+    assert t.read().where("id >= 100").count() == 2
+
+
+def test_merge_replay_both_modes(catalog, spark):
+    for mode in ("copy-on-write", "merge-on-read"):
+        t = _mk(catalog, spark, f"db.m_{mode[:3]}")
+        batch = spark.createDataFrame([Row(id=3, v=99.0)])
+        t.merge(batch, mode=mode, txn_app="cdc", txn_version=0)
+        v = t.current_version()
+        t.merge(batch, mode=mode, txn_app="cdc", txn_version=0)  # replay
+        assert t.current_version() == v
+        assert t.read().where("id = 3").count() == 1
+        assert {r.v for r in t.read().where("id = 3").collect()} == {99.0}
+
+
+def test_delete_replay_both_modes(catalog, spark):
+    for mode in ("copy-on-write", "merge-on-read"):
+        t = _mk(catalog, spark, f"db.d_{mode[:3]}")
+        keys = spark.createDataFrame([Row(id=1)])
+        t.delete_keys(keys, mode=mode, txn_app="cdc", txn_version=0)
+        v = t.current_version()
+        t.delete_keys(keys, mode=mode, txn_app="cdc", txn_version=0)
+        assert t.current_version() == v
+        assert t.read().count() == 9
+
+
+def test_older_version_skips_newer_applies(catalog, spark):
+    t = _mk(catalog, spark)
+    t.append(spark.createDataFrame([Row(id=100, v=1.0)]), txn_app="a", txn_version=5)
+    # an out-of-order older batch must NOT apply
+    t.append(spark.createDataFrame([Row(id=101, v=1.0)]), txn_app="a", txn_version=4)
+    assert t.read().where("id = 101").count() == 0
+    # a newer one does
+    t.append(spark.createDataFrame([Row(id=102, v=1.0)]), txn_app="a", txn_version=6)
+    assert t.read().where("id = 102").count() == 1
+
+
+def test_distinct_apps_are_independent(catalog, spark):
+    t = _mk(catalog, spark)
+    t.append(spark.createDataFrame([Row(id=100, v=1.0)]), txn_app="a", txn_version=1)
+    t.append(spark.createDataFrame([Row(id=101, v=1.0)]), txn_app="b", txn_version=1)
+    assert t.read().where("id >= 100").count() == 2
+
+
+def test_txn_app_requires_version(catalog, spark):
+    t = _mk(catalog, spark)
+    with pytest.raises(ValueError, match="txn_version"):
+        t.append(spark.createDataFrame([Row(id=100, v=1.0)]), txn_app="a")
+
+
+def test_apply_cdc_changes_replay(catalog, spark):
+    """One replayed micro-batch skips merge AND delete independently."""
+    from datalake_iceberg_spark.functions.keys import SURROGATE_KEY_COL
+
+    df = spark.createDataFrame(
+        [Row(**{SURROGATE_KEY_COL: f"k{i}", "v": float(i)}) for i in range(10)]
+    )
+    t = catalog.create_or_replace("db.cdc", df, key=[SURROGATE_KEY_COL], n_buckets=2)
+    ups = spark.createDataFrame([Row(**{SURROGATE_KEY_COL: "k1", "v": 42.0})])
+    dels = spark.createDataFrame([Row(**{SURROGATE_KEY_COL: "k2"})])
+    apply_cdc_changes(t, ups, dels, txn_app="cdc:topic", txn_version=3)
+    v = t.current_version()
+    apply_cdc_changes(t, ups, dels, txn_app="cdc:topic", txn_version=3)  # replay
+    assert t.current_version() == v
+    assert t.read().count() == 9
+    assert {r.v for r in t.read().where(f"{SURROGATE_KEY_COL} = 'k1'").collect()} == {42.0}

@@ -77,3 +77,37 @@ def test_promote_raw_keeps_dms_timestamp(spark, tmp_path):
     assert r.last_applied_date == datetime(2024, 1, 1, 6, 0)
     # time partition helper columns do not leak into the lake table
     assert not set(landing.TIME_PARTS) & set(out.columns)
+
+
+def test_landing_formats_roundtrip(spark, tmp_path):
+    """json/csv/orc landing writes partition identically to parquet and
+    read back with explicit schemas (no inference pass)."""
+    from datalake_iceberg_spark.ingest.landing import read_raw, write_raw_partitioned
+
+    df = spark.createDataFrame(
+        [(1, "a", "2024-03-05 10:00:00"), (2, "b", "2024-03-06 11:00:00")],
+        "id long, v string, timestamp string",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    for fmt in ("json", "csv", "orc"):
+        path = str(tmp_path / f"land_{fmt}")
+        write_raw_partitioned(df, path, fmt=fmt)
+        schema = (
+            "id long, v string, timestamp timestamp, "
+            "year string, month string, day string"
+        )
+        back = read_raw(spark, path, fmt=fmt, schema=schema)
+        assert back.count() == 2
+        assert {r["day"] for r in back.select("day").collect()} == {"05", "06"}
+        assert {r["id"] for r in back.select("id").collect()} == {1, 2}
+
+
+def test_landing_format_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    from datalake_iceberg_spark.ingest.landing import read_raw, write_raw_partitioned
+
+    df = spark.range(1).withColumn("timestamp", F.current_timestamp())
+    with _pytest.raises(ValueError, match="fmt must be one of"):
+        write_raw_partitioned(df, str(tmp_path / "x"), fmt="avro")
+    with _pytest.raises(ValueError, match="fmt must be one of"):
+        read_raw(spark, str(tmp_path / "x"), fmt="xml")
