@@ -85,5 +85,13 @@ class LocalFilesystem:
     def rmtree(self, path: str) -> None:
         shutil.rmtree(path)
 
+    def move(self, src: str, dst: str) -> None:
+        """Atomic directory move (same filesystem). Used only by
+        catalog-level RENAME TABLE; an object-store adapter should
+        implement this as a server-side rename where the store offers
+        one, or reject it (renames then belong in a pointer catalog,
+        not a path move)."""
+        os.replace(src, dst)
+
 
 DEFAULT_FS = LocalFilesystem()

@@ -1416,6 +1416,7 @@ class LakeTable:
         done = self._txn_applied(txn_app, txn_version)
         if done is not None:
             return done
+        self._enforce_constraints(df, "append")
         cur = self.snapshot()
         new = self._write_bucketed(df, cur.key, cur.n_buckets)
 
@@ -1576,6 +1577,7 @@ class LakeTable:
         if not snap.key:
             raise ValueError("merge requires a keyed table")
         source = self._align(source)
+        self._enforce_constraints(source, "merge")
         bounds = None
         single_key = len(snap.key) == 1
         if assert_unique_key:
@@ -1770,6 +1772,7 @@ class LakeTable:
         if not snap.key:
             raise ValueError("merge requires a keyed table")
         source = self._align(source)
+        self._enforce_constraints(source, "merge")
         if assert_unique_key:
             dup = (
                 source.groupBy(*snap.key)
@@ -1917,10 +1920,14 @@ class LakeTable:
             kept = {}
             affected = list(range(snap.n_buckets))
             df = self.read()
+        df = df.withColumn("__upd", cond)
         for col, val in assignments.items():
             expr = F.expr(val) if isinstance(val, str) else F.lit(val)
-            df = df.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
-        updated = self._align(df)
+            df = df.withColumn(col, F.when(F.col("__upd"), expr).otherwise(F.col(col)))
+        # CHECK constraints gate the rows this UPDATE actually changed
+        # (untouched rows predate the constraint's validate decision)
+        self._enforce_constraints(df.where(F.col("__upd")), "update_where")
+        updated = self._align(df.drop("__upd"))
         new_dirs = self._write_bucketed(updated, snap.key, snap.n_buckets)
         per_bucket = {
             str(b): kept.get(str(b), []) + new_dirs.get(str(b), []) for b in affected
@@ -2168,6 +2175,75 @@ class LakeTable:
             return snap
 
         return self._commit(build, operation)
+
+    # ------------------------------------------------------------ constraints
+    CONSTRAINT_PREFIX = "constraint."
+
+    def constraints(self) -> dict[str, str]:
+        """Declared CHECK constraints: name -> boolean SQL expression."""
+        p = self.CONSTRAINT_PREFIX
+        return {
+            k[len(p):]: v
+            for k, v in self.snapshot().properties.items()
+            if k.startswith(p)
+        }
+
+    def add_constraint(self, name: str, expr: str, validate: bool = True) -> Snapshot:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK (the Delta CHECK
+        analogue): every subsequent append/merge/update must satisfy
+        ``expr`` or the write raises before any commit. With
+        ``validate=True`` (the Delta contract) existing rows are
+        checked first — one full-scan aggregation; pass False to adopt
+        the constraint forward-only on a table too large to re-scan."""
+        if not re.fullmatch(r"[A-Za-z0-9_]+", name):
+            raise ValueError(f"constraint name must be [A-Za-z0-9_]+, got {name!r}")
+        if validate and self.exists():
+            bad = self.read().where(~F.expr(expr)).limit(1).count()
+            if bad:
+                raise ValueError(
+                    f"existing rows violate constraint {name!r} ({expr}); "
+                    "fix the data or add with validate=False"
+                )
+
+        def mutate(snap):
+            snap.properties[self.CONSTRAINT_PREFIX + name] = expr
+            snap.summary = {"add_constraint": name}
+
+        return self._commit_metadata(mutate, "add_constraint")
+
+    def drop_constraint(self, name: str) -> Snapshot:
+        def mutate(snap):
+            if snap.properties.pop(self.CONSTRAINT_PREFIX + name, None) is None:
+                raise ValueError(f"no such constraint {name!r}")
+            snap.summary = {"drop_constraint": name}
+
+        return self._commit_metadata(mutate, "drop_constraint")
+
+    def _enforce_constraints(self, df: DataFrame, operation: str) -> None:
+        """Reject a write whose NEW rows violate any declared CHECK
+        constraint. All constraints evaluate in ONE aggregation pass
+        over the batch (CDC batches are small; the pass is map-only);
+        NULL evaluations count as violations, as in SQL CHECK applied
+        to ingestion gates."""
+        checks = self.constraints() if self.exists() else {}
+        if not checks:
+            return
+        names = list(checks)
+        row = df.agg(
+            *[
+                F.sum(
+                    F.when(F.expr(checks[n]), 0).otherwise(1)
+                ).alias(f"__c{i}")
+                for i, n in enumerate(names)
+            ]
+        ).collect()[0]
+        for i, n in enumerate(names):
+            bad = row[f"__c{i}"] or 0
+            if bad:
+                raise ValueError(
+                    f"{operation} violates constraint {n!r} "
+                    f"({checks[n]}): {bad} row(s)"
+                )
 
     def set_properties(self, props: dict[str, str]) -> Snapshot:
         """ALTER TABLE SET TBLPROPERTIES (reference uses it for the table
@@ -2502,6 +2578,23 @@ class LakeCatalog:
         loc = self._loc(name)
         if purge and self.fs.isdir(loc):
             self.fs.rmtree(loc)
+
+    def rename_table(self, name: str, new_name: str) -> LakeTable:
+        """ALTER TABLE RENAME. Identity in this catalog IS the directory
+        path, so a rename is one atomic directory move — snapshots,
+        branches, tags and staged WAP writes all travel with it because
+        every manifest reference is location-relative. Readers holding
+        the old handle fail on next access (same contract as Iceberg's
+        catalog rename)."""
+        src, dst = self._loc(name), self._loc(new_name)
+        if not self.fs.exists(self.fs.join(src, "metadata", "_current")):
+            raise ValueError(f"no such table {name!r}")
+        if self.fs.isdir(dst):
+            raise ValueError(f"target table {new_name!r} already exists")
+        parent = dst.rsplit("/", 1)[0]
+        self.fs.makedirs(parent)
+        self.fs.move(src, dst)
+        return LakeTable(self.spark, dst, fs=self.fs)
 
     def transaction(self):
         """Multi-table atomic commit scope — see

@@ -154,3 +154,96 @@ def test_target_file_size_property_fans_out_writes(spark, catalog, tmp_path):
     few = len(_g.glob(f"{t2.location}/data/*/**/*.parquet", recursive=True))
     assert many > few >= 2
     assert t.read().count() == t2.read().count() == 3000
+
+
+# ------------------------------------------------------ CHECK constraints
+
+
+def test_check_constraint_gates_every_write_path(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([Row(id=i, amount=float(i + 1)) for i in range(6)])
+    t = cat.create_or_replace("db.c", df, key=["id"], n_buckets=2)
+    t.add_constraint("amount_positive", "amount > 0")
+    assert t.constraints() == {"amount_positive": "amount > 0"}
+
+    bad = spark.createDataFrame([Row(id=100, amount=-1.0)])
+    good = spark.createDataFrame([Row(id=100, amount=1.0)])
+    with _pytest.raises(ValueError, match="amount_positive"):
+        t.append(bad)
+    with _pytest.raises(ValueError, match="amount_positive"):
+        t.merge(bad)
+    with _pytest.raises(ValueError, match="amount_positive"):
+        t.merge(bad, mode="merge-on-read")
+    with _pytest.raises(ValueError, match="amount_positive"):
+        t.update_where([("id", "=", 1)], {"amount": -5.0})
+    # nothing landed
+    assert t.read().where("amount <= 0").count() == 0
+    # compliant writes proceed
+    t.merge(good)
+    assert t.read().where("id = 100").count() == 1
+    # NULL evaluations are violations (ingestion-gate semantics)
+    with _pytest.raises(ValueError, match="amount_positive"):
+        t.append(spark.createDataFrame([Row(id=101, amount=None)],
+                                       "id long, amount double"))
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([Row(id=1, amount=-3.0), Row(id=2, amount=2.0)])
+    t = cat.create_or_replace("db.v", df, key=["id"], n_buckets=2)
+    with _pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint("pos", "amount > 0")
+    t.add_constraint("pos", "amount > 0", validate=False)  # adopt forward-only
+    with _pytest.raises(ValueError, match="pos"):
+        t.append(spark.createDataFrame([Row(id=3, amount=-1.0)]))
+    # untouched pre-existing violations survive an unrelated update
+    t.update_where([("id", "=", 2)], {"amount": 5.0})
+    assert t.read().where("id = 1").collect()[0].amount == -3.0
+
+
+def test_drop_constraint(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = cat.create_or_replace(
+        "db.dc", spark.createDataFrame([Row(id=1, amount=1.0)]), key=["id"]
+    )
+    t.add_constraint("pos", "amount > 0")
+    t.drop_constraint("pos")
+    t.append(spark.createDataFrame([Row(id=2, amount=-1.0)]))  # no gate now
+    with _pytest.raises(ValueError, match="no such constraint"):
+        t.drop_constraint("pos")
+
+
+def test_rename_table_moves_everything(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(8)])
+    t = cat.create_or_replace("db.old_name", df, key=["id"], n_buckets=2)
+    t.merge(spark.createDataFrame([Row(id=1, v=9.0)]))
+    t.create_tag("release")
+    renamed = cat.rename_table("db.old_name", "db.new_name")
+    assert renamed.read().count() == 8
+    assert renamed.read(tag="release").count() == 8
+    assert renamed.read(version=0).count() == 8  # time travel travels too
+    assert "db.new_name" in cat.list_tables("db")
+    assert "db.old_name" not in cat.list_tables("db")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no such table"):
+        cat.rename_table("db.old_name", "db.x")
