@@ -254,6 +254,15 @@ def main() -> None:
         )
         dml["shard_export_64"] = round(time.perf_counter() - t0, 3)
         dml["shard_export_rows"] = man["total_rows"]
+        from datalake_iceberg_spark.ingest.shards import write_sorted_export
+
+        t0 = _case("dml:sorted_export_32")
+        sman = write_sorted_export(
+            docs, tempfile.mkdtemp(prefix="bench_sorted_"), 32,
+            order_by=["doc_id"],
+        )
+        dml["sorted_export_32"] = round(time.perf_counter() - t0, 3)
+        dml["sorted_export_rows"] = sman["total_rows"]
 
         # incremental rollup maintenance. Two refresh regimes:
         # - append batch -> read_changes fast path reads ONLY the new

@@ -113,3 +113,83 @@ def write_training_shards(
         json.dumps(manifest, indent=1, sort_keys=True),
     )
     return manifest
+
+
+def write_sorted_export(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    order_by: list[str],
+    compression: str = "zstd",
+    fs=None,
+) -> dict[str, Any]:
+    """Globally-ordered export: ``n_shards`` parquet shards with
+    DISJOINT, ordered key ranges — shard K holds keys strictly below
+    shard K+1's, rows sorted within each shard. The layout an
+    eval/serving reader wants for merge-scans and binary-searchable
+    lookups (find the shard by manifest range, then one sorted file).
+
+    Plan: ``repartitionByRange`` (one sampling pass to pick balanced
+    split points + one range shuffle) then ``sortWithinPartitions`` —
+    a TOTAL ordering at any scale WITHOUT a single-partition global
+    sort: each task sorts only its own range. The manifest records
+    each shard's (min, max) key from the written files' footers, so a
+    reader never opens a shard outside its probe range.
+    """
+    fs = fs or DEFAULT_FS
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    missing = [c for c in order_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"order_by columns not in DataFrame: {missing}")
+    cols = [F.col(c) for c in order_by]
+    (
+        df.repartitionByRange(n_shards, *cols)
+        .sortWithinPartitions(*cols)
+        .write.option("compression", compression)
+        .mode("overwrite")
+        .parquet(path)
+    )
+    lead = order_by[0]
+    shards: dict[str, dict[str, Any]] = {}
+    for name in sorted(fs.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        fpath = fs.join(path, name)
+        with fs.open_input(fpath) as f:
+            md = pq.ParquetFile(f).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema != lead:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if hasattr(mn, "isoformat"):
+                    mn, mx = mn.isoformat(), mx.isoformat()
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+        shards[name] = {
+            "bytes": fs.size(fpath),
+            "rows": md.num_rows,
+            "min": lo,
+            "max": hi,
+        }
+    manifest = {
+        "order_by": order_by,
+        "n_shards": n_shards,
+        "compression": compression,
+        "layout": "range-partitioned, sorted within shard, disjoint ranges",
+        "total_rows": sum(m["rows"] for m in shards.values()),
+        "total_bytes": sum(m["bytes"] for m in shards.values()),
+        "shards": shards,
+    }
+    fs.replace_atomic(
+        fs.join(path, "manifest.json"),
+        json.dumps(manifest, indent=1, sort_keys=True, default=str),
+    )
+    return manifest

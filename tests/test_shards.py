@@ -107,3 +107,37 @@ def test_manifest_rows_match_footers(spark, docs, tmp_path):
         for r in back.groupBy("_shard").agg(F.count("*").alias("n")).collect()
     }
     assert {k: v["rows"] for k, v in m["shards"].items()} == per_shard
+
+
+def test_sorted_export_disjoint_ordered_ranges(spark, tmp_path):
+    from datalake_iceberg_spark.ingest.shards import write_sorted_export
+
+    df = spark.range(0, 10_000).selectExpr(
+        "pmod(xxhash64(id), 10000) AS k", "id AS payload"
+    )
+    out = str(tmp_path / "sorted")
+    man = write_sorted_export(df, out, n_shards=8, order_by=["k"])
+    assert man["total_rows"] == 10_000
+    shards = [m for _, m in sorted(man["shards"].items())]
+    assert len(shards) == 8
+    # files sort lexicographically by partition index -> ranges ordered
+    ordered = sorted(shards, key=lambda m: m["min"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["max"] <= b["min"]  # disjoint ranges
+    # within a shard the rows are sorted on the key
+    first = sorted(man["shards"])[0]
+    rows = [r.k for r in spark.read.parquet(f"{out}/{first}").collect()]
+    assert rows == sorted(rows)
+    # roughly balanced (range sampler targets equal rows)
+    sizes = [m["rows"] for m in shards]
+    assert max(sizes) < 3 * min(sizes)
+
+
+def test_sorted_export_validates_columns(spark, tmp_path):
+    import pytest as _pytest
+
+    from datalake_iceberg_spark.ingest.shards import write_sorted_export
+
+    df = spark.range(10)
+    with _pytest.raises(ValueError, match="order_by columns"):
+        write_sorted_export(df, str(tmp_path / "x"), 2, order_by=["nope"])
