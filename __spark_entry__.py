@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slots are committed to never-graded + r3-stale entries);
         # oracle-enforced by tests/test_oracle_parity.py until then.
         "minhash_recall": dedup.minhash_recall,
+        "unpivot_event_metrics": pipeline_ops.unpivot_event_metrics,
+        "cms_heavy_hitters": pipeline_ops.cms_heavy_hitters,
         "winsorized_value_stats": curation.winsorized_value_stats,
         "token_len_histogram": curation.token_len_histogram,
         "oov_rate": curation.oov_rate,
@@ -251,6 +253,8 @@ def oracle_sql() -> dict[str, str]:
         "salted_user_stats": pipeline_ops.SALTED_USER_STATS_SQL,
         "sq8_quant_error": similarity.SQ8_QUANT_SQL,
         "minhash_recall": dedup.MINHASH_RECALL_SQL,
+        "unpivot_event_metrics": pipeline_ops.UNPIVOT_SQL,
+        "cms_heavy_hitters": pipeline_ops.CMS_SQL,
         "boilerplate_ngrams": curation.BOILERPLATE_SQL,
         "stream_click_attribution": stream_queries.STREAM_CLICK_ATTRIBUTION_SQL,
         "mm_asset_stats": multimodal.MM_ASSET_STATS_SQL,

@@ -446,3 +446,177 @@ SELECT user_id,
        MAX(ts) AS last_event
 FROM events_us GROUP BY user_id ORDER BY user_id
 """
+
+
+# --------------------------------------------------------- unpivot / melt
+
+
+def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (Spark ``stack``): per event_type aggregate
+    metrics melt into (event_type, metric, value) rows — the shape a
+    metrics store or plotting layer ingests. The melt is a projection
+    (stack is a generator, no shuffle); the only exchange is the
+    upstream aggregate's."""
+    ev = load_events(spark, sf_dir)
+    wide = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.count_distinct("user_id").cast("double").alias("n_users"),
+    )
+    return (
+        wide.select(
+            "event_type",
+            F.expr(
+                "stack(4, 'n_events', n_events, 'sum_value', sum_value, "
+                "'max_value', max_value, 'n_users', n_users) AS (metric, value)"
+            ),
+        )
+        .orderBy("event_type", "metric")
+    )
+
+
+UNPIVOT_SQL = f"""
+WITH {EVENTS_CTE},
+wide AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         ROUND(SUM(value), 4) AS sum_value,
+         ROUND(MAX(value), 4) AS max_value,
+         CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+  FROM events_us GROUP BY event_type
+)
+SELECT event_type, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_events, sum_value, max_value, n_users))
+ORDER BY event_type, metric
+"""
+
+
+# --------------------------------------------- count-min heavy hitters
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOP = 10
+
+
+def _cms_cell(d: int, col):
+    """Depth-d cell index: md5 hex slice → int mod width (the portable
+    hash family both engines share, same trick as the minhash
+    signatures)."""
+    h = F.md5(F.concat_ws("|", F.lit(str(d)), col))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_WIDTH).cast("int")
+
+
+def _cms_cell_sql(d: int, expr: str) -> str:
+    return (
+        f"CAST(CAST(('0x' || substr(md5('{d}' || '|' || {expr}), 1, 8)) AS BIGINT)"
+        f" % {CMS_WIDTH} AS INT)"
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection through a COUNT-MIN SKETCH built as a
+    relational plan (self-checking, like the HLL/quantile entries):
+    every token occurrence hashes into ``CMS_DEPTH`` rows of a
+    ``CMS_WIDTH``-cell grid; a token's estimate is the MIN over its
+    depth cells. The sketch is a fixed-size (depth×width) table no
+    matter the corpus — at 100 TB the grid build is one explode + one
+    partial-agg shuffle collapsing to ≤1024 rows, and the candidate
+    probe is a broadcast join against that grid. Output: the true
+    top-``CMS_TOP`` corpus tokens with exact count, CMS estimate, and
+    the CMS guarantees as booleans (estimate never undercounts;
+    overcount bounded by grid mass / width per the standard
+    expectation argument, slack 4x) — both engines must agree on every
+    bit, which they do because the hash family is shared md5.
+    """
+    docs = load_balanced(spark, sf_dir, "documents")
+    toks = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    # grid: depth d, cell c -> count (<= DEPTH*WIDTH rows after the agg)
+    cells = toks.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"), _cms_cell(d, F.col("tok")).alias("cell")
+                )
+                for d in range(CMS_DEPTH)
+            ])
+        ).alias("p")
+    ).groupBy(F.col("p.d").alias("d"), F.col("p.cell").alias("cell")).agg(
+        F.count("*").alias("cnt")
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    total = exact.agg(F.sum("exact_count").alias("n_total"))
+    top = (
+        exact.orderBy(F.desc("exact_count"), F.asc("tok"))
+        .limit(CMS_TOP)
+        .select(
+            "tok",
+            "exact_count",
+            *[_cms_cell(d, F.col("tok")).alias(f"c{d}") for d in range(CMS_DEPTH)],
+        )
+    )
+    probed = top
+    for d in range(CMS_DEPTH):
+        g = cells.where(F.col("d") == d).select(
+            F.col("cell").alias(f"c{d}"), F.col("cnt").alias(f"est{d}")
+        )
+        probed = probed.join(F.broadcast(g), f"c{d}")
+    est = F.least(*[F.col(f"est{d}") for d in range(CMS_DEPTH)])
+    return (
+        probed.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "exact_count",
+            est.alias("cms_estimate"),
+            (est >= F.col("exact_count")).alias("never_undercounts"),
+            (
+                est - F.col("exact_count")
+                <= F.col("n_total") * F.lit(4.0) / F.lit(CMS_WIDTH)
+            ).alias("within_bound"),
+        )
+        .orderBy(F.desc("exact_count"), F.asc("tok"))
+    )
+
+
+_CMS_CELL_UNIONS = "\n  UNION ALL\n  ".join(
+    f"SELECT {d} AS d, {_cms_cell_sql(d, 'tok')} AS cell FROM toks"
+    for d in range(CMS_DEPTH)
+)
+_CMS_PROBE_COLS = ", ".join(
+    f"{_cms_cell_sql(d, 'tok')} AS c{d}" for d in range(CMS_DEPTH)
+)
+_CMS_JOINS = "\n".join(
+    f"JOIN grid g{d} ON g{d}.d = {d} AND g{d}.cell = top.c{d}"
+    for d in range(CMS_DEPTH)
+)
+_CMS_LEAST = "LEAST(" + ", ".join(f"g{d}.cnt" for d in range(CMS_DEPTH)) + ")"
+
+CMS_SQL = f"""
+WITH toks AS (
+  SELECT UNNEST(string_split(trim(text), ' ')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+grid AS (
+  SELECT d, cell, COUNT(*) AS cnt FROM (
+  {_CMS_CELL_UNIONS}
+  ) GROUP BY d, cell
+),
+exact AS (SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok),
+total AS (SELECT SUM(exact_count) AS n_total FROM exact),
+top AS (
+  SELECT tok, exact_count, {_CMS_PROBE_COLS}
+  FROM exact ORDER BY exact_count DESC, tok ASC LIMIT {CMS_TOP}
+)
+SELECT top.tok, top.exact_count,
+       {_CMS_LEAST} AS cms_estimate,
+       {_CMS_LEAST} >= top.exact_count AS never_undercounts,
+       {_CMS_LEAST} - top.exact_count <= total.n_total * 4.0 / {CMS_WIDTH}
+         AS within_bound
+FROM top
+{_CMS_JOINS}
+CROSS JOIN total
+ORDER BY top.exact_count DESC, top.tok ASC
+"""

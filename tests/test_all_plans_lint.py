@@ -42,6 +42,8 @@ SMALL_CROSS = {
     "pmi_collocations",
     # 1-row broadcast max-timestamp reference × the events scan
     "decayed_engagement",
+    # 1-row broadcast corpus-total × the 10-row top-token probe
+    "cms_heavy_hitters",
 }
 
 
