@@ -359,3 +359,77 @@ FROM seq GROUP BY user_id ORDER BY user_id
 
 
 STREAM_SESSION_STATS_SQL = _stream_session_stats_sql()
+
+
+TREND_TOP_K = 3
+
+
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window trending audit computed by the streaming engine:
+    2-hour windows sliding every hour (each event feeds TWO overlapping
+    windows — the overlapping-state shape tumbling windows don't
+    exercise), counts per event_type, drained availableNow; the top-K
+    cut per window is a batch post-step over the drained aggregate
+    (rank over final windowed counts — the same split a production
+    trending job uses: stream maintains the counts, serving ranks).
+    State is watermark-bounded at 2 active windows per key."""
+    from pyspark.sql import Window
+
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 minute")
+        .groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("window"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    sink = _sink_name("stream_topk_trending", sf_dir)
+    _drain(agg, sink)
+    w = Window.partitionBy("window").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        spark.table(sink)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TREND_TOP_K)
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "rank",
+        )
+        .orderBy("window_start", "rank")
+    )
+
+
+def _stream_topk_trending_sql() -> str:
+    from datalake_iceberg_spark.queries.analytics import EVENTS_CTE
+
+    return f"""
+WITH {EVENTS_CTE},
+-- each event belongs to the 2h windows starting at trunc(ts) and
+-- trunc(ts) - 1h (duration 2h, slide 1h)
+assigned AS (
+  SELECT event_type,
+         UNNEST([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start
+  FROM events_us
+),
+counts AS (
+  SELECT window_start, event_type, COUNT(*) AS n_events
+  FROM assigned GROUP BY 1, 2
+),
+ranked AS (
+  SELECT window_start, event_type, n_events,
+         ROW_NUMBER() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type ASC) AS rank
+  FROM counts
+)
+SELECT window_start, event_type, n_events, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TREND_TOP_K}
+ORDER BY window_start, rank
+"""
+
+
+STREAM_TOPK_TRENDING_SQL = _stream_topk_trending_sql()

@@ -196,7 +196,12 @@ class CdcStreamRunner:
             # Streaming re-delivers a micro-batch with the SAME batch_id
             # after a crash-before-checkpoint; the table-side txn marker
             # (Delta txnAppId/txnVersion analogue) turns the re-apply
-            # into a no-op commit instead of a double-write.
+            # into a no-op commit instead of a double-write. The marker
+            # protects SAME-CHECKPOINT re-delivery only — deleting the
+            # checkpoint restarts batch ids at 0 with possibly different
+            # batch composition, so a checkpoint reset must pair with a
+            # fresh source name / txn_app (the standard txnAppId
+            # contract).
             apply_cdc_changes(target, upserts, deletes, mode=source.write_mode,
                               txn_app=f"cdc:{source.name}", txn_version=batch_id)
             if self.store:
