@@ -155,6 +155,16 @@ def main() -> None:
         table.merge(upd, assert_unique_key=False)
         dml["merge_1pct"] = round(time.perf_counter() - t0, 3)
 
+        # same merge with a CHECK constraint declared: measures the
+        # ingestion-gate overhead (one combined aggregation pass over
+        # the batch before any commit)
+        table.add_constraint("price_positive", "o_totalprice > 0", validate=False)
+        upd2 = upd.withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        t0 = _case("dml:merge_1pct_checked")
+        table.merge(upd2, assert_unique_key=False)
+        dml["merge_1pct_checked"] = round(time.perf_counter() - t0, 3)
+        table.drop_constraint("price_positive")
+
         dels = orders.filter(F.col("o_orderkey") % 100 == 1).select("id_iceberg")
         t0 = _case("dml:delete_1pct")
         table.delete_keys(dels)
