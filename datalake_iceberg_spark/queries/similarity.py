@@ -782,3 +782,172 @@ SELECT label, COUNT(*) AS n_vecs,
        ROUND(MIN(cos_fid), 4) AS min_cos_fid
 FROM per_vec GROUP BY label ORDER BY label
 """
+
+
+# ---------------------------------------------- product quantization
+
+PQ_M = 4        # subspaces (64 dims -> 4 x 16)
+PQ_SUB = 16     # dims per subspace
+PQ_K = 8        # codes per subspace codebook -> 3 bits, 12 bits/vector
+
+
+def pq_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION fidelity audit — the storage tier below
+    ``sq8_quant_error``: each vector compresses to ``PQ_M`` codebook
+    ids (12 bits here vs SQ8's 512), the standard billion-scale ANN
+    memory layout (Jégou et al.). Codebooks are per-subspace
+    deterministic Lloyd (seeded from the K smallest vec_ids, one
+    mean-update round — the same exactly-oracle-checkable recipe as
+    ``kmeans_clusters``); output is per-label reconstruction RMSE and
+    cosine fidelity, directly comparable with the SQ8 audit to decide
+    which tier a corpus slice tolerates.
+
+    Plan: subvector fan-out is one explode (M rows/vector); both
+    assignment passes are K-row broadcast joins + argmin windows keyed
+    (vec, subspace); the mean update aggregates M·K·SUB cells. No
+    all-pairs, no Python. Distances round to 6 dp before the argmin so
+    both engines break near-ties identically."""
+    emb = load_balanced(spark, sf_dir, "embeddings")
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", "label", d.alias("d"))
+    subs = base.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice("d", m * PQ_SUB + 1, PQ_SUB).alias("sv"),
+                )
+                for m in range(PQ_M)
+            ])
+        ).alias("p"),
+    ).select("vec_id", "label", F.col("p.m").alias("m"), F.col("p.sv").alias("sv"))
+    seeds = subs.where(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("code"), F.col("sv").alias("c_sv")
+    )
+
+    def _assign(frame, codebook):
+        l2 = F.round(
+            F.aggregate(
+                F.zip_with("sv", "c_sv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy(F.asc("l2"), F.asc("code"))
+        return (
+            frame.join(F.broadcast(codebook), "m")
+            .withColumn("l2", l2)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    a0 = _assign(subs, seeds)
+    cb1 = (
+        a0.select("m", "code", F.posexplode("c_sv").alias("pos", "_"), "sv")
+        .select("m", "code", "pos", F.element_at("sv", F.col("pos") + 1).alias("v"))
+        .groupBy("m", "code", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("m", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+        .select("m", "code", F.transform("pairs", lambda s: s.cv).alias("c_sv"))
+    )
+    a1 = _assign(subs, cb1)
+    per_sub = a1.select(
+        "vec_id",
+        "label",
+        F.col("l2").alias("err2"),
+        _dot(F.col("sv"), F.col("c_sv")).alias("dot_sc"),
+        _dot(F.col("sv"), F.col("sv")).alias("nrm2_s"),
+        _dot(F.col("c_sv"), F.col("c_sv")).alias("nrm2_c"),
+    )
+    per_vec = per_sub.groupBy("vec_id", "label").agg(
+        F.round(F.sqrt(F.sum("err2") / F.lit(float(PQ_M * PQ_SUB))), 6).alias("rmse"),
+        F.round(
+            F.sum("dot_sc") / (F.sqrt(F.sum("nrm2_s")) * F.sqrt(F.sum("nrm2_c"))), 6
+        ).alias("cos_fid"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("rmse"), 4).alias("avg_rmse"),
+            F.round(F.max("rmse"), 4).alias("max_rmse"),
+            F.round(F.avg("cos_fid"), 4).alias("avg_cos_fid"),
+            F.round(F.min("cos_fid"), 4).alias("min_cos_fid"),
+        )
+        .orderBy("label")
+    )
+
+
+_PQ_L2_SQL = (
+    "ROUND(list_sum(list_transform(list_zip(s.sv, c.c_sv), "
+    "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+    "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6)"
+)
+
+PQ_QUANT_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, label, m, d[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sv
+  FROM base, UNNEST(generate_series(0, {PQ_M - 1})) AS t(m)
+),
+seeds AS (
+  SELECT m, vec_id AS code, sv AS c_sv FROM subs WHERE vec_id < {PQ_K}
+),
+a0 AS (
+  SELECT * FROM (
+    SELECT s.vec_id, s.m, s.sv, c.code, c.c_sv,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_PQ_L2_SQL} ASC, c.code ASC) AS rn
+    FROM subs s JOIN seeds c USING (m)
+  ) WHERE rn = 1
+),
+cb1 AS (
+  SELECT m, code,
+         list_transform(
+           list_sort(list(struct_pack(pos := pos, cv := cv))), r -> r.cv
+         ) AS c_sv
+  FROM (
+    SELECT m, code, pos, AVG(sv[pos]) AS cv
+    FROM a0, UNNEST(generate_series(1, {PQ_SUB})) AS t(pos)
+    GROUP BY m, code, pos
+  )
+  GROUP BY m, code
+),
+a1 AS (
+  SELECT * FROM (
+    SELECT s.vec_id, s.label, s.m, s.sv, c.code, c.c_sv, {_PQ_L2_SQL} AS err2,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_PQ_L2_SQL} ASC, c.code ASC) AS rn
+    FROM subs s JOIN cb1 c USING (m)
+  ) WHERE rn = 1
+),
+per_sub AS (
+  SELECT vec_id, label, err2,
+         list_sum(list_transform(list_zip(sv, c_sv),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot_sc,
+         list_sum(list_transform(sv, x -> x * x)) AS nrm2_s,
+         list_sum(list_transform(c_sv, x -> x * x)) AS nrm2_c
+  FROM a1
+),
+per_vec AS (
+  SELECT vec_id, label,
+         ROUND(SQRT(SUM(err2) / {float(PQ_M * PQ_SUB)}), 6) AS rmse,
+         ROUND(SUM(dot_sc) / (SQRT(SUM(nrm2_s)) * SQRT(SUM(nrm2_c))), 6) AS cos_fid
+  FROM per_sub GROUP BY vec_id, label
+)
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(AVG(rmse), 4) AS avg_rmse,
+       ROUND(MAX(rmse), 4) AS max_rmse,
+       ROUND(AVG(cos_fid), 4) AS avg_cos_fid,
+       ROUND(MIN(cos_fid), 4) AS min_cos_fid
+FROM per_vec GROUP BY label ORDER BY label
+"""
