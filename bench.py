@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "sq8_quant_error",
     "decayed_engagement",
     "salted_user_stats",
+    "minhash_recall",
+    "cms_heavy_hitters",
+    "pq_quant_error",
 ]
 
 
