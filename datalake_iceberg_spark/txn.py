@@ -250,10 +250,20 @@ def recover_transactions(catalog) -> list[dict]:
         record = json.loads(catalog.fs.read_text(path))
         for flip in record["flips"]:
             t = LakeTable(catalog.spark, flip["location"], fs=catalog.fs)
-            if not t.exists():
-                continue
             manifest = catalog.fs.join(t.meta_dir, f"v{flip['version']}.json")
-            if t.current_version() == flip["parent"] and catalog.fs.exists(manifest):
+            if not catalog.fs.exists(manifest):
+                continue
+            if not t.exists():
+                # table created INSIDE the interrupted transaction: the
+                # v0 manifest is reserved but _current was never
+                # written — completing the flip IS creating the table
+                if flip["parent"] is None:
+                    catalog.fs.replace_atomic(
+                        catalog.fs.join(t.meta_dir, "_current"),
+                        str(flip["version"]),
+                    )
+                continue
+            if t.current_version() == flip["parent"]:
                 catalog.fs.replace_atomic(
                     catalog.fs.join(t.meta_dir, "_current"), str(flip["version"])
                 )

@@ -181,3 +181,34 @@ def test_recovery_skips_superseded_flip(catalog, spark):
     before = a.current_version()
     catalog.recover_transactions()
     assert a.current_version() == before  # current != parent -> skipped
+
+
+def test_recovery_completes_table_created_inside_txn(catalog, spark):
+    """A table born INSIDE an interrupted transaction (v0 manifest
+    reserved, _current never written) must be completed by recovery,
+    not skipped."""
+    fs = catalog.fs
+    txn = catalog.transaction()
+    txn.create_or_replace(
+        "db.born", spark.createDataFrame([Row(id=1, v="x")]), key=["id"]
+    )
+    # the stage captured a builder; reserve its manifest + intent by hand
+    st = txn.table("db.born")
+    build, _ = st._staged
+    preview = st._finalize_snapshot(build(None), None)
+    fs.makedirs(st.meta_dir)
+    fs.write_exclusive(
+        fs.join(st.meta_dir, f"v{preview.version}.json"), preview.to_json()
+    )
+    txn_dir = fs.join(catalog.warehouse, "_txn")
+    fs.makedirs(txn_dir)
+    fs.write_exclusive(
+        fs.join(txn_dir, "txn-born.json"),
+        json.dumps({"txn_id": "born", "flips": [
+            {"location": st.location, "version": preview.version, "parent": None}
+        ]}),
+    )
+    assert not catalog.table("db.born").exists()
+    catalog.recover_transactions()
+    t = catalog.table("db.born")
+    assert t.exists() and t.read().count() == 1
