@@ -154,3 +154,49 @@ def batch_stats(df: DataFrame, ts_col: str = AUDIT_COL, offset_col: str = OFFSET
         F.min(offset_col).alias("min_offset"),
         F.max(offset_col).alias("max_offset"),
     ).first()
+
+
+def quarantine_invalid(
+    source: DataFrame,
+    table: LakeTable,
+    dlq: LakeTable | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split for a CDC batch against the target table's
+    CHECK constraints: returns ``(clean, invalid)`` where ``invalid``
+    carries a ``__violations`` column naming every failed constraint —
+    the operational alternative to failing the whole micro-batch (the
+    write-path gate, ``LakeTable._enforce_constraints``, raises; a
+    24/7 stream wants the batch's GOOD rows applied and the bad ones
+    parked for triage). When ``dlq`` is given, invalid rows append to
+    it (serialized to JSON strings + reason, so one DLQ table serves
+    any source schema).
+
+    Both halves are filters over one projection (the constraint
+    expressions evaluate once per row in codegen); nothing shuffles
+    here. NULL evaluations quarantine, matching the gate's semantics.
+    """
+    checks = table.constraints() if table.exists() else {}
+    if not checks:
+        return source, source.limit(0).withColumn(
+            "__violations", F.lit(None).cast("string")
+        )
+    names = sorted(checks)
+    viol = F.concat_ws(
+        ",",
+        *[
+            F.when(F.expr(checks[n]), F.lit(None)).otherwise(F.lit(n))
+            for n in names
+        ],
+    )
+    tagged = source.withColumn("__violations", viol)
+    clean = tagged.where(F.col("__violations") == "").drop("__violations")
+    invalid = tagged.where(F.col("__violations") != "")
+    if dlq is not None:
+        dlq.append(
+            invalid.select(
+                F.to_json(F.struct(*[c for c in source.columns])).alias("row_json"),
+                F.col("__violations").alias("violations"),
+                F.current_timestamp().alias("quarantined_at"),
+            )
+        )
+    return clean, invalid

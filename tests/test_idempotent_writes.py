@@ -96,3 +96,39 @@ def test_apply_cdc_changes_replay(catalog, spark):
     assert t.current_version() == v
     assert t.read().count() == 9
     assert {r.v for r in t.read().where(f"{SURROGATE_KEY_COL} = 'k1'").collect()} == {42.0}
+
+
+def test_quarantine_invalid_splits_and_parks(catalog, spark):
+    """Dead-letter split: good rows apply, violating rows park in the
+    DLQ with the constraint names — the stream-friendly alternative to
+    failing the micro-batch."""
+    from datalake_iceberg_spark.cdc.pipeline import quarantine_invalid
+
+    t = _mk(catalog, spark, "db.q")
+    t.add_constraint("v_positive", "v >= 0")
+    t.add_constraint("id_small", "id < 1000")
+    dlq = catalog.create_or_replace(
+        "db.q_dlq",
+        spark.createDataFrame(
+            [], "row_json string, violations string, quarantined_at timestamp"
+        ),
+    )
+    batch = spark.createDataFrame(
+        [Row(id=200, v=1.0), Row(id=201, v=-1.0), Row(id=5000, v=-2.0)]
+    )
+    clean, invalid = quarantine_invalid(batch, t, dlq=dlq)
+    t.merge(clean)  # passes the write gate — violations were split out
+    assert t.read().where("id = 200").count() == 1
+    assert t.read().where("id >= 201").count() == 0
+    parked = {r.violations for r in dlq.read().collect()}
+    assert parked == {"v_positive", "id_small,v_positive"}
+    assert invalid.count() == 2
+
+
+def test_quarantine_without_constraints_is_passthrough(catalog, spark):
+    from datalake_iceberg_spark.cdc.pipeline import quarantine_invalid
+
+    t = _mk(catalog, spark, "db.q2")
+    batch = spark.createDataFrame([Row(id=1, v=2.0)])
+    clean, invalid = quarantine_invalid(batch, t)
+    assert clean.count() == 1 and invalid.count() == 0
