@@ -951,3 +951,159 @@ SELECT label, COUNT(*) AS n_vecs,
        ROUND(MIN(cos_fid), 4) AS min_cos_fid
 FROM per_vec GROUP BY label ORDER BY label
 """
+
+
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-K — how a billion-scale ANN
+    serves queries over PQ codes: candidates exist ONLY as ``PQ_M``
+    code ids; each query precomputes a (subspace, code) → partial-dot
+    lookup table against the codebooks (M·K entries), and a
+    candidate's approximate inner product is the sum of M table
+    lookups — no candidate vector is ever decompressed.
+
+    Plan: codes and codebooks come from the shared deterministic-Lloyd
+    PQ build; the query LUT is M·K·|queries| rows (tiny — broadcast);
+    scoring is a broadcast join per subspace id + one (query,
+    candidate) partial-agg shuffle; top-K is a rank window per query.
+    No all-pairs full-precision work anywhere — the full-precision
+    side is only the ``N_QUERIES`` query vectors."""
+    emb = load_balanced(spark, sf_dir, "embeddings")
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", d.alias("d"))
+    subs = base.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice("d", m * PQ_SUB + 1, PQ_SUB).alias("sv"),
+                )
+                for m in range(PQ_M)
+            ])
+        ).alias("p"),
+    ).select("vec_id", F.col("p.m").alias("m"), F.col("p.sv").alias("sv"))
+    seeds = subs.where(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("code"), F.col("sv").alias("c_sv")
+    )
+
+    def _assign(frame, codebook):
+        l2 = F.round(
+            F.aggregate(
+                F.zip_with("sv", "c_sv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy(F.asc("l2"), F.asc("code"))
+        return (
+            frame.join(F.broadcast(codebook), "m")
+            .withColumn("l2", l2)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    a0 = _assign(subs, seeds)
+    cb1 = (
+        a0.select("m", "code", F.posexplode("c_sv").alias("pos", "_"), "sv")
+        .select("m", "code", "pos", F.element_at("sv", F.col("pos") + 1).alias("v"))
+        .groupBy("m", "code", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("m", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+        .select("m", "code", F.transform("pairs", lambda s: s.cv).alias("c_sv"))
+    )
+    codes = _assign(subs, cb1).select(
+        F.col("vec_id").alias("cand_id"), "m", "code"
+    )
+    # query LUT: partial dot of each query subvector with each codebook
+    # entry, rounded so both engines sum identical doubles
+    q_subs = subs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("q_sv")
+    )
+    lut = (
+        q_subs.join(F.broadcast(cb1), "m")
+        .select(
+            "query_id",
+            "m",
+            "code",
+            F.round(_dot(F.col("q_sv"), F.col("c_sv")), 6).alias("pdot"),
+        )
+    )
+    scored = (
+        codes.where(F.col("cand_id") >= N_QUERIES)
+        .join(F.broadcast(lut), ["m", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.round(F.sum("pdot"), 6).alias("approx_dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_dot"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "approx_dot", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+PQ_ANN_SQL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, m, d[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sv
+  FROM base, UNNEST(generate_series(0, {PQ_M - 1})) AS t(m)
+),
+seeds AS (
+  SELECT m, vec_id AS code, sv AS c_sv FROM subs WHERE vec_id < {PQ_K}
+),
+a0 AS (
+  SELECT * FROM (
+    SELECT s.vec_id, s.m, s.sv, c.code, c.c_sv,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_PQ_L2_SQL} ASC, c.code ASC) AS rn
+    FROM subs s JOIN seeds c USING (m)
+  ) WHERE rn = 1
+),
+cb1 AS (
+  SELECT m, code,
+         list_transform(
+           list_sort(list(struct_pack(pos := pos, cv := cv))), r -> r.cv
+         ) AS c_sv
+  FROM (
+    SELECT m, code, pos, AVG(sv[pos]) AS cv
+    FROM a0, UNNEST(generate_series(1, {PQ_SUB})) AS t(pos)
+    GROUP BY m, code, pos
+  )
+  GROUP BY m, code
+),
+codes AS (
+  SELECT vec_id AS cand_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_PQ_L2_SQL} ASC, c.code ASC) AS rn
+    FROM subs s JOIN cb1 c USING (m)
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, q.m, c.code,
+         ROUND(list_sum(list_transform(list_zip(q.sv, c.c_sv),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS pdot
+  FROM subs q JOIN cb1 c USING (m)
+  WHERE q.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT l.query_id, k.cand_id, ROUND(SUM(l.pdot), 6) AS approx_dot
+  FROM codes k JOIN lut l ON l.m = k.m AND l.code = k.code
+  WHERE k.cand_id >= {N_QUERIES}
+  GROUP BY l.query_id, k.cand_id
+)
+SELECT query_id, cand_id, approx_dot, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, cand_id, approx_dot,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_dot DESC, cand_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
