@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topk_trending": stream_queries.stream_topk_trending,
         "pq_quant_error": similarity.pq_quant_error,
         "pq_ann_topk": similarity.pq_ann_topk,
+        "mad_outlier_days": pipeline_ops.mad_outlier_days,
         "winsorized_value_stats": curation.winsorized_value_stats,
         "token_len_histogram": curation.token_len_histogram,
         "oov_rate": curation.oov_rate,
@@ -261,6 +262,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_topk_trending": stream_queries.STREAM_TOPK_TRENDING_SQL,
         "pq_quant_error": similarity.PQ_QUANT_SQL,
         "pq_ann_topk": similarity.PQ_ANN_SQL,
+        "mad_outlier_days": pipeline_ops.MAD_OUTLIER_SQL,
         "boilerplate_ngrams": curation.BOILERPLATE_SQL,
         "stream_click_attribution": stream_queries.STREAM_CLICK_ATTRIBUTION_SQL,
         "mm_asset_stats": multimodal.MM_ASSET_STATS_SQL,

@@ -620,3 +620,79 @@ FROM top
 CROSS JOIN total
 ORDER BY top.exact_count DESC, top.tok ASC
 """
+
+
+# ------------------------------------------------ MAD outlier audit
+
+MAD_K = 3.0  # flag days beyond K robust deviations
+
+
+def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly audit over the event stream: per event_type,
+    flag DAYS whose value mass deviates from the median by more than
+    ``MAD_K`` × MAD (median absolute deviation) — the outlier detector
+    that, unlike z-scores, one bad day cannot drag (median and MAD
+    have 50% breakdown; `event_spike_hours` is the mean-based sibling).
+
+    Exactness: daily masses are integer cents, and medians of integers
+    interpolate only at .5 — every intermediate is exactly
+    representable, so the flag booleans cannot straddle an FP boundary
+    between engines. Plan: one day-keyed partial-agg shuffle, a
+    per-type median (tiny groups: days-per-type), broadcast back."""
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .alias("cents")
+        )
+    )
+    med = daily.groupBy("event_type").agg(
+        F.median(F.col("cents").cast("double")).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "is_outlier", F.col("adev") > F.lit(MAD_K) * F.col("mad")
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.min("med"), 1).alias("median_cents"),
+            F.round(F.min("mad"), 1).alias("mad_cents"),
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).alias("n_outlier_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MAD_OUTLIER_SQL = f"""
+WITH {EVENTS_CTE},
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events_us GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, MEDIAN(CAST(cents AS DOUBLE)) AS med
+  FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.cents, m.med, ABS(d.cents - m.med) AS adev
+  FROM daily d JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, MEDIAN(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       COUNT(*) AS n_days,
+       ROUND(MIN(dev.med), 1) AS median_cents,
+       ROUND(MIN(mad.mad), 1) AS mad_cents,
+       CAST(SUM(CASE WHEN dev.adev > {MAD_K} * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outlier_days
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type ORDER BY dev.event_type
+"""

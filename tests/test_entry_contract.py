@@ -56,6 +56,7 @@ def test_oracled_queries_inside_driver_window():
         # tests/test_oracle_parity.py meanwhile)
         "minhash_recall", "unpivot_event_metrics", "cms_heavy_hitters",
         "stream_topk_trending", "pq_quant_error", "pq_ann_topk",
+        "mad_outlier_days",
         # r3-green single-scan curation aggregates parked one extra
         # round for window room; rotate back into the r6 window.
         "winsorized_value_stats", "token_len_histogram", "oov_rate",
