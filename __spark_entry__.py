@@ -36,33 +36,106 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver grades the FIRST 50 entries only.
-    # Round-5 rotation: the window holds (a) entries that have NEVER
-    # been driver-graded — the five queued late in r4 plus the seven
-    # new r5 operators — and (b) the r3-green set parked through r4
-    # (q3/q5/q10, the events/DML/as-of core, q13..q22, pipeline-text,
-    # DQ, most of the curation layer), which is otherwise two rounds
-    # stale. The r4-window entries ride the tail this round; five
-    # single-scan curation aggregates (winsorized / token-histogram /
-    # oov / embedding-norm / cube), all r3-green and untouched since,
-    # stay parked one more round for window room and rotate back in r6.
+    # Round-6 rotation (the windowed set per round is committed to
+    # ROTATION_LEDGER.json; tests/test_rotation_ledger.py enforces that
+    # the ledger matches this ordering and that no entry goes more than
+    # four recorded rounds without a driver grade): the window holds
+    # (a) the 25 entries with no current driver row — the 22 never
+    # driver-graded (the r4 cohort + the 7 r5-queued ops) plus the 3
+    # formerly-`no_oracle` entries whose stale r3 rows predate their
+    # oracles — (b) the 5 curation aggregates parked since r3, and
+    # (c) the oldest greens: the 12-entry dedup/similarity rotation set
+    # and 7 misc entries, all last graded in r2. The 12 entries still
+    # waiting (q2/q4/q6/q7/q8/q9/q11/q12 last-r2; merge_upsert /
+    # stream_hourly / stream_dedup / pack_sequences last-r3) lead the
+    # r7 window.
     return {
         # --- flagship: graded every round ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
-        # --- queued late-r4, never graded ---
+        # --- never driver-graded: the r4 cohort ---
+        "incremental_dedup": dedup.incremental_dedup,
+        "kmeans_clusters": similarity.kmeans_clusters,
+        "semantic_dedup": similarity.semantic_dedup,
+        "ngram_lm_score": textops.ngram_lm_score,
+        "chunk_documents": curation.chunk_documents,
+        "weighted_sample": curation.weighted_sample,
+        "ngram_contamination": curation.ngram_contamination,
+        "zipf_stats": textops.zipf_stats,
+        "mixture_weights": curation.mixture_weights,
+        "quality_deciles": curation.quality_deciles,
+        "boilerplate_ngrams": curation.boilerplate_ngrams,
+        "ivf_recall": similarity.ivf_recall,
+        # --- never driver-graded: queued in r5 ---
+        "minhash_recall": dedup.minhash_recall,  # sampled-truth LSH recall audit
+        "unpivot_event_metrics": pipeline_ops.unpivot_event_metrics,
+        "cms_heavy_hitters": pipeline_ops.cms_heavy_hitters,
+        "pq_quant_error": similarity.pq_quant_error,
+        "pq_ann_topk": similarity.pq_ann_topk,
+        "mad_outlier_days": pipeline_ops.mad_outlier_days,
+        # --- never driver-graded: streaming parity ---
+        "stream_running_stats": stream_queries.stream_running_stats,
+        "stream_click_attribution": stream_queries.stream_click_attribution,
+        "stream_session_stats": stream_queries.stream_session_stats,
+        "stream_topk_trending": stream_queries.stream_topk_trending,
+        # --- stale `no_oracle` r3 rows; oracles exist since r4 ---
+        "approx_distinct_users": approx.approx_distinct_users,
+        "approx_value_quantiles": approx.approx_value_quantiles,
+        "mm_decode_features": multimodal.mm_decode_features,
+        # --- curation aggregates parked since r3 ---
+        "winsorized_value_stats": curation.winsorized_value_stats,
+        "token_len_histogram": curation.token_len_histogram,
+        "oov_rate": curation.oov_rate,
+        "embedding_norm_stats": curation.embedding_norm_stats,
+        "cube_revenue": curation.cube_revenue,
+        # --- oldest greens: dedup/similarity set, last graded r2 ---
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_signatures": dedup.minhash_signatures,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash": dedup.simhash,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dup_clusters": dedup.dup_clusters,
+        "knn_bruteforce": similarity.knn_bruteforce,
+        "ann_lsh_buckets": similarity.ann_lsh_buckets,
+        "centroid_similarity": similarity.centroid_similarity,
+        "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
+        "ivf_ann_topk": similarity.ivf_ann_topk,
+        "mm_asset_stats": multimodal.mm_asset_stats,
+        # --- oldest greens: misc, last graded r2 ---
+        "doc_fingerprint": textops.fingerprint,
+        "grouping_sets_revenue": analytics.grouping_sets_revenue,
+        "lang_id": textops.lang_id,
+        "pivot_status_by_priority": analytics.pivot_status_by_priority,
+        "quality_score": textops.quality_score,
+        "rolling_revenue_7d": analytics.rolling_revenue_7d,
+        "top_parts_per_brand": analytics.top_parts_per_brand,
+        # ---- entries past the driver's 50-entry window ----
+        # r7 window leads: last-r2 TPC-H + last-r3 DML/stream/packing.
+        "q2_min_cost_supplier": tpch_ext.q2_min_cost_supplier,
+        "q4_priority_semijoin": analytics.q4_priority_semijoin,
+        "q6_forecast_revenue": analytics.q6_forecast_revenue,
+        "q7_volume_shipping": analytics.q7_volume_shipping,
+        "q8_market_share": tpch_ext.q8_market_share,
+        "q9_nation_profit": tpch_ext.q9_nation_profit,
+        "q11_important_stock": tpch_ext.q11_important_stock,
+        "q12_priority_shipping": tpch_ext.q12_priority_shipping,
+        "merge_upsert_orders": analytics.merge_upsert_orders,
+        "stream_hourly_rollup": stream_queries.stream_hourly_rollup,
+        "stream_dedup_count": stream_queries.stream_dedup_count,
+        "pack_sequences": curation.pack_sequences,
+        # Fresh r5-green cohort rides the tail; pinned by
+        # tests/test_oracle_parity.py either way.
         "funnel_conversion": analytics.funnel_conversion,
         "retention_cohorts": analytics.retention_cohorts,
         "duplicate_span_fraction": dedup.duplicate_span_fraction,
         "gopher_quality": curation.gopher_quality,
         "event_spike_hours": pipeline_ops.event_spike_hours,
-        # --- new in r5, never graded ---
-        "pmi_collocations": textops.pmi_collocations,  # adjacent-pair PMI collocation mining
-        "vocab_growth": textops.vocab_growth,  # Heaps-law vocabulary audit per source
-        "unigram_entropy": textops.unigram_entropy,  # repetition-collapse entropy bands
-        "decayed_engagement": pipeline_ops.decayed_engagement,  # half-life-decayed user scores
-        "props_pii_scan": pipeline_ops.props_pii_scan,  # email/IPv4/digit-run PII gate
-        "salted_user_stats": pipeline_ops.salted_user_stats,  # two-phase salted hot-key agg
-        "sq8_quant_error": similarity.sq8_quant_error,  # int8 scalar-quantization fidelity
-        # --- r3-green, parked through r4 — rotate back in ---
+        "pmi_collocations": textops.pmi_collocations,
+        "vocab_growth": textops.vocab_growth,
+        "unigram_entropy": textops.unigram_entropy,
+        "decayed_engagement": pipeline_ops.decayed_engagement,
+        "props_pii_scan": pipeline_ops.props_pii_scan,
+        "salted_user_stats": pipeline_ops.salted_user_stats,
+        "sq8_quant_error": similarity.sq8_quant_error,
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "q5_regional_revenue": analytics.q5_regional_revenue,
         "q10_returned_items": analytics.q10_returned_items,
@@ -100,75 +173,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_repetition": curation.shingle_repetition,
         "stratified_sample_counts": curation.stratified_sample_counts,
         "contamination_overlap": curation.contamination_overlap,
-        # ---- entries past the driver's 50-entry window ----
-        # The whole r4 window rides the tail this round (graded in r4 if
-        # the driver recorded that round; their query code is untouched
-        # in r5 and stays pinned by tests/test_oracle_parity.py either
-        # way), plus the five parked curation aggregates noted above.
-        "ngram_contamination": curation.ngram_contamination,
-        "zipf_stats": textops.zipf_stats,
-        "mixture_weights": curation.mixture_weights,
-        "quality_deciles": curation.quality_deciles,
-        "merge_upsert_orders": analytics.merge_upsert_orders,
-        "stream_session_stats": stream_queries.stream_session_stats,
-        "semantic_dedup": similarity.semantic_dedup,
-        "ngram_lm_score": textops.ngram_lm_score,
-        "chunk_documents": curation.chunk_documents,
-        "weighted_sample": curation.weighted_sample,
-        "stream_hourly_rollup": stream_queries.stream_hourly_rollup,
-        "stream_dedup_count": stream_queries.stream_dedup_count,
-        "stream_running_stats": stream_queries.stream_running_stats,
-        "mm_decode_features": multimodal.mm_decode_features,
-        "pack_sequences": curation.pack_sequences,
-        "approx_distinct_users": approx.approx_distinct_users,
-        "approx_value_quantiles": approx.approx_value_quantiles,
-        "incremental_dedup": dedup.incremental_dedup,
-        "kmeans_clusters": similarity.kmeans_clusters,
-        "boilerplate_ngrams": curation.boilerplate_ngrams,
-        "stream_click_attribution": stream_queries.stream_click_attribution,
-        "q2_min_cost_supplier": tpch_ext.q2_min_cost_supplier,
-        "q4_priority_semijoin": analytics.q4_priority_semijoin,
-        "q6_forecast_revenue": analytics.q6_forecast_revenue,
-        "q7_volume_shipping": analytics.q7_volume_shipping,
-        "q8_market_share": tpch_ext.q8_market_share,
-        "q9_nation_profit": tpch_ext.q9_nation_profit,
-        "q11_important_stock": tpch_ext.q11_important_stock,
-        "q12_priority_shipping": tpch_ext.q12_priority_shipping,
-        "top_parts_per_brand": analytics.top_parts_per_brand,
-        "doc_fingerprint": textops.fingerprint,
-        "quality_score": textops.quality_score,
-        "lang_id": textops.lang_id,
-        "grouping_sets_revenue": analytics.grouping_sets_revenue,
-        "rolling_revenue_7d": analytics.rolling_revenue_7d,
-        "pivot_status_by_priority": analytics.pivot_status_by_priority,
-        "exact_dedup": dedup.exact_dedup,
-        "minhash_signatures": dedup.minhash_signatures,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "simhash": dedup.simhash,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "dup_clusters": dedup.dup_clusters,
-        "knn_bruteforce": similarity.knn_bruteforce,
-        "ann_lsh_buckets": similarity.ann_lsh_buckets,
-        "centroid_similarity": similarity.centroid_similarity,
-        "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
-        "ivf_ann_topk": similarity.ivf_ann_topk,
-        "ivf_recall": similarity.ivf_recall,
-        "mm_asset_stats": multimodal.mm_asset_stats,
-        # ---- new in r5, QUEUED for the r6 grading window (the 50
-        # slots are committed to never-graded + r3-stale entries);
-        # oracle-enforced by tests/test_oracle_parity.py until then.
-        "minhash_recall": dedup.minhash_recall,
-        "unpivot_event_metrics": pipeline_ops.unpivot_event_metrics,
-        "cms_heavy_hitters": pipeline_ops.cms_heavy_hitters,
-        "stream_topk_trending": stream_queries.stream_topk_trending,
-        "pq_quant_error": similarity.pq_quant_error,
-        "pq_ann_topk": similarity.pq_ann_topk,
-        "mad_outlier_days": pipeline_ops.mad_outlier_days,
-        "winsorized_value_stats": curation.winsorized_value_stats,
-        "token_len_histogram": curation.token_len_histogram,
-        "oov_rate": curation.oov_rate,
-        "embedding_norm_stats": curation.embedding_norm_stats,
-        "cube_revenue": curation.cube_revenue,
     }
 
 

@@ -648,9 +648,22 @@ FROM nd LEFT JOIN agg USING (source) ORDER BY nd.source
 # ------------------------------------------------------- LSH recall audit
 
 RECALL_TAU = 0.5  # ground-truth near-dup threshold for the audit
+RECALL_SAMPLE_MOD = 2  # keep 1/MOD of docs in the audit sub-corpus
 
 
-def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _recall_sample_pred(mod: int):
+    """Deterministic doc sample predicate, identical across engines:
+    first 8 md5 hex chars of doc_id as an int, mod ``mod`` == 0. Same
+    idiom as ``hash_split_stats`` — reproducible, uniform, RNG-free."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % mod == 0
+    )
+
+
+def minhash_recall(
+    spark: SparkSession, sf_dir: str, sample_mod: int = RECALL_SAMPLE_MOD
+) -> DataFrame:
     """Recall audit of the banded-LSH candidate generation against
     EXACT Jaccard ground truth (the dedup twin of ``ivf_recall``): of
     all pairs with true shingle-Jaccard ≥ ``RECALL_TAU``, what fraction
@@ -658,6 +671,17 @@ def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     publish before anyone trusts its "dedup rate" — banding is a
     probabilistic filter (P(candidate) = 1-(1-j^band_size)^n_bands) and
     this measures its realized miss rate on THIS corpus.
+
+    The audit runs on a deterministic hash-sampled sub-corpus (keep
+    doc iff md5-bucket(doc_id) % ``sample_mod`` == 0). Recall is a
+    per-pair property and banding treats each doc independently, so
+    restricting BOTH truth and candidates to the same sample is an
+    unbiased estimator of full-corpus recall — and it bounds the
+    exact-truth inverted-index self-join, whose hot-shingle key size
+    shrinks by 1/sample_mod (expected k²/mod² pairs per boilerplate
+    shingle shared by k docs). At 100 TB raise ``sample_mod`` (e.g.
+    100–10000) until the sampled corpus fits the audit budget; at
+    bench scale MOD=2 keeps enough true pairs to grade.
 
     Plan: ground truth is an inverted-index shingle self-join (never
     all-pairs — only docs SHARING a shingle meet), one shuffle on the
@@ -668,12 +692,11 @@ def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-lint scan budget exists to catch exactly that). The shingle
     stage is materialized once (``localCheckpoint``) because four
     consumers (self-join both sides, sizes, signatures) would
-    otherwise each re-explode the corpus. At 100 TB the exact-truth
-    side is the cost driver — run it on a deterministic hash-sampled
-    sub-corpus (the estimate is unbiased for recall); the full-corpus
-    form here is the sf-scale gate.
+    otherwise each re-explode the corpus.
     """
-    docs = load_balanced(spark, sf_dir, "documents")
+    docs = load_balanced(spark, sf_dir, "documents").where(
+        _recall_sample_pred(sample_mod)
+    )
     sh = _shingles(docs).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -724,8 +747,13 @@ def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECALL_SAMPLE_WHERE = (
+    "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    f" % {RECALL_SAMPLE_MOD} = 0"
+)
+
 MINHASH_RECALL_SQL = f"""
-WITH shingles AS ({_shingle_sql()}),
+WITH shingles AS ({_shingle_sql(_RECALL_SAMPLE_WHERE)}),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter

@@ -21,50 +21,26 @@ DRIVER_WINDOW = 50
 
 
 def test_oracled_queries_inside_driver_window():
+    """Every oracled entry past the 50-slot window must have been
+    windowed (and therefore driver-graded) in a PRIOR recorded round —
+    i.e. parking is only allowed for entries with an existing driver
+    row. The per-round windows live in ROTATION_LEDGER.json; the
+    cadence itself is enforced by tests/test_rotation_ledger.py."""
+    import json
+    from pathlib import Path
+
+    ledger = json.loads(
+        (Path(__file__).resolve().parent.parent / "ROTATION_LEDGER.json").read_text()
+    )
+    prior = set()
+    for rnd in ledger["rounds"][:-1]:
+        prior.update(rnd["window"])
     names = list(entrymod.queries())
     sqls = entrymod.oracle_sql()
-    outside = [n for n in names[DRIVER_WINDOW:] if n in sqls]
-    # rows-only entries may sit anywhere; oracled ones past the window
-    # would silently go ungraded — except deliberately-parked entries
-    # already green in a PRIOR driver round. This list must track the
-    # rotation in queries(): update it whenever entries move across the
-    # window, and never park an entry that has no green driver row yet.
-    parked_round5 = {
-        # The whole r4 grading window rides the tail in r5 (its entries
-        # earned r4 rows if the driver recorded that round; query code
-        # untouched in r5 and pinned by tests/test_oracle_parity.py).
-        "ngram_contamination", "zipf_stats", "mixture_weights",
-        "quality_deciles", "merge_upsert_orders", "stream_session_stats",
-        "semantic_dedup", "ngram_lm_score", "chunk_documents",
-        "weighted_sample", "stream_hourly_rollup", "stream_dedup_count",
-        "stream_running_stats", "mm_decode_features", "pack_sequences",
-        "approx_distinct_users", "approx_value_quantiles",
-        "incremental_dedup", "kmeans_clusters", "boilerplate_ngrams",
-        "stream_click_attribution",
-        "q2_min_cost_supplier", "q4_priority_semijoin",
-        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-        "q9_nation_profit", "q11_important_stock", "q12_priority_shipping",
-        "top_parts_per_brand", "doc_fingerprint", "quality_score",
-        "lang_id", "grouping_sets_revenue", "rolling_revenue_7d",
-        "pivot_status_by_priority",
-        "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
-        "simhash", "ngram_jaccard_pairs", "dup_clusters",
-        "knn_bruteforce", "ann_lsh_buckets", "centroid_similarity",
-        "embedding_neardup_pairs", "ivf_ann_topk", "ivf_recall",
-        "mm_asset_stats",
-        # new mid-r5, queued for the r6 window (oracle-enforced by
-        # tests/test_oracle_parity.py meanwhile)
-        "minhash_recall", "unpivot_event_metrics", "cms_heavy_hitters",
-        "stream_topk_trending", "pq_quant_error", "pq_ann_topk",
-        "mad_outlier_days",
-        # r3-green single-scan curation aggregates parked one extra
-        # round for window room; rotate back into the r6 window.
-        "winsorized_value_stats", "token_len_histogram", "oov_rate",
-        "embedding_norm_stats", "cube_revenue",
-    }
-    assert set(outside) <= parked_round5, (
-        f"oracled queries past entry {DRIVER_WINDOW} without a prior green row: "
-        f"{sorted(set(outside) - parked_round5)}"
+    outside = [n for n in names[DRIVER_WINDOW:] if n in sqls and n not in prior]
+    assert not outside, (
+        f"oracled queries past entry {DRIVER_WINDOW} that have never been "
+        f"driver-graded: {outside}"
     )
 
 

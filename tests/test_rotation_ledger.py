@@ -1,0 +1,77 @@
+"""Grading-window rotation cadence guard (round-5 verdict item 6).
+
+The driver grades only the first 50 ``queries()`` entries per round and
+sometimes skips recording a round entirely (round 4 recorded no
+CORRECTNESS/BENCH artifacts, silently aging a 22-entry cohort).
+ROTATION_LEDGER.json commits the planned window for every recorded
+round — r1–r5 reconstructed from CORRECTNESS_r0N.json keys, the current
+round appended by the builder when it rotates ``queries()``.
+
+Invariants:
+1. The ledger's latest window is exactly the first 50 ``queries()``
+   keys — the ledger can't drift from the contract file.
+2. Every entry appears in the union of the last FOUR recorded windows
+   (4 × 50 = 200 slots ≥ the 111-entry surface), so no cohort can go
+   more than ~3 recorded rounds without a driver grade. Counting
+   RECORDED rounds (ledger entries), not round numbers, makes a
+   driver-skipped round age nothing.
+3. Windows are exactly DRIVER_WINDOW entries with no duplicates, and
+   every windowed name is a real ``queries()`` entry (historical
+   windows may reference since-renamed entries only if the rename is
+   recorded by keeping the old name in the ledger — currently none).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import __spark_entry__ as entrymod
+
+DRIVER_WINDOW = 50
+MAX_WINDOWS_BACK = 4
+
+_LEDGER = Path(__file__).resolve().parent.parent / "ROTATION_LEDGER.json"
+
+
+def _rounds() -> list[dict]:
+    return json.loads(_LEDGER.read_text())["rounds"]
+
+
+def test_latest_window_matches_queries_ordering():
+    rounds = _rounds()
+    latest = rounds[-1]
+    actual = list(entrymod.queries())[:DRIVER_WINDOW]
+    assert latest["window"] == actual, (
+        "ROTATION_LEDGER.json round "
+        f"{latest['round']} window does not match the first {DRIVER_WINDOW} "
+        "queries() entries — update the ledger when rotating the window"
+    )
+
+
+def test_every_entry_windowed_within_last_four_recorded_rounds():
+    rounds = _rounds()
+    recent = rounds[-MAX_WINDOWS_BACK:]
+    covered = set()
+    for rnd in recent:
+        covered.update(rnd["window"])
+    stale = sorted(set(entrymod.queries()) - covered)
+    assert not stale, (
+        f"entries with no driver grade in the last {len(recent)} recorded "
+        f"rounds ({[r['round'] for r in recent]}): {stale} — rotate them "
+        "into the next window"
+    )
+
+
+def test_windows_are_well_formed():
+    names = set(entrymod.queries())
+    rounds = _rounds()
+    assert rounds == sorted(rounds, key=lambda r: r["round"])
+    for rnd in rounds:
+        win = rnd["window"]
+        assert len(win) == DRIVER_WINDOW, (rnd["round"], len(win))
+        assert len(set(win)) == len(win), f"dup entries in round {rnd['round']}"
+        unknown = sorted(set(win) - names)
+        assert not unknown, (
+            f"round {rnd['round']} window references unknown entries: {unknown}"
+        )
