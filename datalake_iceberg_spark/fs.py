@@ -53,6 +53,13 @@ class LocalFilesystem:
     def size(self, path: str) -> int:
         return os.path.getsize(path)
 
+    def mtime(self, path: str) -> float:
+        """Last-modified time, seconds since epoch. Object-store
+        adapters map this to the object's LastModified — used only for
+        AGE GATES (orphan/reserved-manifest reclamation), never for
+        ordering, so second-granularity store timestamps are fine."""
+        return os.path.getmtime(path)
+
     def open_input(self, path: str):
         """Binary reader for metadata-sized files (parquet footers,
         manifests) — callers must close it. Object-store adapters return

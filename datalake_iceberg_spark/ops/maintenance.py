@@ -18,6 +18,7 @@ The Iceberg procedures map onto LakeTable maintenance:
 
 from __future__ import annotations
 
+import re
 from datetime import datetime, timezone
 
 from datalake_iceberg_spark.ops.watermark import WatermarkStore
@@ -245,7 +246,15 @@ def advise(table) -> list[dict]:
                       "outstanding — every read pays their anti-joins",
             "severity": "high",
         })
-    n_snaps = snap.version + 1
+    # count actually-RETAINED manifests, not snap.version + 1: version
+    # numbers never reset after expire_snapshots, so the lifetime
+    # counter would fire the expire recommendation permanently once a
+    # table crosses the threshold — even right after an expiry
+    n_snaps = sum(
+        1
+        for name in table.fs.listdir(table.meta_dir)
+        if re.fullmatch(r"v\d+\.json", name)
+    )
     if n_snaps >= ADVISE_SNAPSHOTS:
         recs.append({
             "procedure": EXPIRE,

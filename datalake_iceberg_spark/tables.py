@@ -1021,31 +1021,51 @@ class LakeTable:
 
     def files(self, version: int | None = None) -> DataFrame:
         """Metadata table, like Iceberg's ``table.files``: one row per
-        live data file of the snapshot — bucket, commit dir, file name,
-        size, footer row count, and the dir's harvested column bounds
-        (the data-skipping stats, as JSON). The inventory every storage
-        audit starts from: small-file histograms, per-bucket volume
-        skew, stats coverage.
+        live file of the snapshot — bucket, commit dir, file name, size,
+        footer row count, its role (``content``, like Iceberg's
+        content field: ``'data'`` or ``'equality-deletes'``), and the
+        dir's harvested column bounds (the data-skipping stats, as
+        JSON). The inventory every storage audit starts from:
+        small-file histograms, per-bucket volume skew, stats coverage,
+        outstanding MoR delete debt.
+
+        ``num_rows`` is the raw parquet FOOTER count — physical rows
+        before any merge-on-read equality deletes are applied. For the
+        logical row count read the table; for delete debt count the
+        ``'equality-deletes'`` rows (on a MoR table the same physical
+        file can appear under both roles: a MoR merge batch is data AND
+        its key set masks older dirs).
 
         Cost: O(files) name listings + footer row-count reads, the same
         driver/Spark-job split as the stats harvest — above the per-FS
         cap the footer reads fan out as a Spark job, so the inventory of
         a 100 TB table costs a metadata scan, never a data scan."""
         snap = self.snapshot(version)
-        listed: list[tuple[int, str, str, int]] = []  # bucket, dir, file, size
+        # bucket, dir, file, size, content
+        listed: list[tuple[int, str, str, int, str]] = []
         for b, dirs in sorted(snap.buckets.items(), key=lambda kv: int(kv[0])):
             for rel in dirs:
                 abs_dir = self.fs.join(self.location, rel)
                 for fname in sorted(self.fs.listdir(abs_dir)):
                     if fname.endswith(".parquet"):
                         p = self.fs.join(abs_dir, fname)
-                        listed.append((int(b), rel, fname, self.fs.size(p)))
+                        listed.append((int(b), rel, fname, self.fs.size(p), "data"))
+        for b, entries in sorted(snap.deletes.items(), key=lambda kv: int(kv[0])):
+            for entry in entries:
+                rel = entry["dir"]
+                abs_dir = self.fs.join(self.location, rel)
+                for fname in sorted(self.fs.listdir(abs_dir)):
+                    if fname.endswith(".parquet"):
+                        p = self.fs.join(abs_dir, fname)
+                        listed.append(
+                            (int(b), rel, fname, self.fs.size(p), "equality-deletes")
+                        )
         cap = (
             LOCAL_DRIVER_STATS_MAX_FILES
             if getattr(self.fs, "is_local", False)
             else DRIVER_STATS_MAX_FILES
         )
-        paths = [self.fs.join(self.location, rel, f) for _, rel, f, _ in listed]
+        paths = [self.fs.join(self.location, rel, f) for _, rel, f, _, _ in listed]
         if len(paths) <= cap:
             counts = [_footer_num_rows(p) for p in paths]
         else:
@@ -1054,13 +1074,18 @@ class LakeTable:
             ).map(_footer_num_rows).collect()
             counts = list(pairs)
         rows = [
-            (b, rel, f, size, n, json.dumps(snap.stats.get(rel)) if snap.stats.get(rel) else None)
-            for (b, rel, f, size), n in zip(listed, counts)
+            (
+                b, rel, f, size, n, content,
+                json.dumps(snap.stats.get(rel))
+                if content == "data" and snap.stats.get(rel)
+                else None,
+            )
+            for (b, rel, f, size, content), n in zip(listed, counts)
         ]
         return self.spark.createDataFrame(
             rows,
             "bucket INT, dir STRING, file STRING, size_bytes BIGINT, "
-            "num_rows BIGINT, dir_stats STRING",
+            "num_rows BIGINT, content STRING, dir_stats STRING",
         )
 
     # ------------------------------------------------------------------ refs
@@ -2198,7 +2223,17 @@ class LakeTable:
         if not re.fullmatch(r"[A-Za-z0-9_]+", name):
             raise ValueError(f"constraint name must be [A-Za-z0-9_]+, got {name!r}")
         if validate and self.exists():
-            bad = self.read().where(~F.expr(expr)).limit(1).count()
+            # same NULL semantics as the write gate (_enforce_constraints)
+            # and quarantine_invalid: a NULL evaluation COUNTS as a
+            # violation. Plain ~expr is NULL for NULL, which where()
+            # drops — a table would then validate clean while identical
+            # rows get rejected on the very next write.
+            bad = (
+                self.read()
+                .where(~F.coalesce(F.expr(expr), F.lit(False)))
+                .limit(1)
+                .count()
+            )
             if bad:
                 raise ValueError(
                     f"existing rows violate constraint {name!r} ({expr}); "
@@ -2591,6 +2626,26 @@ class LakeCatalog:
             raise ValueError(f"no such table {name!r}")
         if self.fs.isdir(dst):
             raise ValueError(f"target table {new_name!r} already exists")
+        # an interrupted multi-table transaction may still hold an
+        # intent-log flip for this location; moving the directory out
+        # from under it would make the flip permanently unresolvable
+        # (records hold absolute locations)
+        txn_dir = self.fs.join(self.warehouse, "_txn")
+        if self.fs.isdir(txn_dir):
+            for rec_name in self.fs.listdir(txn_dir):
+                if not (rec_name.startswith("txn-") and rec_name.endswith(".json")):
+                    continue
+                try:
+                    rec = json.loads(
+                        self.fs.read_text(self.fs.join(txn_dir, rec_name))
+                    )
+                except FileNotFoundError:
+                    continue
+                if any(f["location"] == src for f in rec["flips"]):
+                    raise ValueError(
+                        f"table {name!r} is referenced by pending transaction "
+                        f"record {rec_name}; run recover_transactions() first"
+                    )
         parent = dst.rsplit("/", 1)[0]
         self.fs.makedirs(parent)
         self.fs.move(src, dst)
@@ -2603,12 +2658,27 @@ class LakeCatalog:
 
         return CatalogTransaction(self)
 
-    def recover_transactions(self) -> list[dict]:
+    def recover_transactions(
+        self, reclaim_reserved_after_s: float | None = 3600.0
+    ) -> list[dict]:
         """Roll forward transactions interrupted mid-publish — see
         :func:`datalake_iceberg_spark.txn.recover_transactions`."""
         from datalake_iceberg_spark.txn import recover_transactions
 
-        return recover_transactions(self)
+        return recover_transactions(
+            self, reclaim_reserved_after_s=reclaim_reserved_after_s
+        )
+
+    def reclaim_reserved_manifests(
+        self, older_than_s: float = 3600.0, dry_run: bool = False
+    ) -> list[str]:
+        """GC reserved manifests leaked by pre-commit-point crashes —
+        see :func:`datalake_iceberg_spark.txn.reclaim_reserved_manifests`."""
+        from datalake_iceberg_spark.txn import reclaim_reserved_manifests
+
+        return reclaim_reserved_manifests(
+            self, older_than_s=older_than_s, dry_run=dry_run
+        )
 
     def list_tables(self, schema: str = "default") -> list[str]:
         d = self.fs.join(self.warehouse, schema)

@@ -28,13 +28,24 @@ Commit protocol (two-phase with a write-ahead intent log):
    intent record last.
 
 Crash safety: a crash before step 2 leaves only reserved manifests and
-staged data dirs — invisible to readers (``_current`` never moved) and
-reclaimed by ``remove_orphan_files``. A crash after step 2 is ROLLED
-FORWARD by :meth:`LakeCatalog.recover_transactions`: every flip whose
-table still sits at the recorded parent is completed (the manifests are
-all on disk — that was the reservation invariant), flips that already
-happened are recognized as done, and the record is then dropped. So the
-transaction is atomic to any reader that runs recovery first, and
+staged data dirs — invisible to readers (``_current`` never moved).
+Staged data dirs are reclaimed by ``remove_orphan_files``; the reserved
+``v{N}.json`` manifests are NOT (they sit above ``_current``, which GC
+never touches) and, left in place, would make every later commit to the
+table lose its reservation race forever. Two defenses: in-process
+failures roll the reservations back in a ``try/except`` before
+propagating, and :func:`reclaim_reserved_manifests` (also run by
+``recover_transactions``) age-gate-deletes reserved manifests that no
+intent record names — covering hard crashes. A crash after step 2 is
+ROLLED FORWARD by :meth:`LakeCatalog.recover_transactions`: every flip
+whose table still sits at the recorded parent is completed (the
+manifests are all on disk — that was the reservation invariant), flips
+that already happened are recognized as done, and the record is then
+dropped. A record containing a flip that can no longer be resolved
+(table dropped or renamed after the crash — intent records hold
+absolute locations) is RETAINED and reported, never silently consumed:
+finalizing a torn multi-table state must be an operator decision. So
+the transaction is atomic to any reader that runs recovery first, and
 repairable-forward for everyone else; the torn window is bounded by
 crash-to-recovery, never by data rewrite time.
 
@@ -52,6 +63,7 @@ raises instead of producing a silently-wrong rewrite.
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 
@@ -165,53 +177,82 @@ class CatalogTransaction:
                 return {}
             reserved: list[tuple[_StagedTable, Snapshot]] = []
             race = False
-            for t, snap in built:
-                try:
-                    t.fs.makedirs(t.meta_dir)
-                    t.fs.write_exclusive(
-                        t.fs.join(t.meta_dir, f"v{snap.version}.json"),
-                        snap.to_json(),
-                    )
-                    reserved.append((t, snap))
-                except FileExistsError:
-                    race = True
-                    break
-            if race:
-                # roll back every reservation; _current never moved, so
-                # nothing was published
-                for t, snap in reserved:
-                    t.fs.remove(t.fs.join(t.meta_dir, f"v{snap.version}.json"))
-                if attempt == COMMIT_RETRIES:
-                    raise CommitConflict(
-                        f"transaction lost {COMMIT_RETRIES} commit races"
-                    )
-                time.sleep(COMMIT_RETRY_WAIT_S)
-                continue
-            # ---- commit point: write-ahead intent record ----
-            txn_dir = self.fs.join(self.catalog.warehouse, "_txn")
-            self.fs.makedirs(txn_dir)
-            record = {
-                "txn_id": uuid.uuid4().hex,
-                "flips": [
-                    {
-                        "location": t.location,
-                        "version": snap.version,
-                        "parent": snap.parent,
-                    }
-                    for t, snap in built
-                ],
-            }
-            rec_path = self.fs.join(txn_dir, f"txn-{record['txn_id']}.json")
-            self.fs.write_exclusive(rec_path, json.dumps(record))
+            try:
+                for t, snap in built:
+                    try:
+                        t.fs.makedirs(t.meta_dir)
+                        t.fs.write_exclusive(
+                            t.fs.join(t.meta_dir, f"v{snap.version}.json"),
+                            snap.to_json(),
+                        )
+                        reserved.append((t, snap))
+                    except FileExistsError:
+                        race = True
+                        break
+                if race:
+                    # roll back every reservation; _current never moved,
+                    # so nothing was published
+                    self._unreserve(reserved)
+                    if attempt == COMMIT_RETRIES:
+                        raise CommitConflict(
+                            f"transaction lost {COMMIT_RETRIES} commit races"
+                        )
+                    time.sleep(COMMIT_RETRY_WAIT_S)
+                    continue
+                # ---- commit point: write-ahead intent record ----
+                txn_dir = self.fs.join(self.catalog.warehouse, "_txn")
+                self.fs.makedirs(txn_dir)
+                record = {
+                    "txn_id": uuid.uuid4().hex,
+                    "flips": [
+                        {
+                            "location": t.location,
+                            "version": snap.version,
+                            "parent": snap.parent,
+                        }
+                        for t, snap in built
+                    ],
+                }
+                rec_path = self.fs.join(txn_dir, f"txn-{record['txn_id']}.json")
+                self.fs.write_exclusive(rec_path, json.dumps(record))
+            except CommitConflict:
+                raise  # race path above already unreserved
+            except BaseException:
+                # any other failure before the intent record is durable
+                # (fs error mid-reservation, intent-log write failure,
+                # KeyboardInterrupt) must not leak reservations: a
+                # leaked v{N}.json above _current would make every later
+                # commit to that table collide forever
+                self._unreserve(reserved)
+                raise
             # ---- roll-forward region: flip every pointer ----
+            # Past the commit point failures roll FORWARD (recovery
+            # completes the flips from the intent record) — never
+            # unreserve here.
             for t, snap in built:
                 t.fs.replace_atomic(
                     t.fs.join(t.meta_dir, "_current"), str(snap.version)
                 )
                 t._pending_stats = {}
-            self.fs.remove(rec_path)
+            try:
+                self.fs.remove(rec_path)
+            except FileNotFoundError:
+                # a concurrent recover_transactions() saw the record,
+                # re-applied the (already-done) flips and consumed it —
+                # the transaction is durably committed either way
+                pass
             return {t.location: snap for t, snap in built}
         raise AssertionError("unreachable")
+
+    @staticmethod
+    def _unreserve(reserved) -> None:
+        """Best-effort rollback of reserved manifests; a path already
+        gone (e.g. reclaimed concurrently) is not an error."""
+        for t, snap in reserved:
+            try:
+                t.fs.remove(t.fs.join(t.meta_dir, f"v{snap.version}.json"))
+            except FileNotFoundError:
+                pass
 
     def abort(self) -> None:
         """Drop staged operations. Data files already written by staged
@@ -233,40 +274,151 @@ class CatalogTransaction:
         return False
 
 
-def recover_transactions(catalog) -> list[dict]:
+def recover_transactions(
+    catalog, reclaim_reserved_after_s: float | None = 3600.0
+) -> list[dict]:
     """Roll forward transactions interrupted between intent-log write
     and the last pointer flip. Safe to run at any time (idempotent;
     concurrent writers unaffected — a flip is applied only if the table
     still sits at the recorded parent, i.e. the interrupted transaction
-    is still the next commit in line). Returns the processed records."""
+    is still the next commit in line). Returns the processed records,
+    each annotated with ``"unresolved": [...]`` listing flips that could
+    not be applied or confirmed done (reserved manifest gone AND the
+    table not at/past the recorded version — e.g. the table was dropped
+    or renamed after the crash; intent records hold absolute locations).
+    A record with unresolved flips is RETAINED on disk so the torn state
+    stays visible instead of being silently finalized; resolve it (e.g.
+    rename the table back, or delete the record deliberately) and rerun.
+
+    Afterwards, reserved ``v{N}.json`` manifests above ``_current`` that
+    no surviving intent record names and that are older than
+    ``reclaim_reserved_after_s`` are deleted (see
+    :func:`reclaim_reserved_manifests`); pass ``None`` to skip."""
     txn_dir = catalog.fs.join(catalog.warehouse, "_txn")
-    if not catalog.fs.isdir(txn_dir):
-        return []
     processed = []
-    for name in sorted(catalog.fs.listdir(txn_dir)):
-        if not (name.startswith("txn-") and name.endswith(".json")):
-            continue
-        path = catalog.fs.join(txn_dir, name)
-        record = json.loads(catalog.fs.read_text(path))
-        for flip in record["flips"]:
-            t = LakeTable(catalog.spark, flip["location"], fs=catalog.fs)
-            manifest = catalog.fs.join(t.meta_dir, f"v{flip['version']}.json")
-            if not catalog.fs.exists(manifest):
+    if catalog.fs.isdir(txn_dir):
+        for name in sorted(catalog.fs.listdir(txn_dir)):
+            if not (name.startswith("txn-") and name.endswith(".json")):
                 continue
-            if not t.exists():
-                # table created INSIDE the interrupted transaction: the
-                # v0 manifest is reserved but _current was never
-                # written — completing the flip IS creating the table
-                if flip["parent"] is None:
+            path = catalog.fs.join(txn_dir, name)
+            try:
+                record = json.loads(catalog.fs.read_text(path))
+            except FileNotFoundError:
+                continue  # live commit finished and consumed its record
+            unresolved = []
+            for flip in record["flips"]:
+                t = LakeTable(catalog.spark, flip["location"], fs=catalog.fs)
+                manifest = catalog.fs.join(t.meta_dir, f"v{flip['version']}.json")
+                if t.exists() and t.current_version() >= flip["version"]:
+                    continue  # flip already applied (manifest may since
+                    # have been expired by snapshot retention)
+                if not catalog.fs.exists(manifest):
+                    # can neither apply nor confirm — table dropped,
+                    # renamed, or manifest lost
+                    unresolved.append(flip)
+                    continue
+                if not t.exists():
+                    # table created INSIDE the interrupted transaction:
+                    # the v0 manifest is reserved but _current was never
+                    # written — completing the flip IS creating it
+                    if flip["parent"] is None:
+                        catalog.fs.replace_atomic(
+                            catalog.fs.join(t.meta_dir, "_current"),
+                            str(flip["version"]),
+                        )
+                    else:
+                        unresolved.append(flip)
+                    continue
+                if t.current_version() == flip["parent"]:
                     catalog.fs.replace_atomic(
                         catalog.fs.join(t.meta_dir, "_current"),
                         str(flip["version"]),
                     )
+                # current != parent and < version: a different commit
+                # superseded the parent — the staged rewrite is stale and
+                # must not be force-flipped; the reserved manifest will
+                # age out via reclaim. Not "unresolved": the outcome is
+                # decided (this flip lost its race), record it as such.
+            record = {**record, "unresolved": unresolved}
+            if unresolved:
+                processed.append(record)
                 continue
-            if t.current_version() == flip["parent"]:
-                catalog.fs.replace_atomic(
-                    catalog.fs.join(t.meta_dir, "_current"), str(flip["version"])
-                )
-        catalog.fs.remove(path)
-        processed.append(record)
+            try:
+                catalog.fs.remove(path)
+            except FileNotFoundError:
+                pass
+            processed.append(record)
+    if reclaim_reserved_after_s is not None:
+        reclaim_reserved_manifests(catalog, older_than_s=reclaim_reserved_after_s)
     return processed
+
+
+def reclaim_reserved_manifests(
+    catalog, older_than_s: float = 3600.0, dry_run: bool = False
+) -> list[str]:
+    """Delete reserved ``v{N}.json`` manifests that leaked from a commit
+    that crashed BEFORE its intent record was written (the pre-commit-
+    point window of both the transactional and the direct commit path).
+
+    A manifest above ``_current`` is never committed state — ``_current``
+    is always the table's max committed version (rollback commits a NEW
+    version; branches/WAP keep their metadata in their own namespaces) —
+    so it is either (a) a reservation of an IN-FLIGHT commit, (b) named
+    by a surviving ``_txn`` intent record awaiting roll-forward, or
+    (c) a leak. The age gate (default 1 h, far above any commit's
+    reserve-to-publish window) excludes (a); intent-record flips exclude
+    (b); the rest is (c) and, left in place, would make every future
+    commit to that table lose its reservation race forever.
+
+    Returns the reclaimed (or, under ``dry_run``, reclaimable) paths.
+    """
+    fs = catalog.fs
+    keep: set[tuple[str, int]] = set()
+    txn_dir = fs.join(catalog.warehouse, "_txn")
+    if fs.isdir(txn_dir):
+        for name in fs.listdir(txn_dir):
+            if not (name.startswith("txn-") and name.endswith(".json")):
+                continue
+            try:
+                rec = json.loads(fs.read_text(fs.join(txn_dir, name)))
+            except FileNotFoundError:
+                continue
+            for flip in rec["flips"]:
+                keep.add((flip["location"], flip["version"]))
+    now = time.time()
+    reclaimed: list[str] = []
+    if not fs.isdir(catalog.warehouse):
+        return reclaimed
+    for schema in sorted(fs.listdir(catalog.warehouse)):
+        sdir = fs.join(catalog.warehouse, schema)
+        if schema == "_txn" or not fs.isdir(sdir):
+            continue
+        for tname in sorted(fs.listdir(sdir)):
+            loc = fs.join(sdir, tname)
+            meta = fs.join(loc, "metadata")
+            if not fs.isdir(meta):
+                continue
+            cur_path = fs.join(meta, "_current")
+            try:
+                current = int(fs.read_text(cur_path).strip())
+            except FileNotFoundError:
+                # no _current at all: every v*.json here is either a
+                # mid-creation reservation (age gate) or a leak from a
+                # crashed CREATE
+                current = -1
+            for mname in sorted(fs.listdir(meta)):
+                m = re.fullmatch(r"v(\d+)\.json", mname)
+                if not m or int(m.group(1)) <= current:
+                    continue
+                if (loc, int(m.group(1))) in keep:
+                    continue
+                mpath = fs.join(meta, mname)
+                try:
+                    if now - fs.mtime(mpath) < older_than_s:
+                        continue
+                    reclaimed.append(mpath)
+                    if not dry_run:
+                        fs.remove(mpath)
+                except FileNotFoundError:
+                    continue  # concurrent rollback/reclaim got it first
+    return reclaimed

@@ -133,6 +133,7 @@ def test_files_metadata_table(spark, tmp_path):
     t = cat.create_or_replace("db.files_meta", df, key=["id"], n_buckets=4)
     t.append(spark.createDataFrame([Row(id=100, v="y")]))
     inv = t.files().collect()
+    assert all(r["content"] == "data" for r in inv)  # no MoR debt yet
     assert sum(r["num_rows"] for r in inv) == 21
     assert all(r["size_bytes"] > 0 for r in inv)
     assert {r["bucket"] for r in inv} <= {0, 1, 2, 3}
@@ -140,3 +141,13 @@ def test_files_metadata_table(spark, tmp_path):
     assert any(r["dir_stats"] for r in inv)
     # time travel: v0's inventory has only the RTAS rows
     assert sum(r["num_rows"] for r in t.files(version=0).collect()) == 20
+    # merge-on-read: outstanding equality-delete files are inventoried
+    # (Iceberg files-table content field), and data num_rows stays the
+    # PHYSICAL footer count — the docstring's documented contract
+    t.merge(spark.createDataFrame([Row(id=0, v="mor")]), mode="merge-on-read")
+    inv2 = t.files().collect()
+    dels = [r for r in inv2 if r["content"] == "equality-deletes"]
+    assert dels and sum(r["num_rows"] for r in dels) == 1
+    physical = sum(r["num_rows"] for r in inv2 if r["content"] == "data")
+    assert physical == 22  # 21 + masked-row rewrite appended, none removed
+    assert t.read().count() == 21  # logical count applies the delete

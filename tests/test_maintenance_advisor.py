@@ -86,3 +86,16 @@ def test_run_advised_executes_and_clears(catalog, spark, store):
     assert m.advise(catalog.table("db.run")) == []
     # rows survived every procedure
     assert catalog.table("db.run").read().count() == 8 + 6 - 2
+
+
+def test_expiry_recommendation_clears_after_expire(catalog, spark):
+    """advise() counts RETAINED manifests, not lifetime versions — the
+    expire recommendation must not fire permanently once a table crosses
+    ADVISE_SNAPSHOTS lifetime commits."""
+    t = _mk(catalog, spark, "db.snclear", buckets=1)
+    for i in range(m.ADVISE_SNAPSHOTS):
+        t.update_where([("id", "=", 0)], {"v": float(i)})
+    t.rewrite_data_files()
+    assert any(r["procedure"] == m.EXPIRE for r in m.advise(t))
+    t.expire_snapshots(keep_last=2)
+    assert not any(r["procedure"] == m.EXPIRE for r in m.advise(t))

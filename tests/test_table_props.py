@@ -247,3 +247,23 @@ def test_rename_table_moves_everything(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="no such table"):
         cat.rename_table("db.old_name", "db.x")
+
+
+def test_add_constraint_validate_counts_null_as_violation(spark, tmp_path):
+    """validate=True must use the same NULL semantics as the write gate:
+    a row where the expression evaluates NULL fails validation — else a
+    table validates clean while identical rows are rejected on the very
+    next write."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [Row(id=1, amount=None), Row(id=2, amount=2.0)],
+        "id long, amount double",
+    )
+    t = cat.create_or_replace("db.nullv", df, key=["id"], n_buckets=2)
+    with _pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint("pos", "amount > 0")

@@ -212,3 +212,168 @@ def test_recovery_completes_table_created_inside_txn(catalog, spark):
     catalog.recover_transactions()
     t = catalog.table("db.born")
     assert t.exists() and t.read().count() == 1
+
+
+# ----------------------------- r6: reservation-leak + torn-state guards
+
+
+class _FailingFS:
+    """Delegating fs that raises on chosen operations (crash injection)."""
+
+    def __init__(self, inner, fail_on=None):
+        self._inner = inner
+        self.fail_on = fail_on  # (method, substring) -> raise OSError
+
+    def __getattr__(self, name):
+        attr = getattr(self._inner, name)
+        if not callable(attr):
+            return attr
+
+        def wrapped(*a, **kw):
+            if self.fail_on and name == self.fail_on[0] and any(
+                isinstance(x, str) and self.fail_on[1] in x for x in a
+            ):
+                raise OSError(f"injected failure in {name}")
+            return attr(*a, **kw)
+
+        return wrapped
+
+
+def test_failed_intent_write_rolls_back_reservations(spark, tmp_path):
+    """A failure between manifest reservation and the intent-log write
+    (the pre-commit-point window) must unreserve every manifest —
+    otherwise every later commit to the table collides forever."""
+    from datalake_iceberg_spark.fs import LocalFilesystem
+
+    fs = _FailingFS(LocalFilesystem())
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"), fs=fs)
+    a = _mk(catalog, spark, "db.leak")
+    va = a.current_version()
+    batch = spark.createDataFrame([Row(id=7, v="boom")])
+    fs.fail_on = ("write_exclusive", "_txn")
+    txn = catalog.transaction()
+    txn.table("db.leak").append(batch)
+    with pytest.raises(OSError, match="injected"):
+        txn.commit()
+    fs.fail_on = None
+    # reservation rolled back: no manifest above _current
+    leaked = [
+        n for n in fs.listdir(a.meta_dir)
+        if n.startswith("v") and n.endswith(".json")
+        and int(n[1:-5]) > a.current_version()
+    ]
+    assert leaked == []
+    # and the table is still committable
+    a.append(batch)
+    assert a.current_version() == va + 1
+
+
+def test_reclaim_reserved_manifests_age_and_intent_gates(spark, tmp_path):
+    """Leaked reservations are reclaimed only when old AND not named by
+    a surviving intent record; fresh reservations are left alone."""
+    import os
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    a = _mk(catalog, spark, "db.orph")
+    fs = catalog.fs
+    cur = a.current_version()
+    old_leak = fs.join(a.meta_dir, f"v{cur + 1}.json")
+    fresh_leak = fs.join(a.meta_dir, f"v{cur + 2}.json")
+    wal_kept = fs.join(a.meta_dir, f"v{cur + 3}.json")
+    for p in (old_leak, fresh_leak, wal_kept):
+        fs.write_exclusive(p, "{}")
+    os.utime(old_leak, (1, 1))
+    os.utime(wal_kept, (1, 1))
+    txn_dir = fs.join(catalog.warehouse, "_txn")
+    fs.makedirs(txn_dir)
+    fs.write_exclusive(
+        fs.join(txn_dir, "txn-keepme.json"),
+        json.dumps({"txn_id": "keepme", "flips": [
+            {"location": a.location, "version": cur + 3, "parent": cur}
+        ]}),
+    )
+    dry = catalog.reclaim_reserved_manifests(dry_run=True)
+    assert dry == [old_leak]
+    reclaimed = catalog.reclaim_reserved_manifests()
+    assert reclaimed == [old_leak]
+    assert not fs.exists(old_leak)
+    assert fs.exists(fresh_leak)  # inside the age gate
+    assert fs.exists(wal_kept)  # named by an intent record
+    # with the stale reservation gone the table commits again
+    a.append(spark.createDataFrame([Row(id=1, v="ok")]))
+
+
+def test_recovery_retains_unresolvable_record(spark, tmp_path):
+    """A record whose flip can no longer be applied or confirmed (table
+    dropped after the crash) must be reported AND kept on disk, not
+    silently consumed into a finalized torn state."""
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    a = _mk(catalog, spark, "db.gone")
+    fs = catalog.fs
+    txn_dir = fs.join(catalog.warehouse, "_txn")
+    fs.makedirs(txn_dir)
+    rec_path = fs.join(txn_dir, "txn-torn.json")
+    fs.write_exclusive(rec_path, json.dumps({"txn_id": "torn", "flips": [
+        {"location": a.location, "version": a.current_version() + 1,
+         "parent": a.current_version()},
+    ]}))
+    catalog.drop("db.gone")
+    processed = catalog.recover_transactions()
+    assert len(processed) == 1 and processed[0]["unresolved"]
+    assert fs.exists(rec_path)  # retained for the operator
+    # still reported (idempotently) on the next run
+    processed2 = catalog.recover_transactions()
+    assert len(processed2) == 1 and processed2[0]["unresolved"]
+
+
+def test_rename_table_blocked_by_pending_txn_record(spark, tmp_path):
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    a = _mk(catalog, spark, "db.ren")
+    fs = catalog.fs
+    txn_dir = fs.join(catalog.warehouse, "_txn")
+    fs.makedirs(txn_dir)
+    rec_path = fs.join(txn_dir, "txn-pin.json")
+    fs.write_exclusive(rec_path, json.dumps({"txn_id": "pin", "flips": [
+        {"location": a.location, "version": a.current_version() + 1,
+         "parent": a.current_version()},
+    ]}))
+    with pytest.raises(ValueError, match="pending transaction"):
+        catalog.rename_table("db.ren", "db.ren2")
+    fs.remove(rec_path)
+    t = catalog.rename_table("db.ren", "db.ren2")
+    assert t.read().count() == 6
+
+
+def test_commit_tolerates_concurrently_consumed_record(spark, tmp_path):
+    """recover_transactions racing a live commit may consume the intent
+    record first; the live commit must still succeed (it is durably
+    committed either way)."""
+    from datalake_iceberg_spark.fs import LocalFilesystem
+
+    class _EagerRecoveryFS(_FailingFS):
+        def __getattr__(self, name):
+            attr = getattr(self._inner, name)
+            if name != "replace_atomic" or not callable(attr):
+                return super().__getattr__(name)
+
+            def wrapped(path, text):
+                attr(path, text)
+                # simulate concurrent recovery finishing right after the
+                # last pointer flip: the record vanishes before the
+                # committer's own cleanup
+                txn_dir = self._inner.join(self.warehouse, "_txn")
+                if self._inner.isdir(txn_dir):
+                    for n in self._inner.listdir(txn_dir):
+                        if n.startswith("txn-"):
+                            self._inner.remove(self._inner.join(txn_dir, n))
+
+            return wrapped
+
+    fs = _EagerRecoveryFS(LocalFilesystem())
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"), fs=fs)
+    fs.warehouse = catalog.warehouse
+    a = _mk(catalog, spark, "db.race")
+    va = a.current_version()
+    with catalog.transaction() as txn:
+        txn.table("db.race").append(spark.createDataFrame([Row(id=5, v="r")]))
+    assert a.current_version() == va + 1
