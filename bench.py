@@ -499,6 +499,16 @@ def main() -> None:
                 "dml_n_stage_findings": len(report["findings"]),
                 "dml_cpu_efficiency": report["cpu_efficiency"],
                 "dml_cpu_verdict": report["cpu_verdict"],
+                # fleet-sizing bands (BASELINE.md: utilization 50-80%,
+                # spread <10pp, peak-exec-mem 50-80%) grade the whole
+                # run — sizing is an app property, not a phase one
+                "executor_utilization": report["executor_utilization"],
+                "utilization_verdict": report["utilization_verdict"],
+                "load_spread_pp": report["load_spread_pp"],
+                "load_spread_verdict": report["load_spread_verdict"],
+                "peak_mem_fraction": report["peak_mem_fraction"],
+                "peak_mem_fraction_max": report["peak_mem_fraction_max"],
+                "mem_verdict": report["mem_verdict"],
             }
             if dml_fill_start_ms is not None:
                 # the design-representative DML verdict: buckets hold a
@@ -518,7 +528,7 @@ def main() -> None:
     except Exception as ex:  # health grading must never fail the bench
         print(f"# health analysis skipped: {ex}", file=sys.stderr)
 
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -526,7 +536,19 @@ def main() -> None:
         "dml": dml,
         "sf": sf,
         "health": health,
-    }))
+    })
+    print(line)
+    # companion artifact: the driver's BENCH_r{N}.json capture has been
+    # truncated before (r5) — persist the same line to a stable file the
+    # builder commits per round so the judge can diff without a re-run
+    try:
+        from pathlib import Path as _Path
+
+        (_Path(__file__).resolve().parent / "bench_latest.json").write_text(
+            line + "\n"
+        )
+    except OSError as ex:
+        print(f"# bench_latest.json not written: {ex}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -54,6 +54,23 @@ CPU_EFF_HIGH = 0.80
 CPU_VERDICT_MIN_RUN_MS = 2000
 SHUFFLE_WAIT_WARN = 0.05
 SHUFFLE_WAIT_CRITICAL = 0.20
+#: executor-utilization bands (analyze_spark_eventlog.py:583-588):
+#: >80% fully used, 50-80% adequate, 30-50% idle-heavy (fleet can
+#: shrink), <30% over-provisioned.
+UTIL_FULL = 0.80
+UTIL_ADEQUATE = 0.50
+UTIL_SHRINKABLE = 0.30
+#: max-min utilization spread across executors, percentage points
+#: (analyze_spark_eventlog.py:590-592): <10pp balanced, >20pp load
+#: concentrated on few executors.
+SPREAD_BALANCED_PP = 10.0
+SPREAD_CONCENTRATED_PP = 20.0
+#: peak execution memory / JVM heap bands
+#: (analyze_spark_eventlog.py:718-731): >80% one data bump from
+#: spilling, 50-80% healthy, <30% over-allocated.
+MEM_RISKY = 0.80
+MEM_HEALTHY = 0.50
+MEM_OVERALLOCATED = 0.30
 
 
 def read_event_lines(path: str | Path) -> Iterator[str]:
@@ -268,6 +285,157 @@ def analyze_stages(events: Iterator[dict[str, Any]]) -> list[StageStats]:
     return out
 
 
+def utilization_verdict(u: float) -> str:
+    if u > UTIL_FULL:
+        return "fully-utilized"
+    if u >= UTIL_ADEQUATE:
+        return "adequate"
+    if u >= UTIL_SHRINKABLE:
+        return "shrinkable"
+    return "over-provisioned"
+
+
+def spread_verdict(pp: float) -> str:
+    if pp < SPREAD_BALANCED_PP:
+        return "balanced"
+    if pp <= SPREAD_CONCENTRATED_PP:
+        return "uneven"
+    return "concentrated"
+
+
+def mem_verdict(frac: float, disk_spill: int) -> str:
+    if disk_spill > 0:
+        return "spilling"  # definite shortage regardless of peak ratio
+    if frac > MEM_RISKY:
+        return "risky"
+    if frac >= MEM_HEALTHY:
+        return "healthy"
+    if frac >= MEM_OVERALLOCATED:
+        return "adequate"
+    return "over-allocated"
+
+
+def analyze_executors(
+    events: list[dict[str, Any]], stage_ids: set[int] | None = None
+) -> dict[str, Any]:
+    """Fleet-sizing report (the reference's sections 5–6,
+    ``analyze_spark_eventlog.py:500-604`` executor utilization + load
+    spread, ``:605-781`` peak-execution-memory vs JVM heap): the three
+    numbers that answer "is the fleet the right SIZE", which the
+    per-stage plan findings can't — a perfectly-planned query on a 2×
+    oversized fleet shows clean stages and 40% utilization.
+
+    - **utilization** per executor: Σ task wall duration / (span ×
+      cores); the app-level number is the core-weighted mean. Band
+      50–80% adequate (above: no headroom, below: shrink the fleet).
+    - **load_spread_pp**: max−min executor utilization in percentage
+      points; <10pp balanced. Wide spread with healthy per-stage skew
+      means placement/locality trouble, not key skew.
+    - **peak_mem_fraction**: max task Peak Execution Memory / JVM heap
+      (BlockManagerAdded Maximum Memory), averaged over executors.
+      50–80% healthy; >80% one data bump from spilling; <30% the heap
+      is over-allocated.
+
+    ``stage_ids`` restricts tasks to a phase window (bench grades each
+    phase separately); the span is then the window's own task
+    min-launch → max-finish, so utilization stays phase-local.
+    In local[N] mode the single "driver" executor reports N cores —
+    the bands read the same as on a real fleet.
+    """
+    execs: dict[str, dict[str, Any]] = {}
+    heap: dict[str, int] = {}
+    for ev in events:
+        kind = ev.get("Event")
+        if kind == "SparkListenerExecutorAdded":
+            eid = str(ev.get("Executor ID", ""))
+            info = ev.get("Executor Info") or {}
+            execs[eid] = {
+                "cores": info.get("Total Cores", 0) or 1,
+                "added": ev.get("Timestamp", 0),
+            }
+        elif kind == "SparkListenerBlockManagerAdded":
+            eid = str((ev.get("Block Manager ID") or {}).get("Executor ID", ""))
+            heap[eid] = ev.get("Maximum Memory", 0)
+
+    busy: dict[str, float] = {}
+    peak: dict[str, int] = {}
+    disk_spill: dict[str, int] = {}
+    t_min: float | None = None
+    t_max: float | None = None
+    for ev in events:
+        if ev.get("Event") != "SparkListenerTaskEnd":
+            continue
+        if stage_ids is not None and ev.get("Stage ID") not in stage_ids:
+            continue
+        info = ev.get("Task Info") or {}
+        metrics = ev.get("Task Metrics") or {}
+        if not metrics or info.get("Failed"):
+            continue
+        eid = str(info.get("Executor ID", ""))
+        launch, finish = info.get("Launch Time", 0), info.get("Finish Time", 0)
+        busy[eid] = busy.get(eid, 0.0) + max(0, finish - launch)
+        peak[eid] = max(peak.get(eid, 0), metrics.get("Peak Execution Memory", 0))
+        disk_spill[eid] = disk_spill.get(eid, 0) + metrics.get(
+            "Disk Bytes Spilled", 0
+        )
+        t_min = launch if t_min is None else min(t_min, launch)
+        t_max = finish if t_max is None else max(t_max, finish)
+
+    if not busy or t_min is None or t_max is None or t_max <= t_min:
+        return {
+            "executor_utilization": None,
+            "utilization_verdict": "no-tasks",
+            "load_spread_pp": None,
+            "load_spread_verdict": "no-tasks",
+            "peak_mem_fraction": None,
+            "peak_mem_fraction_max": None,
+            "mem_verdict": "no-tasks",
+            "executors": [],
+        }
+    span = t_max - t_min
+    rows = []
+    utils = []
+    fracs = []
+    total_cores = 0
+    for eid in sorted(busy):
+        cores = execs.get(eid, {}).get("cores", 1) or 1
+        total_cores += cores
+        u = busy[eid] / (span * cores)
+        h = heap.get(eid, 0)
+        frac = (peak.get(eid, 0) / h) if h > 0 else None
+        utils.append((u, cores))
+        if frac is not None:
+            fracs.append(frac)
+        rows.append({
+            "executor": eid,
+            "cores": cores,
+            "busy_ms": round(busy[eid], 1),
+            "utilization": round(u, 4),
+            "heap_bytes": h,
+            "peak_exec_bytes": peak.get(eid, 0),
+            "peak_mem_fraction": round(frac, 4) if frac is not None else None,
+            "disk_spill_bytes": disk_spill.get(eid, 0),
+        })
+    avg_util = sum(u * c for u, c in utils) / max(1, total_cores)
+    spread_pp = (max(u for u, _ in utils) - min(u for u, _ in utils)) * 100
+    avg_frac = (sum(fracs) / len(fracs)) if fracs else None
+    total_disk_spill = sum(disk_spill.values())
+    return {
+        "executor_utilization": round(avg_util, 4),
+        "utilization_verdict": utilization_verdict(avg_util),
+        "load_spread_pp": round(spread_pp, 1),
+        "load_spread_verdict": spread_verdict(spread_pp)
+        if len(utils) > 1
+        else "single-executor",
+        "peak_mem_fraction": round(avg_frac, 4) if avg_frac is not None else None,
+        "peak_mem_fraction_max": round(max(fracs), 4) if fracs else None,
+        "mem_verdict": mem_verdict(avg_frac, total_disk_spill)
+        if avg_frac is not None
+        else "no-heap-info",
+        "executors": rows,
+    }
+
+
 def cpu_verdict(efficiency: float) -> str:
     if efficiency < CPU_EFF_LOW:
         return "io-or-shuffle-bound"
@@ -328,9 +496,21 @@ def analyze_eventlog(
         / total_run
     )
     total_py = sum(s.python_time_ms for s in stages)
+    windowed = since_epoch_ms is not None or until_epoch_ms is not None
+    fleet = analyze_executors(
+        events, stage_ids={s.stage_id for s in stages} if windowed else None
+    )
     report = {
         "app": app,
         "n_stages": len(stages),
+        "executor_utilization": fleet["executor_utilization"],
+        "utilization_verdict": fleet["utilization_verdict"],
+        "load_spread_pp": fleet["load_spread_pp"],
+        "load_spread_verdict": fleet["load_spread_verdict"],
+        "peak_mem_fraction": fleet["peak_mem_fraction"],
+        "peak_mem_fraction_max": fleet["peak_mem_fraction_max"],
+        "mem_verdict": fleet["mem_verdict"],
+        "executors_detail": fleet["executors"],
         "cpu_efficiency": round(weighted_cpu, 4),
         "cpu_verdict": cpu_verdict(weighted_cpu),
         "python_time_ms": round(total_py, 1),

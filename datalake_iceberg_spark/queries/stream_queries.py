@@ -2,26 +2,29 @@
 
 Each function drains a STREAM (``readStream`` file source over the
 TESTDATA parquet, ``availableNow`` trigger) through real streaming
-operators — watermark + tumbling window — into a memory sink, then
-returns the drained result as a batch DataFrame. Because event-time
-windowing is deterministic, the result is value-identical to the batch
-formulation, so the DuckDB oracle grades the STREAMING path exactly —
-stream/batch parity as a first-class correctness check, not just a
-unit test.
+operators — watermark + tumbling window — via ``foreachBatch`` into a
+parquet sink directory, then reads that back as a batch DataFrame.
+Because event-time windowing is deterministic, the result is
+value-identical to the batch formulation, so the DuckDB oracle grades
+the STREAMING path exactly — stream/batch parity as a first-class
+correctness check, not just a unit test.
 
 Scale notes: the same plan runs unbounded — the file source becomes
 Kafka (option swap, see ``streaming/runner.py``), ``availableNow``
-becomes a processing-time trigger, and the memory sink becomes
-``foreachBatch`` → ``LakeTable.merge``. Watermarked window state is
-O(active windows × keys), GC'd as the watermark advances; the memory
-sink here is bench-only (a real deployment never collects to the
-driver).
+becomes a processing-time trigger, and the foreachBatch body writes a
+``LakeTable`` instead of a bare parquet dir. The graded path is the
+PRODUCTION sink shape: executors write the sink files directly and
+driver memory is never in the loop, at any window count (the r5 memory
+sink collected every drained row to the driver — safe for these
+watermark-bounded aggregates, but an idiom a user could copy into an
+unbounded drain). Watermarked window state is O(active windows ×
+keys), GC'd as the watermark advances.
 
 Resource hygiene (these run repeatedly inside one driver session): the
 staged source dir is cached per ``sf_dir`` and removed at exit, each
-drain's checkpoint dir is deleted right after termination, and memory
-sink names are deterministic per (query, sf_dir) so a re-run replaces
-the previous temp view instead of accumulating new ones.
+drain's checkpoint dir is deleted right after termination, and sink
+dirs are deterministic per (query, sf_dir) — a re-run wipes and
+replaces the previous drain's output instead of accumulating.
 """
 
 from __future__ import annotations
@@ -36,12 +39,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _STAGED_SOURCES: dict[str, str] = {}
+_SINK_DIRS: dict[str, str] = {}
 
 
 def _cleanup_staged() -> None:  # pragma: no cover - exit hook
     for d in _STAGED_SOURCES.values():
         shutil.rmtree(d, ignore_errors=True)
     _STAGED_SOURCES.clear()
+    for d in _SINK_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _SINK_DIRS.clear()
 
 
 atexit.register(_cleanup_staged)
@@ -87,10 +94,17 @@ def _drain(
     sink: str,
     output_mode: str = "complete",
     shuffle_partitions: int | None = 8,
-):
-    """availableNow drain into a memory sink named ``sink``; the
-    checkpoint dir is per-run (replaying one would skip the backlog)
-    and deleted as soon as the drain terminates.
+) -> DataFrame:
+    """availableNow drain through ``foreachBatch`` into a parquet sink
+    directory — the production sink pattern (``foreachBatch`` →
+    table/file write): a complete-mode batch OVERWRITES the sink (the
+    engine re-emits full state, so the last batch is the result),
+    update/append batches APPEND. Executors write the files; the driver
+    never holds the drained rows. Returns the sink read back as a batch
+    DataFrame. The checkpoint dir is per-run (replaying one would skip
+    the backlog) and deleted as soon as the drain terminates; the sink
+    dir is wiped at the start of each drain so a re-run replaces the
+    previous output.
 
     ``shuffle_partitions`` bounds the STATEFUL-operator parallelism for
     the drain (state-store instances = shuffle partitions, captured at
@@ -101,14 +115,23 @@ def _drain(
     ``None`` to inherit the session setting. The session conf is
     restored after the drain either way."""
     spark = df.sparkSession
+    out = _SINK_DIRS.get(sink)
+    if out is None:
+        out = tempfile.mkdtemp(prefix=f"sink_{sink}_")
+        _SINK_DIRS[sink] = out
+    shutil.rmtree(out, ignore_errors=True)
+    write_mode = "overwrite" if output_mode == "complete" else "append"
+
+    def _write_batch(batch: DataFrame, _batch_id: int) -> None:
+        batch.write.mode(write_mode).parquet(out)
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_q_")
     try:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         q = (
-            df.writeStream.format("memory")
-            .queryName(sink)
+            df.writeStream.foreachBatch(_write_batch)
             .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -118,12 +141,19 @@ def _drain(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(ckpt, ignore_errors=True)
+    if not os.path.isdir(out) or not any(
+        f.endswith(".parquet") for f in os.listdir(out)
+    ):
+        # no batch fired (empty source): an empty frame with the
+        # drain's own schema keeps downstream selects well-typed
+        return spark.createDataFrame([], df.schema)
+    return spark.read.parquet(out)
 
 
 def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event rollup computed BY THE STREAMING ENGINE: file-source
     stream → type-adaptive ts decode → 1-hour tumbling window with
-    watermark → availableNow drain → memory sink. Output matches the
+    watermark → availableNow drain → parquet sink. Output matches the
     batch/oracle rollup bit-for-bit (sums ride in exact integer cents).
     """
     from datalake_iceberg_spark.queries.analytics import cents
@@ -137,10 +167,9 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         aggs=[F.sum(cents("value")).alias("sum_value_c")],
     )
-    sink = _sink_name("stream_hourly_rollup", sf_dir)
-    _drain(agg, sink)
+    res = _drain(agg, _sink_name("stream_hourly_rollup", sf_dir))
     return (
-        spark.table(sink)
+        res
         .select(
             F.col("window.start").alias("hour_start"),
             "event_type",
@@ -162,9 +191,11 @@ def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_within_watermark(
         _stream_events(spark, sf_dir), ["event_id"], "ts", watermark="1 minute"
     )
-    sink = _sink_name("stream_dedup", sf_dir)
-    _drain(deduped.groupBy("event_type").agg(F.count("*").alias("n_unique")), sink)
-    return spark.table(sink).select("event_type", "n_unique").orderBy("event_type")
+    res = _drain(
+        deduped.groupBy("event_type").agg(F.count("*").alias("n_unique")),
+        _sink_name("stream_dedup", sf_dir),
+    )
+    return res.select("event_type", "n_unique").orderBy("event_type")
 
 
 def stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,11 +217,10 @@ def stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("double").alias("v"),
     )
     out = stateful_running_stats(micros, key_col="event_type", value_col="v")
-    sink = _sink_name("stream_running_stats", sf_dir)
-    _drain(out, sink, output_mode="update")
+    res = _drain(out, _sink_name("stream_running_stats", sf_dir), output_mode="update")
     w = Window.partitionBy("key").orderBy(F.desc("n"))
     final = (
-        spark.table(sink)
+        res
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
@@ -277,10 +307,9 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "inner",
     )
-    sink = _sink_name("stream_click_attr", sf_dir)
-    _drain(pairs, sink, output_mode="append")
+    res = _drain(pairs, _sink_name("stream_click_attr", sf_dir), output_mode="append")
     return (
-        spark.table(sink)
+        res
         .groupBy(F.col("p_user").alias("user_id"))
         .agg(F.count("*").alias("n_attributed"))
         .orderBy("user_id")
@@ -317,19 +346,18 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: session state is per (user, open session) and merges as
     events arrive; with a watermark + append mode (production shape)
-    closed sessions emit incrementally and state stays bounded — the
-    complete-mode memory sink here is bench-only, like the other
-    drains. Output: (user_id, n_sessions, n_events)."""
+    closed sessions emit incrementally and state stays bounded; the
+    complete-mode drain here re-emits full state per batch, which is
+    fine for the fixture's bounded key space. Output: (user_id, n_sessions, n_events)."""
     ev = _stream_events(spark, sf_dir)
     sess = (
         ev.withWatermark("ts", "1 minute")
         .groupBy(F.session_window("ts", SESSION_GAP), F.col("user_id"))
         .agg(F.count("*").alias("n_ev"))
     )
-    sink = _sink_name("stream_session_stats", sf_dir)
-    _drain(sess, sink)
+    res = _drain(sess, _sink_name("stream_session_stats", sf_dir))
     return (
-        spark.table(sink)
+        res
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_sessions"),
@@ -384,13 +412,12 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_events"))
     )
-    sink = _sink_name("stream_topk_trending", sf_dir)
-    _drain(agg, sink)
+    res = _drain(agg, _sink_name("stream_topk_trending", sf_dir))
     w = Window.partitionBy("window").orderBy(
         F.desc("n_events"), F.asc("event_type")
     )
     return (
-        spark.table(sink)
+        res
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TREND_TOP_K)
         .select(

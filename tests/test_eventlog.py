@@ -126,3 +126,104 @@ def test_real_eventlog_roundtrip(tmp_path, sf_dir):
     assert report["n_stages"] >= 2  # scan+partial agg, final agg (+ sort)
     assert all(s.n_tasks >= 1 for s in report["stages"])
     assert report["cpu_verdict"] in ("io-or-shuffle-bound", "balanced", "cpu-bound")
+
+
+# --------------------- r6: fleet-sizing sections (utilization / memory)
+
+
+def _exec_added(eid, cores, ts=0):
+    return {
+        "Event": "SparkListenerExecutorAdded",
+        "Executor ID": eid,
+        "Timestamp": ts,
+        "Executor Info": {"Host": "h", "Total Cores": cores},
+    }
+
+
+def _bm_added(eid, max_mem):
+    return {
+        "Event": "SparkListenerBlockManagerAdded",
+        "Block Manager ID": {"Executor ID": eid},
+        "Maximum Memory": max_mem,
+    }
+
+
+def _task_on(stage, eid, launch, finish, peak=0, disk_spill=0):
+    ev = _task_end(stage, finish - launch, finish - launch, 1,
+                   disk_spill=disk_spill)
+    ev["Task Info"]["Executor ID"] = eid
+    ev["Task Info"]["Launch Time"] = launch
+    ev["Task Info"]["Finish Time"] = finish
+    ev["Task Metrics"]["Peak Execution Memory"] = peak
+    return ev
+
+
+def test_executor_utilization_and_load_spread():
+    """One executor busy the whole span, one nearly idle: avg
+    utilization lands mid-band and the spread flags concentration
+    (analyze_spark_eventlog.py:583-592 bands)."""
+    events = [
+        _exec_added("1", 1), _exec_added("2", 1),
+        _bm_added("1", 1000), _bm_added("2", 1000),
+        _task_on(1, "1", 0, 1000, peak=600),
+        _task_on(1, "2", 0, 100, peak=600),
+    ]
+    fleet = el.analyze_executors(events)
+    assert fleet["executors"][0]["utilization"] == 1.0
+    assert fleet["executors"][1]["utilization"] == 0.1
+    assert fleet["executor_utilization"] == 0.55
+    assert fleet["utilization_verdict"] == "adequate"
+    assert fleet["load_spread_pp"] == 90.0
+    assert fleet["load_spread_verdict"] == "concentrated"
+    assert fleet["mem_verdict"] == "healthy"  # 0.6 avg peak fraction
+
+
+def test_utilization_verdict_bands():
+    assert el.utilization_verdict(0.9) == "fully-utilized"
+    assert el.utilization_verdict(0.6) == "adequate"
+    assert el.utilization_verdict(0.4) == "shrinkable"
+    assert el.utilization_verdict(0.1) == "over-provisioned"
+    assert el.spread_verdict(5) == "balanced"
+    assert el.spread_verdict(15) == "uneven"
+    assert el.spread_verdict(30) == "concentrated"
+
+
+def test_peak_memory_bands_and_spill_override():
+    base = [_exec_added("1", 4), _bm_added("1", 1000)]
+    risky = el.analyze_executors(base + [_task_on(1, "1", 0, 100, peak=900)])
+    assert risky["peak_mem_fraction"] == 0.9 and risky["mem_verdict"] == "risky"
+    over = el.analyze_executors(base + [_task_on(1, "1", 0, 100, peak=100)])
+    assert over["mem_verdict"] == "over-allocated"
+    # any disk spill is a shortage verdict regardless of peak ratio
+    sp = el.analyze_executors(
+        base + [_task_on(1, "1", 0, 100, peak=100, disk_spill=5)]
+    )
+    assert sp["mem_verdict"] == "spilling"
+
+
+def test_fleet_keys_in_report_and_phase_window(tmp_path):
+    """analyze_eventlog surfaces the fleet keys; a phase window computes
+    utilization from the window's own stages and span."""
+    events = (
+        [{"Event": "SparkListenerApplicationStart", "App Name": "t", "Timestamp": 0},
+         _exec_added("1", 1), _bm_added("1", 1000),
+         _task_on(1, "1", 0, 1000, peak=700),
+         _task_on(2, "1", 2000, 2500, peak=700),
+         {"Event": "SparkListenerStageCompleted",
+          "Stage Info": {"Stage ID": 1, "Stage Name": "s1", "Submission Time": 1}},
+         {"Event": "SparkListenerStageCompleted",
+          "Stage Info": {"Stage ID": 2, "Stage Name": "s2", "Submission Time": 1900}},
+         {"Event": "SparkListenerApplicationEnd", "Timestamp": 3000}]
+    )
+    log = tmp_path / "fleet.log"
+    _write_log(log, events)
+    full = el.analyze_eventlog(log)
+    assert full["peak_mem_fraction"] == 0.7 and full["mem_verdict"] == "healthy"
+    # full span 0..2500, busy 1500 -> 0.6
+    assert full["executor_utilization"] == 0.6
+    assert full["load_spread_verdict"] == "single-executor"
+    # phase window: only stage 2 (submitted after 1000): busy 500 over
+    # its own 500ms span -> fully utilized
+    phase = el.analyze_eventlog(log, since_epoch_ms=1000)
+    assert phase["executor_utilization"] == 1.0
+    assert phase["utilization_verdict"] == "fully-utilized"
