@@ -1604,28 +1604,31 @@ class LakeTable:
         source = self._align(source)
         self._enforce_constraints(source, "merge")
         bounds = None
-        single_key = len(snap.key) == 1
         if assert_unique_key:
             # one probe job serves the duplicate-key guard, bucket
             # pruning, AND dir pruning: per-key counts roll up to a
-            # per-bucket max + the bucket's source-key bounds
-            # (≤ n_buckets rows collected)
+            # per-bucket max + the bucket's LEADING-key-column bounds
+            # (≤ n_buckets rows collected). For a composite key the
+            # leading column alone still prunes soundly — a matched row
+            # must equal the batch on EVERY key column, so a dir whose
+            # leading-column range misses the batch's cannot match
+            # (the reference's TB_COMPOSITE_KEY tables get era pruning
+            # this way when the leading column is the time-ordered one).
             bucket = (
                 bucket_expr(snap.key, snap.n_buckets).alias("b")
                 if snap.n_buckets > 1
                 else F.lit(0).alias("b")
             )
-            sel = [bucket, "count"]
-            aggs = [F.max("count").alias("max_dup")]
-            if single_key:
-                sel.append(F.col(snap.key[0]).alias("k"))
-                aggs += [F.min("k").alias("kmin"), F.max("k").alias("kmax")]
             probe = (
                 source.groupBy(*snap.key)
                 .count()
-                .select(*sel)
+                .select(bucket, "count", F.col(snap.key[0]).alias("k"))
                 .groupBy("b")
-                .agg(*aggs)
+                .agg(
+                    F.max("count").alias("max_dup"),
+                    F.min("k").alias("kmin"),
+                    F.max("k").alias("kmax"),
+                )
                 .collect()
             )
             if any(r.max_dup > 1 for r in probe):
@@ -1633,8 +1636,7 @@ class LakeTable:
                     "MERGE source has duplicate keys; dedup-latest before merging"
                 )
             affected = sorted(r.b for r in probe)
-            if single_key:
-                bounds = {r.b: (r.kmin, r.kmax) for r in probe}
+            bounds = {r.b: (r.kmin, r.kmax) for r in probe}
         else:
             affected = self._affected_buckets(source, snap)
         touched, kept = self._split_dirs_by_key_bounds(snap, affected, bounds)
@@ -1680,10 +1682,14 @@ class LakeTable:
         rewrite into one proportional to the hot dirs, independent of
         how much history the bucket has accumulated.
 
-        Conservative by construction: composite keys, absent bounds,
-        missing footer stats, or incomparable types all degrade to
-        "touched" (= the pre-pruning behavior, full-bucket rewrite).
-        Returns ``(touched, kept)`` dir-lists per bucket string id."""
+        For composite keys the bounds cover the LEADING key column —
+        sound (a matched row equals the batch on every key column, so
+        leading-column ranges must intersect) and effective whenever
+        the leading column is the time-ordered one. Conservative by
+        construction: absent bounds, missing footer stats, or
+        incomparable types all degrade to "touched" (= the pre-pruning
+        behavior, full-bucket rewrite). Returns ``(touched, kept)``
+        dir-lists per bucket string id."""
         touched: dict[str, list[str]] = {}
         kept: dict[str, list[str]] = {}
         kcol = snap.key[0] if snap.key else None
@@ -1738,25 +1744,23 @@ class LakeTable:
         if not snap.key:
             raise ValueError("delete_keys requires a keyed table")
         keys_df = keys_df.select(*snap.key).distinct()
-        bounds = None
-        if len(snap.key) == 1:
-            # one probe job: affected buckets + per-bucket key bounds
-            # for dir-level pruning (see _split_dirs_by_key_bounds)
-            bucket = (
-                bucket_expr(snap.key, snap.n_buckets).alias("b")
-                if snap.n_buckets > 1
-                else F.lit(0).alias("b")
-            )
-            probe = (
-                keys_df.select(bucket, F.col(snap.key[0]).alias("k"))
-                .groupBy("b")
-                .agg(F.min("k").alias("kmin"), F.max("k").alias("kmax"))
-                .collect()
-            )
-            affected = sorted(r.b for r in probe)
-            bounds = {r.b: (r.kmin, r.kmax) for r in probe}
-        else:
-            affected = self._affected_buckets(keys_df, snap)
+        # one probe job: affected buckets + per-bucket LEADING-key
+        # bounds for dir-level pruning (see _split_dirs_by_key_bounds;
+        # sound for composite keys — equality on every key column
+        # implies leading-column range intersection)
+        bucket = (
+            bucket_expr(snap.key, snap.n_buckets).alias("b")
+            if snap.n_buckets > 1
+            else F.lit(0).alias("b")
+        )
+        probe = (
+            keys_df.select(bucket, F.col(snap.key[0]).alias("k"))
+            .groupBy("b")
+            .agg(F.min("k").alias("kmin"), F.max("k").alias("kmax"))
+            .collect()
+        )
+        affected = sorted(r.b for r in probe)
+        bounds = {r.b: (r.kmin, r.kmax) for r in probe}
         touched, kept = self._split_dirs_by_key_bounds(snap, affected, bounds)
         if any(snap.deletes.get(b) for b in touched):
             target = self._read_with_deletes(snap, touched)

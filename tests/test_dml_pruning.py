@@ -117,7 +117,12 @@ def test_merge_hitting_mor_deleted_range_resurrects_only_source_keys(catalog, sp
     assert got == want
 
 
-def test_composite_key_merge_skips_pruning_but_stays_correct(catalog, spark):
+def test_composite_key_merge_prunes_on_leading_column(catalog, spark):
+    """A 2-column-key merge prunes dirs by the LEADING key column's
+    footer bounds — a matched row must equal the batch on every key
+    column, so a dir whose leading-column range misses the batch's
+    cannot contain matches (the reference's TB_COMPOSITE_KEY shape with
+    a time-ordered leading column)."""
     t = catalog.create_or_replace(
         "db.comp",
         spark.createDataFrame([Row(a=i, b=i % 3, v=f"v{i}") for i in range(50)]),
@@ -126,9 +131,43 @@ def test_composite_key_merge_skips_pruning_but_stays_correct(catalog, spark):
     )
     t.append(spark.createDataFrame([Row(a=i, b=i % 3, v=f"v{i}") for i in range(50, 100)]))
     snap = t.merge(spark.createDataFrame([Row(a=7, b=1, v="hot")]))
-    assert snap.summary["pruned_dirs"] == 0
+    # the 50..99 era dir of each affected bucket is leading-key-cold
+    assert snap.summary["pruned_dirs"] > 0
     got = _rows(t.read())
     want = {(i, i % 3, "hot" if i == 7 else f"v{i}") for i in range(100)}
+    assert got == want
+
+
+def test_composite_key_delete_prunes_on_leading_column(catalog, spark):
+    t = catalog.create_or_replace(
+        "db.compdel",
+        spark.createDataFrame([Row(a=i, b=i % 3, v=f"v{i}") for i in range(50)]),
+        key=["a", "b"],
+        n_buckets=2,
+    )
+    t.append(spark.createDataFrame([Row(a=i, b=i % 3, v=f"v{i}") for i in range(50, 100)]))
+    snap = t.delete_keys(spark.createDataFrame([Row(a=60, b=0), Row(a=61, b=1)]))
+    # the 0..49 era dirs are leading-key-cold for this batch
+    assert snap.summary["pruned_dirs"] > 0
+    got = _rows(t.read())
+    want = {(i, i % 3, f"v{i}") for i in range(100) if i not in (60, 61)}
+    assert got == want
+
+
+def test_composite_key_merge_spanning_batch_stays_correct(catalog, spark):
+    """A batch touching BOTH eras prunes nothing and still converges."""
+    t = catalog.create_or_replace(
+        "db.compspan",
+        spark.createDataFrame([Row(a=i, b=i % 3, v=f"v{i}") for i in range(50)]),
+        key=["a", "b"],
+        n_buckets=2,
+    )
+    t.append(spark.createDataFrame([Row(a=i, b=i % 3, v=f"v{i}") for i in range(50, 100)]))
+    snap = t.merge(spark.createDataFrame(
+        [Row(a=7, b=1, v="hot"), Row(a=93, b=0, v="hot")]
+    ))
+    got = _rows(t.read())
+    want = {(i, i % 3, "hot" if i in (7, 93) else f"v{i}") for i in range(100)}
     assert got == want
 
 
