@@ -17,6 +17,7 @@ from datalake_iceberg_spark.queries import (
     analytics,
     approx,
     asof,
+    corpus_audit,
     curation,
     dedup,
     dq,
@@ -100,16 +101,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
         "ivf_ann_topk": similarity.ivf_ann_topk,
         "mm_asset_stats": multimodal.mm_asset_stats,
+        # --- new in r6: corpus-audit layer (graded immediately) ---
+        "ngram_novelty": corpus_audit.ngram_novelty,
+        "minhash_est_error": corpus_audit.minhash_est_error,
+        "dup_graph_degree": corpus_audit.dup_graph_degree,
+        "token_gini": corpus_audit.token_gini,
         # --- oldest greens: misc, last graded r2 ---
-        "doc_fingerprint": textops.fingerprint,
         "grouping_sets_revenue": analytics.grouping_sets_revenue,
-        "lang_id": textops.lang_id,
         "pivot_status_by_priority": analytics.pivot_status_by_priority,
-        "quality_score": textops.quality_score,
-        "rolling_revenue_7d": analytics.rolling_revenue_7d,
         "top_parts_per_brand": analytics.top_parts_per_brand,
         # ---- entries past the driver's 50-entry window ----
-        # r7 window leads: last-r2 TPC-H + last-r3 DML/stream/packing.
+        # r7 window leads: last-r2 TPC-H + text ops + last-r3
+        # DML/stream/packing.
+        "doc_fingerprint": textops.fingerprint,
+        "lang_id": textops.lang_id,
+        "quality_score": textops.quality_score,
+        "rolling_revenue_7d": analytics.rolling_revenue_7d,
         "q2_min_cost_supplier": tpch_ext.q2_min_cost_supplier,
         "q4_priority_semijoin": analytics.q4_priority_semijoin,
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
@@ -293,4 +300,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": curation.PACK_SEQUENCES_SQL,
         "mixture_weights": curation.MIXTURE_SQL,
         "quality_deciles": curation.QUALITY_DECILES_SQL,
+        "ngram_novelty": corpus_audit.NGRAM_NOVELTY_SQL,
+        "minhash_est_error": corpus_audit.MINHASH_EST_ERROR_SQL,
+        "dup_graph_degree": corpus_audit.DUP_GRAPH_DEGREE_SQL,
+        "token_gini": corpus_audit.TOKEN_GINI_SQL,
     }

@@ -1,0 +1,449 @@
+"""Corpus-level audits for training-data curation.
+
+Four audits a 100 TB text-corpus pipeline runs before (and after) every
+curation change, complementing the dedup/similarity stack
+(``queries/dedup.py``, ``queries/similarity.py``):
+
+- :func:`ngram_novelty` — train→test n-gram generalization gap: how
+  much of the held-out split's trigram vocabulary never occurs in the
+  train split. A collapsing novelty rate means the hash split leaks or
+  the corpus is self-repetitive.
+- :func:`minhash_est_error` — MinHash's ESTIMATED Jaccard vs exact
+  Jaccard on the LSH candidate pairs. ``minhash_recall`` audits what
+  banding MISSES; this audits whether the signature arithmetic can be
+  trusted on the pairs it finds (the two numbers every LSH deployment
+  publishes together).
+- :func:`dup_graph_degree` — degree histogram of the LSH candidate
+  graph. The connectivity check run BEFORE ``dup_clusters``: a heavy
+  8+ band means boilerplate is about to glue the corpus into one giant
+  component and the shingle/band parameters need retuning.
+- :func:`token_gini` — Gini concentration of tokens over documents per
+  source, from a grouped token-count histogram (no per-doc global
+  sort). High inequality means a handful of mega-docs dominate a
+  source's token budget — a sampling-weights input.
+
+All four are JVM-expression plans with map-side partial aggregation;
+the only Python is in the driver. Reference scope anchor: the
+reference engine ships the batch-stats surface these extend
+(``src/utils/cdc_pipeline.py:148`` batch stats; the corpus-audit layer
+itself is an extension the reference does not have).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.queries import load_balanced
+from datalake_iceberg_spark.queries.dedup import (
+    BAND_SIZE,
+    N_HASHES,
+    RECALL_SAMPLE_MOD,
+    _BAND_EXPRS_SQL,
+    _norm_text,
+    _recall_sample_pred,
+    _RECALL_SAMPLE_WHERE,
+    _shingle_array,
+    _shingle_sql,
+    _shingles,
+    _SIG_COLS_SQL,
+    banded_for,
+    signatures_for_shingles,
+)
+
+TRAIN_MOD = 100
+TRAIN_PCT = 90  # same 90/10 md5 split as pipeline_ops.hash_split_stats
+
+
+def _split_expr():
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % TRAIN_MOD
+    )
+    return F.when(bucket < TRAIN_PCT, F.lit("train")).otherwise(F.lit("test"))
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out trigram novelty per language: of the test split's
+    distinct trigrams, the fraction absent from the train split.
+
+    Plan: ONE aggregation, no join — explode trigrams with the
+    deterministic split label, group by (lang, gram) folding presence
+    flags per split (map-side partial agg collapses duplicate grams
+    before the single shuffle), then a tiny per-lang rollup. The
+    gram-level shuffle is the cost driver at 100 TB and is unavoidable
+    for an exact answer; the key space is the trigram vocabulary, which
+    hashes uniformly — no hot keys."""
+    docs = load_balanced(spark, sf_dir, "documents")
+    grams = docs.select(
+        "lang",
+        _split_expr().alias("split"),
+        F.explode(_shingle_array()).alias("gram"),
+    )
+    per_gram = grams.groupBy("lang", "gram").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias("in_test"),
+    )
+    return (
+        per_gram.groupBy("lang")
+        .agg(
+            F.sum("in_test").cast("long").alias("n_test_grams"),
+            F.sum(
+                F.when((F.col("in_test") == 1) & (F.col("in_train") == 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "lang",
+            "n_test_grams",
+            "n_novel",
+            F.round(
+                F.when(
+                    F.col("n_test_grams") > 0,
+                    F.col("n_novel").cast("double") / F.col("n_test_grams"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SPLIT_SQL = (
+    "CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    f" % {TRAIN_MOD} < {TRAIN_PCT} THEN 'train' ELSE 'test' END"
+)
+
+NGRAM_NOVELTY_SQL = f"""
+WITH sh AS ({_shingle_sql()}),
+grams AS (
+  SELECT d.lang, {_SPLIT_SQL} AS split, sh.shingle AS gram
+  FROM sh JOIN documents d USING (doc_id)
+),
+per_gram AS (
+  SELECT lang, gram,
+         MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+         MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+  FROM grams GROUP BY lang, gram
+)
+SELECT lang,
+       CAST(SUM(in_test) AS BIGINT) AS n_test_grams,
+       CAST(SUM(CASE WHEN in_test = 1 AND in_train = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(CASE WHEN SUM(in_test) > 0
+                  THEN CAST(SUM(CASE WHEN in_test = 1 AND in_train = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / SUM(in_test)
+                  ELSE 0.0 END, 4) AS novelty_rate
+FROM per_gram GROUP BY lang ORDER BY lang
+"""
+
+
+def minhash_est_error(
+    spark: SparkSession, sf_dir: str, sample_mod: int = RECALL_SAMPLE_MOD
+) -> DataFrame:
+    """Signature-arithmetic fidelity on the LSH candidate pairs:
+    MinHash-estimated Jaccard (matching signature components / N) vs
+    exact shingle Jaccard, summarized as mean/max absolute error and
+    RMSE. Runs on the same deterministic hash-sampled sub-corpus as
+    ``minhash_recall`` (candidate-pair error is a per-pair property, so
+    the sampled estimate is unbiased and the exact-side inverted-index
+    join stays bounded).
+
+    Plan: shingles checkpointed once (sizes + signatures + exact-side
+    self-join all reuse it); candidate pairs from the production band
+    join; exact intersections from the inverted-index self-join meet
+    the candidates in one LEFT join (a candidate pair sharing no
+    shingle — possible only via hash collision — scores exact 0, the
+    right answer); one final aggregation."""
+    docs = load_balanced(spark, sf_dir, "documents").where(
+        _recall_sample_pred(sample_mod)
+    )
+    sh = _shingles(docs).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sig = signatures_for_shingles(sh).localCheckpoint(eager=True)
+    banded = banded_for(sig)
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    est = (
+        cands.join(sa, cands.doc_a == F.col("sa.doc_id"))
+        .join(sb, cands.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            (matches.cast("double") / F.lit(float(N_HASHES))).alias("jac_est"),
+        )
+    )
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        x.join(y, (F.col("x.shingle") == F.col("y.shingle"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    jac_exact = F.coalesce(F.col("n_inter"), F.lit(0)).cast("double") / (
+        F.col("za.n_sh") + F.col("zb.n_sh")
+        - F.coalesce(F.col("n_inter"), F.lit(0))
+    )
+    pairs = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, est.doc_a == F.col("za.doc_id"))
+        .join(zb, est.doc_b == F.col("zb.doc_id"))
+        .select(
+            F.round(F.col("jac_est"), 6).alias("jac_est"),
+            F.round(jac_exact, 6).alias("jac_exact"),
+        )
+        .withColumn("abs_err", F.round(F.abs(F.col("jac_est") - F.col("jac_exact")), 6))
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg("jac_est"), 4).alias("mean_est"),
+        F.round(F.avg("jac_exact"), 4).alias("mean_exact"),
+        F.round(F.avg("abs_err"), 4).alias("mean_abs_err"),
+        F.round(F.max("abs_err"), 4).alias("max_abs_err"),
+    )
+
+
+_EST_MATCH_SQL = " + ".join(
+    f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+)
+
+MINHASH_EST_ERROR_SQL = f"""
+WITH shingles AS ({_shingle_sql(_RECALL_SAMPLE_WHERE)}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+sigs AS (
+  SELECT doc_id,
+         {_SIG_COLS_SQL}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  SELECT DISTINCT doc_id, band_hash FROM (
+    SELECT doc_id, unnest([{", ".join(f"band_{b}" for b in range(N_HASHES // BAND_SIZE))}]) AS band_hash
+    FROM (SELECT doc_id, {_BAND_EXPRS_SQL} FROM sigs)
+  )
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(({_EST_MATCH_SQL}) AS DOUBLE) / {N_HASHES} AS jac_est
+  FROM cands c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles x JOIN shingles y
+    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT ROUND(e.jac_est, 6) AS jac_est,
+         ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+               / (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)), 6) AS jac_exact
+  FROM est e
+  LEFT JOIN inter i USING (doc_a, doc_b)
+  JOIN sizes za ON za.doc_id = e.doc_a
+  JOIN sizes zb ON zb.doc_id = e.doc_b
+)
+SELECT COUNT(*) AS n_pairs,
+       ROUND(AVG(jac_est), 4) AS mean_est,
+       ROUND(AVG(jac_exact), 4) AS mean_exact,
+       ROUND(AVG(ROUND(ABS(jac_est - jac_exact), 6)), 4) AS mean_abs_err,
+       ROUND(MAX(ROUND(ABS(jac_est - jac_exact), 6)), 4) AS max_abs_err
+FROM pairs
+"""
+
+
+DEGREE_BANDS = [(0, 0, "0"), (1, 1, "1"), (2, 3, "2-3"), (4, 7, "4-7")]
+
+
+def dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the LSH candidate graph — the connectivity
+    audit run before ``dup_clusters``: per signed-up doc (docs with a
+    signature), the number of candidate partners, banded. A fat tail
+    (many docs in 8+) predicts boilerplate gluing the corpus into one
+    giant component; near-all-zero says the band parameters are too
+    strict to find anything.
+
+    Plan: the production band self-join yields pairs; degrees are one
+    explode + count; degree-0 docs are recovered with a LEFT join from
+    the signature frame (cheap — one row per doc). Everything shuffles
+    on doc_id or band_hash; no all-pairs stage anywhere."""
+    docs = load_balanced(spark, sf_dir, "documents")
+    sig = signatures_for_shingles(_shingles(docs))
+    banded = banded_for(sig)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    all_deg = (
+        sig.select("doc_id")
+        .join(deg, "doc_id", "left")
+        .select(F.coalesce("degree", F.lit(0)).alias("degree"))
+    )
+    band = F.lit("8+")
+    lo = F.lit(8)
+    for b_lo, b_hi, label in reversed(DEGREE_BANDS):
+        band = F.when(F.col("degree").between(b_lo, b_hi), label).otherwise(band)
+        lo = F.when(F.col("degree").between(b_lo, b_hi), b_lo).otherwise(lo)
+    return (
+        all_deg.select(band.alias("degree_band"), lo.cast("long").alias("band_lo"))
+        .groupBy("degree_band", "band_lo")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("band_lo")
+    )
+
+
+_DEGREE_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN degree BETWEEN {lo} AND {hi} THEN '{label}'"
+        for lo, hi, label in DEGREE_BANDS
+    )
+    + " ELSE '8+' END"
+)
+_DEGREE_LO_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN degree BETWEEN {lo} AND {hi} THEN {lo}"
+        for lo, hi, label in DEGREE_BANDS
+    )
+    + " ELSE 8 END"
+)
+
+DUP_GRAPH_DEGREE_SQL = f"""
+WITH shingles AS ({_shingle_sql()}),
+sigs AS (
+  SELECT doc_id,
+         {_SIG_COLS_SQL}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  SELECT DISTINCT doc_id, band_hash FROM (
+    SELECT doc_id, unnest([{", ".join(f"band_{b}" for b in range(N_HASHES // BAND_SIZE))}]) AS band_hash
+    FROM (SELECT doc_id, {_BAND_EXPRS_SQL} FROM sigs)
+  )
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+ends AS (
+  SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+),
+deg AS (
+  SELECT s.doc_id, COALESCE(d.degree, 0) AS degree
+  FROM (SELECT DISTINCT doc_id FROM sigs) s
+  LEFT JOIN (SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id) d
+    USING (doc_id)
+)
+SELECT {_DEGREE_CASE_SQL} AS degree_band,
+       CAST({_DEGREE_LO_SQL} AS BIGINT) AS band_lo,
+       COUNT(*) AS n_docs
+FROM deg GROUP BY 1, 2 ORDER BY band_lo
+"""
+
+
+def token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass concentration per source: the Gini coefficient of
+    tokens-per-document, computed from the GROUPED token-count
+    histogram — group docs by (source, token_count), then run the
+    rank-sum Gini formula over the distinct-count rows. The window
+    partitions carry one row per DISTINCT token count (thousands at
+    most), never one per document, so there is no per-doc global sort
+    at any corpus size; all sums are integer-exact until the final
+    division.
+
+    Grouped rank-sum identity: with counts v_1<v_2<... and frequencies
+    f_k, the tied-rank sum Σ_i rank_i·x_i equals
+    Σ_k v_k·(f_k·cumF_{k-1} + f_k(f_k+1)/2); Gini = 2T/(N·S) − (N+1)/N.
+    Output: (source, n_docs, total_tokens, gini)."""
+    docs = load_balanced(spark, sf_dir, "documents")
+    tok = F.size(F.filter(F.split(_norm_text(), " "), lambda t: F.length(t) > 0))
+    grp = (
+        docs.select("source", tok.cast("long").alias("v"))
+        .groupBy("source", "v")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = grp.withColumn("cum_before", F.coalesce(F.sum("f").over(w), F.lit(0)))
+    # integer `div`, not `/`: float division would lose exactness past
+    # 2^53 and the whole point of the grouped formula is integer sums
+    t_k = F.expr("v * (f * cum_before + (f * (f + 1)) div 2)")
+    per_src = grp.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_docs"),
+        F.sum(F.col("f") * F.col("v")).cast("long").alias("total_tokens"),
+        F.sum(t_k).cast("long").alias("t_sum"),
+    )
+    n, s, t = F.col("n_docs"), F.col("total_tokens"), F.col("t_sum")
+    gini = (
+        F.lit(2.0) * t.cast("double") / (n * s).cast("double")
+        - (n + 1).cast("double") / n.cast("double")
+    )
+    return (
+        per_src.select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(F.when(s > 0, gini).otherwise(F.lit(0.0)), 4).alias("gini"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_GINI_SQL = """
+WITH toks AS (
+  SELECT source,
+         len(list_filter(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' '),
+                         t -> length(t) > 0)) AS v
+  FROM documents
+),
+grp AS (
+  SELECT source, v, COUNT(*) AS f FROM toks GROUP BY source, v
+),
+ranked AS (
+  SELECT source, v, f,
+         COALESCE(SUM(f) OVER (PARTITION BY source ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM grp
+),
+per_src AS (
+  SELECT source,
+         SUM(f) AS n_docs,
+         SUM(f * v) AS total_tokens,
+         SUM(v * (f * cum_before + (f * (f + 1)) // 2)) AS t_sum
+  FROM ranked GROUP BY source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       ROUND(CASE WHEN total_tokens > 0
+                  THEN 2.0 * t_sum / (n_docs * total_tokens)
+                       - CAST(n_docs + 1 AS DOUBLE) / n_docs
+                  ELSE 0.0 END, 4) AS gini
+FROM per_src ORDER BY source
+"""

@@ -1,0 +1,93 @@
+"""Unit semantics for the corpus-audit layer (queries/corpus_audit.py).
+
+Oracle parity at sf0.001 is covered by tests/test_oracle_parity.py and
+plan shape by tests/test_all_plans_lint.py; here we pin the SEMANTICS
+on hand-built corpora where the right answer is known in closed form.
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from datalake_iceberg_spark.queries import corpus_audit as ca
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang=lang, source=src, n_chars=len(t))
+         for i, (t, lang, src) in enumerate(rows)]
+    )
+
+
+def test_ngram_novelty_closed_form(spark, tmp_path, monkeypatch):
+    """Force the split assignment and check the novelty arithmetic:
+    test-split grams absent from train are novel."""
+    docs = _docs(spark, [
+        ("a b c d", "en", "s"),        # doc 0
+        ("a b c e", "en", "s"),        # doc 1
+        ("x y z w", "en", "s"),        # doc 2
+    ])
+    import pyspark.sql.functions as F
+    monkeypatch.setattr(
+        ca, "_split_expr",
+        lambda: F.when(F.col("doc_id") < 2, "train").otherwise("test"),
+    )
+    monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: docs)
+    out = {r.lang: r for r in ca.ngram_novelty(spark, "ignored").collect()}
+    # test doc 2 has grams {x y z, y z w}; none occur in train
+    assert out["en"].n_test_grams == 2
+    assert out["en"].n_novel == 2
+    assert out["en"].novelty_rate == 1.0
+
+
+def test_token_gini_uniform_and_concentrated(spark, monkeypatch):
+    """Gini 0 for identical doc lengths; near 1-1/n when one doc holds
+    almost all tokens (exact closed forms of the rank-sum formula)."""
+    uniform = _docs(spark, [("w " * 10, "en", "u")] * 4)
+    monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: uniform)
+    (row,) = ca.token_gini(spark, "ignored").collect()
+    assert row.n_docs == 4 and row.gini == 0.0
+
+    skew = _docs(
+        spark,
+        [("w", "en", "s"), ("w", "en", "s"), ("w", "en", "s"),
+         ("w " * 97, "en", "s")],
+    )
+    monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: skew)
+    (row,) = ca.token_gini(spark, "ignored").collect()
+    # values 1,1,1,97: T = 1+2+3+4*97 = 394, N=4, S=100
+    # gini = 2*394/400 - 5/4 = 1.97 - 1.25 = 0.72
+    assert row.total_tokens == 100
+    assert row.gini == pytest.approx(0.72)
+
+
+def test_dup_graph_degree_bands(spark, monkeypatch):
+    """Three exact-duplicate docs form a triangle (degree 2 each); two
+    singletons have degree 0; bands and counts must reflect that."""
+    docs = _docs(spark, [
+        ("alpha beta gamma delta", "en", "s"),
+        ("alpha beta gamma delta", "en", "s"),
+        ("alpha beta gamma delta", "en", "s"),
+        ("one two three four", "en", "s"),
+        ("five six seven eight", "en", "s"),
+    ])
+    monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: docs)
+    out = {r.degree_band: r.n_docs for r in
+           ca.dup_graph_degree(spark, "ignored").collect()}
+    assert out["2-3"] == 3
+    # the two singletons may or may not band-collide with each other;
+    # with distinct shingle sets they do not
+    assert out.get("0", 0) == 2
+
+
+def test_minhash_est_error_on_exact_duplicates(spark, monkeypatch):
+    """Exact duplicates: estimated and exact Jaccard are both 1.0, so
+    every error statistic is 0 — pinning sign/scale conventions."""
+    docs = _docs(spark, [
+        ("the quick brown fox jumps", "en", "s"),
+        ("the quick brown fox jumps", "en", "s"),
+    ])
+    monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: docs)
+    (row,) = ca.minhash_est_error(spark, "ignored", sample_mod=1).collect()
+    assert row.n_pairs == 1
+    assert row.mean_est == 1.0 and row.mean_exact == 1.0
+    assert row.mean_abs_err == 0.0 and row.max_abs_err == 0.0
