@@ -444,6 +444,188 @@ def cpu_verdict(efficiency: float) -> str:
     return "cpu-bound"
 
 
+def analyze_pools(events: list[dict[str, Any]]) -> dict[str, Any]:
+    """FAIR-scheduler pool assignment census (the reference's section 1,
+    ``analyze_spark_eventlog.py:95-137``): jobs per scheduler pool. In a
+    multi-topic streaming app every topic should run in its own pool;
+    everything landing in ``default`` means ``setLocalProperty`` did not
+    propagate into ``foreachBatch`` and one heavy topic can starve the
+    rest."""
+    pools: dict[str, int] = {}
+    for ev in events:
+        if ev.get("Event") != "SparkListenerJobStart":
+            continue
+        pool = (ev.get("Properties") or {}).get("spark.scheduler.pool", "default")
+        pools[pool] = pools.get(pool, 0) + 1
+    return {
+        "pools": dict(sorted(pools.items(), key=lambda kv: -kv[1])),
+        "n_jobs": sum(pools.values()),
+        "fair_scheduling_active": len(pools) > 1,
+    }
+
+
+def analyze_group_timeline(events: list[dict[str, Any]]) -> dict[str, Any]:
+    """Per-job-group wall-clock timeline (the reference's topic
+    timeline, ``analyze_spark_eventlog.py:144-257``): groups are keyed
+    by ``spark.jobGroup.id`` and labeled with the first line of
+    ``spark.job.description`` — in a multi-topic run each topic's
+    foreachBatch is one group. Reports per-group start/end/duration/job
+    count and the peak number of concurrently-active groups (computed
+    with an endpoint sweep, not per-second sampling — O(n log n) at any
+    app length). Peak concurrency below the configured semaphore width
+    means topics are serializing on something else."""
+    group_label: dict[str, str] = {}
+    job_start: dict[int, int] = {}
+    job_end: dict[int, int] = {}
+    job_group: dict[int, str] = {}
+    for ev in events:
+        kind = ev.get("Event")
+        if kind == "SparkListenerJobStart":
+            jid = int(ev["Job ID"])
+            props = ev.get("Properties") or {}
+            gid = props.get("spark.jobGroup.id", "")
+            desc = (props.get("spark.job.description") or "").split("\n")[0].strip()
+            if gid and desc and gid not in group_label:
+                group_label[gid] = desc
+            job_start[jid] = ev.get("Submission Time", 0)
+            job_group[jid] = gid
+        elif kind == "SparkListenerJobEnd":
+            job_end[int(ev["Job ID"])] = ev.get("Completion Time", 0)
+    by_group: dict[str, list[int]] = {}
+    for jid, gid in job_group.items():
+        if gid in group_label:
+            by_group.setdefault(gid, []).append(jid)
+    groups = []
+    for gid, jids in by_group.items():
+        starts = [job_start[j] for j in jids if j in job_start]
+        ends = [job_end[j] for j in jids if j in job_end]
+        if not starts or not ends:
+            continue
+        groups.append({
+            "group": group_label[gid],
+            "start_ms": min(starts),
+            "end_ms": max(ends),
+            "duration_ms": max(ends) - min(starts),
+            "n_jobs": len(jids),
+        })
+    groups.sort(key=lambda g: g["start_ms"])
+    # endpoint sweep for peak concurrency
+    points = sorted(
+        [(g["start_ms"], 1) for g in groups] + [(g["end_ms"], -1) for g in groups]
+    )
+    peak = cur = 0
+    for _, delta in points:
+        cur += delta
+        peak = max(peak, cur)
+    return {"groups": groups, "max_concurrent_groups": peak}
+
+
+_SQL_TYPE_PATTERNS = [
+    ("merge into", "MERGE INTO"),
+    ("delete from", "DELETE"),
+    ("insert into", "INSERT INTO"),
+    ("create table", "DDL"),
+    ("create database", "DDL"),
+    ("select", "SELECT"),
+]
+
+
+def analyze_sql(events: list[dict[str, Any]], top_n: int = 10) -> dict[str, Any]:
+    """SQL-execution latency census (the reference's section 3,
+    ``analyze_spark_eventlog.py:258-371``): pair
+    ``SparkListenerSQLExecutionStart/End`` events, bucket by statement
+    type, and report count/avg/p50/p95/max/total per type plus the
+    top-N slowest individual executions — the first place a
+    MERGE-heavy CDC app shows which statement family eats the run."""
+    starts: dict[int, dict[str, Any]] = {}
+    ends: dict[int, int] = {}
+    for ev in events:
+        kind = ev.get("Event") or ""
+        if kind.endswith("SparkListenerSQLExecutionStart"):
+            starts[int(ev["executionId"])] = {
+                "description": ev.get("description", "") or "",
+                "time": ev.get("time", 0),
+            }
+        elif kind.endswith("SparkListenerSQLExecutionEnd"):
+            ends[int(ev["executionId"])] = ev.get("time", 0)
+    rows = []
+    for eid, info in starts.items():
+        if eid not in ends:
+            continue
+        low = info["description"].lower()
+        sql_type = next(
+            (t for pat, t in _SQL_TYPE_PATTERNS if pat in low), "OTHER"
+        )
+        rows.append({
+            "id": eid,
+            "type": sql_type,
+            "duration_ms": ends[eid] - info["time"],
+            "description": info["description"][:120],
+        })
+    by_type: dict[str, list[int]] = {}
+    for r in rows:
+        by_type.setdefault(r["type"], []).append(r["duration_ms"])
+    stats = {}
+    for t, ds in sorted(by_type.items(), key=lambda kv: -sum(kv[1])):
+        ds = sorted(ds)
+        n = len(ds)
+        stats[t] = {
+            "count": n,
+            "avg_ms": round(sum(ds) / n, 1),
+            "p50_ms": ds[n // 2],
+            "p95_ms": ds[min(n - 1, int(n * 0.95))],
+            "max_ms": ds[-1],
+            "total_ms": sum(ds),
+        }
+    slowest = sorted(rows, key=lambda r: -r["duration_ms"])[:top_n]
+    return {"sql_types": stats, "slowest": slowest}
+
+
+def analyze_streaming_progress(events: list[dict[str, Any]]) -> dict[str, Any]:
+    """Streaming-query progress census (the reference's section 8,
+    ``analyze_spark_eventlog.py:1002-1077``): started/terminated query
+    counts with failure reasons, batch progress rows (input rows +
+    rates), and the avg-batches-per-query number that distinguishes an
+    availableNow drain from a long-running trigger."""
+    queries: dict[str, dict[str, Any]] = {}
+    progress: list[dict[str, Any]] = []
+    for ev in events:
+        kind = ev.get("Event") or ""
+        if "QueryStartedEvent" in kind:
+            queries[ev.get("runId", "")] = {
+                "name": ev.get("name", ""),
+                "exception": None,
+            }
+        elif "QueryTerminatedEvent" in kind:
+            rid = ev.get("runId", "")
+            if rid in queries:
+                queries[rid]["exception"] = ev.get("exception")
+        elif "QueryProgressEvent" in kind:
+            p = ev.get("progress") or {}
+            progress.append({
+                "name": p.get("name", ""),
+                "batch_id": p.get("batchId"),
+                "input_rows": p.get("numInputRows", 0),
+                "input_rows_per_s": p.get("inputRowsPerSecond", 0),
+                "processed_rows_per_s": p.get("processedRowsPerSecond", 0),
+            })
+    failed = [
+        {"name": q["name"], "exception": (q["exception"] or "")[:200]}
+        for q in queries.values()
+        if q["exception"] is not None
+    ]
+    return {
+        "n_queries": len(queries),
+        "n_failed": len(failed),
+        "failed": failed,
+        "n_progress_batches": len(progress),
+        "avg_batches_per_query": round(len(progress) / len(queries), 2)
+        if queries
+        else 0.0,
+        "batches": progress,
+    }
+
+
 def analyze_eventlog(
     path: str | Path,
     until_epoch_ms: int | None = None,
@@ -545,12 +727,22 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="Spark event-log health analyzer")
     ap.add_argument("path", help="event-log file or v2 rolling directory")
     ap.add_argument("--stages", action="store_true", help="include per-stage rows")
+    ap.add_argument(
+        "--timeline", action="store_true",
+        help="include pool / job-group / SQL-type / streaming sections",
+    )
     ns = ap.parse_args(argv)
-    report = analyze_eventlog(ns.path)
+    events = list(parse_events(ns.path))
+    report = analyze_eventlog(ns.path, events=events)
     if ns.stages:
         report["stages"] = [dataclasses.asdict(s) for s in report["stages"]]
     else:
         report.pop("stages")
+    if ns.timeline:
+        report["pools"] = analyze_pools(events)
+        report["group_timeline"] = analyze_group_timeline(events)
+        report["sql"] = analyze_sql(events)
+        report["streaming"] = analyze_streaming_progress(events)
     _json.dump(report, sys.stdout, indent=2, default=str)
     print()
     return 0

@@ -227,3 +227,87 @@ def test_fleet_keys_in_report_and_phase_window(tmp_path):
     phase = el.analyze_eventlog(log, since_epoch_ms=1000)
     assert phase["executor_utilization"] == 1.0
     assert phase["utilization_verdict"] == "fully-utilized"
+
+
+# ------------- r6: pool / group-timeline / SQL-type / streaming census
+
+
+def test_pools_census():
+    evs = [
+        {"Event": "SparkListenerJobStart", "Job ID": i,
+         "Properties": {"spark.scheduler.pool": pool}}
+        for i, pool in enumerate(["t_orders", "t_orders", "t_events"])
+    ] + [{"Event": "SparkListenerJobStart", "Job ID": 9, "Properties": {}}]
+    rep = el.analyze_pools(evs)
+    assert rep["pools"] == {"t_orders": 2, "t_events": 1, "default": 1}
+    assert rep["n_jobs"] == 4 and rep["fair_scheduling_active"]
+    assert not el.analyze_pools(evs[-1:])["fair_scheduling_active"]
+
+
+def test_group_timeline_and_peak_concurrency():
+    def job(jid, gid, desc, start, end):
+        return [
+            {"Event": "SparkListenerJobStart", "Job ID": jid,
+             "Submission Time": start,
+             "Properties": {"spark.jobGroup.id": gid,
+                            "spark.job.description": desc}},
+            {"Event": "SparkListenerJobEnd", "Job ID": jid,
+             "Completion Time": end},
+        ]
+
+    evs = (job(1, "g1", "topic.a", 0, 1000) + job(2, "g1", "topic.a", 500, 2000)
+           + job(3, "g2", "topic.b", 800, 1500))
+    rep = el.analyze_group_timeline(evs)
+    groups = {g["group"]: g for g in rep["groups"]}
+    assert groups["topic.a"]["start_ms"] == 0
+    assert groups["topic.a"]["end_ms"] == 2000
+    assert groups["topic.a"]["n_jobs"] == 2
+    assert groups["topic.b"]["duration_ms"] == 700
+    assert rep["max_concurrent_groups"] == 2
+
+
+def test_sql_type_census_and_slowest():
+    pre = "org.apache.spark.sql.execution.ui.SparkListener"
+    evs = []
+    for eid, (desc, dur) in enumerate([
+        ("MERGE INTO t USING s", 500),
+        ("merge into t2 using s2", 1500),
+        ("SELECT * FROM t", 100),
+        ("CREATE TABLE t (x int)", 50),
+    ]):
+        evs.append({"Event": pre + "SQLExecutionStart", "executionId": eid,
+                    "description": desc, "time": 0})
+        evs.append({"Event": pre + "SQLExecutionEnd", "executionId": eid,
+                    "time": dur})
+    # an unfinished execution must be ignored
+    evs.append({"Event": pre + "SQLExecutionStart", "executionId": 99,
+                "description": "SELECT hang", "time": 0})
+    rep = el.analyze_sql(evs)
+    assert rep["sql_types"]["MERGE INTO"]["count"] == 2
+    assert rep["sql_types"]["MERGE INTO"]["total_ms"] == 2000
+    assert rep["sql_types"]["SELECT"]["count"] == 1
+    assert rep["sql_types"]["DDL"]["count"] == 1
+    assert rep["slowest"][0]["duration_ms"] == 1500
+    # ordered by total descending -> MERGE INTO first
+    assert list(rep["sql_types"]) [0] == "MERGE INTO"
+
+
+def test_streaming_progress_census():
+    evs = [
+        {"Event": "org.apache.spark.sql.streaming.StreamingQueryListener$QueryStartedEvent",
+         "runId": "r1", "name": "q1"},
+        {"Event": "org.apache.spark.sql.streaming.StreamingQueryListener$QueryProgressEvent",
+         "progress": {"name": "q1", "batchId": 0, "numInputRows": 10,
+                      "inputRowsPerSecond": 5.0, "processedRowsPerSecond": 9.0}},
+        {"Event": "org.apache.spark.sql.streaming.StreamingQueryListener$QueryTerminatedEvent",
+         "runId": "r1", "exception": None},
+        {"Event": "org.apache.spark.sql.streaming.StreamingQueryListener$QueryStartedEvent",
+         "runId": "r2", "name": "q2"},
+        {"Event": "org.apache.spark.sql.streaming.StreamingQueryListener$QueryTerminatedEvent",
+         "runId": "r2", "exception": "boom at stage 3"},
+    ]
+    rep = el.analyze_streaming_progress(evs)
+    assert rep["n_queries"] == 2 and rep["n_failed"] == 1
+    assert rep["failed"][0]["name"] == "q2"
+    assert rep["n_progress_batches"] == 1
+    assert rep["batches"][0]["input_rows"] == 10
