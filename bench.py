@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "minhash_recall",
     "cms_heavy_hitters",
     "pq_quant_error",
+    "ngram_novelty",
+    "minhash_est_error",
+    "dup_graph_degree",
+    "token_gini",
 ]
 
 
