@@ -279,10 +279,14 @@ def dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the production band self-join yields pairs; degrees are one
     explode + count; degree-0 docs are recovered with a LEFT join from
-    the signature frame (cheap — one row per doc). Everything shuffles
-    on doc_id or band_hash; no all-pairs stage anywhere."""
+    the signature frame (cheap — one row per doc). The signature stage
+    is materialized once (``localCheckpoint``) — its three consumers
+    (both self-join legs via the band explode, and the degree-0
+    recovery) would otherwise each re-scan and re-shingle the corpus
+    (measured: 5 FileScans → 1). Everything shuffles on doc_id or
+    band_hash; no all-pairs stage anywhere."""
     docs = load_balanced(spark, sf_dir, "documents")
-    sig = signatures_for_shingles(_shingles(docs))
+    sig = signatures_for_shingles(_shingles(docs)).localCheckpoint(eager=True)
     banded = banded_for(sig)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
