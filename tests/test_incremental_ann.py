@@ -1,0 +1,123 @@
+"""Persisted IVF index: build / add / search / idempotence / pruning /
+drift (ops/incremental_ann.py)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.ops.incremental_ann import IvfIndex
+from datalake_iceberg_spark.tables import LakeCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def _vectors(spark, sf_dir, lo=0, hi=200):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        .select("vec_id", "embedding")
+    )
+
+
+def _brute_force(spark, corpus, queries, top_k):
+    """Reference: exact top-K over the FULL corpus (upper bound the IVF
+    result is compared against for recall)."""
+    from datalake_iceberg_spark.queries.similarity import _dot, _norm
+
+    c = corpus.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    ).select("cand_id", "c_emb", _norm(F.col("c_emb")).alias("c_nrm"))
+    q = queries.select(
+        "query_id", F.col("embedding").cast("array<double>").alias("q_emb")
+    ).select("query_id", "q_emb", _norm(F.col("q_emb")).alias("q_nrm"))
+    from pyspark.sql import Window
+
+    scored = q.crossJoin(c).where(F.col("query_id") != F.col("cand_id")).select(
+        "query_id", "cand_id",
+        F.round(
+            _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+
+
+def test_build_search_and_recall(catalog, spark, sf_dir):
+    vecs = _vectors(spark, sf_dir)
+    idx = IvfIndex.create(catalog, "db.ann", vecs, n_cells=8, n_buckets=8)
+    queries = vecs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = idx.search(queries, nprobe=3, top_k=3).collect()
+    assert {r.query_id for r in got} == {0, 1, 2, 3, 4}
+    for qid in range(5):
+        ranks = [r.rank for r in got if r.query_id == qid]
+        assert ranks == [1, 2, 3]
+    # recall@3 vs exact full-corpus top-3: nprobe=3/8 must find most
+    truth = _brute_force(spark, vecs, queries, 3).collect()
+    truth_set = {(r.query_id, r.cand_id) for r in truth}
+    hit = sum(1 for r in got if (r.query_id, r.cand_id) in truth_set)
+    assert hit / len(truth_set) >= 0.5
+
+
+def test_search_reads_only_probed_buckets(catalog, spark, sf_dir):
+    """The probe must be bucket-pruned: a 1-cell probe on a 16-bucket
+    postings table reads a strict subset of buckets."""
+    vecs = _vectors(spark, sf_dir)
+    idx = IvfIndex.create(catalog, "db.annp", vecs, n_cells=8, n_buckets=16)
+    snap = idx.postings.snapshot()
+    one_cell = spark.createDataFrame([Row(cell=0)])
+    affected = idx.postings._affected_buckets(one_cell, snap)
+    assert 0 < len(affected) < len(snap.buckets)
+
+
+def test_add_is_idempotent_and_searchable(catalog, spark, sf_dir):
+    base = _vectors(spark, sf_dir, 0, 150)
+    batch = _vectors(spark, sf_dir, 150, 200)
+    idx = IvfIndex.create(catalog, "db.anna", base, n_cells=8, n_buckets=8)
+    r1 = idx.add(batch)
+    assert r1["added"] == r1["batch_vectors"] > 0
+    r2 = idx.add(batch)  # replay: nothing new lands
+    assert r2["added"] == 0 and r2["already_indexed"] == r2["batch_vectors"]
+    # a new vector becomes findable: query by itself must rank its
+    # duplicates/neighbours, i.e. appear in the postings read
+    n_postings = idx.postings.read().count()
+    assert n_postings == r1["batch_vectors"] + base.count()
+    q = batch.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = idx.search(q, nprobe=8, top_k=3).collect()
+    assert len(got) == 3
+
+
+def test_open_round_trip_and_drift(catalog, spark, sf_dir):
+    vecs = _vectors(spark, sf_dir, 0, 100)
+    IvfIndex.create(catalog, "db.anno", vecs, n_cells=4, n_buckets=4)
+    idx = IvfIndex.open(catalog, "db.anno")
+    rep = idx.drift_report()
+    assert rep["postings"] == idx.postings.read().count()
+    # right after training, reassignment is a fixed point
+    assert rep["move_fraction"] == 0.0
+    assert rep["mean_centroid_cosine"] > 0.0
+    # after adding a disjoint slice the quantizer may drift but the
+    # report stays well-formed
+    idx.add(_vectors(spark, sf_dir, 100, 200))
+    rep2 = idx.drift_report()
+    assert rep2["postings"] > rep["postings"]
+    assert 0.0 <= rep2["move_fraction"] <= 1.0
+
+
+def test_retrain_rebuilds_consistently(catalog, spark, sf_dir):
+    vecs = _vectors(spark, sf_dir, 0, 100)
+    idx = IvfIndex.create(catalog, "db.annr", vecs, n_cells=4, n_buckets=4)
+    idx.add(_vectors(spark, sf_dir, 100, 200))
+    idx2 = idx.retrain(catalog, "db.annr", n_cells=8, n_buckets=8)
+    assert idx2.postings.read().count() == 200
+    assert idx2.centroids.read().count() == 8
+    # retrained index is a fixed point again
+    assert idx2.drift_report()["move_fraction"] == 0.0
