@@ -341,6 +341,32 @@ def main() -> None:
         dml["incr_dedup_batch_full"] = round(time.perf_counter() - t0, 3)
         dml["incr_dedup_batch_full_docs"] = r_full["batch_docs"]
 
+        # persisted IVF index (ops/incremental_ann.py): bootstrap ∝
+        # corpus, add ∝ batch, search ∝ corpus×nprobe/K via the
+        # bucket-pruned cell lookup — the serving-path cost contract
+        from datalake_iceberg_spark.ops.incremental_ann import IvfIndex
+
+        vecs_all = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        t0 = _case("dml:ann_index_bootstrap")
+        ann = IvfIndex.create(
+            cat, "bench.ann_index", vecs_all.filter(F.col("vec_id") % 10 != 0),
+            n_cells=16, n_buckets=32,
+        )
+        dml["ann_index_bootstrap"] = round(time.perf_counter() - t0, 3)
+        t0 = _case("dml:ann_add_batch")
+        r_add = ann.add(vecs_all.filter(F.col("vec_id") % 10 == 0))
+        dml["ann_add_batch"] = round(time.perf_counter() - t0, 3)
+        dml["ann_add_vectors"] = r_add["batch_vectors"]
+        qvec = vecs_all.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        t0 = _case("dml:ann_search_2probe")
+        n_hits = ann.search(qvec, nprobe=2, top_k=5).count()
+        dml["ann_search_2probe"] = round(time.perf_counter() - t0, 3)
+        dml["ann_search_hits"] = n_hits
+
         # Structured Streaming drain: full watermarked windowed rollup
         # of the events stream (availableNow), end-to-end incl. source
         # listing, state store, and sink — the streaming ops cost
