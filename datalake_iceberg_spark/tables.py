@@ -1911,6 +1911,11 @@ class LakeTable:
           conjunction are carried forward untouched, and buckets with
           no matching dir are left out of the commit entirely, so a
           narrow UPDATE costs ∝ the dirs it can touch, not table size.
+
+        ``assignments`` values follow SQL ``SET col = expr``: a string
+        is parsed as a SQL EXPRESSION (quote string literals:
+        ``{"v": "'fixed'"}``; reference columns directly: ``{"v":
+        "upper(v)"}``); any non-string becomes a literal.
         """
         snap = self.snapshot()
         filters = condition if isinstance(condition, list) else None
