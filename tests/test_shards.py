@@ -141,3 +141,80 @@ def test_sorted_export_validates_columns(spark, tmp_path):
     df = spark.range(10)
     with _pytest.raises(ValueError, match="order_by columns"):
         write_sorted_export(df, str(tmp_path / "x"), 2, order_by=["nope"])
+
+
+# ------------------------------------------------------ webdataset export
+
+
+def test_webdataset_shards_roundtrip(spark, tmp_path):
+    import tarfile
+
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.ingest.shards import write_webdataset_shards
+
+    rows = [
+        Row(doc_id=i, payload=bytes([i % 256] * (10 + i)), text=f"t{i}",
+            lang="en" if i % 2 else "ko", n_chars=10 + i)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    out = str(tmp_path / "wds")
+    man = write_webdataset_shards(
+        df, out, n_shards=4, key_col="doc_id",
+        payload_cols={"payload": "bin", "text": "txt"},
+        meta_cols=["lang", "n_chars"],
+    )
+    assert man["total_samples"] == 40
+    assert set(man["shards"]) <= {f"shard-{i:05d}.tar" for i in range(4)}
+    # every sample's members are present, grouped, and byte-correct
+    seen = {}
+    import json as _json
+
+    for tar_name in man["shards"]:
+        with tarfile.open(str(tmp_path / "wds" / tar_name)) as tf:
+            names = tf.getnames()
+            # members of one key are consecutive (loader contract)
+            keys_in_order = [n.split(".")[0] for n in names]
+            for i in range(1, len(keys_in_order) - 1):
+                if keys_in_order[i] != keys_in_order[i - 1]:
+                    assert keys_in_order[i - 1] not in keys_in_order[i:]
+            for n in names:
+                data = tf.extractfile(n).read()
+                key, ext = n.split(".", 1)
+                seen.setdefault(int(key), {})[ext] = data
+    assert set(seen) == set(range(40))
+    for i, members in seen.items():
+        assert members["bin"] == bytes([i % 256] * (10 + i))
+        assert members["txt"] == f"t{i}".encode()
+        meta = _json.loads(members["json"])
+        assert meta == {"lang": "en" if i % 2 else "ko", "n_chars": 10 + i}
+
+
+def test_webdataset_export_is_deterministic(spark, tmp_path):
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.ingest.shards import write_webdataset_shards
+
+    rows = [Row(doc_id=i, text=f"body {i}") for i in range(25)]
+
+    def digest(out_dir, order):
+        df = spark.createDataFrame([rows[j] for j in order])
+        man = write_webdataset_shards(
+            df, str(out_dir), n_shards=3, key_col="doc_id",
+            payload_cols={"text": "txt"},
+        )
+        h = hashlib.sha256()
+        for tar_name in sorted(man["shards"]):
+            h.update((out_dir / tar_name).read_bytes())
+        return h.hexdigest()
+
+    import random
+
+    shuffled = list(range(25))
+    random.Random(3).shuffle(shuffled)
+    d1 = digest(tmp_path / "a", list(range(25)))
+    d2 = digest(tmp_path / "b", shuffled)
+    assert d1 == d2  # same data, any row order -> byte-identical tars
