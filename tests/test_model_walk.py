@@ -118,3 +118,130 @@ def test_random_walk_matches_model(catalog, spark, seed):
     t.expire_snapshots(keep_last=2)
     t.remove_orphan_files()
     assert _read_state(t) == model
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_branch_wap_txn_walk_matches_model(catalog, spark, seed):
+    """Second walk layering the isolation surfaces over DML: branch
+    fork → branch-local DML → fast-forward/drop, WAP stage →
+    publish/abort, and multi-table transactions (second table `aux`).
+    Models: main dict, aux dict, branch dict (while a branch lives),
+    staged batches. Main must never see branch/WAP work before
+    promotion; fast_forward must land exactly the branch model;
+    transactions must land on both tables or neither."""
+    rng = random.Random(seed)
+    model: dict[int, str] = {i: f"v{i}" for i in range(30)}
+    aux_model: dict[int, str] = {i: f"x{i}" for i in range(10)}
+    t = catalog.create_or_replace(
+        "db.bwalk", _df(spark, model), key=["id"], n_buckets=4
+    )
+    aux = catalog.create_or_replace(
+        "db.bwalk_aux", _df(spark, aux_model), key=["id"], n_buckets=2
+    )
+    next_id = 1000
+    branch = None  # (LakeBranch, branch_model) while a branch is live
+    staged_wap: dict[str, dict[int, str]] = {}
+
+    def fresh(n):
+        nonlocal next_id
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        return ids
+
+    for step in range(20):
+        op = rng.choice(
+            ["main_dml", "fork", "branch_dml", "promote", "drop_branch",
+             "wap_stage", "wap_publish", "wap_abort", "txn_commit", "txn_abort"]
+        )
+        if op == "main_dml" or (op in ("branch_dml",) and branch is None):
+            if branch is not None and rng.random() < 0.5:
+                continue  # fast_forward requires main at fork base
+            upd = {k: f"m{step}" for k in fresh(2)}
+            t.merge(_df(spark, upd))
+            model.update(upd)
+            if branch is not None:
+                branch = None  # main moved: promotion impossible; drop
+                t.drop_branch("wip")
+        elif op == "fork":
+            if branch is not None:
+                continue
+            t.create_branch("wip")
+            branch = (t.branch("wip"), dict(model))
+        elif op == "branch_dml":
+            br, bm = branch
+            upd = {k: f"b{step}" for k in fresh(2)}
+            upd.update({
+                k: f"b{step}"
+                for k in rng.sample(sorted(bm), min(len(bm), 2))
+            })
+            br.merge(_df(spark, upd))
+            bm.update(upd)
+            branch = (br, bm)
+            # branch work invisible on main
+            assert _read_state(t) == model
+            assert {r.id: r.v for r in br.read().collect()} == bm
+        elif op == "promote":
+            if branch is None:
+                continue
+            br, bm = branch
+            t.fast_forward("wip")
+            model = dict(bm)
+            t.drop_branch("wip")
+            branch = None
+        elif op == "drop_branch":
+            if branch is None:
+                continue
+            t.drop_branch("wip")
+            branch = None
+        elif op == "wap_stage":
+            wid = f"w{step}"
+            rows = {k: f"s{step}" for k in fresh(2)}
+            t.stage_append(_df(spark, rows), wid)
+            staged_wap[wid] = rows
+            assert _read_state(t) == model  # invisible until publish
+        elif op == "wap_publish":
+            if not staged_wap:
+                continue
+            wid = sorted(staged_wap)[0]
+            try:
+                t.publish_staged(wid)
+            except ValueError:
+                # staged against an older base after main moved —
+                # legitimate rejection; discard the stale stage
+                t.abort_staged(wid)
+                staged_wap.pop(wid)
+                continue
+            model.update(staged_wap.pop(wid))
+        elif op == "wap_abort":
+            if not staged_wap:
+                continue
+            wid = sorted(staged_wap)[-1]
+            t.abort_staged(wid)
+            staged_wap.pop(wid)
+        elif op in ("txn_commit", "txn_abort"):
+            rows_t = {k: f"t{step}" for k in fresh(2)}
+            rows_a = {k: f"t{step}" for k in fresh(2)}
+            txn = catalog.transaction()
+            txn.table("db.bwalk").merge(_df(spark, rows_t))
+            txn.table("db.bwalk_aux").merge(_df(spark, rows_a))
+            if op == "txn_commit" and branch is None and not staged_wap:
+                txn.commit()
+                model.update(rows_t)
+                aux_model.update(rows_a)
+            else:
+                # abort (also the path while branch/WAP hold stale
+                # bases — keeps the walk's promotion invariants simple)
+                txn.abort()
+        assert _read_state(t) == model, f"seed={seed} step={step} op={op}"
+        assert _read_state(aux) == aux_model, f"seed={seed} step={step} op={op}"
+
+    # cleanup surfaces still open at walk end, then maintenance no-op
+    for wid in list(staged_wap):
+        t.abort_staged(wid)
+    if branch is not None:
+        t.drop_branch("wip")
+    t.rewrite_data_files()
+    t.expire_snapshots(keep_last=2)
+    t.remove_orphan_files()
+    assert _read_state(t) == model
+    assert _read_state(aux) == aux_model
