@@ -111,6 +111,30 @@ class JdbcSource:
             "connectionTimeZone": "UTC",
         }
 
+    @classmethod
+    def from_settings(cls, db, database: str) -> "JdbcSource":
+        """Build from the env-driven ``DatabaseSettings`` group (the
+        reference assembles the same URLs in ``database.py``): type
+        ``mysql`` or ``sqlserver`` selects URL shape + driver."""
+        db.require()
+        if db.type == "mysql":
+            return cls(
+                url=f"jdbc:mysql://{db.host}:{db.port}/{database}",
+                user=db.user, password=db.password or "",
+                driver="com.mysql.cj.jdbc.Driver",
+            )
+        if db.type == "sqlserver":
+            return cls(
+                url=(
+                    f"jdbc:sqlserver://{db.host}:{db.port};"
+                    f"databaseName={database};encrypt=true;"
+                    "trustServerCertificate=true"
+                ),
+                user=db.user, password=db.password or "",
+                driver="com.microsoft.sqlserver.jdbc.SQLServerDriver",
+            )
+        raise ValueError(f"unsupported database type {db.type!r}")
+
 
 def partition_options(
     partition_column: str, lower: int, upper: int, num_partitions: int
