@@ -259,3 +259,69 @@ def test_write_parallelism_exceeds_bucket_count(catalog, spark, monkeypatch):
     keys = spark.createDataFrame([(7,), (19999,)], "k LONG")
     got = {r.k for r in t.lookup(keys).collect()}
     assert got == {7, 19999}
+
+
+def test_concurrent_disjoint_bucket_merges_both_land(catalog, spark):
+    """Two writers merging keys that hash to DISJOINT bucket sets must
+    both commit (the second rebases over the first — bucket lists are
+    per-bucket, so non-overlapping rewrites compose), with no lost
+    update in either direction."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from datalake_iceberg_spark.tables import bucket_expr
+
+    n_buckets = 8
+    base = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(64)])
+    t = catalog.create_or_replace("db.cc", base, key=["id"], n_buckets=n_buckets)
+    # split keys into two bucket-disjoint groups, driver-side
+    rows = base.select("id", bucket_expr(["id"], n_buckets).alias("b")).collect()
+    group_a = [r.id for r in rows if r.b < n_buckets // 2][:5]
+    group_b = [r.id for r in rows if r.b >= n_buckets // 2][:5]
+    assert group_a and group_b
+    errs = []
+
+    def merge(keys, tag):
+        try:
+            t.merge(spark.createDataFrame([Row(id=k, v=tag) for k in keys]))
+        except Exception as e:  # pragma: no cover - must not happen
+            errs.append((tag, e))
+
+    th1 = threading.Thread(target=merge, args=(group_a, "A"))
+    th2 = threading.Thread(target=merge, args=(group_b, "B"))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errs, errs
+    got = {r.id: r.v for r in t.read().collect()}
+    assert len(got) == 64
+    assert all(got[k] == "A" for k in group_a)
+    assert all(got[k] == "B" for k in group_b)
+
+
+def test_concurrent_same_key_merges_linearizable(catalog, spark):
+    """Two writers racing on the SAME key: at least one commits; a loser
+    surfaces CommitConflict (never silent loss); the final state is one
+    of the writers' values and no base row is lost either way."""
+    import threading
+
+    from datalake_iceberg_spark.tables import CommitConflict
+
+    base = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(16)])
+    t = catalog.create_or_replace("db.race2", base, key=["id"], n_buckets=2)
+    outcomes = {}
+
+    def merge(tag):
+        try:
+            t.merge(spark.createDataFrame([Row(id=7, v=tag)]))
+            outcomes[tag] = "ok"
+        except CommitConflict:
+            outcomes[tag] = "conflict"
+
+    th1 = threading.Thread(target=merge, args=("A",))
+    th2 = threading.Thread(target=merge, args=("B",))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert "ok" in outcomes.values(), outcomes
+    got = {r.id: r.v for r in t.read().collect()}
+    assert len(got) == 16  # no lost base rows
+    winners = {tag for tag, s in outcomes.items() if s == "ok"}
+    assert got[7] in winners  # final value belongs to a SUCCESSFUL writer
