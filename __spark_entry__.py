@@ -106,9 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_est_error": corpus_audit.minhash_est_error,
         "dup_graph_degree": corpus_audit.dup_graph_degree,
         "token_gini": corpus_audit.token_gini,
-        # --- oldest greens: misc, last graded r2 ---
-        "grouping_sets_revenue": analytics.grouping_sets_revenue,
-        "pivot_status_by_priority": analytics.pivot_status_by_priority,
+        "knn_label_purity": corpus_audit.knn_label_purity,
+        "token_kl_shift": corpus_audit.token_kl_shift,
+        # --- oldest green: misc, last graded r2 ---
         "top_parts_per_brand": analytics.top_parts_per_brand,
         # ---- entries past the driver's 50-entry window ----
         # r7 window leads: last-r2 TPC-H + text ops + last-r3
@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": textops.lang_id,
         "quality_score": textops.quality_score,
         "rolling_revenue_7d": analytics.rolling_revenue_7d,
+        "grouping_sets_revenue": analytics.grouping_sets_revenue,
+        "pivot_status_by_priority": analytics.pivot_status_by_priority,
         "q2_min_cost_supplier": tpch_ext.q2_min_cost_supplier,
         "q4_priority_semijoin": analytics.q4_priority_semijoin,
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
@@ -304,4 +306,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_est_error": corpus_audit.MINHASH_EST_ERROR_SQL,
         "dup_graph_degree": corpus_audit.DUP_GRAPH_DEGREE_SQL,
         "token_gini": corpus_audit.TOKEN_GINI_SQL,
+        "knn_label_purity": corpus_audit.KNN_LABEL_PURITY_SQL,
+        "token_kl_shift": corpus_audit.TOKEN_KL_SHIFT_SQL,
     }

@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "minhash_est_error",
     "dup_graph_degree",
     "token_gini",
+    "knn_label_purity",
+    "token_kl_shift",
 ]
 
 

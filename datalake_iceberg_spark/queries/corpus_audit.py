@@ -451,3 +451,278 @@ SELECT source,
                   ELSE 0.0 END, 4) AS gini
 FROM per_src ORDER BY source
 """
+
+
+# ----------------------------------------------------- label-purity audit
+
+PURITY_K = 5        # neighbors per vector
+PURITY_NPROBE = 2   # label-centroid cells probed per vector
+
+
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit via kNN consistency: for EVERY vector, the
+    fraction of its ``PURITY_K`` nearest neighbors (cosine, IVF-probed)
+    sharing its own label, and whether the neighbor MAJORITY agrees —
+    rolled up per label. Labels whose majority-agreement falls off the
+    corpus band are where mislabeled or boundary samples concentrate
+    (the standard embedding-space label-QA sweep run before training
+    on labeled corpora).
+
+    Plan: label centroids are an L-row broadcast (the Lloyd-assignment
+    shape, declared in SMALL_CROSS); every vector probes its
+    ``PURITY_NPROBE`` nearest cells, candidates meet queries in an
+    equi join ON THE CELL (hash-partitioned — the query side is the
+    whole corpus, so nothing non-centroid is broadcast); per-query
+    top-K window, then two tiny rollups. Per-vector candidate work is
+    ∝ nprobe/L of the corpus — the same IVF dial as ``ivf_ann_topk``.
+    Ties are deterministic everywhere (cosine 6 dp, then id; majority
+    count, then smaller label). Output per label:
+    (label, n_vecs, mean_purity, majority_acc)."""
+    from datalake_iceberg_spark.queries.similarity import _dot, _norm
+
+    emb = load_balanced(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(_as_double_col("embedding")).alias("pos", "v")
+    )
+    cents = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pairs", lambda s: s.cv).alias("centroid"),
+        )
+        .select("cell", "centroid", _norm(F.col("centroid")).alias("cell_nrm"))
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("own_label"),
+        _as_double_col("embedding").alias("q_emb"),
+        _norm(_as_double_col("embedding")).alias("q_nrm"),
+    ).where(F.col("q_nrm") > 0)
+    cell_scores = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "own_label", "q_emb", "q_nrm", "cell",
+        (_dot(F.col("q_emb"), F.col("centroid"))
+         / (F.col("q_nrm") * F.col("cell_nrm"))).alias("cell_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    probed = (
+        cell_scores.withColumn("cr", F.row_number().over(wq))
+        .filter(F.col("cr") <= PURITY_NPROBE)
+        .select("query_id", "own_label", "q_emb", "q_nrm", "cell")
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cell"),
+        F.col("label").alias("cand_label"),
+        _as_double_col("embedding").alias("c_emb"),
+        _norm(_as_double_col("embedding")).alias("c_nrm"),
+    ).where(F.col("c_nrm") > 0)
+    scored = (
+        probed.join(cand, "cell")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "own_label", "cand_id", "cand_label",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    topk = scored.withColumn("rk", F.row_number().over(wk)).filter(
+        F.col("rk") <= PURITY_K
+    )
+    per_q_label = topk.groupBy("query_id", "own_label", "cand_label").agg(
+        F.count("*").alias("cnt")
+    )
+    wm = Window.partitionBy("query_id").orderBy(
+        F.desc("cnt"), F.asc("cand_label")
+    )
+    per_q = (
+        per_q_label.withColumn("mr", F.row_number().over(wm))
+        .groupBy("query_id", "own_label")
+        .agg(
+            F.sum(F.when(F.col("cand_label") == F.col("own_label"),
+                         F.col("cnt")).otherwise(0)).alias("n_same"),
+            F.sum("cnt").alias("n_nb"),
+            F.max(F.when(F.col("mr") == 1, F.col("cand_label"))).alias("maj"),
+        )
+    )
+    return (
+        per_q.groupBy(F.col("own_label").cast("long").alias("label"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg(F.col("n_same") / F.col("n_nb")), 4).alias("mean_purity"),
+            F.round(
+                F.avg(F.when(F.col("maj") == F.col("own_label"), 1.0).otherwise(0.0)),
+                4,
+            ).alias("majority_acc"),
+        )
+        .orderBy("label")
+    )
+
+
+def _as_double_col(col):
+    return F.col(col).cast("array<double>")
+
+
+_COS_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+KNN_LABEL_PURITY_SQL = f"""
+WITH exploded AS (
+  SELECT label, g.i AS pos, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS g(i)
+),
+cents AS (
+  SELECT label AS cell, list(cv ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, AVG(v) AS cv FROM exploded GROUP BY label, pos)
+  GROUP BY label
+),
+q AS (
+  SELECT vec_id AS query_id, label AS own_label, embedding AS q_emb
+  FROM embeddings
+),
+cell_scores AS (
+  SELECT q.query_id, q.own_label, q.q_emb, c.cell,
+         {_COS_SQL.format(a="q.q_emb", b="c.centroid")} AS cell_cos
+  FROM q CROSS JOIN cents c
+),
+probed AS (
+  SELECT query_id, own_label, q_emb, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cell_cos DESC, cell ASC) AS cr
+    FROM cell_scores
+  ) WHERE cr <= {PURITY_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, p.own_label, e.vec_id AS cand_id, e.label AS cand_label,
+         ROUND({_COS_SQL.format(a="p.q_emb", b="e.embedding")}, 6) AS cosine
+  FROM probed p JOIN embeddings e ON p.cell = e.label
+  WHERE p.query_id != e.vec_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {PURITY_K}
+),
+per_q_label AS (
+  SELECT query_id, own_label, cand_label, COUNT(*) AS cnt
+  FROM topk GROUP BY 1, 2, 3
+),
+per_q AS (
+  SELECT query_id, own_label,
+         SUM(CASE WHEN cand_label = own_label THEN cnt ELSE 0 END) AS n_same,
+         SUM(cnt) AS n_nb,
+         MAX(CASE WHEN mr = 1 THEN cand_label END) AS maj
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cnt DESC, cand_label ASC) AS mr
+    FROM per_q_label
+  ) GROUP BY 1, 2
+)
+SELECT CAST(own_label AS BIGINT) AS label,
+       COUNT(*) AS n_vecs,
+       ROUND(AVG(CAST(n_same AS DOUBLE) / n_nb), 4) AS mean_purity,
+       ROUND(AVG(CASE WHEN maj = own_label THEN 1.0 ELSE 0.0 END), 4)
+         AS majority_acc
+FROM per_q GROUP BY own_label ORDER BY label
+"""
+
+
+# ------------------------------------------------- split-distribution KL
+
+KL_SCALE = 1_000_000_000  # nano-nats: per-term integer fixed point
+
+
+def token_kl_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test token-distribution shift per language:
+    ``KL(test ‖ train)`` over the add-one-smoothed shared vocabulary of
+    the deterministic md5 split — the drift number that says whether
+    the held-out split (or tomorrow's crawl, swapping the split
+    predicate for a date) still looks like the training distribution.
+
+    FP discipline: each term's contribution ``p·ln(p/q)`` is fixed to
+    INTEGER nano-nats before summing, so the reduction is exact and
+    order-independent — a plain double sum over a 100M-term vocabulary
+    would differ run-to-run (and engine-to-engine) in the low digits
+    purely from addition order. One gram-level shuffle, same shape as
+    ``ngram_novelty``. Output: (lang, vocab, train_tokens, test_tokens,
+    kl_nats)."""
+    docs = load_balanced(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        _split_expr().alias("split"),
+        F.explode(
+            F.filter(F.split(_norm_text(), " "), lambda t: F.length(t) > 0)
+        ).alias("tok"),
+    )
+    per_tok = toks.groupBy("lang", "tok").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("c_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("c_test"),
+    )
+    totals = per_tok.groupBy("lang").agg(
+        F.count("*").alias("vocab"),
+        F.sum("c_train").alias("t_train"),
+        F.sum("c_test").alias("t_test"),
+    )
+    j = per_tok.join(totals, "lang")
+    p = (F.col("c_test") + 1).cast("double") / (F.col("t_test") + F.col("vocab"))
+    qd = (F.col("c_train") + 1).cast("double") / (F.col("t_train") + F.col("vocab"))
+    term_nano = F.round(p * F.log(p / qd) * F.lit(float(KL_SCALE))).cast("long")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.max("vocab").cast("long").alias("vocab"),
+            F.max("t_train").cast("long").alias("train_tokens"),
+            F.max("t_test").cast("long").alias("test_tokens"),
+            F.round(
+                F.sum(term_nano).cast("double") / F.lit(float(KL_SCALE)), 4
+            ).alias("kl_nats"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKEN_KL_SHIFT_SQL = f"""
+WITH toks AS (
+  SELECT lang, {_SPLIT_SQL} AS split, t.tok
+  FROM documents,
+       UNNEST(list_filter(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' '),
+                          x -> length(x) > 0)) AS t(tok)
+),
+per_tok AS (
+  SELECT lang, tok,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c_train,
+         SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS c_test
+  FROM toks GROUP BY lang, tok
+),
+totals AS (
+  SELECT lang, COUNT(*) AS vocab, SUM(c_train) AS t_train, SUM(c_test) AS t_test
+  FROM per_tok GROUP BY lang
+),
+terms AS (
+  SELECT p.lang, t.vocab, t.t_train, t.t_test,
+         CAST(ROUND(
+           (CAST(p.c_test + 1 AS DOUBLE) / (t.t_test + t.vocab))
+           * ln((CAST(p.c_test + 1 AS DOUBLE) / (t.t_test + t.vocab))
+                / (CAST(p.c_train + 1 AS DOUBLE) / (t.t_train + t.vocab)))
+           * {KL_SCALE}) AS BIGINT) AS term_nano
+  FROM per_tok p JOIN totals t USING (lang)
+)
+SELECT lang,
+       CAST(MAX(vocab) AS BIGINT) AS vocab,
+       CAST(MAX(t_train) AS BIGINT) AS train_tokens,
+       CAST(MAX(t_test) AS BIGINT) AS test_tokens,
+       ROUND(CAST(SUM(term_nano) AS DOUBLE) / {KL_SCALE}, 4) AS kl_nats
+FROM terms GROUP BY lang ORDER BY lang
+"""

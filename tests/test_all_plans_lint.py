@@ -44,6 +44,10 @@ SMALL_CROSS = {
     "decayed_engagement",
     # 1-row broadcast corpus-total × the 10-row top-token probe
     "cms_heavy_hitters",
+    # every vector × the L-row broadcast label-centroid table (the
+    # Lloyd-assignment shape, same as kmeans_clusters); the candidate
+    # join itself is an equi join on the cell
+    "knn_label_purity",
 }
 
 

@@ -91,3 +91,65 @@ def test_minhash_est_error_on_exact_duplicates(spark, monkeypatch):
     assert row.n_pairs == 1
     assert row.mean_est == 1.0 and row.mean_exact == 1.0
     assert row.mean_abs_err == 0.0 and row.max_abs_err == 0.0
+
+
+def test_knn_label_purity_pure_clusters(spark, monkeypatch):
+    """Two well-separated label clusters: every vector's neighbors share
+    its label -> purity and majority accuracy are exactly 1.0."""
+    from pyspark.sql import Row
+
+    rows = []
+    for i in range(6):
+        rows.append(Row(vec_id=i, embedding=[10.0 + i * 0.01, 0.1, 0.0], label=0))
+    for i in range(6, 12):
+        rows.append(Row(vec_id=i, embedding=[0.1, 10.0 + i * 0.01, 0.0], label=1))
+    emb = spark.createDataFrame(rows)
+    monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: emb)
+    out = {r.label: r for r in ca.knn_label_purity(spark, "ignored").collect()}
+    assert set(out) == {0, 1}
+    for lbl in (0, 1):
+        assert out[lbl].n_vecs == 6
+        assert out[lbl].mean_purity == 1.0
+        assert out[lbl].majority_acc == 1.0
+
+
+def test_knn_label_purity_flags_mislabeled_vector(spark, monkeypatch):
+    """A vector labeled 1 but embedded inside cluster 0 must drag label
+    1's majority accuracy below 1 (the label-noise signal)."""
+    from pyspark.sql import Row
+
+    rows = [Row(vec_id=i, embedding=[10.0 + i * 0.01, 0.1, 0.0], label=0)
+            for i in range(6)]
+    rows += [Row(vec_id=i, embedding=[0.1, 10.0 + i * 0.01, 0.0], label=1)
+             for i in range(6, 11)]
+    rows.append(Row(vec_id=11, embedding=[10.0, 0.11, 0.0], label=1))  # mislabeled
+    emb = spark.createDataFrame(rows)
+    monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: emb)
+    out = {r.label: r for r in ca.knn_label_purity(spark, "ignored").collect()}
+    assert out[1].majority_acc < 1.0
+    assert out[0].majority_acc == 1.0
+
+
+def test_token_kl_shift_identical_split_is_zero(spark, monkeypatch):
+    """Train and test drawn from the same tokens: KL is ~0; a disjoint
+    test vocabulary drives KL up."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    same = _docs(spark, [("alpha beta gamma", "en", "s")] * 10)
+    monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: same)
+    monkeypatch.setattr(
+        ca, "_split_expr",
+        lambda: F.when(F.col("doc_id") < 8, "train").otherwise("test"),
+    )
+    (row,) = ca.token_kl_shift(spark, "ignored").collect()
+    assert row.kl_nats == 0.0
+
+    drift = _docs(
+        spark,
+        [("alpha beta gamma", "en", "s")] * 8
+        + [("delta epsilon zeta", "en", "s")] * 2,
+    )
+    monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: drift)
+    (row2,) = ca.token_kl_shift(spark, "ignored").collect()
+    assert row2.kl_nats > 0.5
