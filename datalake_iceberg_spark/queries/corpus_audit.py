@@ -1,7 +1,7 @@
 """Corpus-level audits for training-data curation.
 
-Four audits a 100 TB text-corpus pipeline runs before (and after) every
-curation change, complementing the dedup/similarity stack
+Corpus-level audits a 100 TB training-data pipeline runs before (and
+after) every curation change, complementing the dedup/similarity stack
 (``queries/dedup.py``, ``queries/similarity.py``):
 
 - :func:`ngram_novelty` — train→test n-gram generalization gap: how
@@ -21,8 +21,14 @@ curation change, complementing the dedup/similarity stack
   source, from a grouped token-count histogram (no per-doc global
   sort). High inequality means a handful of mega-docs dominate a
   source's token budget — a sampling-weights input.
+- :func:`knn_label_purity` — label-noise sweep via kNN consistency
+  over a sampled query set: labels whose neighbor-majority agreement
+  falls off the band are where mislabeled samples concentrate.
+- :func:`token_kl_shift` — train→test token-distribution KL per
+  language, summed in integer nano-nats so the reduction is exact and
+  order-independent at any vocabulary size.
 
-All four are JVM-expression plans with map-side partial aggregation;
+All are JVM-expression plans with map-side partial aggregation;
 the only Python is in the driver. Reference scope anchor: the
 reference engine ships the batch-stats surface these extend
 (``src/utils/cdc_pipeline.py:148`` batch stats; the corpus-audit layer

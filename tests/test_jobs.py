@@ -221,3 +221,24 @@ def test_jdbc_source_from_settings_urls():
         JdbcSource.from_settings(
             DatabaseSettings(type="oracle", host="h", port=1, user="u"), "x"
         )
+
+
+def test_ann_index_job_lifecycle(spark, sf_dir, wh, tmp_path):
+    from datalake_iceberg_spark.jobs import ann_index as ajob
+
+    common = ["--warehouse", wh, "--env-file", str(tmp_path / "none.env")]
+    emb = f"{sf_dir}/embeddings.parquet"
+    assert ajob.main(
+        ["build", "--name", "db.idx", "--input-parquet", emb,
+         "--n-cells", "4", "--n-buckets", "4", *common], spark=spark) == 0
+    assert ajob.main(
+        ["add", "--name", "db.idx", "--input-parquet", emb, *common],
+        spark=spark) == 0  # replay of indexed vectors: no-op add
+    out = str(tmp_path / "hits")
+    assert ajob.main(
+        ["search", "--name", "db.idx", "--input-parquet", emb,
+         "--top-k", "2", "--output", out, *common], spark=spark) == 0
+    hits = spark.read.parquet(out)
+    assert set(hits.columns) == {"query_id", "cand_id", "cosine", "rank"}
+    assert hits.where("rank > 2").count() == 0
+    assert ajob.main(["drift", "--name", "db.idx", *common], spark=spark) == 0
