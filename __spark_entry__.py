@@ -108,11 +108,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_gini": corpus_audit.token_gini,
         "knn_label_purity": corpus_audit.knn_label_purity,
         "token_kl_shift": corpus_audit.token_kl_shift,
-        # --- oldest green: misc, last graded r2 ---
-        "top_parts_per_brand": analytics.top_parts_per_brand,
+        "embedding_split_drift": corpus_audit.embedding_split_drift,
         # ---- entries past the driver's 50-entry window ----
         # r7 window leads: last-r2 TPC-H + text ops + last-r3
         # DML/stream/packing.
+        "top_parts_per_brand": analytics.top_parts_per_brand,
         "doc_fingerprint": textops.fingerprint,
         "lang_id": textops.lang_id,
         "quality_score": textops.quality_score,
@@ -308,4 +308,5 @@ def oracle_sql() -> dict[str, str]:
         "token_gini": corpus_audit.TOKEN_GINI_SQL,
         "knn_label_purity": corpus_audit.KNN_LABEL_PURITY_SQL,
         "token_kl_shift": corpus_audit.TOKEN_KL_SHIFT_SQL,
+        "embedding_split_drift": corpus_audit.EMBEDDING_SPLIT_DRIFT_SQL,
     }

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "token_gini",
     "knn_label_purity",
     "token_kl_shift",
+    "embedding_split_drift",
 ]
 
 

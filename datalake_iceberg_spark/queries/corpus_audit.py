@@ -756,3 +756,93 @@ SELECT lang,
        ROUND(CAST(SUM(term_nano) AS DOUBLE) / {KL_SCALE}, 4) AS kl_nats
 FROM terms GROUP BY lang ORDER BY lang
 """
+
+
+# -------------------------------------------------- embedding split drift
+
+def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space split integrity per label: cosine between the
+    TRAIN-split centroid and the TEST-split centroid of each label
+    (md5 hash split on vec_id). Near-1 cosines mean the held-out split
+    sees the same embedding distribution it will be evaluated on; a
+    label whose split centroids diverge is either undersampled or its
+    test slice drifted — the multimodal counterpart of
+    ``token_kl_shift``.
+
+    Plan: one posexplode → (label, split, pos) mean aggregate (the IVF
+    coarse-quantizer shape, 2·L·64 cells), centroids re-assembled per
+    (label, split), one L-row self-join on the label. Nothing larger
+    than L rows past the first aggregate at any corpus size. Output:
+    (label, n_train, n_test, centroid_cosine)."""
+    from datalake_iceberg_spark.queries.similarity import _dot, _norm
+
+    emb = load_balanced(spark, sf_dir, "embeddings")
+    split = (
+        F.when(
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % TRAIN_MOD < TRAIN_PCT,
+            "train",
+        ).otherwise("test")
+    )
+    exploded = emb.select(
+        "label", split.alias("split"),
+        F.posexplode(_as_double_col("embedding")).alias("pos", "v"),
+    )
+    cents = (
+        exploded.groupBy("label", "split", "pos")
+        .agg(F.avg("v").alias("cv"), F.count("*").alias("n"))
+        .groupBy("label", "split")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"),
+            F.max("n").alias("n_vecs"),
+        )
+        .select(
+            "label", "split", "n_vecs",
+            F.transform("pairs", lambda s: s.cv).alias("centroid"),
+        )
+    )
+    tr = cents.where(F.col("split") == "train").select(
+        "label", F.col("n_vecs").alias("n_train"), F.col("centroid").alias("c_tr")
+    )
+    te = cents.where(F.col("split") == "test").select(
+        "label", F.col("n_vecs").alias("n_test"), F.col("centroid").alias("c_te")
+    )
+    return (
+        tr.join(te, "label")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_train", "n_test",
+            F.round(
+                _dot(F.col("c_tr"), F.col("c_te"))
+                / (_norm(F.col("c_tr")) * _norm(F.col("c_te"))),
+                4,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_SPLIT_DRIFT_SQL = f"""
+WITH exploded AS (
+  SELECT label,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % {TRAIN_MOD} < {TRAIN_PCT} THEN 'train' ELSE 'test' END AS split,
+         g.i AS pos, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS g(i)
+),
+cents AS (
+  SELECT label, split, MAX(n) AS n_vecs, list(cv ORDER BY pos) AS centroid
+  FROM (
+    SELECT label, split, pos, AVG(v) AS cv, COUNT(*) AS n
+    FROM exploded GROUP BY label, split, pos
+  ) GROUP BY label, split
+)
+SELECT CAST(tr.label AS BIGINT) AS label,
+       CAST(tr.n_vecs AS BIGINT) AS n_train,
+       CAST(te.n_vecs AS BIGINT) AS n_test,
+       ROUND({_COS_SQL.format(a="tr.centroid", b="te.centroid")}, 4)
+         AS centroid_cosine
+FROM cents tr JOIN cents te
+  ON tr.label = te.label AND tr.split = 'train' AND te.split = 'test'
+ORDER BY label
+"""

@@ -153,3 +153,43 @@ def test_token_kl_shift_identical_split_is_zero(spark, monkeypatch):
     monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: drift)
     (row2,) = ca.token_kl_shift(spark, "ignored").collect()
     assert row2.kl_nats > 0.5
+
+
+def test_embedding_split_drift_identical_distribution(spark, monkeypatch):
+    """Same vector repeated across both splits: centroids coincide,
+    cosine is exactly 1.0 and counts reflect the split sizes."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, 2.0, 2.0], label=0) for i in range(20)]
+    )
+    monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: emb)
+    (row,) = ca.embedding_split_drift(spark, "ignored").collect()
+    assert row.centroid_cosine == 1.0
+    assert row.n_train + row.n_test == 20
+
+
+def test_embedding_split_drift_detects_divergence(spark, monkeypatch):
+    """Orthogonal train/test embeddings for one label must drive its
+    split-centroid cosine to ~0 (the drift signal)."""
+    from pyspark.sql import Row
+
+    # md5-split is deterministic: compute which ids land in test
+    import hashlib
+
+    def is_test(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % ca.TRAIN_MOD >= ca.TRAIN_PCT
+
+    ids = list(range(200))
+    rows = [
+        Row(vec_id=i,
+            embedding=[0.0, 1.0, 0.0] if is_test(i) else [1.0, 0.0, 0.0],
+            label=0)
+        for i in ids
+    ]
+    assert any(is_test(i) for i in ids) and any(not is_test(i) for i in ids)
+    emb = spark.createDataFrame(rows)
+    monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: emb)
+    (row,) = ca.embedding_split_drift(spark, "ignored").collect()
+    assert row.centroid_cosine == 0.0
