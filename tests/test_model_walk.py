@@ -245,3 +245,73 @@ def test_branch_wap_txn_walk_matches_model(catalog, spark, seed):
     t.remove_orphan_files()
     assert _read_state(t) == model
     assert _read_state(aux) == aux_model
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_layout_evolution_walk_matches_model(catalog, spark, seed):
+    """Third walk: LAYOUT evolution composed with DML — rebucket
+    (metadata-only shrink and local-split grow), metadata-only type
+    widening of the key column, CoW/MoR merge+delete, compaction and
+    MoR fold — asserting exact read-back equality after every step.
+    Rebucket must remap outstanding MoR delete eras; widening must
+    leave old narrow-typed dirs readable and the bucket layout valid
+    (bucket hashing is on the string form, value-stable across
+    integral widths)."""
+    rng = random.Random(seed)
+    model: dict[int, str] = {i: f"v{i}" for i in range(48)}
+    df0 = spark.createDataFrame(
+        [Row(id=k, v=v) for k, v in sorted(model.items())], "id int, v string"
+    )
+    t = catalog.create_or_replace("db.layout", df0, key=["id"], n_buckets=4)
+    next_id = 1000
+    widened = False
+    n_buckets = 4
+
+    def _frame(rows):
+        typ = "id bigint, v string" if widened else "id int, v string"
+        return spark.createDataFrame(
+            [Row(id=k, v=v) for k, v in sorted(rows.items())], typ
+        )
+
+    for step in range(18):
+        nonlocal_ops = ["merge", "merge_mor", "delete_mor", "compact", "fold",
+                        "rebucket_grow", "rebucket_shrink", "widen"]
+        op = rng.choice(nonlocal_ops)
+        if op in ("merge", "merge_mor"):
+            upd = {k: f"m{step}" for k in rng.sample(sorted(model), 3)}
+            upd[next_id] = f"m{step}"
+            next_id += 1
+            t.merge(_frame(upd),
+                    mode="merge-on-read" if op == "merge_mor" else "copy-on-write")
+            model.update(upd)
+        elif op == "delete_mor":
+            keys = rng.sample(sorted(model), 2)
+            typ = "id bigint" if widened else "id int"
+            t.delete_keys(spark.createDataFrame([(k,) for k in keys], typ),
+                          mode="merge-on-read")
+            for k in keys:
+                model.pop(k)
+        elif op == "compact":
+            t.rewrite_data_files()
+        elif op == "fold":
+            t.rewrite_position_delete_files()
+        elif op == "rebucket_grow" and n_buckets < 16:
+            n_buckets *= 2
+            t.rebucket(n_buckets)
+        elif op == "rebucket_shrink" and n_buckets > 2:
+            n_buckets //= 2
+            t.rebucket(n_buckets)
+        elif op == "widen" and not widened:
+            t.alter_column_type("id", "bigint")
+            widened = True
+        else:
+            continue
+        got = {r.id: r.v for r in t.read().collect()}
+        assert got == model, f"seed={seed} step={step} op={op}"
+        assert t.snapshot().n_buckets == n_buckets
+
+    t.rewrite_position_delete_files()
+    t.rewrite_data_files()
+    t.expire_snapshots(keep_last=2)
+    t.remove_orphan_files()
+    assert {r.id: r.v for r in t.read().collect()} == model
