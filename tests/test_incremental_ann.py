@@ -121,3 +121,32 @@ def test_retrain_rebuilds_consistently(catalog, spark, sf_dir):
     assert idx2.centroids.read().count() == 8
     # retrained index is a fixed point again
     assert idx2.drift_report()["move_fraction"] == 0.0
+
+
+def test_concurrent_adds_both_land(catalog, spark, sf_dir):
+    """Two writers adding disjoint vector batches race on the postings
+    table: appends rebase, so both must land exactly once."""
+    import threading
+
+    base = _vectors(spark, sf_dir, 0, 100)
+    idx = IvfIndex.create(catalog, "db.annc", base, n_cells=4, n_buckets=8)
+    b1 = _vectors(spark, sf_dir, 100, 150)
+    b2 = _vectors(spark, sf_dir, 150, 200)
+    errs = []
+
+    def add(batch):
+        try:
+            IvfIndex.open(catalog, "db.annc").add(batch)
+        except Exception as e:  # pragma: no cover - must not happen
+            errs.append(e)
+
+    th1 = threading.Thread(target=add, args=(b1,))
+    th2 = threading.Thread(target=add, args=(b2,))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errs, errs
+    assert idx.postings.read().count() == 200
+    ids = {r.vec_id for r in idx.postings.read().select("vec_id").collect()}
+    assert ids == set(range(200))
+    # replay after the race is still a no-op
+    rep = idx.add(b1)
+    assert rep["added"] == 0
