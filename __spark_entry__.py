@@ -44,12 +44,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (a) the 25 entries with no current driver row — the 22 never
     # driver-graded (the r4 cohort + the 7 r5-queued ops) plus the 3
     # formerly-`no_oracle` entries whose stale r3 rows predate their
-    # oracles — (b) the 5 curation aggregates parked since r3, and
-    # (c) the oldest greens: the 12-entry dedup/similarity rotation set
-    # and 7 misc entries, all last graded in r2. The 12 entries still
-    # waiting (q2/q4/q6/q7/q8/q9/q11/q12 last-r2; merge_upsert /
-    # stream_hourly / stream_dedup / pack_sequences last-r3) lead the
-    # r7 window.
+    # oracles — (b) the 5 curation aggregates parked since r3,
+    # (c) the oldest greens (the 12-entry dedup/similarity rotation
+    # set, last graded r2), and (d) the 7 corpus audits new in r6.
+    # r7 window MUST lead with the 15 entries whose last window is r2
+    # or r1 (cadence test enforces): doc_fingerprint,
+    # grouping_sets_revenue, lang_id, pivot_status_by_priority,
+    # q2/q4/q6/q7/q8/q9/q11/q12, quality_score, rolling_revenue_7d,
+    # top_parts_per_brand — then merge_upsert / stream_hourly /
+    # stream_dedup / pack_sequences (last-r3) and fresh rotation.
     return {
         # --- flagship: graded every round ---
         "q1_pricing_summary": analytics.q1_pricing_summary,

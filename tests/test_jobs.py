@@ -242,3 +242,36 @@ def test_ann_index_job_lifecycle(spark, sf_dir, wh, tmp_path):
     assert set(hits.columns) == {"query_id", "cand_id", "cosine", "rank"}
     assert hits.where("rank > 2").count() == 0
     assert ajob.main(["drift", "--name", "db.idx", *common], spark=spark) == 0
+
+
+def test_cdc_to_lake_round_loop(spark, wh, tmp_path):
+    """--rounds runs the always-on drain loop; a pre-set stop-signal
+    file makes it exit 0 immediately (the graceful-shutdown contract)."""
+    from datalake_iceberg_spark.jobs import cdc_to_lake
+
+    spec = _write_cdc_fixture(tmp_path, spark, wh)
+    sig = tmp_path / "stop.signal"
+    sig.write_text("")  # already set -> loop exits before any round
+    rc = cdc_to_lake.main(
+        ["--sources", str(spec), "--rounds", "3",
+         "--round-interval-sec", "1",
+         "--signal-file", str(sig), "--warehouse", wh,
+         "--checkpoint-root", str(tmp_path / "ckpt2"), "--dag-id", "loop",
+         "--env-file", str(tmp_path / "none.env")],
+        spark=spark,
+    )
+    assert rc == 0
+    # with the signal cleared, one bounded round drains the batch
+    sig.unlink()
+    rc = cdc_to_lake.main(
+        ["--sources", str(spec), "--rounds", "1",
+         "--round-interval-sec", "1",
+         "--signal-file", str(sig), "--warehouse", wh,
+         "--checkpoint-root", str(tmp_path / "ckpt2"), "--dag-id", "loop",
+         "--env-file", str(tmp_path / "none.env")],
+        spark=spark,
+    )
+    assert rc == 0
+    t = LakeCatalog(spark, wh).table("db.orders")
+    state = {r.id: r.v for r in t.read().collect()}
+    assert state[100] == "fresh" and 5 not in state
