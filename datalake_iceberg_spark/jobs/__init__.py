@@ -19,6 +19,7 @@ engine's components.
 | iceberg_maintenance | ``jobs.maintenance`` |
 | watermark_maintenance | ``jobs.watermark_maintenance`` |
 | schema_validate | ``jobs.schema_validate_job`` |
+| (beyond-reference) IVF index ops | ``jobs.ann_index`` |
 
 Every ``main(argv, spark=None)`` accepts an injected session so tests
 drive the full argument path without a spark-submit; run standalone as

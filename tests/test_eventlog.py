@@ -126,6 +126,14 @@ def test_real_eventlog_roundtrip(tmp_path, sf_dir):
     assert report["n_stages"] >= 2  # scan+partial agg, final agg (+ sort)
     assert all(s.n_tasks >= 1 for s in report["stages"])
     assert report["cpu_verdict"] in ("io-or-shuffle-bound", "balanced", "cpu-bound")
+    # fleet sections populate from a REAL local-mode log too: the single
+    # "driver" executor reports its cores and heap
+    assert 0 < report["executor_utilization"] <= 1.0
+    assert report["load_spread_verdict"] == "single-executor"
+    assert report["peak_mem_fraction"] is not None
+    assert report["mem_verdict"] in (
+        "spilling", "risky", "healthy", "adequate", "over-allocated"
+    )
 
 
 # --------------------- r6: fleet-sizing sections (utilization / memory)
