@@ -251,10 +251,15 @@ class IvfIndex:
         self, catalog: LakeCatalog, name: str,
         n_cells: int = 16, lloyd_rounds: int = 2, n_buckets: int = 16,
     ) -> "IvfIndex":
-        """Full periodic rebuild from the current postings (atomic per
-        table via RTAS; readers see old or new index, never a mix of
-        centroids and postings only if they open() after — for a
-        multi-table atomic swap wrap in ``catalog.transaction()``)."""
+        """Full periodic rebuild from the current postings. Each table
+        swap is atomic (RTAS), but the two tables flip sequentially:
+        a reader that ``open()``s between the centroid commit and the
+        postings commit could pair new centroids with old postings.
+        Rebuild under a different ``name`` and repoint readers (the
+        blue/green pattern), or retrain inside a maintenance window.
+        (A ``catalog.transaction()`` wrap does NOT work here: the build
+        must READ its own centroid table before the postings assignment,
+        and staged tables are unreadable before publish.)"""
         vectors = self.postings.read().select("vec_id", "embedding")
         return IvfIndex.create(
             catalog, name, vectors,
