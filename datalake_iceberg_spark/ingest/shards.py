@@ -258,10 +258,22 @@ def write_webdataset_shards(
     def _write(batches):
         # executor-side DATA-plane writes (like Spark's own parquet
         # tasks) — plain POSIX-joined paths, no driver fs-seam object
-        # shipped into the closure
+        # shipped into the closure. Each tar is written to a task-
+        # attempt-unique temp name and atomically renamed into place at
+        # task end: under task retries or speculative execution two
+        # attempts of the same partition never append to the same file,
+        # and the final path only ever holds a COMPLETE tar from
+        # whichever attempt renamed last (byte-identical content either
+        # way — the export is deterministic).
+        import os
         import tarfile
 
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc is not None else os.getpid()
         tars: dict[int, tarfile.TarFile] = {}
+        paths: dict[int, tuple[str, str]] = {}  # shard -> (tmp, final)
         counts: dict[int, int] = {}
 
         def member(tf, name, data: bytes):
@@ -280,10 +292,11 @@ def write_webdataset_shards(
                 shard = int(row[_SHARD_COL])
                 tf = tars.get(shard)
                 if tf is None:
-                    tf = tarfile.open(
-                        f"{path.rstrip('/')}/shard-{shard:05d}.tar", "w"
-                    )
+                    final = f"{path.rstrip('/')}/shard-{shard:05d}.tar"
+                    tmp = f"{final}.attempt-{attempt}.tmp"
+                    tf = tarfile.open(tmp, "w")
                     tars[shard] = tf
+                    paths[shard] = (tmp, final)
                     counts[shard] = 0
                 key = str(row[key_col])
                 for col, ext in pay.items():
@@ -299,8 +312,10 @@ def write_webdataset_shards(
                         json.dumps(doc, sort_keys=True).encode(),
                     )
                 counts[shard] += 1
-        for tf in tars.values():
+        for shard, tf in tars.items():
             tf.close()
+            tmp, final = paths[shard]
+            os.replace(tmp, final)
         import pandas as pd
 
         yield pd.DataFrame(

@@ -604,6 +604,11 @@ _COS_SQL = (
     "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
 )
 
+# squared-norm guard — mirrors the Spark plans' ``_norm(...) > 0``
+# filters so a zero vector in the corpus is excluded by BOTH engines
+# instead of producing engine-specific NaN/div-by-zero cosines
+_NRM2_SQL = "list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
 KNN_LABEL_PURITY_SQL = f"""
 WITH exploded AS (
   SELECT label, g.i AS pos, CAST(embedding[g.i + 1] AS DOUBLE) AS v
@@ -619,6 +624,7 @@ q AS (
   FROM embeddings
   WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
         % {PURITY_SAMPLE_MOD} = 0
+    AND {_NRM2_SQL.format(a="embedding")} > 0
 ),
 cell_scores AS (
   SELECT q.query_id, q.own_label, q.q_emb, c.cell,
@@ -637,6 +643,7 @@ scored AS (
          ROUND({_COS_SQL.format(a="p.q_emb", b="e.embedding")}, 6) AS cosine
   FROM probed p JOIN embeddings e ON p.cell = e.label
   WHERE p.query_id != e.vec_id
+    AND {_NRM2_SQL.format(a="e.embedding")} > 0
 ),
 topk AS (
   SELECT * FROM (
@@ -809,12 +816,17 @@ def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tr.join(te, "label")
+        .withColumn("nrm_tr", _norm(F.col("c_tr")))
+        .withColumn("nrm_te", _norm(F.col("c_te")))
+        # a label whose split centroid is the zero vector has no defined
+        # cosine — exclude it in BOTH engines rather than compare NaNs
+        .where((F.col("nrm_tr") > 0) & (F.col("nrm_te") > 0))
         .select(
             F.col("label").cast("long").alias("label"),
             "n_train", "n_test",
             F.round(
                 _dot(F.col("c_tr"), F.col("c_te"))
-                / (_norm(F.col("c_tr")) * _norm(F.col("c_te"))),
+                / (F.col("nrm_tr") * F.col("nrm_te")),
                 4,
             ).alias("centroid_cosine"),
         )
@@ -844,5 +856,7 @@ SELECT CAST(tr.label AS BIGINT) AS label,
          AS centroid_cosine
 FROM cents tr JOIN cents te
   ON tr.label = te.label AND tr.split = 'train' AND te.split = 'test'
+WHERE {_NRM2_SQL.format(a="tr.centroid")} > 0
+  AND {_NRM2_SQL.format(a="te.centroid")} > 0
 ORDER BY label
 """

@@ -684,6 +684,41 @@ GROUP BY a1.cid ORDER BY cluster_id
 SQ_LEVELS = 255  # 8-bit codes 0..255
 
 
+def _u6(col):
+    """A double metric as exact integer micro-units (6-dp fixed point).
+
+    Sums of these are exact BIGINT arithmetic — order-independent across
+    partitions AND engines, unlike a SUM/AVG of doubles whose partial
+    aggregation order differs between Spark and DuckDB (the r6 driver
+    caught ``pq_quant_error``'s avg_rmse one 4th-decimal off on exactly
+    such a boundary)."""
+    return F.round(col * F.lit(1000000.0), 0).cast("long")
+
+
+def _fx4(units, den):
+    """Half-up (away-from-zero) rounding of ``units/den`` to 1e-4 units,
+    returned as the 4-dp double value — computed so both engines produce
+    bit-identical results: inputs are exact integers, the single FP
+    division is correctly rounded from identical operands, and FLOOR
+    lands on the same integer.  ``units`` is in micro (1e-6) units, so
+    ``den = n * 100`` yields a 4-dp mean and ``den = 100`` a 4-dp round
+    of a single value."""
+    a = F.abs(units).cast("double")
+    d = den.cast("double")
+    mag = F.floor((F.lit(2.0) * a + d) / (F.lit(2.0) * d))
+    sgn = F.when(units < 0, F.lit(-1)).otherwise(F.lit(1))
+    return ((sgn * mag).cast("double") / F.lit(10000.0))
+
+
+def _fx4_sql(u: str, den: str) -> str:
+    """DuckDB mirror of ``_fx4`` (same exact-integer half-up formula)."""
+    return (
+        f"(CASE WHEN ({u}) < 0 THEN -1 ELSE 1 END"
+        f" * FLOOR((2.0 * ABS(CAST(({u}) AS DOUBLE)) + CAST(({den}) AS DOUBLE))"
+        f" / (2.0 * CAST(({den}) AS DOUBLE)))) / 10000.0"
+    )
+
+
 def sq8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantization audit — the storage-tier decision every
     100 TB vector corpus makes: quantize each embedding to 8-bit codes
@@ -723,19 +758,27 @@ def sq8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_vec = emb.select(
         "label",
-        F.round(F.sqrt(err2 / F.size(d)), 6).alias("rmse"),
-        F.round(
-            _dot(d, recon) / (F.sqrt(_dot(d, d)) * F.sqrt(_dot(recon, recon))), 6
-        ).alias("cos_fid"),
+        _u6(F.sqrt(err2 / F.size(d))).alias("rmse_u"),
+        _u6(
+            _dot(d, recon) / (F.sqrt(_dot(d, d)) * F.sqrt(_dot(recon, recon)))
+        ).alias("cos_u"),
     )
     return (
         per_vec.groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.avg("rmse"), 4).alias("avg_rmse"),
-            F.round(F.max("rmse"), 4).alias("max_rmse"),
-            F.round(F.avg("cos_fid"), 4).alias("avg_cos_fid"),
-            F.round(F.min("cos_fid"), 4).alias("min_cos_fid"),
+            F.sum("rmse_u").alias("s_rmse"),
+            F.max("rmse_u").alias("m_rmse"),
+            F.sum("cos_u").alias("s_cos"),
+            F.min("cos_u").alias("m_cos"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            _fx4(F.col("s_rmse"), F.col("n_vecs") * 100).alias("avg_rmse"),
+            _fx4(F.col("m_rmse"), F.lit(100)).alias("max_rmse"),
+            _fx4(F.col("s_cos"), F.col("n_vecs") * 100).alias("avg_cos_fid"),
+            _fx4(F.col("m_cos"), F.lit(100)).alias("min_cos_fid"),
         )
         .orderBy("label")
     )
@@ -766,20 +809,22 @@ r AS (
 ),
 per_vec AS (
   SELECT label,
-         ROUND(SQRT(list_sum(list_transform(range(1, len(d) + 1),
-                    i -> (d[i] - recon[i]) * (d[i] - recon[i]))) / len(d)), 6)
-           AS rmse,
-         ROUND(list_sum(list_transform(range(1, len(d) + 1), i -> d[i] * recon[i]))
+         CAST(ROUND(SQRT(list_sum(list_transform(range(1, len(d) + 1),
+                    i -> (d[i] - recon[i]) * (d[i] - recon[i]))) / len(d))
+                    * 1000000.0, 0) AS BIGINT)
+           AS rmse_u,
+         CAST(ROUND(list_sum(list_transform(range(1, len(d) + 1), i -> d[i] * recon[i]))
                / (SQRT(list_sum(list_transform(d, x -> x * x)))
-                  * SQRT(list_sum(list_transform(recon, x -> x * x)))), 6)
-           AS cos_fid
+                  * SQRT(list_sum(list_transform(recon, x -> x * x))))
+               * 1000000.0, 0) AS BIGINT)
+           AS cos_u
   FROM r
 )
 SELECT label, COUNT(*) AS n_vecs,
-       ROUND(AVG(rmse), 4) AS avg_rmse,
-       ROUND(MAX(rmse), 4) AS max_rmse,
-       ROUND(AVG(cos_fid), 4) AS avg_cos_fid,
-       ROUND(MIN(cos_fid), 4) AS min_cos_fid
+       {_fx4_sql('SUM(rmse_u)', 'COUNT(*) * 100')} AS avg_rmse,
+       {_fx4_sql('MAX(rmse_u)', '100')} AS max_rmse,
+       {_fx4_sql('SUM(cos_u)', 'COUNT(*) * 100')} AS avg_cos_fid,
+       {_fx4_sql('MIN(cos_u)', '100')} AS min_cos_fid
 FROM per_vec GROUP BY label ORDER BY label
 """
 
@@ -865,19 +910,27 @@ def pq_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dot(F.col("c_sv"), F.col("c_sv")).alias("nrm2_c"),
     )
     per_vec = per_sub.groupBy("vec_id", "label").agg(
-        F.round(F.sqrt(F.sum("err2") / F.lit(float(PQ_M * PQ_SUB))), 6).alias("rmse"),
-        F.round(
-            F.sum("dot_sc") / (F.sqrt(F.sum("nrm2_s")) * F.sqrt(F.sum("nrm2_c"))), 6
-        ).alias("cos_fid"),
+        _u6(F.sqrt(F.sum("err2") / F.lit(float(PQ_M * PQ_SUB)))).alias("rmse_u"),
+        _u6(
+            F.sum("dot_sc") / (F.sqrt(F.sum("nrm2_s")) * F.sqrt(F.sum("nrm2_c")))
+        ).alias("cos_u"),
     )
     return (
         per_vec.groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.avg("rmse"), 4).alias("avg_rmse"),
-            F.round(F.max("rmse"), 4).alias("max_rmse"),
-            F.round(F.avg("cos_fid"), 4).alias("avg_cos_fid"),
-            F.round(F.min("cos_fid"), 4).alias("min_cos_fid"),
+            F.sum("rmse_u").alias("s_rmse"),
+            F.max("rmse_u").alias("m_rmse"),
+            F.sum("cos_u").alias("s_cos"),
+            F.min("cos_u").alias("m_cos"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            _fx4(F.col("s_rmse"), F.col("n_vecs") * 100).alias("avg_rmse"),
+            _fx4(F.col("m_rmse"), F.lit(100)).alias("max_rmse"),
+            _fx4(F.col("s_cos"), F.col("n_vecs") * 100).alias("avg_cos_fid"),
+            _fx4(F.col("m_cos"), F.lit(100)).alias("min_cos_fid"),
         )
         .orderBy("label")
     )
@@ -940,15 +993,17 @@ per_sub AS (
 ),
 per_vec AS (
   SELECT vec_id, label,
-         ROUND(SQRT(SUM(err2) / {float(PQ_M * PQ_SUB)}), 6) AS rmse,
-         ROUND(SUM(dot_sc) / (SQRT(SUM(nrm2_s)) * SQRT(SUM(nrm2_c))), 6) AS cos_fid
+         CAST(ROUND(SQRT(SUM(err2) / {float(PQ_M * PQ_SUB)}) * 1000000.0, 0)
+              AS BIGINT) AS rmse_u,
+         CAST(ROUND(SUM(dot_sc) / (SQRT(SUM(nrm2_s)) * SQRT(SUM(nrm2_c)))
+                    * 1000000.0, 0) AS BIGINT) AS cos_u
   FROM per_sub GROUP BY vec_id, label
 )
 SELECT label, COUNT(*) AS n_vecs,
-       ROUND(AVG(rmse), 4) AS avg_rmse,
-       ROUND(MAX(rmse), 4) AS max_rmse,
-       ROUND(AVG(cos_fid), 4) AS avg_cos_fid,
-       ROUND(MIN(cos_fid), 4) AS min_cos_fid
+       {_fx4_sql('SUM(rmse_u)', 'COUNT(*) * 100')} AS avg_rmse,
+       {_fx4_sql('MAX(rmse_u)', '100')} AS max_rmse,
+       {_fx4_sql('SUM(cos_u)', 'COUNT(*) * 100')} AS avg_cos_fid,
+       {_fx4_sql('MIN(cos_u)', '100')} AS min_cos_fid
 FROM per_vec GROUP BY label ORDER BY label
 """
 

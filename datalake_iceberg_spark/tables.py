@@ -357,11 +357,25 @@ class LakeTable:
     def _write_manifest(self, snap: Snapshot) -> None:
         """Exclusive-create the manifest, then flip ``_current`` atomically.
         ``write_exclusive`` raising on an existing path is the commit
-        race arbiter (S3 adapter: conditional PUT)."""
+        race arbiter (S3 adapter: conditional PUT).
+
+        The reservation is re-verified immediately before the flip: a
+        process stalled past the reserved-manifest GC age gate
+        (``txn.reclaim_reserved_manifests`` ``older_than_s``, which is
+        therefore a hard upper bound on any commit's reserve-to-publish
+        duration) may find its ``v{N}.json`` reclaimed, and flipping
+        ``_current`` to a deleted manifest would leave the table
+        unreadable at its current version. A reclaimed reservation
+        surfaces as ``FileExistsError`` so ``_commit`` rebuilds and
+        retries like any lost race."""
         self.fs.makedirs(self.meta_dir)
-        self.fs.write_exclusive(
-            self.fs.join(self.meta_dir, f"v{snap.version}.json"), snap.to_json()
-        )
+        mpath = self.fs.join(self.meta_dir, f"v{snap.version}.json")
+        self.fs.write_exclusive(mpath, snap.to_json())
+        if not self.fs.exists(mpath):
+            raise FileExistsError(
+                f"reserved manifest {mpath} was reclaimed before publish "
+                "(commit exceeded the reserved-manifest GC age gate)"
+            )
         self.fs.replace_atomic(self.fs.join(self.meta_dir, "_current"), str(snap.version))
 
     def _finalize_snapshot(self, snap: Snapshot, parent: Snapshot | None) -> Snapshot:

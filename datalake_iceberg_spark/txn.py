@@ -215,6 +215,35 @@ class CatalogTransaction:
                 }
                 rec_path = self.fs.join(txn_dir, f"txn-{record['txn_id']}.json")
                 self.fs.write_exclusive(rec_path, json.dumps(record))
+                # Re-verify every reservation now that the intent record
+                # protects them from reserved-manifest GC: a driver that
+                # stalled past the reclaim age gate between reserving and
+                # writing the record may find a v{N}.json gone — flipping
+                # _current to it would leave that table unreadable. The
+                # record hasn't flipped anything yet, so withdrawing it
+                # and retrying is still a clean pre-commit-point abort.
+                missing = [
+                    (t, snap)
+                    for t, snap in built
+                    if not t.fs.exists(
+                        t.fs.join(t.meta_dir, f"v{snap.version}.json")
+                    )
+                ]
+                if missing:
+                    try:
+                        self.fs.remove(rec_path)
+                    except FileNotFoundError:
+                        pass
+                    self._unreserve(reserved)
+                    if attempt == COMMIT_RETRIES:
+                        raise CommitConflict(
+                            "transaction reservations were reclaimed before "
+                            "publish (commit exceeded the reserved-manifest "
+                            "GC age gate) on: "
+                            + ", ".join(t.location for t, _ in missing)
+                        )
+                    time.sleep(COMMIT_RETRY_WAIT_S)
+                    continue
             except CommitConflict:
                 raise  # race path above already unreserved
             except BaseException:
@@ -303,8 +332,31 @@ def recover_transactions(
             path = catalog.fs.join(txn_dir, name)
             try:
                 record = json.loads(catalog.fs.read_text(path))
+                record["flips"]  # torn if absent
             except FileNotFoundError:
                 continue  # live commit finished and consumed its record
+            except (ValueError, KeyError, TypeError):
+                # Torn record: write_exclusive creates the file before
+                # writing content, so a crash in that window leaves an
+                # empty/truncated txn-*.json. The commit point was never
+                # durably reached — there is nothing to roll forward —
+                # but it must not wedge recovery of the OTHER records.
+                # Report it, and age-gate-delete it (a fresh torn file
+                # may be a live commit mid-write; the reserved manifests
+                # it would have named age out via reclaim regardless).
+                rec = {"path": path, "torn": True, "flips": [], "unresolved": []}
+                try:
+                    age = time.time() - catalog.fs.mtime(path)
+                    if (
+                        reclaim_reserved_after_s is not None
+                        and age >= reclaim_reserved_after_s
+                    ):
+                        catalog.fs.remove(path)
+                        rec["removed"] = True
+                except FileNotFoundError:
+                    continue  # the live writer finished (or removed) it
+                processed.append(rec)
+                continue
             unresolved = []
             for flip in record["flips"]:
                 t = LakeTable(catalog.spark, flip["location"], fs=catalog.fs)
@@ -383,7 +435,13 @@ def reclaim_reserved_manifests(
                 rec = json.loads(fs.read_text(fs.join(txn_dir, name)))
             except FileNotFoundError:
                 continue
-            for flip in rec["flips"]:
+            except ValueError:
+                # torn record (crash between create and content write):
+                # names nothing, so it protects nothing — the manifests
+                # its commit reserved are exactly the leak this GC exists
+                # for. recover_transactions reports/ages-out the record.
+                continue
+            for flip in rec.get("flips", []):
                 keep.add((flip["location"], flip["version"]))
     now = time.time()
     reclaimed: list[str] = []

@@ -193,3 +193,59 @@ def test_embedding_split_drift_detects_divergence(spark, monkeypatch):
     monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: emb)
     (row,) = ca.embedding_split_drift(spark, "ignored").collect()
     assert row.centroid_cosine == 0.0
+
+
+def _write_embeddings(tmp_path, rows):
+    """A real parquet file (not a Spark directory) so the DuckDB oracle
+    and the Spark query read byte-identical input."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in rows], pa.int32()),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_knn_label_purity_zero_vector_parity(spark, tmp_path):
+    """A zero-norm embedding must be excluded by BOTH engines (the Spark
+    plan filters q_nrm/c_nrm > 0; the oracle needs the same predicate or
+    it emits NaN/div-by-zero cosines and the hashes diverge)."""
+    import duckdb
+
+    rows = [(i, [10.0 + i, 0.1, 0.0], 0) for i in range(6)]
+    rows += [(i, [0.1, 10.0 + i, 0.0], 1) for i in range(6, 12)]
+    rows.append((12, [0.0, 0.0, 0.0], 0))  # the hazard
+    sf = _write_embeddings(tmp_path, rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    from oracle_harness import compare
+
+    res = compare(
+        ca.knn_label_purity(spark, sf, sample_mod=1), con, ca.KNN_LABEL_PURITY_SQL.replace(
+            f"% {ca.PURITY_SAMPLE_MOD} = 0", "% 1 = 0"
+        )
+    )
+    assert res["ok"], res
+
+
+def test_embedding_split_drift_zero_centroid_parity(spark, tmp_path):
+    """A label whose split centroids are zero vectors has no defined
+    cosine: both engines must exclude it rather than compare NaNs."""
+    import duckdb
+
+    rows = [(i, [1.0 + (i % 3) * 0.1, 2.0, 0.5], 0) for i in range(40)]
+    rows += [(100 + i, [0.0, 0.0, 0.0], 9) for i in range(40)]  # zero label
+    sf = _write_embeddings(tmp_path, rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    from oracle_harness import compare
+
+    out = ca.embedding_split_drift(spark, sf)
+    labels = [r.label for r in out.collect()]
+    assert 9 not in labels and 0 in labels
+    res = compare(out, con, ca.EMBEDDING_SPLIT_DRIFT_SQL)
+    assert res["ok"], res

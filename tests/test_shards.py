@@ -86,15 +86,21 @@ def test_manifest_goes_through_fs_seam(docs, tmp_path):
 
 
 def test_shards_module_has_no_direct_os_access():
-    """The module must not bypass the seam with os.* / open() — the
-    round-3 ADVICE defect."""
+    """The METADATA plane (manifests, listings, sizes) must not bypass
+    the fs seam with os.* — the round-3 ADVICE defect. The executor-side
+    tar closure is DATA-plane code (like Spark's own parquet tasks) and
+    is allowed exactly one os usage: the attempt-temp → final
+    ``os.replace`` that makes task retries corruption-safe (r7 ADVICE)."""
     import inspect
 
     from datalake_iceberg_spark.ingest import shards
 
     src = inspect.getsource(shards)
-    assert "import os" not in src
     assert "os.listdir" not in src and "os.path" not in src
+    # every `import os` sits inside the executor closure, for os.replace
+    closure = inspect.getsource(shards.write_webdataset_shards)
+    assert src.count("import os") == closure.count("import os") == 1
+    assert src.count("os.replace") == 1 and "os.replace" in closure
 
 
 def test_manifest_rows_match_footers(spark, docs, tmp_path):
@@ -218,3 +224,35 @@ def test_webdataset_export_is_deterministic(spark, tmp_path):
     d1 = digest(tmp_path / "a", list(range(25)))
     d2 = digest(tmp_path / "b", shuffled)
     assert d1 == d2  # same data, any row order -> byte-identical tars
+
+
+def test_webdataset_no_temp_files_and_retry_safe_naming(spark, tmp_path):
+    """Tars are staged under attempt-unique temp names and renamed into
+    place at task end, so task retries / speculative attempts never
+    append to the same file. After export the directory holds ONLY
+    complete final tars + the manifest — no *.tmp leftovers — and a
+    re-export over the same final paths (the retry-after-success shape)
+    replaces them atomically with identical bytes."""
+    import tarfile
+
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.ingest.shards import write_webdataset_shards
+
+    rows = [Row(doc_id=i, text=f"b{i}") for i in range(20)]
+    df = spark.createDataFrame(rows)
+    out = tmp_path / "wds_tmpsafe"
+    write_webdataset_shards(
+        df, str(out), n_shards=2, key_col="doc_id", payload_cols={"text": "txt"}
+    )
+    names = sorted(p.name for p in out.iterdir())
+    assert names == ["manifest.json", "shard-00000.tar", "shard-00001.tar"]
+    before = {n: (out / n).read_bytes() for n in names if n.endswith(".tar")}
+    # second attempt over existing finals: os.replace, not append/corrupt
+    write_webdataset_shards(
+        df, str(out), n_shards=2, key_col="doc_id", payload_cols={"text": "txt"}
+    )
+    for n, b in before.items():
+        assert (out / n).read_bytes() == b
+        with tarfile.open(str(out / n)) as tf:  # still a valid tar
+            assert tf.getnames()

@@ -377,3 +377,194 @@ def test_commit_tolerates_concurrently_consumed_record(spark, tmp_path):
     with catalog.transaction() as txn:
         txn.table("db.race").append(spark.createDataFrame([Row(id=5, v="r")]))
     assert a.current_version() == va + 1
+
+
+# --------------------------------- r7: torn records + reclaimed reservations
+
+
+def test_recovery_tolerates_torn_record(spark, tmp_path):
+    """write_exclusive creates the intent file before writing content, so
+    a crash in that window leaves an empty/truncated txn-*.json. Recovery
+    must report it and keep processing OTHER records instead of raising
+    JSONDecodeError catalog-wide; an aged torn record is deleted."""
+    import os
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    a = _mk(catalog, spark, "db.torn")
+    fs = catalog.fs
+    txn_dir = fs.join(catalog.warehouse, "_txn")
+    fs.makedirs(txn_dir)
+    torn = fs.join(txn_dir, "txn-aaaa.json")
+    fs.write_exclusive(torn, "")  # crash before content write
+    truncated = fs.join(txn_dir, "txn-bbbb.json")
+    fs.write_exclusive(truncated, '{"txn_id": "bb", "fl')
+    # a healthy pending record AFTER the torn ones in sort order — it
+    # must still be rolled forward
+    preview_v = a.current_version() + 1
+    snap = a.snapshot()
+    healthy_manifest = fs.join(a.meta_dir, f"v{preview_v}.json")
+    fs.write_exclusive(
+        healthy_manifest,
+        snap.to_json().replace(
+            f'"version": {snap.version}', f'"version": {preview_v}'
+        ),
+    )
+    fs.write_exclusive(
+        fs.join(txn_dir, "txn-cccc.json"),
+        json.dumps({"txn_id": "cc", "flips": [
+            {"location": a.location, "version": preview_v,
+             "parent": a.current_version()},
+        ]}),
+    )
+    processed = catalog.recover_transactions()
+    torn_recs = [r for r in processed if r.get("torn")]
+    assert len(torn_recs) == 2
+    assert all(not r.get("removed") for r in torn_recs)  # fresh: retained
+    assert fs.exists(torn) and fs.exists(truncated)
+    # the healthy record rolled forward despite its torn neighbours
+    assert a.current_version() == preview_v
+    # aged torn records are deleted on the next run
+    os.utime(torn, (1, 1))
+    os.utime(truncated, (1, 1))
+    processed2 = catalog.recover_transactions()
+    assert all(r.get("removed") for r in processed2 if r.get("torn"))
+    assert not fs.exists(torn) and not fs.exists(truncated)
+
+
+def test_reclaim_keepset_tolerates_torn_record(spark, tmp_path):
+    """A torn intent record names nothing, so it must not wedge (or
+    veto) reserved-manifest GC."""
+    import os
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    a = _mk(catalog, spark, "db.tr")
+    fs = catalog.fs
+    txn_dir = fs.join(catalog.warehouse, "_txn")
+    fs.makedirs(txn_dir)
+    fs.write_exclusive(fs.join(txn_dir, "txn-torn.json"), "")
+    leak = fs.join(a.meta_dir, f"v{a.current_version() + 1}.json")
+    fs.write_exclusive(leak, "{}")
+    os.utime(leak, (1, 1))
+    assert catalog.reclaim_reserved_manifests() == [leak]
+    assert not fs.exists(leak)
+
+
+class _ReclaimRaceFS(_FailingFS):
+    """Simulates reserved-manifest GC firing while the committer is
+    stalled between reserving v{N}.json and publishing: deletes every
+    manifest above _current the moment the intent record is written."""
+
+    def __init__(self, inner, rounds=1):
+        super().__init__(inner)
+        self.rounds = rounds  # how many commit attempts to sabotage
+        self.meta_dir = None
+        self.current = None
+
+    def __getattr__(self, name):
+        attr = getattr(self._inner, name)
+        if name != "write_exclusive" or not callable(attr):
+            return super().__getattr__(name)
+
+        def wrapped(path, text):
+            attr(path, text)
+            # match the _txn DIRECTORY segment, not the bare substring —
+            # pytest tmp_path embeds the test NAME (often containing
+            # "_txn"), which would otherwise trip this on manifest writes
+            if "/_txn/" in path and self.rounds > 0:
+                self.rounds -= 1
+                for n in self._inner.listdir(self.meta_dir):
+                    if n.startswith("v") and n.endswith(".json") and \
+                            int(n[1:-5]) > self.current:
+                        self._inner.remove(self._inner.join(self.meta_dir, n))
+
+        return wrapped
+
+
+def test_txn_commit_retries_when_reservation_reclaimed(spark, tmp_path):
+    """If GC reclaimed a reservation during a pre-publish stall, the
+    transaction must NOT flip _current to the deleted manifest — it
+    withdraws the intent record and retries (fresh reservation)."""
+    from datalake_iceberg_spark.fs import LocalFilesystem
+
+    fs = _ReclaimRaceFS(LocalFilesystem(), rounds=1)
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"), fs=fs)
+    a = _mk(catalog, spark, "db.rr")
+    fs.meta_dir, fs.current = a.meta_dir, a.current_version()
+    va = a.current_version()
+    with catalog.transaction() as txn:
+        txn.table("db.rr").append(spark.createDataFrame([Row(id=9, v="ok")]))
+    # committed on the retry; the table is readable at its current version
+    assert a.current_version() == va + 1
+    assert (9, "ok") in _rows(a.read())
+    txn_dir = catalog.fs.join(catalog.warehouse, "_txn")
+    assert not catalog.fs.isdir(txn_dir) or all(
+        not n.startswith("txn-") for n in catalog.fs.listdir(txn_dir)
+    )
+
+
+def test_txn_commit_conflict_when_reservation_always_reclaimed(spark, tmp_path):
+    """Exhausting retries under persistent reclaim raises CommitConflict
+    and leaves the table untouched and readable — never a _current that
+    points at a deleted manifest."""
+    from datalake_iceberg_spark.fs import LocalFilesystem
+    from datalake_iceberg_spark.txn import COMMIT_RETRIES
+
+    fs = _ReclaimRaceFS(LocalFilesystem(), rounds=COMMIT_RETRIES + 1)
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"), fs=fs)
+    a = _mk(catalog, spark, "db.rc")
+    fs.meta_dir, fs.current = a.meta_dir, a.current_version()
+    va = a.current_version()
+    txn = catalog.transaction()
+    txn.table("db.rc").append(spark.createDataFrame([Row(id=9, v="no")]))
+    with pytest.raises(CommitConflict, match="reclaimed"):
+        txn.commit()
+    assert a.current_version() == va
+    assert a.read().count() == 6  # still readable, nothing torn
+    txn_dir = catalog.fs.join(catalog.warehouse, "_txn")
+    assert all(
+        not n.startswith("txn-") for n in catalog.fs.listdir(txn_dir)
+    )
+
+
+class _DirectReclaimFS(_FailingFS):
+    """For the DIRECT commit path: report the freshly reserved manifest
+    as missing once (deleting it for real), as a GC race would."""
+
+    def __init__(self, inner):
+        super().__init__(inner)
+        self.armed = False
+        self.fired = False
+
+    def __getattr__(self, name):
+        attr = getattr(self._inner, name)
+        if name != "exists" or not callable(attr):
+            return super().__getattr__(name)
+
+        def wrapped(path):
+            import re as _re
+
+            if self.armed and not self.fired and \
+                    _re.search(r"v\d+\.json$", path) and attr(path):
+                self._inner.remove(path)
+                self.fired = True
+                return False
+            return attr(path)
+
+        return wrapped
+
+
+def test_direct_commit_survives_reclaimed_reservation(spark, tmp_path):
+    """LakeTable._commit re-verifies the reservation before flipping
+    _current; a reclaimed manifest is retried, not published."""
+    from datalake_iceberg_spark.fs import LocalFilesystem
+
+    fs = _DirectReclaimFS(LocalFilesystem())
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"), fs=fs)
+    a = _mk(catalog, spark, "db.dr")
+    va = a.current_version()
+    fs.armed = True
+    a.append(spark.createDataFrame([Row(id=10, v="later")]))
+    fs.armed = False
+    assert fs.fired
+    assert a.current_version() == va + 1
+    assert (10, "later") in _rows(a.read())
