@@ -487,11 +487,12 @@ def knn_label_purity(
     ``PURITY_NPROBE`` nearest cells, candidates meet queries in an
     equi join on (cell, salt) — the raw cell key has only L distinct
     values, which would cap the join's parallelism at L tasks (measured
-    3× slower at L=10 on 32 cores), so the probe side carries a
-    deterministic ``PURITY_SALT``-way salt of the query id and the
-    candidate side replicates per salt (the standard low-cardinality-
-    key fix; exact, and the replication is bounded by SALT × the
-    candidate rows actually probed). Per-query top-K window, then two
+    3× slower at L=10 on 32 cores), so the PROBE side (small: it scales
+    with 1/sample_mod) replicates across all ``PURITY_SALT`` salts and
+    the candidate corpus takes one deterministic hash salt as a plain
+    projection — the replicate-small/salt-big direction of the standard
+    low-cardinality-key fix (exact; each pair meets once; the corpus is
+    never copied). Per-query top-K window, then two
     tiny rollups. Per-vector candidate work is ∝ nprobe/L of the
     corpus — the same IVF dial as ``ivf_ann_topk``. Ties are
     deterministic everywhere (cosine 6 dp, then id; majority count,
@@ -530,12 +531,19 @@ def knn_label_purity(
          / (F.col("q_nrm") * F.col("cell_nrm"))).alias("cell_cos"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    # Salt direction matters at scale: REPLICATE the probe side (small —
+    # it shrinks with the audit's sample_mod dial) across all SALT values
+    # and hash-salt the candidate corpus ONCE (a projection, zero
+    # replication). The r6 shape exploded the corpus ×SALT instead,
+    # which at 100 TB is SALT extra copies of the biggest table; each
+    # (query, candidate) pair still meets exactly once because a query
+    # carries every salt and a candidate exactly one.
     probed = (
         cell_scores.withColumn("cr", F.row_number().over(wq))
         .filter(F.col("cr") <= PURITY_NPROBE)
-        .select(
-            "query_id", "own_label", "q_emb", "q_nrm", "cell",
-            F.pmod(F.xxhash64("query_id"), F.lit(PURITY_SALT)).alias("salt"),
+        .select("query_id", "own_label", "q_emb", "q_nrm", "cell")
+        .withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(PURITY_SALT)]))
         )
     )
     cand = emb.select(
@@ -544,9 +552,8 @@ def knn_label_purity(
         F.col("label").alias("cand_label"),
         _as_double_col("embedding").alias("c_emb"),
         _norm(_as_double_col("embedding")).alias("c_nrm"),
-    ).where(F.col("c_nrm") > 0).withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(PURITY_SALT)]))
-    )
+        F.pmod(F.xxhash64("vec_id"), F.lit(PURITY_SALT)).alias("salt"),
+    ).where(F.col("c_nrm") > 0)
     scored = (
         probed.join(cand, ["cell", "salt"])
         .where(F.col("query_id") != F.col("cand_id"))
@@ -859,4 +866,274 @@ FROM cents tr JOIN cents te
 WHERE {_NRM2_SQL.format(a="tr.centroid")} > 0
   AND {_NRM2_SQL.format(a="te.centroid")} > 0
 ORDER BY label
+"""
+
+
+# ---------------------------------------------------- split leakage (r7)
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test NEAR-duplicate leakage: LSH candidate pairs (the
+    production banded MinHash path — never all-pairs) whose two docs
+    fall on OPPOSITE sides of the deterministic md5 train/test split,
+    per language. ``ngram_novelty`` asks whether the held-out split
+    sees new n-grams; this asks the sharper eval-integrity question —
+    how many test documents have a near-copy in train, which inflates
+    held-out metrics exactly like benchmark contamination. Cross-rate
+    ≈ 2·p·(1−p) (p = train fraction) is the unavoidable baseline for
+    random splits of a corpus with internal duplication; the actionable
+    signal is the ABSOLUTE cross-pair count — each one is a test doc
+    whose evaluation is compromised — and dedup-before-split is the fix.
+
+    Plan: signatures → bands → the standard band-bucket self-join
+    (bounded per bucket, no all-pairs stage); pair langs/splits come
+    from one 3-column projection of ``documents`` joined to each pair
+    leg (column-pruned scans). Pair attributed to
+    ``least(lang_a, lang_b)`` so the grouping is deterministic even for
+    the rare cross-lang near-dup. Output:
+    (lang, n_pairs, n_cross_split, leak_rate)."""
+    from datalake_iceberg_spark.queries.dedup import (
+        banded_for,
+        signatures_for,
+    )
+
+    docs = load_balanced(spark, sf_dir, "documents")
+    banded = banded_for(signatures_for(docs))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    split = (
+        F.when(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % TRAIN_MOD < TRAIN_PCT,
+            "train",
+        ).otherwise("test")
+    )
+    meta = docs.select("doc_id", "lang", split.alias("split"))
+    ma, mb = meta.alias("ma"), meta.alias("mb")
+    tagged = (
+        pairs.join(ma, pairs.doc_a == F.col("ma.doc_id"))
+        .join(mb, pairs.doc_b == F.col("mb.doc_id"))
+        .select(
+            F.least(F.col("ma.lang"), F.col("mb.lang")).alias("lang"),
+            (F.col("ma.split") != F.col("mb.split")).cast("int").alias("cross"),
+        )
+    )
+    return (
+        tagged.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("cross").cast("long").alias("n_cross_split"),
+            F.round(F.sum("cross").cast("double") / F.count("*"), 4).alias(
+                "leak_rate"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH shingles AS ({{shingle_sql}}),
+sigs AS (
+  SELECT doc_id,
+         {{sig_cols}}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  SELECT DISTINCT doc_id, band_hash FROM (
+    SELECT doc_id, unnest([{{band_list}}]) AS band_hash
+    FROM (SELECT doc_id, {{band_exprs}} FROM sigs)
+  )
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+meta AS (
+  SELECT doc_id, lang, {_SPLIT_SQL} AS split FROM documents
+),
+tagged AS (
+  SELECT LEAST(ma.lang, mb.lang) AS lang,
+         CASE WHEN ma.split != mb.split THEN 1 ELSE 0 END AS cross_split
+  FROM pairs p
+  JOIN meta ma ON ma.doc_id = p.doc_a
+  JOIN meta mb ON mb.doc_id = p.doc_b
+)
+SELECT lang,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(cross_split) AS BIGINT) AS n_cross_split,
+       ROUND(CAST(SUM(cross_split) AS DOUBLE) / COUNT(*), 4) AS leak_rate
+FROM tagged GROUP BY lang ORDER BY lang
+"""
+
+
+def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix: LSH candidate pairs rolled
+    up by unordered source pair — which sources mirror/syndicate each
+    other (off-diagonal mass) vs self-duplicate (diagonal). The
+    source-level view that decides WHICH feed to drop or down-weight
+    when near-dup mass is concentrated, where doc-level dedup alone
+    would silently keep deleting half of every crawl snapshot forever.
+
+    Plan: identical candidate generation to ``split_leakage`` (band
+    bucket self-join); source tags from a 2-column projection joined to
+    each leg; unordered pair normalized with least/greatest. Output:
+    (src_lo, src_hi, n_pairs), ordered by src_lo, src_hi."""
+    from datalake_iceberg_spark.queries.dedup import (
+        banded_for,
+        signatures_for,
+    )
+
+    docs = load_balanced(spark, sf_dir, "documents")
+    banded = banded_for(signatures_for(docs))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    meta = docs.select("doc_id", "source")
+    ma, mb = meta.alias("ma"), meta.alias("mb")
+    return (
+        pairs.join(ma, pairs.doc_a == F.col("ma.doc_id"))
+        .join(mb, pairs.doc_b == F.col("mb.doc_id"))
+        .select(
+            F.least(F.col("ma.source"), F.col("mb.source")).alias("src_lo"),
+            F.greatest(F.col("ma.source"), F.col("mb.source")).alias("src_hi"),
+        )
+        .groupBy("src_lo", "src_hi")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("src_lo", "src_hi")
+    )
+
+
+NEAR_DUP_SOURCE_SQL = f"""
+WITH shingles AS ({{shingle_sql}}),
+sigs AS (
+  SELECT doc_id,
+         {{sig_cols}}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  SELECT DISTINCT doc_id, band_hash FROM (
+    SELECT doc_id, unnest([{{band_list}}]) AS band_hash
+    FROM (SELECT doc_id, {{band_exprs}} FROM sigs)
+  )
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT LEAST(ma.source, mb.source) AS src_lo,
+       GREATEST(ma.source, mb.source) AS src_hi,
+       COUNT(*) AS n_pairs
+FROM pairs p
+JOIN documents ma ON ma.doc_id = p.doc_a
+JOIN documents mb ON mb.doc_id = p.doc_b
+GROUP BY 1, 2 ORDER BY src_lo, src_hi
+"""
+
+
+_BAND_LIST_SQL = ", ".join(f"band_{b}" for b in range(N_HASHES // BAND_SIZE))
+SPLIT_LEAKAGE_SQL = SPLIT_LEAKAGE_SQL.format(
+    shingle_sql=_shingle_sql(), sig_cols=_SIG_COLS_SQL,
+    band_list=_BAND_LIST_SQL, band_exprs=_BAND_EXPRS_SQL,
+)
+NEAR_DUP_SOURCE_SQL = NEAR_DUP_SOURCE_SQL.format(
+    shingle_sql=_shingle_sql(), sig_cols=_SIG_COLS_SQL,
+    band_list=_BAND_LIST_SQL, band_exprs=_BAND_EXPRS_SQL,
+)
+
+
+# ------------------------------------------- length/vocabulary Pearson r
+
+def len_vocab_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pearson correlation between document token count and
+    distinct-token (type) count — the Heaps-law health check as one
+    number per source. Healthy text keeps a strong positive r (longer
+    docs keep introducing types); r collapsing toward 0 flags template
+    or log-like sources whose extra length is pure repetition, and
+    those are exactly the sources whose length-based quality weighting
+    misleads.
+
+    FP discipline: all five moments (Σx, Σy, Σxy, Σx², Σy²) are exact
+    BIGINT sums of per-doc integers, so the reduction is
+    order-independent in both engines; the single FP step is the final
+    r = (nΣxy−ΣxΣy)/√(nΣx²−(Σx)²)/√(nΣy²−(Σy)²) from identical integer
+    operands. Plan: one explode → per-doc (count, count_distinct) agg →
+    per-source moment agg; docs with zero tokens drop out of the
+    explode in both engines. Output:
+    (source, n_docs, mean_tokens, mean_types, pearson_r)."""
+    docs = load_balanced(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id",
+        F.explode(
+            F.filter(F.split(_norm_text(), " "), lambda t: F.length(t) > 0)
+        ).alias("tok"),
+    )
+    per_doc = toks.groupBy("source", "doc_id").agg(
+        F.count("*").alias("x"),                 # tokens
+        F.count_distinct("tok").alias("y"),      # types
+    )
+    mom = per_doc.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = mom.n * mom.sxx - mom.sx * mom.sx
+    vy = mom.n * mom.syy - mom.sy * mom.sy
+    cov = mom.n * mom.sxy - mom.sx * mom.sy
+    return mom.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(mom.sx.cast("double") / mom.n, 4).alias("mean_tokens"),
+        F.round(mom.sy.cast("double") / mom.n, 4).alias("mean_types"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                cov.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                4,
+            ),
+        ).alias("pearson_r"),
+    ).orderBy("source")
+
+
+LEN_VOCAB_CORR_SQL = """
+WITH toks AS (
+  SELECT source, doc_id, tok
+  FROM (
+    SELECT source, doc_id,
+           unnest(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+per_doc AS (
+  SELECT source, doc_id,
+         COUNT(*) AS x, COUNT(DISTINCT tok) AS y
+  FROM toks GROUP BY source, doc_id
+),
+mom AS (
+  SELECT source, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM per_doc GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       ROUND(CAST(sx AS DOUBLE) / n, 4) AS mean_tokens,
+       ROUND(CAST(sy AS DOUBLE) / n, 4) AS mean_types,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 4)
+       END AS pearson_r
+FROM mom GROUP BY ALL ORDER BY source
 """

@@ -249,3 +249,77 @@ def test_embedding_split_drift_zero_centroid_parity(spark, tmp_path):
     assert 9 not in labels and 0 in labels
     res = compare(out, con, ca.EMBEDDING_SPLIT_DRIFT_SQL)
     assert res["ok"], res
+
+
+def test_split_leakage_counts_cross_pairs(spark, monkeypatch):
+    """Three exact duplicates land in the candidate graph as a triangle;
+    with a forced split putting one of them on the other side, exactly
+    2 of 3 pairs cross the split."""
+    import pyspark.sql.functions as F
+
+    docs = _docs(spark, [
+        ("alpha beta gamma delta epsilon", "en", "s"),
+        ("alpha beta gamma delta epsilon", "en", "s"),
+        ("alpha beta gamma delta epsilon", "en", "s"),
+        ("one two three four five", "en", "s"),
+    ])
+    monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: docs)
+    # drive the REAL md5 split and compute the expected answer from it
+    split_df = docs.select(
+        "doc_id",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % ca.TRAIN_MOD < ca.TRAIN_PCT, "train"
+        ).otherwise("test").alias("split"),
+    )
+    splits = {r.doc_id: r.split for r in split_df.collect()}
+    trio = [0, 1, 2]
+    expected_cross = sum(
+        1 for i in trio for j in trio if i < j and splits[i] != splits[j]
+    )
+    (row,) = ca.split_leakage(spark, "ignored").collect()
+    assert row.lang == "en"
+    assert row.n_pairs == 3  # the triangle; the singleton pairs with no one
+    assert row.n_cross_split == expected_cross
+    assert row.leak_rate == pytest.approx(round(expected_cross / 3, 4))
+
+
+def test_near_dup_source_matrix_diagonal_and_cross(spark, monkeypatch):
+    """Two duplicate docs within source A and one shared with source B:
+    pairs roll up to the unordered source matrix."""
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="alpha beta gamma delta epsilon", lang="en",
+            source="a", n_chars=30),
+        Row(doc_id=1, text="alpha beta gamma delta epsilon", lang="en",
+            source="a", n_chars=30),
+        Row(doc_id=2, text="alpha beta gamma delta epsilon", lang="en",
+            source="b", n_chars=30),
+        Row(doc_id=3, text="six seven eight nine ten", lang="en",
+            source="b", n_chars=24),
+    ])
+    monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: docs)
+    out = {(r.src_lo, r.src_hi): r.n_pairs
+           for r in ca.near_dup_source_matrix(spark, "ignored").collect()}
+    assert out == {("a", "a"): 1, ("a", "b"): 2}
+
+
+def test_len_vocab_corr_closed_forms(spark, monkeypatch):
+    """Perfectly correlated (all-distinct tokens: y == x) gives r = 1;
+    a source whose length varies but vocabulary is constant gives
+    pearson_r NULL (zero type variance)."""
+    docs = _docs(spark, [
+        ("a b", "en", "perfect"),
+        ("a b c d", "en", "perfect"),
+        ("a b c d e f", "en", "perfect"),
+        ("w w", "en", "flat"),
+        ("w w w w", "en", "flat"),
+        ("w w w w w w", "en", "flat"),
+    ])
+    monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: docs)
+    out = {r.source: r for r in ca.len_vocab_corr(spark, "ignored").collect()}
+    assert out["perfect"].pearson_r == 1.0
+    assert out["perfect"].n_docs == 3
+    assert out["perfect"].mean_tokens == 4.0
+    assert out["perfect"].mean_types == 4.0
+    assert out["flat"].pearson_r is None  # var(types) == 0
+    assert out["flat"].mean_types == 1.0
