@@ -70,6 +70,12 @@ def _utcnow() -> str:
     return datetime.now(timezone.utc).isoformat()
 
 
+def _md5_hex(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
 def _parse_iso_utc(ts: str) -> datetime:
     """ISO-8601 → aware UTC datetime; naive inputs are taken as UTC.
     Accepts the 'Z' suffix (pre-3.11 fromisoformat doesn't)."""
@@ -744,7 +750,9 @@ class LakeTable:
                 if not idx:
                     plain.append(d)
                     continue
-                sig = frozenset(entries[i]["dir"].split("/")[1] for i in idx)
+                # group key = the full delete-dir strings (collision-free
+                # for any dir form, incl. a clone's absolute foreign refs)
+                sig = frozenset(entries[i]["dir"] for i in idx)
                 data_dirs, del_dirs = groups.setdefault(sig, ([], set()))
                 data_dirs.append(d)
                 del_dirs.update(entries[i]["dir"] for i in idx)
@@ -2532,16 +2540,82 @@ class LakeTable:
                 removed += 1
         return {"expired_snapshots": removed}
 
+    # -------------------------------------------------- shallow clones
+    def _clones_meta_dir(self) -> str:
+        return self.fs.join(self.meta_dir, "clones")
+
+    def clone_markers(self) -> list[dict]:
+        """Live clone markers on THIS table: ``{"clone": location}``
+        records dropped under ``metadata/clones/`` by
+        :meth:`LakeCatalog.clone_table` for every table whose manifests
+        reference data dirs under this location. GC, DROP and RENAME
+        consult them; stale markers (clone dropped or fully localized)
+        self-heal in :meth:`remove_orphan_files`."""
+        cd = self._clones_meta_dir()
+        out = []
+        if self.fs.isdir(cd):
+            for name in sorted(self.fs.listdir(cd)):
+                if not name.endswith(".json"):
+                    continue
+                try:
+                    rec = json.loads(self.fs.read_text(self.fs.join(cd, name)))
+                except (FileNotFoundError, ValueError):
+                    continue
+                rec["_marker"] = self.fs.join(cd, name)
+                out.append(rec)
+        return out
+
+    def _foreign_roots(self) -> set[str]:
+        """Table roots of every ABSOLUTE data/delete dir referenced by
+        any of this table's manifests (main + branches) that lives
+        outside this table — the sources a shallow clone still leans
+        on. O(manifests); empty for ordinary tables and for clones
+        whose history has been fully compacted+expired local."""
+        roots: set[str] = set()
+        own = self.location.rstrip("/") + "/"
+
+        def _scan(meta_dir):
+            if not self.fs.isdir(meta_dir):
+                return
+            for name in self.fs.listdir(meta_dir):
+                if name.startswith("v") and name.endswith(".json"):
+                    snap = Snapshot.from_json(
+                        self.fs.read_text(self.fs.join(meta_dir, name))
+                    )
+                    for d in snap.all_dirs() + snap.all_delete_dirs():
+                        if d.startswith("/") and not d.startswith(own):
+                            roots.add(d.rsplit("/data/", 1)[0])
+
+        _scan(self.meta_dir)
+        for br_name in self.branches():
+            _scan(self.fs.join(self.meta_dir, "branches", br_name))
+        return roots
+
     def remove_orphan_files(self, dry_run: bool = False) -> dict:
         """Delete data dirs unreferenced by any remaining manifest
         (Iceberg ``remove_orphan_files``, ``src/utils/maintenance.py:266-271``).
         Staged-but-unpublished WAP writes count as referenced — their
         data must survive until ``publish_staged`` / ``abort_staged`` —
         and so does everything any live BRANCH manifest references
-        (branches share main's data dirs). ``dry_run=True`` reports the
-        dirs that WOULD be deleted without touching them (the
-        look-before-you-GC audit every irreversible delete deserves)."""
+        (branches share main's data dirs), and everything any live
+        SHALLOW CLONE's manifests reference (clones hold absolute refs
+        into this table's data dirs and drop a marker here at clone
+        time — the Delta-shallow-clone "vacuum breaks clones" hazard,
+        closed by construction). Markers whose clone is gone or no
+        longer references this table are pruned. ``dry_run=True``
+        reports the dirs that WOULD be deleted without touching them
+        (the look-before-you-GC audit every irreversible delete
+        deserves)."""
         live: set[str] = set()
+        own_prefix = self.data_dir.rstrip("/") + "/"
+
+        def _keep(d: str, owner_location: str) -> None:
+            # resolve against the MANIFEST OWNER's location, then keep
+            # only dirs that land under OUR data dir (a clone's local
+            # dirs are its own GC's business)
+            abs_d = d if d.startswith("/") else self.fs.join(owner_location, d)
+            if abs_d.startswith(own_prefix):
+                live.add(abs_d[len(own_prefix):].split("/")[0])
 
         def _walk_meta(meta_dir, table):
             for name in self.fs.listdir(meta_dir):
@@ -2550,17 +2624,32 @@ class LakeTable:
                         self.fs.read_text(self.fs.join(meta_dir, name))
                     )
                     for d in snap.all_dirs() + snap.all_delete_dirs():
-                        live.add(d.split("/")[1])  # commit dir component
+                        _keep(d, table.location)
             for wap_id in table.staged_ids():
                 doc = table._load_staged(wap_id)
                 for dirs in doc["buckets"].values():
                     for d in dirs:
-                        live.add(d.split("/")[1])
+                        _keep(d, table.location)
 
         _walk_meta(self.meta_dir, self)
         for br_name in self.branches():
             br = self.branch(br_name)
             _walk_meta(br.meta_dir, br)
+        stale_markers: list[str] = []
+        for rec in self.clone_markers():
+            clone = LakeTable(self.spark, rec["clone"], fs=self.fs)
+            if not clone.exists():
+                stale_markers.append(rec["_marker"])
+                continue
+            before = len(live)
+            _walk_meta(clone.meta_dir, clone)
+            for br_name in clone.branches():
+                br = clone.branch(br_name)
+                _walk_meta(br.meta_dir, br)
+            if len(live) == before:
+                # fully localized (compacted + expired): nothing here is
+                # referenced any more
+                stale_markers.append(rec["_marker"])
         orphans = []
         if self.fs.isdir(self.data_dir):
             for entry in self.fs.listdir(self.data_dir):
@@ -2568,6 +2657,11 @@ class LakeTable:
                     orphans.append(entry)
         if dry_run:
             return {"orphan_dirs_removed": 0, "orphan_dirs_found": sorted(orphans)}
+        for mpath in stale_markers:
+            try:
+                self.fs.remove(mpath)
+            except FileNotFoundError:
+                pass
         for entry in orphans:
             self.fs.rmtree(self.fs.join(self.data_dir, entry))
         return {"orphan_dirs_removed": len(orphans)}
@@ -2632,10 +2726,110 @@ class LakeCatalog:
         t.create_or_replace(df, **kw)
         return t
 
+    def clone_table(self, name: str, target_name: str) -> LakeTable:
+        """Zero-copy SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW
+        CLONE`` / Iceberg snapshot-ref analogue): the target's v0
+        manifest references the source's CURRENT data dirs by absolute
+        path — no data moves, clone cost is one manifest write
+        regardless of table size. The clone is fully independent from
+        then on: DML, compaction, branches, WAP and time travel all
+        work, and every write lands under the clone's own location
+        (compaction progressively localizes it).
+
+        GC protocol (the part Delta documents as a footgun and this
+        catalog closes by construction): the clone drops a marker under
+        each source's ``metadata/clones/``, and the source's
+        ``remove_orphan_files`` keeps every dir any live clone manifest
+        still references. DROP and RENAME of a source with live clones
+        are refused; dropping the clone removes its markers; renaming a
+        clone re-keys them."""
+        src = self.table(name)
+        if not src.exists():
+            raise ValueError(f"no such table {name!r}")
+        dst = self.table(target_name)
+        if dst.exists():
+            raise ValueError(f"target table {target_name!r} already exists")
+        snap = src.snapshot()
+
+        def absd(d: str) -> str:
+            return d if d.startswith("/") else self.fs.join(src.location, d)
+
+        buckets = {b: [absd(d) for d in dirs] for b, dirs in snap.buckets.items()}
+        deletes = {
+            b: [{"dir": absd(e["dir"]), "covers": [absd(c) for c in e["covers"]]}
+                for e in entries]
+            for b, entries in snap.deletes.items()
+        }
+        stats = {absd(d): dict(v) for d, v in snap.stats.items()}
+        renames = {absd(d): dict(m) for d, m in snap.renames.items()}
+        roots = sorted({
+            d.rsplit("/data/", 1)[0]
+            for dirs in buckets.values() for d in dirs
+        } | {
+            e["dir"].rsplit("/data/", 1)[0]
+            for entries in deletes.values() for e in entries
+        })
+        # markers FIRST: a marker without a clone self-heals at the next
+        # source GC; a clone without a marker would be exposed to it
+        for root in roots:
+            cd = self.fs.join(root, "metadata", "clones")
+            self.fs.makedirs(cd)
+            marker = self.fs.join(cd, f"clone-{_md5_hex(dst.location)}.json")
+            if not self.fs.exists(marker):
+                self.fs.write_exclusive(marker, json.dumps({"clone": dst.location}))
+        clone_snap = Snapshot(
+            version=0,
+            parent=None,
+            timestamp=_utcnow(),
+            operation="clone",
+            schema_json=snap.schema_json,
+            key=snap.key,
+            n_buckets=snap.n_buckets,
+            buckets=buckets,
+            properties={**snap.properties},
+            summary={"cloned-from": src.location,
+                     "source-version": snap.version},
+            stats=stats,
+            deletes=deletes,
+            renames=renames,
+        )
+        dst._write_manifest(clone_snap)
+        return dst
+
     def drop(self, name: str, purge: bool = True) -> None:
         loc = self._loc(name)
+        t = LakeTable(self.spark, loc, fs=self.fs)
+        if self.fs.isdir(loc):
+            if purge:
+                holders = [
+                    rec["clone"] for rec in t.clone_markers()
+                    if LakeTable(self.spark, rec["clone"], fs=self.fs).exists()
+                    and self.location_referenced_by(rec["clone"], loc)
+                ]
+                if holders:
+                    raise ValueError(
+                        f"table {name!r} has live shallow clones referencing "
+                        f"its data: {holders}; drop or compact+expire them "
+                        "first"
+                    )
+            # withdraw this table's own markers from its sources
+            for root in t._foreign_roots():
+                marker = self.fs.join(
+                    root, "metadata", "clones",
+                    f"clone-{_md5_hex(loc)}.json",
+                )
+                try:
+                    self.fs.remove(marker)
+                except FileNotFoundError:
+                    pass
         if purge and self.fs.isdir(loc):
             self.fs.rmtree(loc)
+
+    def location_referenced_by(self, clone_loc: str, source_loc: str) -> bool:
+        """True when any manifest of the table at ``clone_loc`` (main or
+        branch) references a dir under ``source_loc`` — O(manifests)."""
+        t = LakeTable(self.spark, clone_loc, fs=self.fs)
+        return source_loc.rstrip("/") in t._foreign_roots()
 
     def rename_table(self, name: str, new_name: str) -> LakeTable:
         """ALTER TABLE RENAME. Identity in this catalog IS the directory
@@ -2649,6 +2843,19 @@ class LakeCatalog:
             raise ValueError(f"no such table {name!r}")
         if self.fs.isdir(dst):
             raise ValueError(f"target table {new_name!r} already exists")
+        # a shallow clone's absolute refs into this location would dangle
+        src_t = LakeTable(self.spark, src, fs=self.fs)
+        holders = [
+            rec["clone"] for rec in src_t.clone_markers()
+            if LakeTable(self.spark, rec["clone"], fs=self.fs).exists()
+            and self.location_referenced_by(rec["clone"], src)
+        ]
+        if holders:
+            raise ValueError(
+                f"table {name!r} has live shallow clones referencing its "
+                f"data: {holders}; drop or compact+expire them first"
+            )
+        clone_roots = src_t._foreign_roots()
         # an interrupted multi-table transaction may still hold an
         # intent-log flip for this location; moving the directory out
         # from under it would make the flip permanently unresolvable
@@ -2664,7 +2871,9 @@ class LakeCatalog:
                     )
                 except FileNotFoundError:
                     continue
-                if any(f["location"] == src for f in rec["flips"]):
+                except ValueError:
+                    continue  # torn record names nothing (see txn.py)
+                if any(f["location"] == src for f in rec.get("flips", [])):
                     raise ValueError(
                         f"table {name!r} is referenced by pending transaction "
                         f"record {rec_name}; run recover_transactions() first"
@@ -2672,6 +2881,19 @@ class LakeCatalog:
         parent = dst.rsplit("/", 1)[0]
         self.fs.makedirs(parent)
         self.fs.move(src, dst)
+        # a renamed CLONE re-keys its markers so source GC keeps honoring
+        # them (markers are keyed by the clone's location hash)
+        for root in clone_roots:
+            cd = self.fs.join(root, "metadata", "clones")
+            old = self.fs.join(cd, f"clone-{_md5_hex(src)}.json")
+            new = self.fs.join(cd, f"clone-{_md5_hex(dst)}.json")
+            self.fs.makedirs(cd)
+            if not self.fs.exists(new):
+                self.fs.write_exclusive(new, json.dumps({"clone": dst}))
+            try:
+                self.fs.remove(old)
+            except FileNotFoundError:
+                pass
         return LakeTable(self.spark, dst, fs=self.fs)
 
     def transaction(self):

@@ -1,0 +1,144 @@
+"""Shallow (zero-copy) table clones: metadata-only creation, full
+independence, GC safety across the clone/source boundary, and the
+drop/rename protocol. Delta's SHALLOW CLONE documents "vacuum on the
+source may break clones" as a footgun; this catalog closes it with
+clone markers the source's remove_orphan_files honors."""
+
+import pytest
+from pyspark.sql import Row
+
+from datalake_iceberg_spark.tables import LakeCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "wh"))
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _mk(catalog, spark, name, n=8):
+    df = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(n)])
+    return catalog.create_or_replace(name, df, key=["id"], n_buckets=4)
+
+
+def test_clone_is_zero_copy_and_reads_source_state(catalog, spark):
+    src = _mk(catalog, spark, "db.src")
+    dst = catalog.clone_table("db.src", "db.dst")
+    assert _rows(dst.read()) == _rows(src.read())
+    # zero copy: the clone has no data dir of its own yet
+    assert not catalog.fs.isdir(dst.data_dir) or not catalog.fs.listdir(dst.data_dir)
+    assert dst.snapshot().operation == "clone"
+    assert dst.snapshot().summary["cloned-from"] == src.location
+
+
+def test_clone_diverges_independently(catalog, spark):
+    src = _mk(catalog, spark, "db.s2")
+    dst = catalog.clone_table("db.s2", "db.d2")
+    dst.merge(spark.createDataFrame([Row(id=1, v="clone-side")]))
+    src.merge(spark.createDataFrame([Row(id=2, v="src-side")]))
+    assert (1, "clone-side") in _rows(dst.read())
+    assert (1, "v1") in _rows(src.read())  # source untouched by clone DML
+    assert (2, "src-side") in _rows(src.read())
+    assert (2, "v2") in _rows(dst.read())  # clone pinned at clone point
+    # clone's new data landed under the CLONE's location
+    assert catalog.fs.isdir(dst.data_dir) and catalog.fs.listdir(dst.data_dir)
+
+
+def test_source_gc_keeps_dirs_clones_reference(catalog, spark):
+    """Compact + expire + GC on the SOURCE must not delete the pre-
+    compaction dirs the clone still reads."""
+    src = _mk(catalog, spark, "db.s3")
+    dst = catalog.clone_table("db.s3", "db.d3")
+    before = _rows(dst.read())
+    # source rewrites everything: clone's referenced dirs become
+    # orphan CANDIDATES on the source side
+    src.rewrite_data_files(sort_by=["id"])
+    src.expire_snapshots(keep_last=1)
+    report = src.remove_orphan_files()
+    assert _rows(dst.read()) == before  # still fully readable
+    # and the source itself still reads correctly
+    assert len(_rows(src.read())) == 8
+
+
+def test_source_gc_reclaims_after_clone_localizes(catalog, spark):
+    """Once the clone compacts (localizes) and expires its history, the
+    marker self-heals and the source can reclaim."""
+    src = _mk(catalog, spark, "db.s4")
+    dst = catalog.clone_table("db.s4", "db.d4")
+    # force real rewrites (bin-pack alone is a no-op on 1 dir/bucket)
+    src.rewrite_data_files(sort_by=["id"])
+    src.expire_snapshots(keep_last=1)
+    # clone localizes: compaction copies rows into clone-local dirs
+    dst.rewrite_data_files(sort_by=["id"])
+    dst.expire_snapshots(keep_last=1)
+    report = src.remove_orphan_files()
+    assert report["orphan_dirs_removed"] >= 1  # pre-compaction dirs freed
+    assert src.clone_markers() == []  # marker pruned
+    assert len(_rows(dst.read())) == 8  # clone reads its own copies
+
+
+def test_drop_clone_withdraws_marker(catalog, spark):
+    src = _mk(catalog, spark, "db.s5")
+    catalog.clone_table("db.s5", "db.d5")
+    assert len(src.clone_markers()) == 1
+    catalog.drop("db.d5")
+    # marker gone immediately (not just at next GC)
+    assert src.clone_markers() == []
+
+
+def test_drop_and_rename_of_source_with_live_clone_refused(catalog, spark):
+    src = _mk(catalog, spark, "db.s6")
+    catalog.clone_table("db.s6", "db.d6")
+    with pytest.raises(ValueError, match="live shallow clones"):
+        catalog.drop("db.s6")
+    with pytest.raises(ValueError, match="live shallow clones"):
+        catalog.rename_table("db.s6", "db.s6renamed")
+    # after the clone is dropped, both work
+    catalog.drop("db.d6")
+    t = catalog.rename_table("db.s6", "db.s6renamed")
+    assert len(_rows(t.read())) == 8
+
+
+def test_rename_clone_rekeys_markers(catalog, spark):
+    src = _mk(catalog, spark, "db.s7")
+    catalog.clone_table("db.s7", "db.d7")
+    moved = catalog.rename_table("db.d7", "db.d7moved")
+    markers = src.clone_markers()
+    assert [m["clone"] for m in markers] == [moved.location]
+    # GC still honors the re-keyed marker
+    src.rewrite_data_files(sort_by=["id"])
+    src.expire_snapshots(keep_last=1)
+    src.remove_orphan_files()
+    assert len(_rows(moved.read())) == 8
+
+
+def test_clone_carries_mor_deletes_and_time_travel(catalog, spark):
+    src = _mk(catalog, spark, "db.s8")
+    src.delete_keys(
+        spark.createDataFrame([Row(id=3)]), mode="merge-on-read"
+    )
+    dst = catalog.clone_table("db.s8", "db.d8")
+    got = _rows(dst.read())
+    assert (3, "v3") not in got and len(got) == 7  # MoR delete honored
+    # clone's own DML + time travel back to its v0
+    dst.merge(spark.createDataFrame([Row(id=0, v="x")]))
+    assert (0, "x") in _rows(dst.read())
+    assert (0, "v0") in _rows(dst.read(version=0))
+
+
+def test_clone_of_clone_protects_original_source(catalog, spark):
+    """B = clone(A = clone(S)): B references S's dirs directly (copied
+    absolute refs), so cloning A must drop a marker in S for B too."""
+    s = _mk(catalog, spark, "db.s9")
+    a = catalog.clone_table("db.s9", "db.a9")
+    b = catalog.clone_table("db.a9", "db.b9")
+    assert {m["clone"] for m in s.clone_markers()} == {a.location, b.location}
+    # drop A (allowed: B does not reference A's local dirs — A has none)
+    catalog.drop("db.a9")
+    s.rewrite_data_files(sort_by=["id"])
+    s.expire_snapshots(keep_last=1)
+    s.remove_orphan_files()
+    assert len(_rows(b.read())) == 8
