@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "knn_label_purity",
     "token_kl_shift",
     "embedding_split_drift",
+    "split_leakage",
+    "near_dup_source_matrix",
+    "len_vocab_corr",
+    "dedup_keep_best",
 ]
 
 
@@ -369,6 +373,29 @@ def main() -> None:
         n_hits = ann.search(qvec, nprobe=2, top_k=5).count()
         dml["ann_search_2probe"] = round(time.perf_counter() - t0, 3)
         dml["ann_search_hits"] = n_hits
+
+        # IVF+PQ: same index with product-quantized postings + ADC
+        # scoring — the billion-scale memory layout; search reads PQ
+        # bytes, never float vectors
+        from datalake_iceberg_spark.ops.incremental_ann import IvfPqIndex
+
+        t0 = _case("dml:ivfpq_bootstrap")
+        pq = IvfPqIndex.create(
+            cat, "bench.pq_index", vecs_all, n_cells=16, n_buckets=32,
+        )
+        dml["ivfpq_bootstrap"] = round(time.perf_counter() - t0, 3)
+        t0 = _case("dml:ivfpq_search_2probe")
+        dml["ivfpq_search_hits"] = pq.search(qvec, nprobe=2, top_k=5).count()
+        dml["ivfpq_search_2probe"] = round(time.perf_counter() - t0, 3)
+
+        # shallow clone: O(manifest) regardless of table size, and the
+        # clone's first read costs the same as the source's
+        t0 = _case("dml:clone_table")
+        clone = cat.clone_table("bench.ann_index", "bench.ann_clone")
+        dml["clone_table"] = round(time.perf_counter() - t0, 3)
+        t0 = _case("dml:clone_first_read")
+        dml["clone_rows"] = clone.read().count()
+        dml["clone_first_read"] = round(time.perf_counter() - t0, 3)
 
         # Structured Streaming drain: full watermarked windowed rollup
         # of the events stream (availableNow), end-to-end incl. source

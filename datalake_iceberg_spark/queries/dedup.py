@@ -792,3 +792,113 @@ SELECT (SELECT COUNT(*) FROM truth) AS n_true_pairs,
                        / (SELECT COUNT(*) FROM truth)
                   ELSE 1.0 END, 4) AS recall
 """
+
+
+# ------------------------------------------------- survivor selection (r7)
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection over the near-dup clusters — the curation
+    decision ``dup_clusters`` stops short of: within every non-trivial
+    cluster KEEP THE MOST COMPLETE document (most tokens; tie → smaller
+    doc_id) and drop the rest. Keeping the longest variant is the
+    standard policy for near-dup web pages (truncated/paywalled copies
+    lose to the full article); swapping the ranking column for a model
+    quality score changes one ORDER BY.
+
+    Plan: reuses the full connected-components pipeline (banded LSH
+    pairs → min-label propagation), joins per-doc token counts (one
+    column-pruned scan), then a rank window PARTITIONED BY cluster —
+    clusters are near-cliques of duplicates, so partitions stay small
+    at any corpus size. Output per non-trivial cluster:
+    (cluster_id, cluster_size, survivor_doc_id, survivor_tokens,
+    n_dropped, dropped_tokens)."""
+    from pyspark.sql import Window
+
+    clusters = dup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(_norm_text(), " "), lambda t: F.length(t) > 0)
+        ).alias("n_tokens"),
+    )
+    joined = clusters.where(F.col("cluster_size") > 1).join(toks, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    ranked = joined.withColumn("rk", F.row_number().over(w))
+    surv = ranked.where(F.col("rk") == 1).select(
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("doc_id").alias("survivor_doc_id"),
+        F.col("n_tokens").cast("long").alias("survivor_tokens"),
+    )
+    dropped = (
+        ranked.where(F.col("rk") > 1)
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_dropped"),
+            F.sum("n_tokens").cast("long").alias("dropped_tokens"),
+        )
+    )
+    return surv.join(dropped, "cluster_id").orderBy("cluster_id")
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE shingles AS ({_shingle_sql()}),
+sigs AS (
+  SELECT doc_id,
+         {_SIG_COLS_SQL}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  SELECT DISTINCT doc_id, band_hash FROM (
+    SELECT doc_id, unnest([{", ".join(f"band_{b}" for b in range(N_HASHES // BAND_SIZE))}]) AS band_hash
+    FROM (SELECT doc_id, {_BAND_EXPRS_SQL} FROM sigs)
+  )
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cands
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cands
+),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.id
+),
+comp AS (SELECT id AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY id),
+sized AS (
+  SELECT c.doc_id, c.cluster_id, s.cluster_size
+  FROM comp c JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+                    FROM comp GROUP BY 1) s USING (cluster_id)
+  WHERE s.cluster_size > 1
+),
+toks AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0 GROUP BY doc_id
+),
+ranked AS (
+  SELECT z.*, t.n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY t.n_tokens DESC, z.doc_id ASC) AS rk
+  FROM sized z JOIN toks t USING (doc_id)
+)
+SELECT s.cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       s.doc_id AS survivor_doc_id,
+       CAST(s.n_tokens AS BIGINT) AS survivor_tokens,
+       CAST(d.n_dropped AS BIGINT) AS n_dropped,
+       CAST(d.dropped_tokens AS BIGINT) AS dropped_tokens
+FROM (SELECT * FROM ranked WHERE rk = 1) s
+JOIN (SELECT cluster_id, COUNT(*) AS n_dropped, SUM(n_tokens) AS dropped_tokens
+      FROM ranked WHERE rk > 1 GROUP BY cluster_id) d USING (cluster_id)
+ORDER BY cluster_id
+"""

