@@ -11,6 +11,11 @@ Subcommands::
         [--nprobe 2] [--top-k 5] [--output out_dir]
     ann_index drift  --name db.idx
 
+``--pq`` on build/add/search routes to :class:`IvfPqIndex` — the same
+index with product-quantized postings and ADC scoring (drift stays an
+:class:`IvfIndex` report; a PQ index audits fidelity via the graded
+``pq_quant_error`` entry instead).
+
 Input parquet needs (vec_id, embedding) — search renames vec_id to
 query_id. ``search --output`` writes results as parquet (executor-side,
 like every query sink); without it the top rows print for ad-hoc use.
@@ -24,7 +29,7 @@ from datalake_iceberg_spark.jobs.common import (
     get_session,
     load_settings,
 )
-from datalake_iceberg_spark.ops.incremental_ann import IvfIndex
+from datalake_iceberg_spark.ops.incremental_ann import IvfIndex, IvfPqIndex
 
 
 def build_parser():
@@ -39,6 +44,8 @@ def build_parser():
     p.add_argument("--nprobe", type=int, default=2)
     p.add_argument("--top-k", type=int, default=3)
     p.add_argument("--output", default=None, help="search-result parquet dir")
+    p.add_argument("--pq", action="store_true",
+                   help="product-quantized postings + ADC search")
     return p
 
 
@@ -49,9 +56,10 @@ def main(argv=None, spark=None) -> int:
     catalog = get_catalog(spark, settings)
     if args.command in ("build", "add", "search") and not args.input_parquet:
         raise SystemExit(f"{args.command} requires --input-parquet")
+    cls = IvfPqIndex if args.pq else IvfIndex
     if args.command == "build":
         vecs = spark.read.parquet(args.input_parquet).select("vec_id", "embedding")
-        idx = IvfIndex.create(
+        idx = cls.create(
             catalog, args.name, vecs,
             n_cells=args.n_cells, lloyd_rounds=args.lloyd_rounds,
             n_buckets=args.n_buckets,
@@ -59,7 +67,10 @@ def main(argv=None, spark=None) -> int:
         print(f"built {args.name}: cells={idx.centroids.read().count()} "
               f"postings={idx.postings.read().count()}")
         return 0
-    idx = IvfIndex.open(catalog, args.name)
+    if args.command == "drift" and args.pq:
+        raise SystemExit("drift is an IvfIndex report; PQ fidelity is "
+                         "audited by the pq_quant_error entry")
+    idx = cls.open(catalog, args.name)
     if args.command == "add":
         batch = spark.read.parquet(args.input_parquet).select("vec_id", "embedding")
         rep = idx.add(batch)

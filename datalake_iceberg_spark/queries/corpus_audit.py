@@ -157,8 +157,12 @@ def minhash_est_error(
 
     Plan: shingles checkpointed once (sizes + signatures + exact-side
     self-join all reuse it); candidate pairs from the production band
-    join; exact intersections from the inverted-index self-join meet
-    the candidates in one LEFT join (a candidate pair sharing no
+    join; the exact-intersection inverted-index self-join runs ONLY on
+    shingles of docs that appear in some candidate pair (a semi-join
+    first — exact Jaccard is consumed solely for candidate pairs, and
+    candidate docs are typically a small fraction of the sample, so the
+    quadratic stage shrinks by that fraction squared); intersections
+    meet the candidates in one LEFT join (a candidate pair sharing no
     shingle — possible only via hash collision — scores exact 0, the
     right answer); one final aggregation."""
     docs = load_balanced(spark, sf_dir, "documents").where(
@@ -174,7 +178,14 @@ def minhash_est_error(
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
     sa, sb = sig.alias("sa"), sig.alias("sb")
     matches = sum(
         F.when(F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}"), 1).otherwise(0)
@@ -188,7 +199,7 @@ def minhash_est_error(
             (matches.cast("double") / F.lit(float(N_HASHES))).alias("jac_est"),
         )
     )
-    x, y = sh.alias("x"), sh.alias("y")
+    x, y = sh_c.alias("x"), sh_c.alias("y")
     inter = (
         x.join(y, (F.col("x.shingle") == F.col("y.shingle"))
                & (F.col("x.doc_id") < F.col("y.doc_id")))
@@ -248,9 +259,15 @@ est AS (
   JOIN sigs sa ON sa.doc_id = c.doc_a
   JOIN sigs sb ON sb.doc_id = c.doc_b
 ),
+cdocs AS (
+  SELECT doc_a AS doc_id FROM cands UNION SELECT doc_b FROM cands
+),
+shc AS (
+  SELECT sh.doc_id, sh.shingle FROM shingles sh JOIN cdocs USING (doc_id)
+),
 inter AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM shingles x JOIN shingles y
+  FROM shc x JOIN shc y
     ON x.shingle = y.shingle AND x.doc_id < y.doc_id
   GROUP BY x.doc_id, y.doc_id
 ),

@@ -275,3 +275,40 @@ def test_cdc_to_lake_round_loop(spark, wh, tmp_path):
     t = LakeCatalog(spark, wh).table("db.orders")
     state = {r.id: r.v for r in t.read().collect()}
     assert state[100] == "fresh" and 5 not in state
+
+
+def test_ann_index_job_pq_build_and_search(spark, tmp_path, capsys):
+    """--pq routes the job through IvfPqIndex: compact postings, ADC
+    search; drift under --pq is refused with a pointer to the audit."""
+    import pytest
+
+    from datalake_iceberg_spark.jobs import ann_index
+
+    vecs = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where("vec_id < 120").select("vec_id", "embedding")
+    )
+    inp = str(tmp_path / "vecs.parquet")
+    vecs.write.parquet(inp)
+    env = str(tmp_path / "none.env")
+    wh = str(tmp_path / "wh")
+    base = ["--env-file", env, "--warehouse", wh]
+    rc = ann_index.main(
+        ["build", "--name", "db.pqidx", "--input-parquet", inp,
+         "--n-cells", "4", "--n-buckets", "4", "--pq", *base],
+        spark=spark,
+    )
+    assert rc == 0
+    out = str(tmp_path / "res")
+    rc = ann_index.main(
+        ["search", "--name", "db.pqidx", "--input-parquet", inp,
+         "--top-k", "3", "--output", out, "--pq", *base],
+        spark=spark,
+    )
+    assert rc == 0
+    res = spark.read.parquet(out)
+    assert {"query_id", "cand_id", "adc_cosine", "rank"} <= set(res.columns)
+    assert res.count() > 0
+    with pytest.raises(SystemExit, match="pq_quant_error"):
+        ann_index.main(["drift", "--name", "db.pqidx", "--pq", *base],
+                       spark=spark)
