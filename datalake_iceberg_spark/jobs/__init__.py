@@ -19,7 +19,8 @@ engine's components.
 | iceberg_maintenance | ``jobs.maintenance`` |
 | watermark_maintenance | ``jobs.watermark_maintenance`` |
 | schema_validate | ``jobs.schema_validate_job`` |
-| (beyond-reference) IVF index ops | ``jobs.ann_index`` |
+| (beyond-reference) IVF / IVF+PQ index ops | ``jobs.ann_index`` (``--pq``) |
+| (beyond-reference) catalog admin: clones, renames, storage report | ``jobs.catalog_admin`` |
 
 Every ``main(argv, spark=None)`` accepts an injected session so tests
 drive the full argument path without a spark-submit; run standalone as

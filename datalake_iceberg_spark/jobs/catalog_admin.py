@@ -1,0 +1,89 @@
+"""Catalog administration as a job CLI — the operator surface for the
+catalog-level verbs that don't belong to any one pipeline: listing,
+zero-copy clones, renames, drops, and the storage/GC accounting report.
+
+Subcommands::
+
+    catalog_admin list    [--schema default]
+    catalog_admin storage [--schema default] [--json]
+    catalog_admin clone   --table db.src --target db.dst
+    catalog_admin rename  --table db.old --target db.new
+    catalog_admin drop    --table db.t [--keep-data]
+
+``clone`` is metadata-only at any table size (see
+:meth:`LakeCatalog.clone_table`); ``drop``/``rename`` enforce the
+clone-safety protocol (refused while live clones reference the table's
+data). ``storage --json`` prints one JSON line per table for scripting;
+without it, a human-readable table.
+"""
+
+from __future__ import annotations
+
+import json
+
+from datalake_iceberg_spark.jobs.common import (
+    base_parser,
+    get_catalog,
+    get_session,
+    load_settings,
+)
+
+
+def build_parser():
+    p = base_parser("catalog admin: list / storage / clone / rename / drop")
+    p.add_argument("command",
+                   choices=["list", "storage", "clone", "rename", "drop"])
+    p.add_argument("--schema", default="default")
+    p.add_argument("--table", default=None)
+    p.add_argument("--target", default=None)
+    p.add_argument("--keep-data", action="store_true",
+                   help="drop: leave the directory in place (metadata drop)")
+    p.add_argument("--json", action="store_true", dest="as_json",
+                   help="storage: one JSON line per table")
+    return p
+
+
+def main(argv=None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+    settings = load_settings(args)
+    spark = get_session(f"catalog_admin:{args.command}", settings, spark)
+    catalog = get_catalog(spark, settings)
+    if args.command == "list":
+        for name in catalog.list_tables(args.schema):
+            print(name)
+        return 0
+    if args.command == "storage":
+        rows = catalog.storage_report(args.schema)
+        if args.as_json:
+            for r in rows:
+                print(json.dumps(r, sort_keys=True))
+        else:
+            for r in rows:
+                print(
+                    f"{r['table']}: v{r['current_version']} "
+                    f"disk={r['data_bytes_on_disk']} live={r['live_bytes']} "
+                    f"reclaimable={r['reclaimable_bytes']} "
+                    f"clones={len(r['clones'])}"
+                )
+        return 0
+    if not args.table:
+        raise SystemExit(f"{args.command} requires --table")
+    if args.command == "drop":
+        catalog.drop(args.table, purge=not args.keep_data)
+        print(f"dropped {args.table}")
+        return 0
+    if not args.target:
+        raise SystemExit(f"{args.command} requires --target")
+    if args.command == "clone":
+        t = catalog.clone_table(args.table, args.target)
+        print(f"cloned {args.table} -> {args.target} "
+              f"(v{t.snapshot().summary['source-version']} referenced, "
+              "zero bytes copied)")
+        return 0
+    catalog.rename_table(args.table, args.target)
+    print(f"renamed {args.table} -> {args.target}")
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

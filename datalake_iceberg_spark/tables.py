@@ -2925,6 +2925,67 @@ class LakeCatalog:
             self, older_than_s=older_than_s, dry_run=dry_run
         )
 
+    def storage_report(self, schema: str = "default") -> list[dict]:
+        """Per-table storage accounting for one schema — the capacity
+        question every warehouse owner asks before GC: how many bytes
+        are on disk, how many are LIVE at the current version, how much
+        would compaction + expiry + orphan GC reclaim, and who depends
+        on whom (clone markers / clone sources), so GC isn't run blind
+        against a table other tables still lean on.
+
+        Driver-side metadata walk: O(manifests + file entries) listing,
+        no data reads (on an object store the listing fans out through
+        the fs seam the same way the stats harvest does). Bytes are
+        physical parquet bytes; ``reclaimable_bytes`` counts on-disk
+        commit dirs referenced by NO retained manifest, staged write,
+        branch or live clone (what ``remove_orphan_files`` would free
+        right now)."""
+        out = []
+        for name in self.list_tables(schema):
+            t = self.table(name)
+            snap = t.snapshot()
+            live_now = set(snap.all_dirs() + snap.all_delete_dirs())
+            own_prefix = t.data_dir.rstrip("/") + "/"
+            would_free = t.remove_orphan_files(dry_run=True)["orphan_dirs_found"]
+            cur_components = set()
+            for d in live_now:
+                abs_d = d if d.startswith("/") else self.fs.join(t.location, d)
+                if abs_d.startswith(own_prefix):
+                    cur_components.add(abs_d[len(own_prefix):].split("/")[0])
+
+            def _du(path: str) -> int:
+                if not self.fs.isdir(path):
+                    return 0
+                total = 0
+                for entry in self.fs.listdir(path):
+                    p = self.fs.join(path, entry)
+                    total += _du(p) if self.fs.isdir(p) else self.fs.size(p)
+                return total
+
+            on_disk = live_bytes = reclaim = 0
+            if self.fs.isdir(t.data_dir):
+                for entry in self.fs.listdir(t.data_dir):
+                    b = _du(self.fs.join(t.data_dir, entry))
+                    on_disk += b
+                    if entry in cur_components:
+                        live_bytes += b
+                    if entry in would_free:
+                        reclaim += b
+            out.append({
+                "table": name,
+                "current_version": snap.version,
+                "retained_manifests": len([
+                    n for n in self.fs.listdir(t.meta_dir)
+                    if n.startswith("v") and n.endswith(".json")
+                ]),
+                "data_bytes_on_disk": on_disk,
+                "live_bytes": live_bytes,
+                "reclaimable_bytes": reclaim,
+                "clones": sorted(m["clone"] for m in t.clone_markers()),
+                "clone_of": sorted(t._foreign_roots()),
+            })
+        return out
+
     def list_tables(self, schema: str = "default") -> list[str]:
         d = self.fs.join(self.warehouse, schema)
         if not self.fs.isdir(d):

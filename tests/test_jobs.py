@@ -312,3 +312,47 @@ def test_ann_index_job_pq_build_and_search(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="pq_quant_error"):
         ann_index.main(["drift", "--name", "db.pqidx", "--pq", *base],
                        spark=spark)
+
+
+def test_catalog_admin_job_roundtrip(spark, tmp_path, capsys):
+    """list -> clone -> storage -> drop protocol through the CLI."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.jobs import catalog_admin
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    wh = str(tmp_path / "wh")
+    env = str(tmp_path / "none.env")
+    base = ["--env-file", env, "--warehouse", wh]
+    cat = LakeCatalog(spark, wh)
+    cat.create_or_replace(
+        "default.t1",
+        spark.createDataFrame([Row(id=i, v=str(i)) for i in range(6)]),
+        key=["id"], n_buckets=2,
+    )
+    assert catalog_admin.main(["list", *base], spark=spark) == 0
+    assert "default.t1" in capsys.readouterr().out
+    assert catalog_admin.main(
+        ["clone", "--table", "default.t1", "--target", "default.t1c", *base],
+        spark=spark,
+    ) == 0
+    assert "zero bytes copied" in capsys.readouterr().out
+    assert catalog_admin.main(["storage", "--json", *base], spark=spark) == 0
+    rows = [_json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    by = {r["table"]: r for r in rows}
+    assert by["default.t1"]["clones"] and by["default.t1"]["data_bytes_on_disk"] > 0
+    assert by["default.t1c"]["data_bytes_on_disk"] == 0  # zero-copy
+    assert by["default.t1c"]["clone_of"] == [cat.table("default.t1").location]
+    # protocol: dropping the source while the clone lives is refused
+    import pytest
+
+    with pytest.raises(ValueError, match="live shallow clones"):
+        catalog_admin.main(["drop", "--table", "default.t1", *base],
+                           spark=spark)
+    assert catalog_admin.main(["drop", "--table", "default.t1c", *base],
+                              spark=spark) == 0
+    assert catalog_admin.main(["drop", "--table", "default.t1", *base],
+                              spark=spark) == 0
