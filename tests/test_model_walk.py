@@ -315,3 +315,66 @@ def test_layout_evolution_walk_matches_model(catalog, spark, seed):
     t.expire_snapshots(keep_last=2)
     t.remove_orphan_files()
     assert {r.id: r.v for r in t.read().collect()} == model
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_clone_walk_matches_model(catalog, spark, seed):
+    """Random interleaving of SHALLOW-CLONE lifecycle with DML and GC on
+    both sides of the boundary: clone tables at random points, mutate
+    source and clones independently, compact/expire/GC the source, drop
+    clones — every table must read back exactly its own model at every
+    step (clones pinned at their clone point plus their own edits), and
+    source GC must never break a live clone."""
+    rng = random.Random(seed)
+    model: dict[int, str] = {i: f"v{i}" for i in range(30)}
+    src = catalog.create_or_replace(
+        "db.cw_src", _df(spark, model), key=["id"], n_buckets=4
+    )
+    tables = {"db.cw_src": (src, model)}
+    next_id, clone_n = 1000, 0
+
+    for step in range(20):
+        op = rng.choice(
+            ["merge", "delete", "clone", "gc_source", "drop_clone", "merge",
+             "clone"]
+        )
+        name = rng.choice(sorted(tables))
+        t, m = tables[name]
+        if op == "merge":
+            ids = [rng.randrange(0, 30) for _ in range(3)] + [next_id]
+            next_id += 1
+            batch = {i: f"s{step}" for i in set(ids)}
+            t.merge(_df(spark, batch))
+            m.update(batch)
+        elif op == "delete":
+            victims = sorted(m)[: rng.randrange(1, 3)]
+            if victims:
+                t.delete_keys(_df(spark, {i: "" for i in victims}).select("id"))
+                for i in victims:
+                    m.pop(i, None)
+        elif op == "clone" and len(tables) < 4:
+            clone_n += 1
+            cname = f"db.cw_c{clone_n}"
+            ct = catalog.clone_table(name, cname)
+            tables[cname] = (ct, dict(m))
+        elif op == "gc_source":
+            src.rewrite_data_files(sort_by=["id"])
+            src.expire_snapshots(keep_last=1)
+            src.remove_orphan_files()
+        elif op == "drop_clone" and len(tables) > 1:
+            victims = [n for n in sorted(tables) if n != "db.cw_src"]
+            if victims:
+                gone = rng.choice(victims)
+                del tables[gone]
+                catalog.drop(gone)
+        # EVERY table must read back its own model after every step
+        for n, (tt, mm) in sorted(tables.items()):
+            assert _read_state(tt) == mm, (seed, step, op, n)
+    # closing: localize + drop every clone, then source GC reclaims
+    for n in [x for x in sorted(tables) if x != "db.cw_src"]:
+        catalog.drop(n)
+    src.rewrite_data_files(sort_by=["id"])
+    src.expire_snapshots(keep_last=1)
+    src.remove_orphan_files()
+    assert _read_state(src) == tables["db.cw_src"][1]
+    assert src.clone_markers() == []
