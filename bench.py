@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "near_dup_source_matrix",
     "len_vocab_corr",
     "dedup_keep_best",
+    "bm25_topk",
 ]
 
 
@@ -388,6 +389,21 @@ def main() -> None:
         dml["ivfpq_search_hits"] = pq.search(qvec, nprobe=2, top_k=5).count()
         dml["ivfpq_search_2probe"] = round(time.perf_counter() - t0, 3)
 
+        # persisted BM25 inverted index: bootstrap O(corpus), search
+        # reads only the query terms' token buckets
+        from datalake_iceberg_spark.ops.text_index import TextIndex
+        from datalake_iceberg_spark.queries.textops import BM25_QUERIES
+
+        docs_all = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        t0 = _case("dml:text_index_bootstrap")
+        tix = TextIndex.create(cat, "bench.text_index", docs_all, n_buckets=32)
+        dml["text_index_bootstrap"] = round(time.perf_counter() - t0, 3)
+        t0 = _case("dml:text_search_top10")
+        dml["text_search_hits"] = tix.search(BM25_QUERIES, top_k=10).count()
+        dml["text_search_top10"] = round(time.perf_counter() - t0, 3)
+
         # shallow clone: O(manifest) regardless of table size, and the
         # clone's first read costs the same as the source's
         t0 = _case("dml:clone_table")
@@ -600,15 +616,21 @@ def main() -> None:
     print(line)
     # companion artifact: the driver's BENCH_r{N}.json capture has been
     # truncated before (r5) — persist the same line to a stable file the
-    # builder commits per round so the judge can diff without a re-run
-    try:
-        from pathlib import Path as _Path
+    # builder commits per round so the judge can diff without a re-run.
+    # Only the canonical sf0.1 run updates it: ad-hoc smoke runs at
+    # other SFs must not overwrite the committed reference numbers.
+    if abs(sf - 0.1) < 1e-9:
+        try:
+            from pathlib import Path as _Path
 
-        (_Path(__file__).resolve().parent / "bench_latest.json").write_text(
-            line + "\n"
-        )
-    except OSError as ex:
-        print(f"# bench_latest.json not written: {ex}", file=sys.stderr)
+            (_Path(__file__).resolve().parent / "bench_latest.json").write_text(
+                line + "\n"
+            )
+        except OSError as ex:
+            print(f"# bench_latest.json not written: {ex}", file=sys.stderr)
+    else:
+        print(f"# bench_latest.json not updated (sf={sf} != 0.1)",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,7 @@ engine's components.
 | schema_validate | ``jobs.schema_validate_job`` |
 | (beyond-reference) IVF / IVF+PQ index ops | ``jobs.ann_index`` (``--pq``) |
 | (beyond-reference) catalog admin: clones, renames, storage report | ``jobs.catalog_admin`` |
+| (beyond-reference) BM25 inverted-index ops | ``jobs.text_index_job`` |
 
 Every ``main(argv, spark=None)`` accepts an injected session so tests
 drive the full argument path without a spark-submit; run standalone as

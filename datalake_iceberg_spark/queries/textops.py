@@ -625,3 +625,137 @@ SELECT lang, COUNT(*) AS n_docs,
        ROUND(MAX(entropy), 4) AS max_entropy
 FROM per_doc GROUP BY lang ORDER BY lang
 """
+
+
+# ------------------------------------------------------ BM25 retrieval (r7)
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+# fixed query set over the corpus vocabulary — constants so both engines
+# and every run rank the identical workload
+BM25_QUERIES = [
+    (0, "merge join window"),
+    (1, "scan filter column"),
+    (2, "sort order key"),
+    (3, "stream batch spark"),
+    (4, "group agg value"),
+]
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-K retrieval for a fixed query set — the lexical
+    search baseline every RAG / retrieval-eval pipeline needs next to
+    the embedding ANN stack (`ivf_ann_topk`): rank documents by
+    Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with the
+    Lucene idf form ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Plan: one corpus scan → token explode → per-(doc, token) tf and
+    per-doc length aggregates; document frequencies only for the query
+    tokens (the tf frame is filtered by the broadcast query-token list
+    BEFORE the df aggregate — at 100 TB the df shuffle carries query
+    vocabulary × docs, not corpus vocabulary); corpus totals are a
+    1-row broadcast (scalar-subquery shape); scoring is pure codegen
+    arithmetic; per-query top-K window partitioned by query. Ties break
+    on (score@6dp desc, doc_id asc) identically in both engines.
+    Output: (query_id, doc_id, score, rank)."""
+    docs = load_balanced(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " "), " "),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    totals = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qtok = spark.createDataFrame(
+        [(qid, t) for qid, q in BM25_QUERIES for t in q.split(" ")],
+        "query_id int, tok string",
+    )
+    hits = tf.join(F.broadcast(qtok.select("tok").distinct()), "tok", "left_semi")
+    df_ = hits.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = (
+        hits.join(F.broadcast(qtok), "tok")
+        .join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    term = idf * (
+        F.col("tf") * F.lit(BM25_K1 + 1.0)
+        / (F.col("tf") + F.lit(BM25_K1)
+           * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl))
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(term), 6).alias("score6")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score6"), F.asc("doc_id")
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select(
+            "query_id", "doc_id",
+            F.round(F.col("score6"), 4).alias("score"), "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_BM25_QUERY_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, q in BM25_QUERIES for t in q.split(" ")
+)
+
+BM25_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+totals AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+qtok(query_id, tok) AS (VALUES {_BM25_QUERY_VALUES}),
+hits AS (
+  SELECT tf.* FROM tf WHERE tok IN (SELECT DISTINCT tok FROM qtok)
+),
+df AS (SELECT tok, COUNT(*) AS df FROM hits GROUP BY tok),
+scored AS (
+  SELECT q.query_id, h.doc_id,
+         LN(1.0 + (t.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * (h.tf * {BM25_K1 + 1.0}
+            / (h.tf + {BM25_K1}
+               * ({1.0 - BM25_B} + {BM25_B} * l.dl
+                  / (CAST(t.total_len AS DOUBLE) / t.n_docs)))) AS term
+  FROM hits h
+  JOIN qtok q USING (tok)
+  JOIN df d USING (tok)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN totals t
+),
+per_doc AS (
+  SELECT query_id, doc_id, ROUND(SUM(term), 6) AS score6
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, ROUND(score6, 4) AS score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score6 DESC, doc_id ASC) AS rank
+  FROM per_doc
+) WHERE rank <= {BM25_TOP_K}
+ORDER BY query_id, rank
+"""

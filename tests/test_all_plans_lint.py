@@ -48,6 +48,9 @@ SMALL_CROSS = {
     # Lloyd-assignment shape, same as kmeans_clusters); the candidate
     # join itself is an equi join on the cell
     "knn_label_purity",
+    # 1-row broadcast (n_docs, total_len) corpus totals × the
+    # query-token hits (scalar-subquery shape, same as mixture_weights)
+    "bm25_topk",
 }
 
 

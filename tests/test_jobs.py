@@ -356,3 +356,34 @@ def test_catalog_admin_job_roundtrip(spark, tmp_path, capsys):
                               spark=spark) == 0
     assert catalog_admin.main(["drop", "--table", "default.t1", *base],
                               spark=spark) == 0
+
+
+def test_text_index_job_build_add_search(spark, tmp_path, capsys):
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.jobs import text_index_job
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="merge join window"),
+        Row(doc_id=2, text="scan filter column"),
+    ])
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    base = ["--env-file", str(tmp_path / "x.env"),
+            "--warehouse", str(tmp_path / "wh")]
+    assert text_index_job.main(
+        ["build", "--name", "db.tix", "--input-parquet", inp,
+         "--n-buckets", "4", *base], spark=spark) == 0
+    assert "docs=2" in capsys.readouterr().out
+    batch = spark.createDataFrame([Row(doc_id=3, text="merge conflict")])
+    inp2 = str(tmp_path / "b.parquet")
+    batch.write.parquet(inp2)
+    assert text_index_job.main(
+        ["add", "--name", "db.tix", "--input-parquet", inp2, *base],
+        spark=spark) == 0
+    out = str(tmp_path / "res")
+    assert text_index_job.main(
+        ["search", "--name", "db.tix", "--query", "merge",
+         "--output", out, *base], spark=spark) == 0
+    hits = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert hits == {1, 3}

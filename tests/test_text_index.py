@@ -1,0 +1,89 @@
+"""Persisted BM25 inverted index (ops/text_index.py): build / add /
+search / idempotence / equivalence with the graded bm25_topk entry."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.ops.text_index import TextIndex
+from datalake_iceberg_spark.tables import LakeCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def _corpus(spark, sf_dir, n=300):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < n)
+        .select("doc_id", "text")
+    )
+
+
+def test_index_search_matches_direct_bm25(spark, catalog, sf_dir, monkeypatch):
+    """The persisted index is a LAYOUT change, not a semantics change:
+    searching it with the graded entry's query set must reproduce the
+    graded entry's rows exactly on the same corpus."""
+    from datalake_iceberg_spark.queries import textops
+
+    corpus = _corpus(spark, sf_dir)
+    full = corpus.join(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "source", "n_chars"
+        ),
+        "doc_id",
+    )
+    monkeypatch.setattr(textops, "load_balanced", lambda sp, sd, name: full)
+    direct = textops.bm25_topk(spark, "ignored").collect()
+    idx = TextIndex.create(catalog, "db.tix", corpus, n_buckets=8)
+    via_index = idx.search(textops.BM25_QUERIES, top_k=textops.BM25_TOP_K).collect()
+    assert [tuple(r) for r in via_index] == [tuple(r) for r in direct]
+
+
+def test_add_is_idempotent_and_searchable(spark, catalog):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="spark merge engine"),
+        Row(doc_id=2, text="window sort order"),
+    ])
+    idx = TextIndex.create(catalog, "db.tix2", docs, n_buckets=4)
+    batch = spark.createDataFrame([
+        Row(doc_id=3, text="merge merge merge conflict"),
+        Row(doc_id=2, text="window sort order"),  # replay
+    ])
+    r1 = idx.add(batch)
+    assert r1 == {"batch_docs": 2, "added": 1, "already_indexed": 1}
+    r2 = idx.add(batch)
+    assert r2["added"] == 0
+    out = idx.search([(0, "merge")], top_k=5).collect()
+    # doc 3 repeats 'merge' 3x in 4 tokens -> highest tf, shortest-norm
+    assert out[0].doc_id == 3
+    assert {r.doc_id for r in out} == {1, 3}
+    # no duplicate postings from the replay
+    assert idx.postings.read().groupBy("tok", "doc_id").count() \
+        .where("count > 1").count() == 0
+
+
+def test_search_hits_only_query_terms(spark, catalog):
+    docs = spark.createDataFrame([
+        Row(doc_id=i, text=t) for i, t in enumerate(
+            ["alpha beta", "gamma delta", "alpha gamma", "epsilon zeta"]
+        )
+    ])
+    idx = TextIndex.create(catalog, "db.tix3", docs, n_buckets=4)
+    out = idx.search([(0, "alpha"), (1, "unknownterm")], top_k=10).collect()
+    assert {r.doc_id for r in out if r.query_id == 0} == {0, 2}
+    assert not [r for r in out if r.query_id == 1]  # no hits, no rows
+
+
+def test_length_normalization_prefers_concentrated_doc(spark, catalog):
+    """Same tf, shorter doc -> higher BM25 (the b-parameter contract)."""
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="term filler " * 20),   # tf=20, long
+        Row(doc_id=2, text="term " * 20),           # tf=20, shorter
+    ])
+    idx = TextIndex.create(catalog, "db.tix4", docs, n_buckets=2)
+    out = idx.search([(0, "term")], top_k=2).collect()
+    assert out[0].doc_id == 2 and out[1].doc_id == 1
+    assert out[0].score > out[1].score
