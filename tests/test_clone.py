@@ -142,3 +142,25 @@ def test_clone_of_clone_protects_original_source(catalog, spark):
     s.expire_snapshots(keep_last=1)
     s.remove_orphan_files()
     assert len(_rows(b.read())) == 8
+
+
+def test_dangling_marker_self_heals(catalog, spark):
+    """A marker whose clone never materialized (crash between marker
+    write and clone manifest write — the protocol's deliberate
+    fail-safe ordering) is pruned by the next source GC and never
+    blocks DROP/RENAME."""
+    import json
+
+    src = _mk(catalog, spark, "db.s10")
+    fs = catalog.fs
+    cd = fs.join(src.meta_dir, "clones")
+    fs.makedirs(cd)
+    fs.write_exclusive(
+        fs.join(cd, "clone-deadbeef.json"),
+        json.dumps({"clone": str(src.location) + "_never_created"}),
+    )
+    assert len(src.clone_markers()) == 1
+    # does not block drop/rename (the clone doesn't exist)
+    t = catalog.rename_table("db.s10", "db.s10r")
+    t.remove_orphan_files()
+    assert t.clone_markers() == []

@@ -87,3 +87,48 @@ def test_length_normalization_prefers_concentrated_doc(spark, catalog):
     out = idx.search([(0, "term")], top_k=2).collect()
     assert out[0].doc_id == 2 and out[1].doc_id == 1
     assert out[0].score > out[1].score
+
+
+def test_streaming_ingest_into_index_exactly_once(spark, catalog, tmp_path):
+    """Index maintenance in the streaming loop: a file-backed document
+    stream drains through foreachBatch into TextIndex.add. A second
+    drain over the same source (simulated replay: fresh checkpoint,
+    same files) must add nothing — the index's anti-join idempotence is
+    the exactly-once backstop even when the checkpoint is lost."""
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    batch1 = spark.createDataFrame([
+        Row(doc_id=1, text="merge join window"),
+        Row(doc_id=2, text="scan filter column"),
+    ])
+    batch1.write.parquet(str(src / "b1"))
+    idx = TextIndex.create(
+        catalog, "db.stream_tix",
+        spark.createDataFrame([Row(doc_id=0, text="seed doc")]),
+        n_buckets=4,
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    adds = []
+
+    def _apply(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            adds.append(idx.add(batch_df))
+
+    for ckpt in ("c1", "c2"):  # second drain = lost-checkpoint replay
+        q = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    assert sum(a["added"] for a in adds) == 2  # each doc indexed ONCE
+    assert adds[-1]["added"] == 0  # the replay added nothing
+    out = idx.search([(0, "merge"), (1, "seed")], top_k=5).collect()
+    assert {r.doc_id for r in out if r.query_id == 0} == {1}
+    assert {r.doc_id for r in out if r.query_id == 1} == {0}
+    assert idx.docs.read().count() == 3
