@@ -1154,3 +1154,119 @@ SELECT source,
        END AS pearson_r
 FROM mom GROUP BY ALL ORDER BY source
 """
+
+
+# ---------------------------------------------- DSIR importance weights
+
+DSIR_TARGET_LANG = "en"  # the target domain: its docs define p_target
+
+
+def dsir_log_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., *Data Selection for
+    Language Models via Importance Resampling*): score every document
+    by the log-likelihood ratio of its tokens under the TARGET
+    distribution (here: the ``DSIR_TARGET_LANG`` slice) vs the RAW
+    corpus distribution, both add-one smoothed — the principled
+    replacement for hand-tuned quality filters when curating toward a
+    domain. Positive weight ⇒ the doc looks more like the target than
+    like the average crawl; resampling ∝ exp(weight) is the DSIR
+    selection rule.
+
+    FP discipline: per-token log ratios are fixed to INTEGER nano-nats
+    (the ``token_kl_shift`` recipe), so every per-doc weight is an
+    exact integer sum — order-independent across partitions and
+    engines. Plan: two passes over the token stream (count pass, then a
+    token-keyed join of the per-token ratio back onto occurrences) — at
+    100 TB re-exploding is deliberately cheaper than materializing a
+    row-per-token stream; the ratio table is vocabulary-sized and the
+    join key hashes uniformly; corpus totals are a 1-row broadcast.
+    Output per source: (source, n_docs, mean_w_nats,
+    frac_target_like)."""
+    docs = load_balanced(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_t"),
+        F.explode(
+            F.filter(F.split(_norm_text(), " "), lambda t: F.length(t) > 0)
+        ).alias("tok"),
+    )
+    per_tok = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("c_t"),
+        F.count("*").alias("c_r"),
+    )
+    totals = per_tok.agg(
+        F.count("*").alias("v"),
+        F.sum("c_t").alias("t_tot"),
+        F.sum("c_r").alias("r_tot"),
+    )
+    lr = per_tok.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.round(
+            F.log(
+                ((F.col("c_t") + 1).cast("double") / (F.col("t_tot") + F.col("v")))
+                / ((F.col("c_r") + 1).cast("double") / (F.col("r_tot") + F.col("v")))
+            )
+            * F.lit(float(KL_SCALE))
+        ).cast("long").alias("lr_nano"),
+    )
+    per_doc = (
+        toks.join(lr, "tok")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lr_nano").alias("w_nano"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.sum("w_nano").cast("double")
+                / (F.count("*") * F.lit(float(KL_SCALE))),
+                4,
+            ).alias("mean_w_nats"),
+            F.round(
+                F.sum(F.when(F.col("w_nano") > 0, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("frac_target_like"),
+        )
+        .orderBy("source")
+    )
+
+
+DSIR_LOG_RATIO_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, lang = '{DSIR_TARGET_LANG}' AS is_t, t.tok
+  FROM documents,
+       UNNEST(list_filter(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' '),
+                          x -> length(x) > 0)) AS t(tok)
+),
+per_tok AS (
+  SELECT tok,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t,
+         COUNT(*) AS c_r
+  FROM toks GROUP BY tok
+),
+totals AS (
+  SELECT COUNT(*) AS v, SUM(c_t) AS t_tot, SUM(c_r) AS r_tot FROM per_tok
+),
+lr AS (
+  SELECT tok,
+         CAST(ROUND(
+           ln((CAST(c_t + 1 AS DOUBLE) / (t_tot + v))
+              / (CAST(c_r + 1 AS DOUBLE) / (r_tot + v)))
+           * {KL_SCALE}) AS BIGINT) AS lr_nano
+  FROM per_tok CROSS JOIN totals
+),
+per_doc AS (
+  SELECT k.doc_id, k.source, SUM(l.lr_nano) AS w_nano
+  FROM toks k JOIN lr l USING (tok)
+  GROUP BY k.doc_id, k.source
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(w_nano) AS DOUBLE) / (COUNT(*) * {KL_SCALE}.0), 4)
+         AS mean_w_nats,
+       ROUND(CAST(SUM(CASE WHEN w_nano > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS frac_target_like
+FROM per_doc GROUP BY source ORDER BY source
+"""

@@ -51,6 +51,9 @@ SMALL_CROSS = {
     # 1-row broadcast (n_docs, total_len) corpus totals × the
     # query-token hits (scalar-subquery shape, same as mixture_weights)
     "bm25_topk",
+    # 1-row broadcast (vocab, target/raw totals) × the per-token counts
+    # (scalar-subquery shape, same as mixture_weights)
+    "dsir_log_ratio",
 }
 
 

@@ -323,3 +323,21 @@ def test_len_vocab_corr_closed_forms(spark, monkeypatch):
     assert out["perfect"].mean_types == 4.0
     assert out["flat"].pearson_r is None  # var(types) == 0
     assert out["flat"].mean_types == 1.0
+
+
+def test_dsir_log_ratio_separates_target_like_sources(spark, monkeypatch):
+    """A source written in the target language's vocabulary must score a
+    higher mean importance weight (and selection fraction) than a
+    source with disjoint vocabulary — the DSIR selection contract."""
+    docs = _docs(spark, [
+        ("alpha beta alpha beta gamma", "en", "targetish"),
+        ("alpha gamma beta alpha", "en", "targetish"),
+        ("zork quux blarg zork", "xx", "offdomain"),
+        ("quux blarg zork quux blarg", "xx", "offdomain"),
+    ])
+    monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: docs)
+    out = {r.source: r for r in ca.dsir_log_ratio(spark, "ignored").collect()}
+    assert out["targetish"].mean_w_nats > out["offdomain"].mean_w_nats
+    assert out["targetish"].frac_target_like == 1.0
+    assert out["offdomain"].frac_target_like == 0.0
+    assert out["targetish"].n_docs == out["offdomain"].n_docs == 2
