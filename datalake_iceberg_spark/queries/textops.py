@@ -759,3 +759,54 @@ SELECT query_id, doc_id, ROUND(score6, 4) AS score, rank FROM (
 ) WHERE rank <= {BM25_TOP_K}
 ORDER BY query_id, rank
 """
+
+
+def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per language: bytes per whitespace
+    token and BPE-ish tokens per whitespace token — the numbers that
+    turn a byte-sized crawl budget into a training-token budget, and
+    that flag languages whose tokenizer fertility will blow up compute
+    (the multilingual-tokenizer planning table). All integer sums; two
+    exact divisions at the end. Output: (lang, n_docs, ws_tokens,
+    bpe_tokens, bytes_per_ws_tok, bpe_per_ws_tok)."""
+    docs = load_balanced(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        _token_count().alias("ws"),
+        F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)).alias("bpe"),
+        F.octet_length("text").alias("nbytes"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.sum("nbytes").alias("total_bytes"),
+    )
+    return agg.select(
+        "lang", "n_docs", "ws_tokens", "bpe_tokens",
+        F.round(
+            F.col("total_bytes").cast("double") / F.col("ws_tokens"), 4
+        ).alias("bytes_per_ws_tok"),
+        F.round(
+            F.col("bpe_tokens").cast("double") / F.col("ws_tokens"), 4
+        ).alias("bpe_per_ws_tok"),
+    ).orderBy("lang")
+
+
+TOKEN_FERTILITY_SQL = f"""
+WITH per_doc AS (
+  SELECT lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split(trim(text), ' ')) END AS ws,
+         len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe,
+         strlen(text) AS nbytes
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       ROUND(CAST(SUM(nbytes) AS DOUBLE) / SUM(ws), 4) AS bytes_per_ws_tok,
+       ROUND(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 4) AS bpe_per_ws_tok
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
