@@ -1023,3 +1023,115 @@ FROM ev e JOIN cohorts c ON e.user_id = c.user_id
 GROUP BY c.cohort_week, e.week - c.cohort_week
 ORDER BY cohort_week, week_offset
 """
+
+
+# ----------------------------------------------- session paths (r7)
+
+PATH_TOP_K = 10
+PATH_MAX_LEN = 8  # long sessions truncate to their first 8 steps
+
+
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the most common ordered event-type SEQUENCES per
+    session (30-min-gap sessions, same rule as ``sessionize_events``),
+    truncated to the first ``PATH_MAX_LEN`` steps — the product-
+    analytics staple that turns raw event streams into "users do
+    view→click→purchase, or view→view→drop" narratives.
+
+    Plan: one shuffle on user_id shared by the gap/cumsum/ordering
+    windows, per-session path assembled with an ordered collect inside
+    the same partitioning (sessions are bounded by the gap rule, so the
+    per-group list is small), then a path-count aggregate and a top-K
+    rank. Ties: count desc, path asc. Output:
+    (path, n_sessions, rank)."""
+    ev = load_events(spark, sf_dir)
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts")), 1
+    ).over(by_user)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    steps = (
+        ev.withColumn("new_session", new_sess)
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                by_user.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("step", F.row_number().over(
+            Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+        ))
+        .where(F.col("step") <= PATH_MAX_LEN)
+    )
+    paths = (
+        steps.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("step", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    # distributed top-K (TakeOrderedAndProject — per-partition heaps,
+    # never a single-partition sort), then rank the ≤K survivors with
+    # the broadcast better-than count (the zipf_stats idiom; no
+    # partitionless window anywhere)
+    top = counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(PATH_TOP_K)
+    a, b = top.alias("a"), top.alias("b")
+    better = (F.col("b.n_sessions") > F.col("a.n_sessions")) | (
+        (F.col("b.n_sessions") == F.col("a.n_sessions"))
+        & (F.col("b.path") < F.col("a.path"))
+    )
+    return (
+        a.join(F.broadcast(b), better, "left")
+        .groupBy(F.col("a.path").alias("path"),
+                 F.col("a.n_sessions").alias("n_sessions"))
+        .agg((F.count(F.col("b.path")) + 1).cast("long").alias("rank"))
+        .orderBy("rank")
+    )
+
+
+TOP_SESSION_PATHS_SQL = f"""
+WITH {EVENTS_CTE},
+flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events_us
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+),
+steps AS (
+  SELECT user_id, session_seq, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts, event_id) AS step
+  FROM sessions
+),
+paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY step) AS path
+  FROM steps WHERE step <= {PATH_MAX_LEN}
+  GROUP BY user_id, session_seq
+),
+counts AS (
+  SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+)
+SELECT path, n_sessions, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC) AS rank
+  FROM counts
+) WHERE rank <= {PATH_TOP_K}
+ORDER BY rank
+"""

@@ -54,6 +54,9 @@ SMALL_CROSS = {
     # 1-row broadcast (vocab, target/raw totals) × the per-token counts
     # (scalar-subquery shape, same as mixture_weights)
     "dsir_log_ratio",
+    # ≤K-row broadcast better-than self-join ranks the top-K paths
+    # (replaces a partitionless window, same as zipf_stats)
+    "top_session_paths",
 }
 
 
