@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "len_vocab_corr",
     "dedup_keep_best",
     "bm25_topk",
+    "dsir_log_ratio",
+    "token_fertility",
+    "top_session_paths",
 ]
 
 

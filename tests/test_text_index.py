@@ -132,3 +132,25 @@ def test_streaming_ingest_into_index_exactly_once(spark, catalog, tmp_path):
     assert {r.doc_id for r in out if r.query_id == 0} == {1}
     assert {r.doc_id for r in out if r.query_id == 1} == {0}
     assert idx.docs.read().count() == 3
+
+
+def test_maintenance_compaction_preserves_index(spark, catalog):
+    """Many small adds fragment the postings table; the generic lake
+    maintenance (advise -> compaction) must bin-pack it without
+    changing a single search result."""
+    docs0 = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta term{i}") for i in range(4)]
+    )
+    idx = TextIndex.create(catalog, "db.tixm", docs0, n_buckets=2)
+    for k in range(6):  # six tiny appends -> small-file pressure
+        idx.add(spark.createDataFrame(
+            [Row(doc_id=100 + k, text=f"alpha gamma extra{k}")]
+        ))
+    before = [tuple(r) for r in idx.search([(0, "alpha"), (1, "beta")], top_k=10).collect()]
+    n_dirs_before = len(idx.postings.snapshot().all_dirs())
+    idx.postings.rewrite_data_files()
+    idx.postings.expire_snapshots(keep_last=1)
+    idx.postings.remove_orphan_files()
+    after = [tuple(r) for r in idx.search([(0, "alpha"), (1, "beta")], top_k=10).collect()]
+    assert after == before
+    assert len(idx.postings.snapshot().all_dirs()) < n_dirs_before
