@@ -164,3 +164,31 @@ def test_dangling_marker_self_heals(catalog, spark):
     t = catalog.rename_table("db.s10", "db.s10r")
     t.remove_orphan_files()
     assert t.clone_markers() == []
+
+
+def test_storage_report_accounting_matches_gc(catalog, spark):
+    """reclaimable_bytes must equal the bytes GC actually frees, and
+    live_bytes the bytes that survive at the current version."""
+    src = _mk(catalog, spark, "db.sr")
+    # create history: rewrite makes the original dirs orphan CANDIDATES
+    # once the old snapshot expires
+    src.rewrite_data_files(sort_by=["id"])
+    src.expire_snapshots(keep_last=1)
+    (rep,) = [r for r in catalog.storage_report("db") if r["table"] == "db.sr"]
+    assert rep["data_bytes_on_disk"] == rep["live_bytes"] + rep["reclaimable_bytes"]
+    assert rep["reclaimable_bytes"] > 0
+    assert rep["clones"] == [] and rep["clone_of"] == []
+    src.remove_orphan_files()
+    (rep2,) = [r for r in catalog.storage_report("db") if r["table"] == "db.sr"]
+    assert rep2["reclaimable_bytes"] == 0
+    assert rep2["data_bytes_on_disk"] == rep["live_bytes"]
+    # a clone flips the source's accounting: nothing reclaimable while
+    # the clone leans on it, and the graph shows in both rows
+    dst = catalog.clone_table("db.sr", "db.srclone")
+    src.rewrite_data_files(sort_by=["id"])
+    src.expire_snapshots(keep_last=1)
+    by = {r["table"]: r for r in catalog.storage_report("db")}
+    assert by["db.sr"]["clones"] == [dst.location]
+    assert by["db.srclone"]["clone_of"] == [src.location]
+    assert by["db.sr"]["reclaimable_bytes"] == 0  # clone pins old dirs
+    assert by["db.srclone"]["data_bytes_on_disk"] == 0  # zero-copy
