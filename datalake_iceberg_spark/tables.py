@@ -1490,6 +1490,41 @@ class LakeTable:
 
         return self._commit(build, "append", txn_app=txn_app, txn_version=txn_version)
 
+    def _partial_update_source(
+        self, source: DataFrame, update_columns: list[str]
+    ) -> DataFrame:
+        """Effective source for a partial-column MERGE: matched keys
+        take ``update_columns`` from the batch and every other column
+        from the CURRENT row (one bucket-pruned ``lookup`` of exactly
+        the batch's keys); unmatched keys pass through in full. The
+        result is a full-width upsert batch the ordinary merge paths
+        (CoW and MoR) consume unchanged."""
+        snap = self.snapshot()
+        if not snap.key:
+            raise ValueError("merge requires a keyed table")
+        names = [f.name for f in self.schema().fields]
+        bad = sorted(set(update_columns) - set(names))
+        if bad:
+            raise ValueError(f"update_columns not in table schema: {bad}")
+        keyed = sorted(set(update_columns) & set(snap.key))
+        if keyed:
+            raise ValueError(
+                f"update_columns may not include key columns: {keyed}"
+            )
+        current = self.lookup(source.select(*snap.key))
+        s, t = source.alias("s"), current.alias("t")
+        upd = set(update_columns)
+        cols = [
+            F.col(f"s.{n}").alias(n) if (n in snap.key or n in upd)
+            else F.col(f"t.{n}").alias(n)
+            for n in names
+        ]
+        matched = s.join(t, snap.key, "inner").select(*cols)
+        inserts = source.join(
+            current.select(*snap.key), snap.key, "left_anti"
+        )
+        return matched.unionByName(inserts)
+
     def _align(self, df: DataFrame) -> DataFrame:
         """Cast/order source columns to the table schema (the reference casts
         incoming CDC columns to the catalog schema field-by-field,
@@ -1587,6 +1622,7 @@ class LakeTable:
         mode: str = "copy-on-write",
         txn_app: str | None = None,
         txn_version: int | None = None,
+        update_columns: list[str] | None = None,
     ) -> Snapshot:
         """Keyed upsert: WHEN MATCHED UPDATE SET all / WHEN NOT MATCHED INSERT all.
 
@@ -1609,12 +1645,25 @@ class LakeTable:
         hot-ingest pattern is MoR merges + a scheduled fold, exactly
         like MoR deletes.
 
+        ``update_columns=[...]`` gives the Iceberg/Delta partial-update
+        clause — ``WHEN MATCHED THEN UPDATE SET only these columns
+        (from source) / WHEN NOT MATCHED THEN INSERT *``: matched rows
+        keep their other columns' CURRENT values; unmatched source rows
+        insert in full (so the source must still carry every column).
+        Implemented as an effective-source rewrite — one extra
+        bucket-pruned read of the matched target rows — after which the
+        CoW and MoR paths run unchanged.
+
         Like Iceberg, duplicate keys in ``source`` are an error — callers
         dedup first (see ``cdc.pipeline.dedup_latest``).
         """
         done = self._txn_applied(txn_app, txn_version)
         if done is not None:
             return done
+        if update_columns is not None:
+            source = self._partial_update_source(
+                self._align(source), update_columns
+            )
         if mode == "merge-on-read":
             return self._merge_mor(source, assert_unique_key,
                                    txn_app=txn_app, txn_version=txn_version)

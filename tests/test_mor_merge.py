@@ -115,3 +115,86 @@ def test_unknown_merge_mode_raises(catalog, spark):
     t = _mk(catalog, spark)
     with pytest.raises(ValueError, match="unknown merge mode"):
         t.merge(spark.createDataFrame([Row(id=1, v="x")]), mode="bogus")
+
+
+# --------------------------------------------- partial-column MERGE (r7)
+
+
+def _pmk(catalog, spark, name):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(id=i, a=f"a{i}", b=f"b{i}", n=i * 10) for i in range(8)]
+    )
+    return catalog.create_or_replace(name, df, key=["id"], n_buckets=4)
+
+
+def test_partial_update_merge_cow(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = _pmk(catalog, spark, "db.pu")
+    batch = spark.createDataFrame([
+        Row(id=2, a="A2", b="IGNORED", n=999),   # matched: only a,n taken
+        Row(id=50, a="A50", b="B50", n=500),      # unmatched: full insert
+    ])
+    t.merge(batch, update_columns=["a", "n"])
+    got = {r.id: (r.a, r.b, r.n) for r in t.read().collect()}
+    assert got[2] == ("A2", "b2", 999)      # b kept its CURRENT value
+    assert got[50] == ("A50", "B50", 500)   # insert carries everything
+    assert got[3] == ("a3", "b3", 30)       # untouched row untouched
+
+
+def test_partial_update_merge_mor(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = _pmk(catalog, spark, "db.pum")
+    batch = spark.createDataFrame([
+        Row(id=1, a="A1", b="IGNORED", n=111),
+        Row(id=60, a="A60", b="B60", n=600),
+    ])
+    t.merge(batch, update_columns=["a", "n"], mode="merge-on-read")
+    got = {r.id: (r.a, r.b, r.n) for r in t.read().collect()}
+    assert got[1] == ("A1", "b1", 111)
+    assert got[60] == ("A60", "B60", 600)
+    # folding the delete era preserves the partial-update result
+    t.rewrite_position_delete_files()
+    assert {r.id: (r.a, r.b, r.n) for r in t.read().collect()} == got
+
+
+def test_partial_update_guards(spark, tmp_path):
+    import pytest
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = _pmk(catalog, spark, "db.pg")
+    batch = spark.createDataFrame([Row(id=1, a="x", b="y", n=1)])
+    with pytest.raises(ValueError, match="key columns"):
+        t.merge(batch, update_columns=["id", "a"])
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.merge(batch, update_columns=["nope"])
+
+
+def test_partial_update_all_nonkey_equals_full_merge(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    t1 = _pmk(catalog, spark, "db.pe1")
+    t2 = _pmk(catalog, spark, "db.pe2")
+    batch = spark.createDataFrame([
+        Row(id=3, a="A3", b="B3", n=333),
+        Row(id=70, a="A70", b="B70", n=700),
+    ])
+    t1.merge(batch)
+    t2.merge(batch, update_columns=["a", "b", "n"])
+    assert {tuple(r) for r in t1.read().collect()} == \
+           {tuple(r) for r in t2.read().collect()}
