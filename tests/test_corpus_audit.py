@@ -105,7 +105,7 @@ def test_knn_label_purity_pure_clusters(spark, monkeypatch):
         rows.append(Row(vec_id=i, embedding=[0.1, 10.0 + i * 0.01, 0.0], label=1))
     emb = spark.createDataFrame(rows)
     monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: emb)
-    out = {r.label: r for r in ca.knn_label_purity(spark, "ignored", sample_mod=1).collect()}
+    out = {r.label: r for r in ca.knn_label_purity(spark, "ignored", sample_mod=1, cand_mod=1).collect()}
     assert set(out) == {0, 1}
     for lbl in (0, 1):
         assert out[lbl].n_vecs == 6
@@ -125,7 +125,7 @@ def test_knn_label_purity_flags_mislabeled_vector(spark, monkeypatch):
     rows.append(Row(vec_id=11, embedding=[10.0, 0.11, 0.0], label=1))  # mislabeled
     emb = spark.createDataFrame(rows)
     monkeypatch.setattr(ca, "load_balanced", lambda sp, sd, name: emb)
-    out = {r.label: r for r in ca.knn_label_purity(spark, "ignored", sample_mod=1).collect()}
+    out = {r.label: r for r in ca.knn_label_purity(spark, "ignored", sample_mod=1, cand_mod=1).collect()}
     assert out[1].majority_acc < 1.0
     assert out[0].majority_acc == 1.0
 
