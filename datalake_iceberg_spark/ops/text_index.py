@@ -72,7 +72,7 @@ class TextIndex:
         """Build from an initial corpus. ``documents``: (doc_id, text)."""
         toks = _tokens(documents)
         tf = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
-        dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         postings = catalog.create_or_replace(
             name, tf, key=["tok"], n_buckets=n_buckets
         )
@@ -98,12 +98,12 @@ class TextIndex:
         n_batch = batch.count()
         n_fresh = fresh.count()
         if n_fresh:
-            toks = _tokens(fresh)
-            self.postings.append(
-                toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+            tf = _tokens(fresh).groupBy("tok", "doc_id").agg(
+                F.count("*").alias("tf")
             )
+            self.postings.append(tf)
             self.docs.append(
-                toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+                tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
             )
         return {
             "batch_docs": n_batch,
@@ -130,7 +130,11 @@ class TextIndex:
             ],
             "query_id int, tok string",
         )
-        hits = self.postings.lookup(qtok.select("tok"))
+        # hits is query-vocabulary-sized — materialize once for its two
+        # consumers (df aggregate + scoring join)
+        hits = self.postings.lookup(qtok.select("tok")).localCheckpoint(
+            eager=True
+        )
         df_ = hits.groupBy("tok").agg(F.count("*").alias("df"))
         dl = self.docs.read()
         totals = dl.agg(

@@ -670,7 +670,11 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok"),
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # dl derives from tf (sum of per-token counts) — same value as a
+    # second count over the token stream, one fewer corpus scan; two
+    # scans remain (tf feeds hits and dl as separate aggregations),
+    # which beats materializing a corpus-sized tf at any real scale
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     totals = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
     )
@@ -678,7 +682,11 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, t) for qid, q in BM25_QUERIES for t in q.split(" ")],
         "query_id int, tok string",
     )
-    hits = tf.join(F.broadcast(qtok.select("tok").distinct()), "tok", "left_semi")
+    # hits is query-vocabulary-sized — materialize once for its two
+    # consumers (df aggregate + scoring join) instead of re-scanning
+    hits = tf.join(
+        F.broadcast(qtok.select("tok").distinct()), "tok", "left_semi"
+    ).localCheckpoint(eager=True)
     df_ = hits.groupBy("tok").agg(F.count("*").alias("df"))
     scored = (
         hits.join(F.broadcast(qtok), "tok")
