@@ -422,8 +422,10 @@ class IvfPqIndex:
         # the full-precision staging index is not part of the serving
         # surface: drop its postings (callers wanting a refine tier keep
         # their corpus table anyway) and promote its trained quantizer
-        # with a metadata-only rename
+        # with a metadata-only rename. A rebuild over an existing index
+        # (the retrain path) replaces the previous centroid table.
         catalog.drop(f"{name}_fp")
+        catalog.drop(f"{name}_centroids")
         cent = catalog.rename_table(f"{name}_fp_centroids", f"{name}_centroids")
         return cls(postings, cent, cb_table)
 

@@ -192,3 +192,22 @@ def test_storage_report_accounting_matches_gc(catalog, spark):
     assert by["db.srclone"]["clone_of"] == [src.location]
     assert by["db.sr"]["reclaimable_bytes"] == 0  # clone pins old dirs
     assert by["db.srclone"]["data_bytes_on_disk"] == 0  # zero-copy
+
+
+def test_clone_read_changes_within_own_chain(catalog, spark):
+    """CDC-out works on a clone: read_changes over the clone's own
+    version chain (v0 = the clone point) classifies its post-clone DML,
+    independent of source history."""
+    from pyspark.sql import Row
+
+    src = _mk(catalog, spark, "db.s11")
+    dst = catalog.clone_table("db.s11", "db.d11")
+    dst.merge(spark.createDataFrame([Row(id=2, v="upd"), Row(id=99, v="new")]))
+    dst.delete_keys(spark.createDataFrame([Row(id=5)]).select("id"))
+    ch = dst.read_changes(0, dst.current_version())
+    kinds = {(r.id, r._change_type) for r in ch.collect()}
+    assert (99, "insert") in kinds
+    assert (2, "update_postimage") in kinds
+    assert (5, "delete") in kinds
+    # source history is not part of the clone's chain
+    assert src.current_version() == 0

@@ -260,3 +260,21 @@ def test_ivfpq_recall_against_exact(spark, catalog, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_ivfpq_rebuild_over_existing_index(spark, catalog, sf_dir):
+    """The retrain path: create() over an existing index name replaces
+    all three tables atomically enough to serve afterwards (the
+    blue/green caveat from IvfIndex.retrain applies across the flips)."""
+    from datalake_iceberg_spark.ops.incremental_ann import IvfPqIndex
+
+    vecs = _vectors(spark, sf_dir, 0, 120)
+    IvfPqIndex.create(catalog, "db.pqrb", vecs, n_cells=4, n_buckets=4)
+    grown = _vectors(spark, sf_dir, 0, 200)
+    idx2 = IvfPqIndex.create(catalog, "db.pqrb", grown, n_cells=8, n_buckets=4)
+    assert idx2.postings.read().count() == 200
+    assert idx2.centroids.read().count() == 8
+    q = grown.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert idx2.search(q, nprobe=2, top_k=3).count() > 0
