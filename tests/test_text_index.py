@@ -154,3 +154,25 @@ def test_maintenance_compaction_preserves_index(spark, catalog):
     after = [tuple(r) for r in idx.search([(0, "alpha"), (1, "beta")], top_k=10).collect()]
     assert after == before
     assert len(idx.postings.snapshot().all_dirs()) < n_dirs_before
+
+
+def test_bm25_hand_computed_score(spark, catalog):
+    """Independent verification against a hand-derived Okapi BM25 value
+    (not just Spark-vs-DuckDB agreement): 2-doc corpus, single-term
+    query, closed-form idf/tf/length terms."""
+    import math
+
+    from datalake_iceberg_spark.queries.textops import BM25_B, BM25_K1
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="apple banana banana"),   # dl=3, tf(banana)=2
+        Row(doc_id=2, text="cherry date"),            # dl=2
+    ])
+    idx = TextIndex.create(catalog, "db.tixh", docs, n_buckets=2)
+    (row,) = idx.search([(0, "banana")], top_k=5).collect()
+    n_docs, avgdl, tf, dl, df = 2, 2.5, 2, 3, 1
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    expect = idf * (tf * (BM25_K1 + 1.0)
+                    / (tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl)))
+    assert row.doc_id == 1 and row.rank == 1
+    assert row.score == round(round(expect, 6), 4)
