@@ -362,3 +362,74 @@ def _jsonable(v):
     if isinstance(v, np.ndarray):
         return [_jsonable(x) for x in v]
     return v
+
+
+def read_webdataset_shards(spark, path: str, meta_as_json: bool = True):
+    """Read WebDataset-style tar shards back into a DataFrame — the
+    ingest half of :func:`write_webdataset_shards`'s loop (import a
+    corpus that ships as WebDataset archives, or verify an export).
+
+    Output: one row per SAMPLE — (shard, key, members map<ext, binary>,
+    meta string|null) — where ``meta`` is the ``<key>.json`` member
+    (kept as a JSON string for ``get_json_object``/``from_json``
+    downstream when ``meta_as_json``; otherwise it stays a binary
+    member in ``members``).
+
+    Scale shape: shards parallelize as one task each (a tar has no
+    internal split points — same granularity as any loader); each task
+    STREAMS its tar through an Arrow ``mapInPandas`` pass, so sample
+    bytes never collect to the driver and memory is bounded by one
+    sample batch. This is a deliberate Python data-plane seam, like the
+    multimodal decode."""
+    import pandas as pd  # noqa: F401 (executor import mirrors below)
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    shards_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+        .select("path")
+    )
+
+    def _read(batches):
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                local = p[len("file:"):] if p.startswith("file:") else p
+                shard = local.rsplit("/", 1)[-1]
+                rows = {"shard": [], "key": [], "ext": [], "data": []}
+                with tarfile.open(local) as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        key, _, ext = m.name.partition(".")
+                        rows["shard"].append(shard)
+                        rows["key"].append(key)
+                        rows["ext"].append(ext)
+                        rows["data"].append(tf.extractfile(m).read())
+                yield pd.DataFrame(rows)
+
+    members = shards_df.mapInPandas(
+        _read, schema="shard string, key string, ext string, data binary"
+    )
+    from pyspark.sql import functions as F
+
+    grouped = (
+        members.groupBy("shard", "key")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("ext", "data")))
+            ).alias("members")
+        )
+    )
+    if not meta_as_json:
+        return grouped
+    return grouped.select(
+        "shard", "key",
+        F.map_filter(F.col("members"), lambda k, v: k != "json").alias("members"),
+        F.element_at(F.col("members"), "json").cast("string").alias("meta"),
+    )

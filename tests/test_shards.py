@@ -256,3 +256,35 @@ def test_webdataset_no_temp_files_and_retry_safe_naming(spark, tmp_path):
         assert (out / n).read_bytes() == b
         with tarfile.open(str(out / n)) as tf:  # still a valid tar
             assert tf.getnames()
+
+
+def test_webdataset_roundtrip_reader(spark, tmp_path):
+    """write -> read_webdataset_shards reproduces every sample's
+    members and metadata exactly."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.ingest.shards import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    rows = [
+        Row(doc_id=i, payload=bytes([i] * (5 + i)), text=f"t{i}", lang="en")
+        for i in range(12)
+    ]
+    out = str(tmp_path / "wds_rt")
+    write_webdataset_shards(
+        spark.createDataFrame(rows), out, n_shards=3, key_col="doc_id",
+        payload_cols={"payload": "bin", "text": "txt"}, meta_cols=["lang"],
+    )
+    back = read_webdataset_shards(spark, out).collect()
+    assert len(back) == 12
+    by_key = {int(r.key): r for r in back}
+    for i in range(12):
+        r = by_key[i]
+        assert r.members["bin"] == bytes([i] * (5 + i))
+        assert r.members["txt"] == f"t{i}".encode()
+        assert _json.loads(r.meta) == {"lang": "en"}
+        assert "json" not in r.members
