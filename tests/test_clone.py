@@ -211,3 +211,28 @@ def test_clone_read_changes_within_own_chain(catalog, spark):
     assert (5, "delete") in kinds
     # source history is not part of the clone's chain
     assert src.current_version() == 0
+
+
+def test_clone_of_branched_mor_table_pins_main(catalog, spark):
+    """Cloning captures MAIN's current snapshot only: branch work is
+    invisible to the clone (a fresh table gets its own refs), MoR
+    deletes are honored, and the source branch keeps working after the
+    clone localizes and the source GCs."""
+    from pyspark.sql import Row
+
+    src = _mk(catalog, spark, "db.s12")
+    src.delete_keys(
+        spark.createDataFrame([Row(id=1)]).select("id"), mode="merge-on-read"
+    )
+    br = src.create_branch("dev")
+    br.merge(spark.createDataFrame([Row(id=100, v="branch-only")]))
+    dst = catalog.clone_table("db.s12", "db.d12")
+    got = _rows(dst.read())
+    assert (1, "v1") not in got          # MoR delete carried
+    assert (100, "branch-only") not in got  # branch work not cloned
+    assert dst.branches() == []
+    # source branch unaffected by the clone's existence + source GC
+    dst.rewrite_data_files(sort_by=["id"])
+    dst.expire_snapshots(keep_last=1)
+    src.remove_orphan_files()
+    assert (100, "branch-only") in _rows(src.branch("dev").read())
