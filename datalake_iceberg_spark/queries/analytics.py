@@ -1135,3 +1135,64 @@ SELECT path, n_sessions, rank FROM (
 ) WHERE rank <= {PATH_TOP_K}
 ORDER BY rank
 """
+
+
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over consecutive events per
+    user: for every (from_type → to_type) pair, the transition count
+    and probability — the aggregate complement of
+    ``top_session_paths`` (full-path frequencies there, one-step
+    dynamics here; the |types|² matrix is what funnel designers and
+    next-event models actually consume).
+
+    Plan: one user-keyed shuffle shared by the lag window, then a
+    partial-agg count over a ≤|types|² key space; probabilities derive
+    from an exact integer count ratio per from-type (broadcast-sized
+    join). Output: (from_type, to_type, n_transitions, p) ordered."""
+    ev = load_events(spark, sf_dir)
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type", 1).over(by_user).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    outdeg = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return (
+        counts.join(F.broadcast(outdeg), "from_type")
+        .select(
+            "from_type", "to_type",
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            F.round(
+                F.col("n_transitions").cast("double") / F.col("n_from"), 4
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENT_TRANSITIONS_SQL = f"""
+WITH {EVENTS_CTE},
+steps AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events_us
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM steps WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+outdeg AS (
+  SELECT from_type, SUM(n_transitions) AS n_from FROM counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type,
+       CAST(c.n_transitions AS BIGINT) AS n_transitions,
+       ROUND(CAST(c.n_transitions AS DOUBLE) / o.n_from, 4) AS p
+FROM counts c JOIN outdeg o USING (from_type)
+ORDER BY from_type, to_type
+"""
