@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "dsir_log_ratio",
     "token_fertility",
     "top_session_paths",
+    "event_type_transitions",
 ]
 
 
