@@ -85,6 +85,16 @@ def _parse_iso_utc(ts: str) -> datetime:
     return dt.astimezone(timezone.utc)
 
 
+def _commit_dir_of(rel_dir: str) -> str:
+    """Commit-level prefix of a data/delete dir: strips the per-bucket
+    ``_bucket=k`` leaf that ``_write_bucketed`` appends, leaving the
+    ``data/c-<hex>`` commit dir (or the clone's absolute foreign commit
+    dir). A dir with no ``_bucket=`` leaf (single-bucket writes) is
+    returned unchanged — it already IS commit-granular."""
+    head, _, tail = rel_dir.rpartition("/")
+    return head if tail.startswith("_bucket=") else rel_dir
+
+
 def bucket_expr(keys: list[str], n_buckets: int):
     """Deterministic bucket id for a key tuple.
 
@@ -750,9 +760,16 @@ class LakeTable:
                 if not idx:
                     plain.append(d)
                     continue
-                # group key = the full delete-dir strings (collision-free
-                # for any dir form, incl. a clone's absolute foreign refs)
-                sig = frozenset(entries[i]["dir"] for i in idx)
+                # group key = the delete COMMIT dirs (the per-bucket
+                # ``_bucket=k`` leaf stripped), so every bucket touched by
+                # the same set of delete commits lands in ONE group — one
+                # scan + one anti-join per era, not per bucket. Non-bucketed
+                # dirs (n_buckets == 1 writes have no ``_bucket=`` leaf) are
+                # kept whole: collapsing them would merge distinct delete
+                # commits and wrongly delete rows re-inserted between them.
+                # Clones' absolute foreign refs keep their table-root prefix
+                # after the strip, so cross-table collisions can't happen.
+                sig = frozenset(_commit_dir_of(entries[i]["dir"]) for i in idx)
                 data_dirs, del_dirs = groups.setdefault(sig, ([], set()))
                 data_dirs.append(d)
                 del_dirs.update(entries[i]["dir"] for i in idx)

@@ -108,3 +108,47 @@ def test_mor_stack_multiple_deletes(catalog, spark):
     assert res["status"] == "success"
     assert t.snapshot().deletes == {}
     assert _ids(t) == set(range(30)) - {1, 2}
+
+
+def _optimized_plan(df):
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_mor_plan_groups_by_delete_commit_not_bucket(catalog, spark):
+    """One MoR delete over a many-bucket table must read back as ONE
+    scan + ONE anti-join (era grouping), never one per bucket — the
+    per-bucket form is an O(buckets) plan explosion at scale.
+    Regression for the r7 fold slowdown (mor_fold_1024b 1.39s -> 11.9s)."""
+    base = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(256)])
+    t = catalog.create_or_replace("db.morplan", base, key=["id"], n_buckets=16)
+    # delete keys spread across every bucket
+    t.delete_keys(spark.createDataFrame([Row(id=i) for i in range(0, 256, 4)]),
+                  mode="merge-on-read")
+    df = t.read()
+    plan = _optimized_plan(df)
+    assert plan.count("LeftAnti") == 1, plan
+    assert _ids(t) == set(range(256)) - set(range(0, 256, 4))
+    # a SECOND narrow delete commit touches only the buckets holding
+    # ids 1 and 3, so there are exactly TWO covering sets — {A} and
+    # {A,B} — hence two era groups, REGARDLESS of bucket count
+    t.delete_keys(spark.createDataFrame([Row(id=1), Row(id=3)]),
+                  mode="merge-on-read")
+    plan2 = _optimized_plan(t.read())
+    assert plan2.count("LeftAnti") == 2, plan2
+    assert _ids(t) == set(range(256)) - set(range(0, 256, 4)) - {1, 3}
+
+
+def test_mor_era_grouping_single_bucket_commit_exact(catalog, spark):
+    """n_buckets=1 delete dirs carry no _bucket= leaf; grouping must NOT
+    collapse distinct delete commits there (a dir appended between two
+    deletes is covered by the second only — pooling the first commit's
+    keys onto it would wrongly re-delete a re-inserted key)."""
+    base = spark.createDataFrame([Row(id=i, v="old") for i in range(8)])
+    t = catalog.create_or_replace("db.mor1b", base, key=["id"], n_buckets=1)
+    t.delete_keys(spark.createDataFrame([Row(id=2)]), mode="merge-on-read")
+    t.append(spark.createDataFrame([Row(id=2, v="reborn")]))
+    t.delete_keys(spark.createDataFrame([Row(id=5)]), mode="merge-on-read")
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[2] == "reborn"          # survived: newer than delete A
+    assert 5 not in got
+    assert set(got) == (set(range(8)) - {5}) | {2}
