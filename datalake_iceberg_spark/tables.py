@@ -2707,14 +2707,19 @@ class LakeTable:
             if not clone.exists():
                 stale_markers.append(rec["_marker"])
                 continue
-            before = len(live)
             _walk_meta(clone.meta_dir, clone)
             for br_name in clone.branches():
                 br = clone.branch(br_name)
                 _walk_meta(br.meta_dir, br)
-            if len(live) == before:
-                # fully localized (compacted + expired): nothing here is
-                # referenced any more
+            # Stale ONLY when no clone manifest references this table any
+            # more (fully localized: compacted + expired). A live-set
+            # DELTA is the wrong predicate: a fresh clone references
+            # exactly the source's current-snapshot dirs — already in
+            # `live` from the source's own manifests — so it would add
+            # nothing NEW while being fully dependent, and pruning its
+            # marker lets a later compact+expire+GC delete dirs the clone
+            # still reads.
+            if self.location.rstrip("/") not in clone._foreign_roots():
                 stale_markers.append(rec["_marker"])
         orphans = []
         if self.fs.isdir(self.data_dir):
@@ -2878,16 +2883,21 @@ class LakeCatalog:
                         f"its data: {holders}; drop or compact+expire them "
                         "first"
                     )
-            # withdraw this table's own markers from its sources
-            for root in t._foreign_roots():
-                marker = self.fs.join(
-                    root, "metadata", "clones",
-                    f"clone-{_md5_hex(loc)}.json",
-                )
-                try:
-                    self.fs.remove(marker)
-                except FileNotFoundError:
-                    pass
+            if purge:
+                # withdraw this table's own markers from its sources —
+                # ONLY when the data goes away with it. A keep-data drop
+                # (purge=False) leaves `_current` in place and the table
+                # readable, so its sources must keep protecting the dirs
+                # it references.
+                for root in t._foreign_roots():
+                    marker = self.fs.join(
+                        root, "metadata", "clones",
+                        f"clone-{_md5_hex(loc)}.json",
+                    )
+                    try:
+                        self.fs.remove(marker)
+                    except FileNotFoundError:
+                        pass
         if purge and self.fs.isdir(loc):
             self.fs.rmtree(loc)
 

@@ -236,3 +236,48 @@ def test_clone_of_branched_mor_table_pins_main(catalog, spark):
     dst.expire_snapshots(keep_last=1)
     src.remove_orphan_files()
     assert (100, "branch-only") in _rows(src.branch("dev").read())
+
+
+def test_fresh_clone_marker_survives_source_gc(catalog, spark):
+    """A FRESH clone references exactly the source's current-snapshot
+    dirs — which the source's own manifests already keep live — so a
+    live-set-delta staleness test would prune its marker on the very
+    first source GC while the clone is fully dependent. Regression: the
+    marker must survive routine source GC, and a later source
+    compact+expire+GC must still keep the dirs the clone reads."""
+    src = _mk(catalog, spark, "db.sfresh", n=32)
+    dst = catalog.clone_table("db.sfresh", "db.dfresh")
+    want = _rows(dst.read())
+    # routine source GC right after cloning: nothing is orphaned, but
+    # the marker must NOT be pruned
+    src.remove_orphan_files()
+    assert any(rec["clone"] == dst.location for rec in src.clone_markers())
+    # now churn the source: compact + expire + GC would reclaim the
+    # clone-referenced dirs if the marker were gone
+    src.merge(spark.createDataFrame([Row(id=0, v="new")]))
+    src.rewrite_data_files(min_input_dirs=1)
+    src.expire_snapshots(keep_last=1)
+    src.remove_orphan_files()
+    assert _rows(dst.read()) == want
+
+
+def test_drop_keep_data_preserves_markers(catalog, spark):
+    """drop(purge=False) leaves _current in place — the table stays
+    readable — so its markers on source tables must stay too."""
+    src = _mk(catalog, spark, "db.skeep", n=16)
+    dst = catalog.clone_table("db.skeep", "db.dkeep")
+    want = _rows(dst.read())
+    catalog.drop("db.dkeep", purge=False)
+    # still protected: marker present, so source churn can't break it
+    assert any(rec["clone"] == dst.location for rec in src.clone_markers())
+    src.merge(spark.createDataFrame([Row(id=1, v="churn")]))
+    src.rewrite_data_files(min_input_dirs=1)
+    src.expire_snapshots(keep_last=1)
+    src.remove_orphan_files()
+    reopened = catalog.table("db.dkeep")
+    assert _rows(reopened.read()) == want
+    # a purging drop DOES withdraw the marker
+    catalog.drop("db.dkeep", purge=True)
+    assert not any(
+        rec["clone"] == dst.location for rec in src.clone_markers()
+    )
