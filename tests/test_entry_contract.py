@@ -54,3 +54,24 @@ def test_decimal_never_in_oracle_output():
         if re.search(r"AS\s+DECIMAL", sql, re.IGNORECASE)
     ]
     assert not offenders, f"DECIMAL outputs hash-differently than Spark: {offenders}"
+
+
+def test_no_duplicate_dict_keys_in_entry_file():
+    """A duplicate literal key in queries()/oracle_sql() is silently
+    shadowed by Python — the earlier line becomes dead and the window
+    arithmetic (first-50 grading) miscounts. Lint the AST. Regression:
+    q16_supplier_part_count appeared twice in rounds 7-9."""
+    import ast
+    from collections import Counter
+    from pathlib import Path
+
+    src = (Path(__file__).resolve().parent.parent / "__spark_entry__.py").read_text()
+    tree = ast.parse(src)
+    for fn in [n for n in tree.body
+               if isinstance(n, ast.FunctionDef) and n.name in ("queries", "oracle_sql")]:
+        for node in ast.walk(fn):
+            if isinstance(node, ast.Dict):
+                keys = [k.value for k in node.keys
+                        if isinstance(k, ast.Constant) and isinstance(k.value, str)]
+                dups = sorted(k for k, c in Counter(keys).items() if c > 1)
+                assert not dups, f"duplicate dict keys in {fn.name}(): {dups}"

@@ -75,3 +75,34 @@ def test_windows_are_well_formed():
         assert not unknown, (
             f"round {rnd['round']} window references unknown entries: {unknown}"
         )
+
+
+def test_cadence_against_driver_recorded_rounds():
+    """Close the ledger loophole: the other cadence test counts LEDGER
+    windows, which only exist when the builder appends them — an idle
+    builder ages entries invisibly (rounds 8-9 recorded driver grades
+    with no ledger entry). Check against the driver's OWN artifacts:
+    every entry must either have a grade within the last four recorded
+    CORRECTNESS rounds, or sit in the current window (= graded next
+    recorded round)."""
+    root = Path(__file__).resolve().parent.parent
+    files = sorted(root.glob("CORRECTNESS_r*.json"))
+    if not files:  # fresh clone without driver artifacts
+        return
+    last_grade: dict[str, int] = {}
+    rounds = []
+    for f in files:
+        rnd = int(f.stem.split("_r")[1])
+        rounds.append(rnd)
+        for k in json.loads(f.read_text()):
+            last_grade[k] = max(last_grade.get(k, 0), rnd)
+    floor = sorted(set(rounds))[-MAX_WINDOWS_BACK:][0]
+    window = set(list(entrymod.queries())[:DRIVER_WINDOW])
+    stale = sorted(
+        k for k in entrymod.queries()
+        if last_grade.get(k, 0) < floor and k not in window
+    )
+    assert not stale, (
+        f"entries last driver-graded before round {floor} and not in the "
+        f"current window: {stale} — rotate them in"
+    )
