@@ -617,7 +617,35 @@ def main() -> None:
         "sf": sf,
         "health": health,
     })
-    print(line)
+    # Driver-capture contract: the driver records only the LAST ~2000
+    # chars of stdout and parses the JSON from there — the full line
+    # above is ~4 KB, so every BENCH_r{N}.json since r6 landed with
+    # "parsed": null and the line cut mid-JSON. stdout therefore gets
+    # ONE compact line, guaranteed to fit the window whole (timings at
+    # 2 dp, key DML tiers only, no health block); the full record goes
+    # to stderr for humans and to bench_latest.json for the judge.
+    key_tiers = (
+        "merge_0p1pct_1024b", "delete_mor_0p1pct_1024b",
+        "delete_cow_0p1pct_1024b", "mor_fold_1024b", "mor_fold_fill_64b",
+        "read_changes_pruned_diff",
+    )
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "dml": {k: dml[k] for k in key_tiers if k in dml},
+        "sf": sf,
+    }
+    cline = json.dumps(compact)
+    if len(cline) > 1990:  # shrink ladder: 1 dp first, dml only as last resort
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        cline = json.dumps(compact)
+    if len(cline) > 1990:
+        compact.pop("dml", None)
+        cline = json.dumps(compact)
+    print(f"# full record: {line}", file=sys.stderr)
+    print(cline)
     # companion artifact: the driver's BENCH_r{N}.json capture has been
     # truncated before (r5) — persist the same line to a stable file the
     # builder commits per round so the judge can diff without a re-run.
