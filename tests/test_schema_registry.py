@@ -1,0 +1,142 @@
+"""Schema Registry client: REST contract, memoization, FAILFAST, and the
+per-batch id→schema resolution loop feeding the Avro decode seam
+(reference: cdc_pipeline.py:269-272, :374)."""
+
+import json
+
+import pytest
+
+from datalake_iceberg_spark.cdc.schema_registry import (
+    RegisteredSchema,
+    SchemaRegistryClient,
+    SchemaRegistryError,
+    registry_schema_map,
+)
+
+from tests.test_avro_codec import ENVELOPE_AVRO, PAYLOAD_SPARK, _env
+
+
+class FakeTransport:
+    """In-memory registry: path -> (status, body). Counts calls so
+    tests can assert memoization."""
+
+    def __init__(self, routes):
+        self.routes = routes
+        self.calls = []
+        self.headers_seen = []
+
+    def __call__(self, url, headers, timeout):
+        self.calls.append(url)
+        self.headers_seen.append(headers)
+        for path, resp in self.routes.items():
+            if url.endswith(path):
+                return resp
+        return 404, b'{"error_code": 40403, "message": "Schema not found"}'
+
+
+def _routes():
+    return {
+        "/schemas/ids/42": (200, json.dumps({"schema": ENVELOPE_AVRO}).encode()),
+        "/schemas/ids/43": (
+            200,
+            json.dumps({"schema": ENVELOPE_AVRO, "schemaType": "AVRO"}).encode(),
+        ),
+        "/subjects/store.tb-value/versions/latest": (
+            200,
+            json.dumps({
+                "id": 43, "version": 7, "subject": "store.tb-value",
+                "schema": ENVELOPE_AVRO,
+            }).encode(),
+        ),
+    }
+
+
+def test_get_schema_and_memoization():
+    tr = FakeTransport(_routes())
+    client = SchemaRegistryClient({"url": "http://registry:8081/"}, transport=tr)
+    rec = client.get_schema(42)
+    assert isinstance(rec, RegisteredSchema)
+    assert rec.schema_id == 42
+    assert json.loads(rec.schema_str)["name"] == "Envelope"
+    assert rec.schema_type == "AVRO"
+    # ids are immutable -> second lookup is cache-served
+    client.get_schema(42)
+    client.get_schema(42)
+    assert len(tr.calls) == 1
+    assert tr.calls[0] == "http://registry:8081/schemas/ids/42"
+
+
+def test_unknown_id_failfast_and_http_errors():
+    tr = FakeTransport(_routes())
+    client = SchemaRegistryClient("http://registry:8081", transport=tr)
+    with pytest.raises(SchemaRegistryError, match="not found"):
+        client.get_schema(999)
+    bad = FakeTransport({"/schemas/ids/1": (500, b"boom")})
+    client2 = SchemaRegistryClient("http://r", transport=bad)
+    with pytest.raises(SchemaRegistryError, match="HTTP 500"):
+        client2.get_schema(1)
+    nonjson = FakeTransport({"/schemas/ids/1": (200, b"<html>")})
+    client3 = SchemaRegistryClient("http://r", transport=nonjson)
+    with pytest.raises(SchemaRegistryError, match="non-JSON"):
+        client3.get_schema(1)
+
+
+def test_basic_auth_header():
+    tr = FakeTransport(_routes())
+    client = SchemaRegistryClient(
+        {"url": "http://r", "basic.auth.user.info": "user:pass"}, transport=tr
+    )
+    client.get_schema(42)
+    auth = tr.headers_seen[0].get("Authorization", "")
+    assert auth.startswith("Basic ")
+    import base64
+
+    assert base64.b64decode(auth.split()[1]) == b"user:pass"
+
+
+def test_get_version_seeds_id_cache():
+    tr = FakeTransport(_routes())
+    client = SchemaRegistryClient("http://r", transport=tr)
+    rec = client.get_version("store.tb-value")
+    assert (rec.schema_id, rec.version, rec.subject) == (43, 7, "store.tb-value")
+    # the versioned response pinned id 43 -> no second HTTP round-trip
+    client.get_schema(43)
+    assert len(tr.calls) == 1
+
+
+def test_conf_validation():
+    with pytest.raises(ValueError, match="url"):
+        SchemaRegistryClient({})
+
+
+def test_registry_resolution_feeds_avro_decode(spark):
+    """End-to-end: wire-framed batch -> with_wire_metadata ->
+    registry_schema_map (fake HTTP) -> parse_avro_envelope_python.
+    The resolved map is exactly what the decode seam consumes."""
+    from datalake_iceberg_spark.cdc import debezium as dz
+    from datalake_iceberg_spark.cdc.avro_codec import encode_record, parse_schema
+
+    schema = parse_schema(ENVELOPE_AVRO)
+
+    def wire(msg):
+        return b"\x00" + (42).to_bytes(4, "big") + encode_record(msg, schema)
+
+    key = b"\x00" + (7).to_bytes(4, "big") + b"\x02"  # framed key stub
+    rows = [
+        (key, wire(_env("c", 1, "a", 1.0, 100)), 0),
+        (key, wire(_env("u", 2, "b2", 2.5, 200)), 1),
+    ]
+    df = spark.createDataFrame(rows, "key binary, value binary, offset long")
+    meta = dz.with_wire_metadata(df)
+    tr = FakeTransport(_routes())
+    client = SchemaRegistryClient("http://registry:8081", transport=tr)
+    schema_map = registry_schema_map(client, meta)
+    assert schema_map == {42: ENVELOPE_AVRO}
+    out = dz.parse_avro_envelope_python(
+        df, PAYLOAD_SPARK, {k: v for k, v in schema_map.items()}
+    )
+    got = {r.after.pk: r.op for r in out.collect()}
+    assert got == {1: "c", 2: "u"}
+    # a second batch with the same ids costs zero registry round-trips
+    registry_schema_map(client, meta)
+    assert len(tr.calls) == 1
