@@ -364,7 +364,7 @@ def _jsonable(v):
     return v
 
 
-def read_webdataset_shards(spark, path: str, meta_as_json: bool = True):
+def read_webdataset_shards(spark, path: str, meta_as_json: bool = True, fs=None):
     """Read WebDataset-style tar shards back into a DataFrame — the
     ingest half of :func:`write_webdataset_shards`'s loop (import a
     corpus that ships as WebDataset archives, or verify an export).
@@ -380,10 +380,30 @@ def read_webdataset_shards(spark, path: str, meta_as_json: bool = True):
     STREAMS its tar through an Arrow ``mapInPandas`` pass, so sample
     bytes never collect to the driver and memory is bounded by one
     sample batch. This is a deliberate Python data-plane seam, like the
-    multimodal decode."""
+    multimodal decode.
+
+    Member-name split: WebDataset's convention is key = name up to the
+    FIRST dot — which cannot round-trip a key that itself contains a
+    dot (``doc.v2`` + ``txt`` → ``doc.v2.txt`` → key ``doc``). When our
+    export manifest sits next to the tars it names the exact extension
+    set, so the split is longest-KNOWN-suffix instead and dotted keys
+    round-trip; foreign archives without a manifest keep the spec's
+    first-dot behavior."""
     import pandas as pd  # noqa: F401 (executor import mirrors below)
 
     from pyspark.sql import functions as F  # noqa: F401
+
+    fs = fs or DEFAULT_FS
+    known_exts: list[str] = []
+    try:
+        manifest = json.loads(fs.read_text(fs.join(path, "manifest.json")))
+        if manifest.get("format") == "webdataset-tar":
+            known_exts = sorted(
+                {*manifest.get("payloads", {}).values(), "json"},
+                key=len, reverse=True,
+            )
+    except (FileNotFoundError, ValueError, OSError):
+        pass
 
     shards_df = (
         spark.read.format("binaryFile")
@@ -391,6 +411,13 @@ def read_webdataset_shards(spark, path: str, meta_as_json: bool = True):
         .load(path)
         .select("path")
     )
+
+    def _split_member(name: str) -> tuple[str, str]:
+        for e in known_exts:  # longest first; empty without a manifest
+            if len(name) > len(e) + 1 and name.endswith("." + e):
+                return name[: -len(e) - 1], e
+        key, _, ext = name.partition(".")
+        return key, ext
 
     def _read(batches):
         import tarfile
@@ -406,7 +433,7 @@ def read_webdataset_shards(spark, path: str, meta_as_json: bool = True):
                     for m in tf:
                         if not m.isfile():
                             continue
-                        key, _, ext = m.name.partition(".")
+                        key, ext = _split_member(m.name)
                         rows["shard"].append(shard)
                         rows["key"].append(key)
                         rows["ext"].append(ext)

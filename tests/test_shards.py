@@ -288,3 +288,32 @@ def test_webdataset_roundtrip_reader(spark, tmp_path):
         assert r.members["txt"] == f"t{i}".encode()
         assert _json.loads(r.meta) == {"lang": "en"}
         assert "json" not in r.members
+
+
+def test_webdataset_dotted_keys_roundtrip(spark, tmp_path):
+    """Keys containing '.' round-trip when our manifest names the
+    extension set (longest-known-suffix split); WebDataset's first-dot
+    convention alone would truncate 'doc.v2' to 'doc'."""
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.ingest.shards import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    rows = [
+        Row(doc_id=f"doc.v{i}.rev{i % 2}", payload=bytes([i] * 4), text=f"t{i}")
+        for i in range(6)
+    ]
+    out = str(tmp_path / "wds_dot")
+    write_webdataset_shards(
+        spark.createDataFrame(rows), out, n_shards=2, key_col="doc_id",
+        # multi-dot extension exercises longest-suffix matching too
+        payload_cols={"payload": "seg.bin", "text": "txt"},
+    )
+    back = read_webdataset_shards(spark, out).collect()
+    assert len(back) == 6
+    keys = {r.key for r in back}
+    assert keys == {f"doc.v{i}.rev{i % 2}" for i in range(6)}
+    for r in back:
+        assert set(r.members) == {"seg.bin", "txt"}
