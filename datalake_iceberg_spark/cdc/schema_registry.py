@@ -40,6 +40,7 @@ __all__ = [
     "RegisteredSchema",
     "SchemaRegistryClient",
     "SchemaRegistryError",
+    "registry_avro_batch_decoder",
     "registry_schema_map",
 ]
 
@@ -188,3 +189,40 @@ def registry_schema_map(
         if r[0] is not None
     ]
     return {sid: client.get_schema(sid).schema_str for sid in sorted(ids)}
+
+
+def registry_avro_batch_decoder(
+    client: SchemaRegistryClient,
+    payload_schema,
+    value_col: str = "value",
+):
+    """foreachBatch-side wire decode, the reference's full loop
+    (``cdc_pipeline.py:254-294``): resolve THIS batch's embedded schema
+    ids against the live registry, then decode every message with the
+    schema its own Confluent header names. Returns a callable for
+    ``SourceConfig.batch_pre_transform`` — it must run inside
+    foreachBatch, not on the stream, because id resolution is an action
+    (``distinct().collect()`` of a few ints) that streaming plans can't
+    execute. Multi-version batches decode correctly by construction:
+    the id→schema map covers every id present, and
+    ``parse_avro_envelope_python`` dispatches per message. FAILFAST on
+    ids the registry doesn't know."""
+
+    def _decode(batch_df: DataFrame) -> DataFrame:
+        from datalake_iceberg_spark.cdc.debezium import (
+            parse_avro_envelope_python,
+        )
+        from datalake_iceberg_spark.functions.temporal import (
+            confluent_schema_id,
+        )
+
+        ids_df = batch_df.select(
+            confluent_schema_id(value_col).alias("__sid")
+        )
+        schema_map = registry_schema_map(client, ids_df, id_col="__sid")
+        return parse_avro_envelope_python(
+            batch_df, payload_schema, schema_map,
+            value_col=value_col, confluent_framed=True,
+        )
+
+    return _decode

@@ -61,6 +61,13 @@ class SourceConfig:
     # from_avro when the spark-avro jar is deployed (the analogue of the
     # reference's in-stream Confluent decode, cdc_pipeline.py:406-410)
     pre_transform: "object | None" = None
+    # per-BATCH decode seam applied inside foreachBatch, for transforms
+    # that need an action — e.g. cdc.schema_registry.
+    # registry_avro_batch_decoder, whose schema-id resolution collects
+    # the batch's distinct wire ids before decoding (the reference does
+    # exactly this inside its batch handler, cdc_pipeline.py:269-294).
+    # Runs on the PERSISTED batch, after the emptiness check.
+    batch_pre_transform: "object | None" = None
     # write strategy for the per-batch MERGE/DELETE apply:
     # "copy-on-write" (read-optimized default) or "merge-on-read"
     # (O(batch) commits for hot topics; pair with the maintenance
@@ -188,7 +195,10 @@ class CdcStreamRunner:
         try:
             if batch_df.isEmpty():
                 return
-            flat = flatten_envelope(batch_df, source.key_cols)
+            decoded = batch_df
+            if source.batch_pre_transform is not None:
+                decoded = source.batch_pre_transform(batch_df)
+            flat = flatten_envelope(decoded, source.key_cols)
             casted = cast_to_target_schema(flat, target)
             deduped = dedup_latest(casted)
             upserts, deletes = split_upserts_deletes(deduped)

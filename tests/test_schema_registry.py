@@ -140,3 +140,57 @@ def test_registry_resolution_feeds_avro_decode(spark):
     # a second batch with the same ids costs zero registry round-trips
     registry_schema_map(client, meta)
     assert len(tr.calls) == 1
+
+
+def test_registry_driven_stream_to_lake(spark, tmp_path):
+    """The reference's full loop live: streamed Confluent-framed
+    Debezium-AVRO bytes under TWO registry schema versions ->
+    foreachBatch resolves ids against the (fake-HTTP) registry ->
+    per-message schema dispatch -> CDC apply -> lake table."""
+    from datalake_iceberg_spark.cdc.avro_codec import encode_record, parse_schema
+    from datalake_iceberg_spark.cdc.schema_registry import (
+        SchemaRegistryClient,
+        registry_avro_batch_decoder,
+    )
+    from datalake_iceberg_spark.functions.keys import surrogate_key
+    from datalake_iceberg_spark.streaming.runner import CdcStreamRunner, SourceConfig
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    schema = parse_schema(ENVELOPE_AVRO)
+
+    def wire(msg, sid):
+        return b"\x00" + sid.to_bytes(4, "big") + encode_record(msg, schema)
+
+    # same envelope under two registered ids (as after a compatible
+    # re-registration): both must resolve and decode
+    msgs = [
+        (wire(_env("u", 2, "b2", 2.5, 1000), 42), 10),
+        (wire(_env("c", 4, "d", 4.0, 1001), 43), 11),
+        (wire(_env("d", 3, "c", 3.0, 1002), 42), 12),
+    ]
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(msgs, "value binary, offset long").coalesce(1).write.parquet(
+        f"{src_dir}/b1"
+    )
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], PAYLOAD_SPARK
+    )
+    target = cat.create_or_replace(
+        "store.tb", surrogate_key(base, ["pk"]), key=["id_iceberg"]
+    )
+    tr = FakeTransport(_routes())
+    client = SchemaRegistryClient("http://registry:8081", transport=tr)
+    runner = CdcStreamRunner(spark, checkpoint_root=str(tmp_path / "ck"), dag_id="reg")
+    source = SourceConfig(
+        name="store.tb", path=src_dir, format="parquet",
+        schema="value binary, offset long", key_cols=["pk"],
+        options={"recursiveFileLookup": "true"},
+        batch_pre_transform=registry_avro_batch_decoder(client, PAYLOAD_SPARK),
+    )
+    runner.run_source(source, target, timeout_sec=120)
+    state = {r.pk: (r.name, r.amount) for r in target.read().collect()}
+    assert state == {1: ("a", 1.0), 2: ("b2", 2.5), 4: ("d", 4.0)}
+    # both ids resolved, one HTTP round-trip each (memoized thereafter)
+    assert sorted(c.rsplit("/", 1)[-1] for c in tr.calls) == ["42", "43"]
