@@ -378,3 +378,106 @@ def test_clone_walk_matches_model(catalog, spark, seed):
     src.remove_orphan_files()
     assert _read_state(src) == tables["db.cw_src"][1]
     assert src.clone_markers() == []
+
+
+@pytest.mark.parametrize("seed", [5, 13])
+def test_clone_gc_walk_matches_model(catalog, spark, seed):
+    """Third walk: shallow clones under source churn and GC. The two
+    round-10 marker bugs were cross-operator interactions (fresh clone
+    + routine source GC; keep-data drop + source churn) that no per-op
+    fixture composed — this walk interleaves clone creation, divergent
+    DML on both sides, compaction/fold/expiry/orphan-GC on both sides,
+    and keep-data/purging drops, asserting after every step that the
+    source and EVERY live clone read back exactly their models."""
+    rng = random.Random(seed)
+    src_model: dict[int, str] = {i: f"v{i}" for i in range(30)}
+    src = catalog.create_or_replace(
+        "db.gcwalk_src", _df(spark, src_model), key=["id"], n_buckets=4
+    )
+    clones: dict[str, tuple[object, dict[int, str]]] = {}
+    next_id = 100
+    n_clones = 0
+
+    def fresh(n):
+        nonlocal next_id
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        return ids
+
+    for step in range(16):
+        op = rng.choice(
+            ["src_merge", "src_delete_mor", "src_gc_cycle", "clone_new",
+             "clone_merge", "clone_gc_cycle", "drop_keep", "drop_purge"]
+        )
+        if op == "src_merge":
+            upd = {k: f"s{step}" for k in fresh(2)}
+            upd.update({
+                k: f"s{step}"
+                for k in rng.sample(sorted(src_model), min(3, len(src_model)))
+            })
+            src.merge(_df(spark, upd))
+            src_model.update(upd)
+        elif op == "src_delete_mor":
+            if not src_model:
+                continue
+            keys = rng.sample(sorted(src_model), min(2, len(src_model)))
+            src.delete_keys(
+                spark.createDataFrame([(k,) for k in keys], "id long"),
+                mode="merge-on-read",
+            )
+            for k in keys:
+                src_model.pop(k)
+        elif op == "src_gc_cycle":
+            src.rewrite_position_delete_files()
+            src.rewrite_data_files()
+            src.expire_snapshots(keep_last=1)
+            src.remove_orphan_files()
+        elif op == "clone_new":
+            if len(clones) >= 2:
+                continue
+            n_clones += 1
+            name = f"db.gcwalk_c{n_clones}"
+            c = catalog.clone_table("db.gcwalk_src", name)
+            clones[name] = (c, dict(src_model))
+        elif op == "clone_merge":
+            if not clones:
+                continue
+            name = rng.choice(sorted(clones))
+            c, m = clones[name]
+            upd = {k: f"c{step}" for k in fresh(2)}
+            c.merge(_df(spark, upd))
+            m.update(upd)
+        elif op == "clone_gc_cycle":
+            if not clones:
+                continue
+            name = rng.choice(sorted(clones))
+            c, _ = clones[name]
+            c.rewrite_data_files()
+            c.expire_snapshots(keep_last=1)
+            c.remove_orphan_files()
+        elif op == "drop_keep":
+            if not clones:
+                continue
+            # keep-data drop: table stays readable, markers must survive
+            name = rng.choice(sorted(clones))
+            catalog.drop(name, purge=False)
+            c, m = clones[name]
+            clones[name] = (catalog.table(name), m)  # reopen handle
+        elif op == "drop_purge":
+            if not clones:
+                continue
+            name = rng.choice(sorted(clones))
+            catalog.drop(name, purge=True)
+            del clones[name]
+        assert _read_state(src) == src_model, f"seed={seed} step={step} op={op} (src)"
+        for name, (c, m) in clones.items():
+            assert _read_state(c) == m, f"seed={seed} step={step} op={op} ({name})"
+
+    # end state: one more aggressive source GC cycle, then every
+    # survivor (and the source) must still read back exactly
+    src.rewrite_data_files()
+    src.expire_snapshots(keep_last=1)
+    src.remove_orphan_files()
+    assert _read_state(src) == src_model
+    for name, (c, m) in clones.items():
+        assert _read_state(c) == m, f"final ({name})"
