@@ -333,6 +333,104 @@ GROUP BY p.user_id ORDER BY user_id
 STREAM_CLICK_ATTRIBUTION_SQL = _stream_click_attribution_sql()
 
 
+# eviction margin for the OUTER join's null verdicts: watermark delay
+# (1 min) + the 1 h join range + slack — purchases older than
+# max(click ts) - this margin are guaranteed fully adjudicated by the
+# final no-data flush batch
+UNATTRIBUTED_MARGIN_MIN = 65
+
+
+def stream_unattributed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join parity check: purchases
+    with NO click from the same user in the preceding hour, computed BY
+    THE STREAMING ENGINE. This grades the semantics the inner-join
+    check (``stream_click_attribution``) cannot: an outer null verdict
+    only becomes emittable when the CLICK side's watermark passes the
+    purchase's match window (no future click can attribute it any
+    more), so correct rows here prove watermark-driven state EVICTION
+    emits, not just state lookup. availableNow drains end with a
+    no-data flush batch that adjudicates the remaining evictable state.
+
+    End-of-stream truth: purchases inside the last watermark-delay +
+    range window are never adjudicated (the watermark cannot pass
+    them), so both engine and oracle score only purchases at least
+    ``UNATTRIBUTED_MARGIN_MIN`` minutes older than the newest click —
+    the margin is part of the operator's declared contract, exactly the
+    bound a production pipeline states for outer-join completeness.
+
+    Scale: same bounded symmetric-hash join state as the inner variant
+    (~1 h per user key per side, GC'd by the watermark); the null
+    verdicts add no state, only eviction-time output. Output:
+    (user_id, n_unattributed)."""
+    ev = _stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 minute")
+    )
+    pairs = purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND "
+            f"click_ts BETWEEN p_ts - INTERVAL {ATTRIBUTION_WINDOW} AND p_ts"
+        ),
+        "leftOuter",
+    )
+    res = _drain(pairs, _sink_name("stream_unattr", sf_dir), output_mode="append")
+    # deterministic adjudication cutoff from the batch table (one-row
+    # driver probe; the oracle computes the identical expression)
+    from datalake_iceberg_spark.queries.analytics import load_events
+
+    cut = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .agg(
+            (F.max("ts") - F.expr(f"INTERVAL {UNATTRIBUTED_MARGIN_MIN} MINUTES")).alias("cut")
+        )
+        .collect()[0]["cut"]
+    )
+    return (
+        res.filter(F.col("c_user").isNull())
+        .filter(F.col("p_ts") <= F.lit(cut))
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count("*").alias("n_unattributed"))
+        .orderBy("user_id")
+    )
+
+
+def _stream_unattributed_sql() -> str:
+    from datalake_iceberg_spark.queries.analytics import EVENTS_CTE
+
+    return f"""
+WITH {EVENTS_CTE},
+mx AS (
+  SELECT max(ts) - INTERVAL {UNATTRIBUTED_MARGIN_MIN} MINUTE AS cut
+  FROM events_us WHERE event_type = 'click'
+)
+SELECT p.user_id AS user_id, COUNT(*) AS n_unattributed
+FROM events_us p, mx
+WHERE p.event_type = 'purchase' AND p.ts <= mx.cut
+  AND NOT EXISTS (
+    SELECT 1 FROM events_us c
+    WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+  )
+GROUP BY p.user_id ORDER BY user_id
+"""
+
+
+STREAM_UNATTRIBUTED_SQL = _stream_unattributed_sql()
+
+
 SESSION_GAP = "30 minutes"
 
 
