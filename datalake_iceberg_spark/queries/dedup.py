@@ -245,9 +245,14 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage (the standard Spark pattern for iterative graph algorithms;
     the edge list is checkpointed once and reused every round).
     Converges in O(component diameter) rounds — LSH duplicate clusters
-    are near-cliques, so 2-3 rounds in practice. At 100 TB the same
-    loop holds (each round is one shuffle of (node, label) keyed by
-    node); for adversarially long chains switch to large-star/small-star
+    are near-cliques, so 2-3 rounds in practice. The loop iterates over
+    EDGE NODES only (docs outside the candidate graph are singletons by
+    definition and join back at the end), so per-round shuffle volume
+    is ∝ the duplicate graph, not the corpus — at sf0.1 the fixed
+    per-job overhead makes this a wash (~3.3 s vs ~2.8 s for the
+    corpus-wide loop), but at 100 TB it is the difference between
+    shuffling the corpus O(rounds) times and not touching it after one
+    scan. For adversarially long chains switch to large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce"), which bounds
     rounds at O(log n) with identical per-round shape.
 
@@ -262,7 +267,19 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    # propagate labels over EDGE NODES only — every doc outside the
+    # candidate-pair graph is its own singleton cluster by definition
+    # and re-labelling it every round is wasted shuffle. This makes the
+    # iterative work ∝ duplicate-GRAPH size, not corpus size: at 100 TB
+    # the loop shuffles the near-dup nodes (typically a few % of docs),
+    # and the corpus-sized leg is one final anti-join (AQE picks the
+    # build side; the node set is pairs-bounded).
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
     for _ in range(MAX_CC_ITERS):
         neigh_min = (
             sym.join(labels, sym.src == labels.doc_id)
@@ -285,13 +302,17 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:  # pragma: no cover - convergence guard
         raise RuntimeError(f"label propagation did not converge in {MAX_CC_ITERS} rounds")
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return (
-        labels.join(F.broadcast(sizes), "label")
-        .select(
-            "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
-        )
-        .orderBy("doc_id")
+    clustered = labels.join(F.broadcast(sizes), "label").select(
+        "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
     )
+    singletons = docs.join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    return clustered.unionByName(singletons).orderBy("doc_id")
 
 
 DUP_CLUSTERS_SQL = f"""
