@@ -52,10 +52,44 @@ def build_parser():
     return p
 
 
-def load_sources(path: str, catalog):
+def load_sources(path: str, catalog, settings=None, registry_client=None):
+    """``"avro": {"payload_schema": "<DDL>"}`` in a source spec wires
+    the registry-driven wire decode (the reference's per-batch
+    ``get_schema(sid)`` loop): messages are Confluent-framed
+    Debezium-AVRO ``value`` bytes, resolved against
+    ``settings.kafka.schema_registry`` inside foreachBatch. Pass
+    ``registry_client`` to share one memoized client (tests inject a
+    fake-transport one)."""
+    from pyspark.sql import types as T
+
     specs = json.loads(open(path).read())
     out = []
+    client = registry_client
     for s in specs:
+        batch_pre = None
+        avro = s.get("avro")
+        if avro:
+            if client is None:
+                from datalake_iceberg_spark.cdc.schema_registry import (
+                    SchemaRegistryClient,
+                )
+
+                url = settings.kafka.schema_registry if settings else None
+                if not url:
+                    raise ValueError(
+                        f"source {s['name']!r} declares avro decode but "
+                        "KAFKA__SCHEMA_REGISTRY is not configured"
+                    )
+                client = SchemaRegistryClient({"url": url})
+            from datalake_iceberg_spark.cdc.schema_registry import (
+                registry_avro_batch_decoder,
+            )
+
+            batch_pre = registry_avro_batch_decoder(
+                client,
+                T.StructType.fromDDL(avro["payload_schema"]),
+                value_col=avro.get("value_col", "value"),
+            )
         cfg = SourceConfig(
             name=s["name"],
             path=s["path"],
@@ -65,6 +99,7 @@ def load_sources(path: str, catalog):
             max_files_per_trigger=s.get("max_files_per_trigger"),
             options=s.get("options", {}),
             write_mode=s.get("write_mode", "copy-on-write"),
+            batch_pre_transform=batch_pre,
         )
         out.append((cfg, catalog.table(s.get("target", s["name"]))))
     return out
@@ -84,7 +119,7 @@ def main(argv=None, spark=None) -> int:
     if args.dag_id:
         settings.runner.dag_id = args.dag_id
     runner = CdcStreamRunner.from_settings(spark, settings=settings, store=store)
-    sources = load_sources(args.sources, catalog)
+    sources = load_sources(args.sources, catalog, settings=settings)
     concurrency = args.concurrency or settings.runner.max_concurrency
     if args.rounds is None:
         errors = runner.run_sources(sources, concurrency=concurrency)

@@ -194,3 +194,67 @@ def test_registry_driven_stream_to_lake(spark, tmp_path):
     assert state == {1: ("a", 1.0), 2: ("b2", 2.5), 4: ("d", 4.0)}
     # both ids resolved, one HTTP round-trip each (memoized thereafter)
     assert sorted(c.rsplit("/", 1)[-1] for c in tr.calls) == ["42", "43"]
+
+
+def test_cdc_to_lake_spec_wires_registry_decode(spark, tmp_path):
+    """Job-level loop: a source spec declaring `"avro":
+    {"payload_schema": ...}` gets the registry batch decoder wired by
+    load_sources; the drain applies decoded CDC to the lake."""
+    import json as _json
+
+    from datalake_iceberg_spark.cdc.avro_codec import encode_record, parse_schema
+    from datalake_iceberg_spark.cdc.schema_registry import SchemaRegistryClient
+    from datalake_iceberg_spark.functions.keys import surrogate_key
+    from datalake_iceberg_spark.jobs.cdc_to_lake import load_sources
+    from datalake_iceberg_spark.streaming.runner import CdcStreamRunner
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    schema = parse_schema(ENVELOPE_AVRO)
+    wire = lambda m: b"\x00" + (42).to_bytes(4, "big") + encode_record(m, schema)  # noqa: E731
+    src_dir = str(tmp_path / "src")
+    rows = [(wire(_env("u", 1, "a2", 9.0, 100)), 0),
+            (wire(_env("d", 2, "b", 2.0, 101)), 1)]
+    spark.createDataFrame(rows, "value binary, offset long").coalesce(1).write.parquet(
+        f"{src_dir}/b1"
+    )
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], PAYLOAD_SPARK)
+    cat.create_or_replace("store.tb", surrogate_key(base, ["pk"]), key=["id_iceberg"])
+
+    spec = [{
+        "name": "store.tb", "path": src_dir, "format": "parquet",
+        "schema": "value binary, offset long", "key_cols": ["pk"],
+        "target": "store.tb",
+        "options": {"recursiveFileLookup": "true"},
+        "avro": {"payload_schema": "pk long, name string, amount double"},
+    }]
+    spec_path = tmp_path / "sources.json"
+    spec_path.write_text(_json.dumps(spec))
+
+    client = SchemaRegistryClient(
+        "http://registry:8081", transport=FakeTransport(_routes())
+    )
+    sources = load_sources(str(spec_path), cat, registry_client=client)
+    assert sources[0][0].batch_pre_transform is not None
+    runner = CdcStreamRunner(spark, checkpoint_root=str(tmp_path / "ck"), dag_id="j")
+    errors = runner.run_sources(sources, concurrency=1)
+    assert not any(errors.values()), errors
+    state = {r.pk: (r.name, r.amount) for r in cat.table("store.tb").read().collect()}
+    assert state == {1: ("a2", 9.0)}
+
+
+def test_cdc_to_lake_spec_avro_requires_registry_conf(tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+
+    from datalake_iceberg_spark.jobs.cdc_to_lake import load_sources
+    from datalake_iceberg_spark.settings import Settings
+
+    spec_path = tmp_path / "s.json"
+    spec_path.write_text(_json.dumps([{
+        "name": "x", "path": "/nope", "avro": {"payload_schema": "pk long"},
+    }]))
+    with _pytest.raises(ValueError, match="KAFKA__SCHEMA_REGISTRY"):
+        load_sources(str(spec_path), catalog=None, settings=Settings.load(env={}))
