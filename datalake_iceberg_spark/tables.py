@@ -2868,6 +2868,16 @@ class LakeCatalog:
         return dst
 
     def drop(self, name: str, purge: bool = True) -> None:
+        """DROP TABLE. ``purge=True`` (default) destroys the table:
+        refused while a live shallow clone still references its data
+        (the rename guard's predicate), and withdraws this table's own
+        markers from its clone sources before removing the directory.
+        ``purge=False`` is the soft drop (Delta's unmanaged-table DROP
+        shape: files stay): the location — data, metadata, ``_current``
+        — is left untouched and re-openable via :meth:`table`, and its
+        markers on source tables REMAIN, because a readable table must
+        keep its GC protection (withdrawing them here was the round-10
+        clone-breaking bug)."""
         loc = self._loc(name)
         t = LakeTable(self.spark, loc, fs=self.fs)
         if self.fs.isdir(loc):
