@@ -234,8 +234,12 @@ def advise(table) -> list[dict]:
                           "commits landed since the last rewrite",
                 "severity": "medium",
             })
+    from datalake_iceberg_spark.tables import _commit_dir_of
+
+    # same commit-granular key the read path groups eras by (handles a
+    # clone's absolute foreign delete dirs, which have no fixed prefix)
     delete_eras = {
-        e["dir"].split("/")[1]
+        _commit_dir_of(e["dir"])
         for entries in snap.deletes.values()
         for e in entries
     }
