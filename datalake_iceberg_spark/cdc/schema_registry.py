@@ -172,6 +172,16 @@ class SchemaRegistryClient:
         return rec
 
 
+def subject_for(topic: str, part: str = "value") -> str:
+    """Confluent TopicNameStrategy subject for a topic: ``<topic>-value``
+    / ``<topic>-key`` — the default strategy the reference's topics use;
+    pass to :meth:`SchemaRegistryClient.get_version` to pin a reader
+    schema by subject instead of wire id."""
+    if part not in ("key", "value"):
+        raise ValueError(f"part must be 'key' or 'value', got {part!r}")
+    return f"{topic}-{part}"
+
+
 def registry_schema_map(
     client: SchemaRegistryClient,
     df: DataFrame,

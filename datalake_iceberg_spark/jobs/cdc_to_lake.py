@@ -10,6 +10,11 @@ signal-file graceful shutdown).
       "key_cols": ["id"], "target": "db.orders",
       "write_mode": "copy-on-write"}]
 
+An Avro-wire topic adds ``"avro": {"payload_schema": "<row DDL>"}``
+(optional ``"value_col"``): the job resolves each batch's embedded
+Confluent schema ids against ``KAFKA__SCHEMA_REGISTRY`` and decodes
+inside foreachBatch — the reference's registry loop, declaratively.
+
 Each source drains through its own checkpoint into its target table
 (which a snapshot job created beforehand, as in the reference flow);
 thread/semaphore parallelism, per-source failure domains, heartbeat

@@ -258,3 +258,12 @@ def test_cdc_to_lake_spec_avro_requires_registry_conf(tmp_path):
     }]))
     with _pytest.raises(ValueError, match="KAFKA__SCHEMA_REGISTRY"):
         load_sources(str(spec_path), catalog=None, settings=Settings.load(env={}))
+
+
+def test_subject_for_topic_name_strategy():
+    from datalake_iceberg_spark.cdc.schema_registry import subject_for
+
+    assert subject_for("store.tb") == "store.tb-value"
+    assert subject_for("store.tb", "key") == "store.tb-key"
+    with pytest.raises(ValueError, match="part"):
+        subject_for("store.tb", "header")
