@@ -60,7 +60,8 @@ def test_random_walk_matches_model(catalog, spark, seed):
     for step in range(N_STEPS):
         op = rng.choice(
             ["append", "merge_cow", "merge_mor", "delete_cow", "delete_mor",
-             "update", "compact", "fold", "rollback"]
+             "update", "compact", "fold", "rollback",
+             "rebucket_grow", "rebucket_shrink"]
         )
         if op == "append":
             rows = {i: f"a{step}" for i in fresh_ids(rng.randint(1, 5))}
@@ -96,6 +97,20 @@ def test_random_walk_matches_model(catalog, spark, seed):
             t.rewrite_data_files()
         elif op == "fold":
             t.rewrite_position_delete_files()
+        elif op == "rebucket_grow":
+            # layout-only: the model is unchanged; exercises the
+            # shuffle-free local-split path over live MoR deletes
+            n = t.snapshot().n_buckets
+            if n >= 16:
+                continue
+            t.rebucket(n * 2)
+        elif op == "rebucket_shrink":
+            # metadata-only path: delete entries remap across merged
+            # buckets; era grouping must stay exact afterwards
+            n = t.snapshot().n_buckets
+            if n < 2 or n % 2:
+                continue
+            t.rebucket(n // 2)
         elif op == "rollback":
             candidates = [v for v in history if v < t.current_version()]
             if not candidates:
@@ -481,3 +496,29 @@ def test_clone_gc_walk_matches_model(catalog, spark, seed):
     assert _read_state(src) == src_model
     for name, (c, m) in clones.items():
         assert _read_state(c) == m, f"final ({name})"
+
+
+def test_rollback_across_rebucket_with_mor(catalog, spark):
+    """Deterministic composition the random seeds may miss: MoR delete
+    -> shrink rebucket (metadata-only delete remap) -> merge -> rollback
+    to the pre-rebucket version. Reads must follow each snapshot's OWN
+    n_buckets and delete-era map."""
+    model = {i: f"v{i}" for i in range(24)}
+    t = catalog.create_or_replace("db.rbwalk", _df(spark, model), key=["id"], n_buckets=8)
+    t.delete_keys(spark.createDataFrame([(3,), (7,)], "id long"), mode="merge-on-read")
+    for k in (3, 7):
+        model.pop(k)
+    v_pre = t.current_version()
+    assert _read_state(t) == model
+    t.rebucket(4)                      # metadata-only shrink, deletes remap
+    assert _read_state(t) == model
+    t.merge(_df(spark, {1: "post"}))
+    post = dict(model); post[1] = "post"
+    assert _read_state(t) == post
+    t.rollback_to(v_pre)               # back across the rebucket boundary
+    assert _read_state(t) == model
+    assert t.snapshot().n_buckets == 8
+    # and forward again: DML after rollback still lands correctly
+    t.merge(_df(spark, {2: "again"}))
+    model[2] = "again"
+    assert _read_state(t) == model
