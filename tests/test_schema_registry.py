@@ -267,3 +267,69 @@ def test_subject_for_topic_name_strategy():
     assert subject_for("store.tb", "key") == "store.tb-key"
     with pytest.raises(ValueError, match="part"):
         subject_for("store.tb", "header")
+
+
+def test_registry_outage_isolated_per_source(spark, tmp_path):
+    """A registry outage fails ONLY the Avro source that needs it —
+    run_sources' per-source failure domain holds: the healthy JSON
+    source still drains to its table, and the failed source's error
+    names the registry."""
+    import json as _json
+
+    from datalake_iceberg_spark.cdc.avro_codec import encode_record, parse_schema
+    from datalake_iceberg_spark.cdc.schema_registry import (
+        SchemaRegistryClient,
+        registry_avro_batch_decoder,
+    )
+    from datalake_iceberg_spark.functions.keys import surrogate_key
+    from datalake_iceberg_spark.streaming.runner import CdcStreamRunner, SourceConfig
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    schema = parse_schema(ENVELOPE_AVRO)
+    wire = lambda m: b"\x00" + (42).to_bytes(4, "big") + encode_record(m, schema)  # noqa: E731
+    avro_dir = str(tmp_path / "avro_src")
+    spark.createDataFrame(
+        [(wire(_env("u", 1, "z", 9.9, 50)), 0)], "value binary, offset long"
+    ).coalesce(1).write.parquet(f"{avro_dir}/b1")
+
+    json_dir = str(tmp_path / "json_src")
+    env = {"pk": 2, "name": "ok", "amount": 7.0}
+    rec = {"before": None, "after": env, "op": "u", "ts_ms": 60, "offset": 0}
+    (tmp_path / "json_src").mkdir()
+    (tmp_path / "json_src" / "b1.json").write_text(_json.dumps(rec))
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], PAYLOAD_SPARK)
+    cat.create_or_replace("s.avro_t", surrogate_key(base, ["pk"]), key=["id_iceberg"])
+    cat.create_or_replace("s.json_t", surrogate_key(base, ["pk"]), key=["id_iceberg"])
+
+    def down(url, headers, timeout):
+        raise ConnectionError("registry unreachable")
+
+    dead_client = SchemaRegistryClient("http://dead:8081", transport=down)
+    runner = CdcStreamRunner(spark, checkpoint_root=str(tmp_path / "ck"), dag_id="iso")
+    env_schema = (
+        "before struct<pk bigint, name string, amount double>, "
+        "after struct<pk bigint, name string, amount double>, "
+        "op string, ts_ms bigint, offset bigint"
+    )
+    sources = [
+        (SourceConfig(
+            name="s.avro_t", path=avro_dir, format="parquet",
+            schema="value binary, offset long", key_cols=["pk"],
+            options={"recursiveFileLookup": "true"},
+            batch_pre_transform=registry_avro_batch_decoder(dead_client, PAYLOAD_SPARK),
+        ), cat.table("s.avro_t")),
+        (SourceConfig(
+            name="s.json_t", path=json_dir, format="json",
+            schema=env_schema, key_cols=["pk"],
+        ), cat.table("s.json_t")),
+    ]
+    errors = runner.run_sources(sources, concurrency=2)
+    assert errors["s.avro_t"] and "registry" in errors["s.avro_t"].lower()
+    assert errors["s.json_t"] is None
+    state = {r.pk: r.name for r in cat.table("s.json_t").read().collect()}
+    assert state[2] == "ok"
+    # avro target untouched by the failed drain
+    avro_state = {r.pk: r.name for r in cat.table("s.avro_t").read().collect()}
+    assert avro_state == {1: "a", 2: "b"}
