@@ -88,6 +88,44 @@ BENCH_QUERIES = [
 ]
 
 
+CAPTURE_BUDGET = 1990  # driver records only the LAST ~2000 chars of stdout
+KEY_DML_TIERS = (
+    "merge_0p1pct_1024b", "delete_mor_0p1pct_1024b",
+    "delete_cow_0p1pct_1024b", "mor_fold_1024b", "mor_fold_fill_64b",
+    "read_changes_pruned_diff",
+)
+
+
+def compact_line(total, timings, dml, sf) -> str:
+    """The ONE stdout line, guaranteed to fit the driver's capture
+    window whole (see tests/test_bench_contract.py): 2dp timings + the
+    key DML tiers, shrinking to 1dp and then dropping dml if a huge
+    query list would ever outgrow the budget."""
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "dml": {k: dml[k] for k in KEY_DML_TIERS if k in dml},
+        "sf": sf,
+    }
+    cline = json.dumps(compact)
+    if len(cline) > CAPTURE_BUDGET:  # shrink ladder: 1dp first
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        cline = json.dumps(compact)
+    if len(cline) > CAPTURE_BUDGET:  # then drop dml
+        compact.pop("dml", None)
+        cline = json.dumps(compact)
+    while len(cline) > CAPTURE_BUDGET and compact["queries"]:
+        # last rung: shed the FASTEST queries (the slow ones are the
+        # signal) until the line fits; flag the truncation
+        compact["queries_truncated"] = True
+        keep = sorted(compact["queries"].items(), key=lambda kv: -kv[1])
+        compact["queries"] = dict(keep[: max(1, len(keep) - 10)])
+        cline = json.dumps(compact)
+    return cline
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -632,26 +670,7 @@ def main() -> None:
     # ONE compact line, guaranteed to fit the window whole (timings at
     # 2 dp, key DML tiers only, no health block); the full record goes
     # to stderr for humans and to bench_latest.json for the judge.
-    key_tiers = (
-        "merge_0p1pct_1024b", "delete_mor_0p1pct_1024b",
-        "delete_cow_0p1pct_1024b", "mor_fold_1024b", "mor_fold_fill_64b",
-        "read_changes_pruned_diff",
-    )
-    compact = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        "dml": {k: dml[k] for k in key_tiers if k in dml},
-        "sf": sf,
-    }
-    cline = json.dumps(compact)
-    if len(cline) > 1990:  # shrink ladder: 1 dp first, dml only as last resort
-        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
-        cline = json.dumps(compact)
-    if len(cline) > 1990:
-        compact.pop("dml", None)
-        cline = json.dumps(compact)
+    cline = compact_line(total, timings, dml, sf)
     print(f"# full record: {line}", file=sys.stderr)
     print(cline)
     # companion artifact: the driver's BENCH_r{N}.json capture has been

@@ -1,0 +1,55 @@
+"""bench.py driver-capture contract: the recorder keeps only the LAST
+~2000 chars of stdout and parses JSON from them (BENCH_r6-r9 all landed
+"parsed": null before the compact line existed). Pin the invariants
+without running Spark."""
+
+import json
+
+import bench
+
+DML = {k: 1.234 for k in bench.KEY_DML_TIERS}
+
+
+def test_compact_line_fits_budget_at_current_surface():
+    # the REAL query names at plausible sf0.1 magnitudes
+    timings = {k: 12.345 for k in bench.BENCH_QUERIES}
+    line = bench.compact_line(512.8, timings, DML, 0.1)
+    assert len(line) <= bench.CAPTURE_BUDGET
+    d = json.loads(line)
+    assert d["metric"] == "headline_queries_total"
+    assert set(bench.KEY_DML_TIERS) == set(d["dml"])
+    assert len(d["queries"]) == len(bench.BENCH_QUERIES)
+    assert "queries_truncated" not in d
+
+
+def test_compact_line_single_line_json():
+    line = bench.compact_line(1.0, {"a": 0.1}, DML, 0.01)
+    assert "\n" not in line
+    json.loads(line)
+
+
+def test_shrink_ladder_never_exceeds_budget():
+    """Even an absurd surface (200 long-named queries) must fit: the
+    ladder ends by shedding the fastest queries, keeping the slow ones
+    and flagging the cut."""
+    timings = {f"very_long_query_name_number_{i:03d}": 123.456 + i for i in range(200)}
+    line = bench.compact_line(9999.0, timings, DML, 0.1)
+    assert len(line) <= bench.CAPTURE_BUDGET
+    d = json.loads(line)
+    assert d.get("queries_truncated") is True
+    # the slowest entries survived the cut
+    slowest = max(timings, key=timings.get)
+    assert slowest in d["queries"]
+    assert d["value"] == 9999.0 and d["sf"] == 0.1
+
+
+def test_headroom_for_growth():
+    """Adding ~8 more bench queries at realistic magnitudes must fit
+    WITHOUT truncation (the 1dp rung is acceptable degradation)."""
+    timings = {k: 12.34 for k in bench.BENCH_QUERIES}
+    timings.update({f"future_query_{i:02d}": 12.34 for i in range(8)})
+    line = bench.compact_line(700.0, timings, DML, 0.1)
+    d = json.loads(line)
+    assert len(line) <= bench.CAPTURE_BUDGET
+    assert "queries_truncated" not in d
+    assert len(d["queries"]) == len(timings)
