@@ -508,6 +508,117 @@ ORDER BY o_orderkey, o_custkey
 """
 
 
+_PARTIAL_MERGE_TABLES: dict[str, str] = {}
+
+
+def _partial_merge_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped-latest purchase rows shaped as full order records — the
+    same source as ``merge_upsert_orders`` (the merge contract requires
+    the source to carry EVERY column even for a partial update, because
+    unmatched rows insert in full)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            (F.col("user_id") * 10).alias("o_orderkey"),
+            F.col("user_id").alias("o_custkey"),
+            F.lit("M").alias("o_orderstatus"),
+            (cents("value").cast("double") / 100.0).alias("o_totalprice"),
+            F.col("ts").alias("o_orderdate"),
+            F.lit("MERGED").alias("o_orderpriority"),
+        )
+    )
+
+
+def merge_partial_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 partial-column MERGE through the REAL ``LakeTable.merge``
+    path (``update_columns`` — Iceberg/Delta ``WHEN MATCHED THEN UPDATE
+    SET col, ... / WHEN NOT MATCHED THEN INSERT *``; reference MERGE
+    semantics at ``src/utils/cdc_pipeline.py:221-237``).
+
+    Target = orders staged once per sf_dir as a keyed, bucketed lake
+    table in a temp dir; source = deduped-latest purchase rows. The
+    merge updates ONLY (o_totalprice, o_orderpriority): matched rows
+    must keep their CURRENT o_custkey / o_orderstatus / o_orderdate —
+    source o_custkey deliberately differs from the target's so a
+    full-row update would hash-mismatch the oracle — while unmatched
+    source rows insert in full. The graded DataFrame is the table's
+    post-merge snapshot read (MoR-free CoW path, bucket/dir pruned).
+
+    Idempotent under re-runs: merging the same source again updates the
+    same columns to the same values, so a cached table re-read (or even
+    a re-merge) grades identically.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from datalake_iceberg_spark.tables import LakeTable
+
+    loc = _PARTIAL_MERGE_TABLES.get(sf_dir)
+    if loc is None:
+        loc = tempfile.mkdtemp(prefix="merge_partial_orders_")
+        _PARTIAL_MERGE_TABLES[sf_dir] = loc
+        atexit.register(shutil.rmtree, loc, ignore_errors=True)
+        orders = load(spark, sf_dir, "orders")
+        target = orders.select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            (cents("o_totalprice").cast("double") / 100.0).alias("o_totalprice"),
+            "o_orderdate", "o_orderpriority",
+        )
+        t = LakeTable(spark, loc)
+        t.create_or_replace(target, key=["o_orderkey"], n_buckets=4)
+        t.merge(
+            _partial_merge_source(spark, sf_dir),
+            update_columns=["o_totalprice", "o_orderpriority"],
+        )
+    return (
+        LakeTable(spark, loc)
+        .read()
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        )
+        .orderBy("o_orderkey", "o_custkey")
+    )
+
+
+MERGE_PARTIAL_SQL = f"""
+WITH {EVENTS_CTE},
+source AS (
+  SELECT user_id * 10 AS o_orderkey, user_id AS o_custkey, 'M' AS o_orderstatus,
+         CAST({cents_sql('value')} AS DOUBLE) / 100.0 AS o_totalprice,
+         ts AS o_orderdate, 'MERGED' AS o_orderpriority
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS __rn
+    FROM events_us WHERE event_type = 'purchase'
+  ) WHERE __rn = 1
+),
+target AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST({cents_sql('o_totalprice')} AS DOUBLE) / 100.0 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders
+)
+SELECT * FROM (
+  -- WHEN MATCHED: update ONLY (o_totalprice, o_orderpriority) from source
+  SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+         s.o_totalprice, t.o_orderdate, s.o_orderpriority
+  FROM target t JOIN source s ON t.o_orderkey = s.o_orderkey
+  UNION ALL
+  -- untouched target rows
+  SELECT t.* FROM target t ANTI JOIN source s ON t.o_orderkey = s.o_orderkey
+  UNION ALL
+  -- WHEN NOT MATCHED: insert all
+  SELECT s.* FROM source s ANTI JOIN target t ON s.o_orderkey = t.o_orderkey
+)
+ORDER BY o_orderkey, o_custkey
+"""
+
+
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate — beyond-reference coverage (§2.5 notes it absent).
     Revenue by (status, priority), (status), and grand total."""
