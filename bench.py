@@ -92,7 +92,7 @@ CAPTURE_BUDGET = 1990  # driver records only the LAST ~2000 chars of stdout
 KEY_DML_TIERS = (
     "merge_0p1pct_1024b", "delete_mor_0p1pct_1024b",
     "delete_cow_0p1pct_1024b", "mor_fold_1024b", "mor_fold_fill_64b",
-    "read_changes_pruned_diff",
+    "read_changes_pruned_diff", "gc_with_clones", "gc_with_clones_steady",
 )
 
 
@@ -121,7 +121,15 @@ def compact_line(total, timings, dml, sf) -> str:
         # signal) until the line fits; flag the truncation
         compact["queries_truncated"] = True
         keep = sorted(compact["queries"].items(), key=lambda kv: -kv[1])
-        compact["queries"] = dict(keep[: max(1, len(keep) - 10)])
+        shrunk = dict(keep[: max(1, len(keep) - 10)])
+        if len(shrunk) == len(compact["queries"]):
+            # keep[:max(1, n-10)] is a no-op once one query remains — if
+            # that lone entry plus fixed overhead still overflows, drop
+            # the queries block entirely rather than spin forever
+            compact["queries"] = {}
+            cline = json.dumps(compact)
+            break
+        compact["queries"] = shrunk
         cline = json.dumps(compact)
     return cline
 
@@ -455,6 +463,34 @@ def main() -> None:
         dml["clone_rows"] = clone.read().count()
         dml["clone_first_read"] = round(time.perf_counter() - t0, 3)
 
+        # GC with a clone fleet: remove_orphan_files must stay
+        # O(dependent clones × manifests) — half the fleet is localized
+        # (compact + expire cuts their last reference to the source) and
+        # must take the _foreign_roots short-circuit instead of a full
+        # manifest walk; their markers self-heal in the same pass. The
+        # tier's subject is the SOURCE table's GC, not the clones'.
+        n_clones, n_localized = 10, 5
+        gc_clones = [
+            cat.clone_table("bench.orders", f"bench.orders_gcclone_{i}")
+            for i in range(n_clones)
+        ]
+        for c in gc_clones[:n_localized]:
+            c.rewrite_data_files(min_input_dirs=1)
+            c.expire_snapshots(keep_last=1)
+        t0 = _case("dml:gc_with_clones")
+        gc_out = table.remove_orphan_files()
+        dml["gc_with_clones"] = round(time.perf_counter() - t0, 3)
+        dml["gc_with_clones_fleet"] = n_clones
+        dml["gc_with_clones_localized"] = n_localized
+        dml["gc_with_clones_orphans"] = gc_out["orphan_dirs_removed"]
+        # markers for the 5 localized clones were pruned in that pass;
+        # a second GC walks only the 5 dependent clones + no stale
+        # markers — the steady-state cost
+        t0 = _case("dml:gc_with_clones_steady")
+        table.remove_orphan_files()
+        dml["gc_with_clones_steady"] = round(time.perf_counter() - t0, 3)
+        dml["gc_markers_left"] = len(table.clone_markers())
+
         # Structured Streaming drain: full watermarked windowed rollup
         # of the events stream (availableNow), end-to-end incl. source
         # listing, state store, and sink — the streaming ops cost
@@ -492,6 +528,19 @@ def main() -> None:
             .repartition(32)
             .localCheckpoint()
         )
+        # fill-phase boundary, same rationale as the query→DML one: the
+        # fill tiers are "the design-representative DML verdict", and by
+        # this point ~25 tiers of shuffle files, broadcast blocks and
+        # codegen classes sit in the old gen — collections they trigger
+        # land inside the short fill stages, where local[32]'s
+        # 32-concurrent-task jvmGcTime attribution multiplies them into
+        # a 5-9% GC fraction (r10 finding). A real pipeline runs the
+        # ingest job in its own JVM; give the phase the same clean heap.
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         dml_fill_start_ms = int(time.time() * 1000)
         t0 = _case("dml:rtas_fill_64b")
         table_fill = cat.create_or_replace(

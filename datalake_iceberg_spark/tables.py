@@ -2707,10 +2707,6 @@ class LakeTable:
             if not clone.exists():
                 stale_markers.append(rec["_marker"])
                 continue
-            _walk_meta(clone.meta_dir, clone)
-            for br_name in clone.branches():
-                br = clone.branch(br_name)
-                _walk_meta(br.meta_dir, br)
             # Stale ONLY when no clone manifest references this table any
             # more (fully localized: compacted + expired). A live-set
             # DELTA is the wrong predicate: a fresh clone references
@@ -2719,8 +2715,22 @@ class LakeTable:
             # nothing NEW while being fully dependent, and pruning its
             # marker lets a later compact+expire+GC delete dirs the clone
             # still reads.
+            #
+            # Localized-clone short-circuit: the predicate runs FIRST —
+            # a localized clone's manifests cannot contribute anything
+            # under our data dir (``_keep`` filters on own_prefix, and
+            # WAP-staged docs only ever hold freshly-written RELATIVE
+            # dirs, see ``stage_append``), so walking them is pure cost.
+            # With K clones of which L are localized, GC parses
+            # (K-L)·2 + L manifest sets instead of K·2 — the
+            # ``gc_with_clones`` bench tier pins this cost model.
             if self.location.rstrip("/") not in clone._foreign_roots():
                 stale_markers.append(rec["_marker"])
+                continue
+            _walk_meta(clone.meta_dir, clone)
+            for br_name in clone.branches():
+                br = clone.branch(br_name)
+                _walk_meta(br.meta_dir, br)
         orphans = []
         if self.fs.isdir(self.data_dir):
             for entry in self.fs.listdir(self.data_dir):

@@ -43,6 +43,19 @@ def test_shrink_ladder_never_exceeds_budget():
     assert d["value"] == 9999.0 and d["sf"] == 0.1
 
 
+def test_shrink_ladder_terminates_on_pathological_single_entry():
+    """Round-10 advisor finding: once one query remains, keep[:max(1,
+    n-10)] no longer shrinks — a single entry whose name alone overflows
+    the budget used to loop forever. The ladder must terminate by
+    dropping the queries block and still emit parseable JSON."""
+    timings = {"q" * (bench.CAPTURE_BUDGET + 100): 1.0}
+    line = bench.compact_line(1.0, timings, DML, 0.1)
+    d = json.loads(line)
+    assert d.get("queries_truncated") is True
+    assert d["queries"] == {}
+    assert d["value"] == 1.0
+
+
 def test_headroom_for_growth():
     """Adding ~8 more bench queries at realistic magnitudes must fit
     WITHOUT truncation (the 1dp rung is acceptable degradation)."""

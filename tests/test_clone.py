@@ -281,3 +281,50 @@ def test_drop_keep_data_preserves_markers(catalog, spark):
     assert not any(
         rec["clone"] == dst.location for rec in src.clone_markers()
     )
+
+
+def test_gc_short_circuits_localized_clone_manifest_walk(catalog, spark):
+    """r11 cost-model pin: a LOCALIZED clone is detected by the
+    ``_foreign_roots`` predicate alone — GC must not walk its manifests
+    a second time (with K clones of which L are localized, GC parses
+    (K-L)*2 + L manifest sets, not K*2). Counted via fs.read_text calls
+    on the clone's version files; a DEPENDENT clone is read twice
+    (predicate + keep-walk), a localized one exactly once."""
+    src = _mk(catalog, spark, "db.s_sc")
+    dep = catalog.clone_table("db.s_sc", "db.d_dep")
+    loc = catalog.clone_table("db.s_sc", "db.d_loc")
+    loc.rewrite_data_files(sort_by=["id"])
+    loc.expire_snapshots(keep_last=1)
+
+    counts = {"dep": 0, "loc": 0}
+    real = catalog.fs.read_text
+
+    def spy(path):
+        if path.startswith(dep.meta_dir) and "/v" in path:
+            counts["dep"] += 1
+        if path.startswith(loc.meta_dir) and "/v" in path:
+            counts["loc"] += 1
+        return real(path)
+
+    catalog.fs.read_text = spy
+    try:
+        src.remove_orphan_files()
+    finally:
+        catalog.fs.read_text = real
+    n_dep_manifests = sum(
+        1 for n in catalog.fs.listdir(dep.meta_dir)
+        if n.startswith("v") and n.endswith(".json")
+    )
+    n_loc_manifests = sum(
+        1 for n in catalog.fs.listdir(loc.meta_dir)
+        if n.startswith("v") and n.endswith(".json")
+    )
+    # dependent clone: predicate pass + keep-walk = 2 reads/manifest
+    assert counts["dep"] == 2 * n_dep_manifests, counts
+    # localized clone: predicate pass only
+    assert counts["loc"] == n_loc_manifests, counts
+    assert src.clone_markers() and all(
+        m["clone"] == dep.location for m in src.clone_markers()
+    )
+    # the dependent clone still reads through the source after GC
+    assert len(_rows(dep.read())) == 8
