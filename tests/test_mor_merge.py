@@ -198,3 +198,126 @@ def test_partial_update_all_nonkey_equals_full_merge(spark, tmp_path):
     t2.merge(batch, update_columns=["a", "b", "n"])
     assert {tuple(r) for r in t1.read().collect()} == \
            {tuple(r) for r in t2.read().collect()}
+
+
+def test_partial_update_after_mor_delete_inserts_batch_values(spark, tmp_path):
+    """A key masked by a live (un-folded) MoR delete era is UNMATCHED
+    for a partial merge — the row must land with ALL columns from the
+    batch (WHEN NOT MATCHED INSERT *), never resurrect its pre-delete
+    values through the matched-row lookup. Guards the
+    ``_partial_update_source`` → ``lookup`` → ``read_buckets`` chain
+    applying delete masks before the match split."""
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = _pmk(catalog, spark, "db.pud")
+    t.delete_keys(spark.createDataFrame([(2,)], "id long"), mode="merge-on-read")
+    assert t.snapshot().deletes  # the era is live, not folded
+    batch = spark.createDataFrame([Row(id=2, a="NEW-A", b="BATCH-B", n=777)])
+    t.merge(batch, update_columns=["a"])
+    got = {r.id: (r.a, r.b, r.n) for r in t.read().collect()}
+    # all three columns from the batch — b/n NOT the deleted row's b2/20
+    assert got[2] == ("NEW-A", "BATCH-B", 777)
+    # fold preserves it
+    t.rewrite_position_delete_files()
+    assert {r.id: (r.a, r.b, r.n) for r in t.read().collect()}[2] == (
+        "NEW-A", "BATCH-B", 777
+    )
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_partial_merge_walk_matches_model(spark, tmp_path, seed):
+    """Seeded walk interleaving PARTIAL merges (CoW and MoR, varying
+    update_columns subsets) with MoR deletes, folds, appends and
+    rollback on a 3-column table — hunts cross-op interactions the
+    fixed fixtures above can't compose (partial merge over a live
+    delete era, fold between two partial merges, rollback across a
+    partial-update commit). Model = plain dict with Iceberg partial-
+    update semantics: matched keys take only update_columns from the
+    batch, unmatched keys take every column."""
+    import random
+
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    rng = random.Random(seed)
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    model = {i: (f"a{i}", f"b{i}", i * 10) for i in range(20)}
+    t = catalog.create_or_replace(
+        "db.pwalk",
+        spark.createDataFrame(
+            [Row(id=k, a=v[0], b=v[1], n=v[2]) for k, v in sorted(model.items())]
+        ),
+        key=["id"], n_buckets=4,
+    )
+    next_id = 20
+    history = {t.current_version(): dict(model)}
+
+    for step in range(16):
+        op = rng.choice(
+            ["partial_cow", "partial_mor", "delete_mor", "fold", "append",
+             "rollback"]
+        )
+        if op in ("partial_cow", "partial_mor"):
+            upd_cols = rng.choice([["a"], ["n"], ["a", "n"], ["b", "n"]])
+            keys = rng.sample(sorted(model), min(len(model), 3)) if model else []
+            keys += [next_id]
+            next_id += 1
+            batch_rows = {
+                k: (f"A{step}", f"B{step}", 1000 + step) for k in keys
+            }
+            t.merge(
+                spark.createDataFrame(
+                    [Row(id=k, a=v[0], b=v[1], n=v[2])
+                     for k, v in sorted(batch_rows.items())]
+                ),
+                update_columns=upd_cols,
+                mode="merge-on-read" if op == "partial_mor" else "copy-on-write",
+            )
+            for k, batch in batch_rows.items():
+                if k in model:  # matched: only upd_cols from the batch
+                    cur = list(model[k])
+                    for i, col in enumerate(("a", "b", "n")):
+                        if col in upd_cols:
+                            cur[i] = batch[i]
+                    model[k] = tuple(cur)
+                else:           # unmatched: insert all
+                    model[k] = batch
+        elif op == "delete_mor":
+            if not model:
+                continue
+            keys = rng.sample(sorted(model), min(len(model), 2))
+            t.delete_keys(
+                spark.createDataFrame([(k,) for k in keys], "id long"),
+                mode="merge-on-read",
+            )
+            for k in keys:
+                model.pop(k)
+        elif op == "fold":
+            t.rewrite_position_delete_files()
+        elif op == "append":
+            rows = {next_id: (f"p{step}", f"q{step}", step)}
+            next_id += 1
+            t.append(
+                spark.createDataFrame(
+                    [Row(id=k, a=v[0], b=v[1], n=v[2]) for k, v in rows.items()]
+                )
+            )
+            model.update(rows)
+        elif op == "rollback":
+            candidates = [v for v in history if v < t.current_version()]
+            if not candidates:
+                continue
+            target = rng.choice(candidates)
+            t.rollback_to(target)
+            model = dict(history[target])
+        history[t.current_version()] = dict(model)
+        got = {r.id: (r.a, r.b, r.n) for r in t.read().collect()}
+        assert got == model, f"seed={seed} step={step} op={op}"
+
+    t.rewrite_position_delete_files()
+    t.rewrite_data_files()
+    assert {r.id: (r.a, r.b, r.n) for r in t.read().collect()} == model
