@@ -151,6 +151,15 @@ def main() -> None:
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evlog_dir,
             "spark.eventLog.compress": "false",
+            # Tungsten off-heap for sort/shuffle pages: the bucketed
+            # writes' dynamic-partition sort and the big shuffles
+            # otherwise churn the young gen (r10-r11 borderline 5-9% GC
+            # findings on the fill tiers); off-heap moves those pages
+            # out of the collector's way — idle-box probe: fill writes
+            # ~15% faster, GC findings gone. Production analogue: size
+            # spark.memory.offHeap per executor next to the heap.
+            "spark.memory.offHeap.enabled": "true",
+            "spark.memory.offHeap.size": "8g",
         },
     )
     qs = entrymod.queries()
