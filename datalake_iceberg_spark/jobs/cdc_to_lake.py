@@ -54,6 +54,10 @@ def build_parser():
                    help="graceful-shutdown signal file (round loop)")
     p.add_argument("--with-watermarks", action="store_true",
                    help="record heartbeat/progress watermarks in the ops ledger")
+    p.add_argument("--registry-url", default=None,
+                   help="Confluent Schema Registry base URL for sources "
+                        "declaring avro wire decode (overrides "
+                        "KAFKA__SCHEMA_REGISTRY)")
     return p
 
 
@@ -113,6 +117,8 @@ def load_sources(path: str, catalog, settings=None, registry_client=None):
 def main(argv=None, spark=None) -> int:
     args = build_parser().parse_args(argv)
     settings = load_settings(args)
+    if args.registry_url:
+        settings.kafka.schema_registry = args.registry_url
     spark = get_session("cdc_to_lake", settings, spark)
     catalog = get_catalog(spark, settings)
     store = None
