@@ -486,8 +486,11 @@ def main() -> None:
         for c in gc_clones[:n_localized]:
             c.rewrite_data_files(min_input_dirs=1)
             c.expire_snapshots(keep_last=1)
+        # grace disabled: the tier measures reclamation cost on dirs the
+        # bench just made orphan (production keeps the default 1h
+        # in-flight-writer grace)
         t0 = _case("dml:gc_with_clones")
-        gc_out = table.remove_orphan_files()
+        gc_out = table.remove_orphan_files(older_than_s=0.0)
         dml["gc_with_clones"] = round(time.perf_counter() - t0, 3)
         dml["gc_with_clones_fleet"] = n_clones
         dml["gc_with_clones_localized"] = n_localized
@@ -496,7 +499,7 @@ def main() -> None:
         # a second GC walks only the 5 dependent clones + no stale
         # markers — the steady-state cost
         t0 = _case("dml:gc_with_clones_steady")
-        table.remove_orphan_files()
+        table.remove_orphan_files(older_than_s=0.0)
         dml["gc_with_clones_steady"] = round(time.perf_counter() - t0, 3)
         dml["gc_markers_left"] = len(table.clone_markers())
 

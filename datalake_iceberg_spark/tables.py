@@ -2657,7 +2657,9 @@ class LakeTable:
             _scan(self.fs.join(self.meta_dir, "branches", br_name))
         return roots
 
-    def remove_orphan_files(self, dry_run: bool = False) -> dict:
+    def remove_orphan_files(
+        self, dry_run: bool = False, older_than_s: float = 3600.0
+    ) -> dict:
         """Delete data dirs unreferenced by any remaining manifest
         (Iceberg ``remove_orphan_files``, ``src/utils/maintenance.py:266-271``).
         Staged-but-unpublished WAP writes count as referenced — their
@@ -2671,7 +2673,23 @@ class LakeTable:
         longer references this table are pruned. ``dry_run=True``
         reports the dirs that WOULD be deleted without touching them
         (the look-before-you-GC audit every irreversible delete
-        deserves)."""
+        deserves).
+
+        ``older_than_s`` is the in-flight-writer grace (Iceberg's
+        ``older_than``, default 3 days, exists for the same reason): a
+        commit writes its ``data/c-*`` dir FIRST and publishes the
+        manifest referencing it only after the write finishes, so a
+        concurrent GC sees every in-flight commit as an orphan — at
+        100 TB a bucketed write runs for minutes, plenty of window to
+        delete data out from under it. Orphan dirs younger than the
+        grace are therefore KEPT (reported as ``orphan_dirs_protected``)
+        and reclaimed by a later run. The default aligns with the
+        reserved-manifest reclaim gate (``txn.reclaim_reserved_manifests``
+        ``older_than_s=3600``), which already bounds any commit's
+        reserve-to-publish duration to the same hour: past it, the
+        commit cannot publish (``_write_manifest`` re-verifies), so
+        deleting its data is safe. Clone-marker pruning is metadata
+        staleness and is not age-gated."""
         live: set[str] = set()
         own_prefix = self.data_dir.rstrip("/") + "/"
 
@@ -2731,13 +2749,25 @@ class LakeTable:
             for br_name in clone.branches():
                 br = clone.branch(br_name)
                 _walk_meta(br.meta_dir, br)
-        orphans = []
+        orphans, protected = [], []
+        now = time.time()
         if self.fs.isdir(self.data_dir):
             for entry in self.fs.listdir(self.data_dir):
-                if entry not in live:
-                    orphans.append(entry)
+                if entry in live:
+                    continue
+                try:
+                    fresh = now - self.fs.mtime(
+                        self.fs.join(self.data_dir, entry)
+                    ) < older_than_s
+                except FileNotFoundError:
+                    continue  # vanished concurrently — nothing to do
+                (protected if fresh else orphans).append(entry)
         if dry_run:
-            return {"orphan_dirs_removed": 0, "orphan_dirs_found": sorted(orphans)}
+            return {
+                "orphan_dirs_removed": 0,
+                "orphan_dirs_found": sorted(orphans),
+                "orphan_dirs_protected": sorted(protected),
+            }
         for mpath in stale_markers:
             try:
                 self.fs.remove(mpath)
@@ -2745,7 +2775,10 @@ class LakeTable:
                 pass
         for entry in orphans:
             self.fs.rmtree(self.fs.join(self.data_dir, entry))
-        return {"orphan_dirs_removed": len(orphans)}
+        return {
+            "orphan_dirs_removed": len(orphans),
+            "orphan_dirs_protected": len(protected),
+        }
 
 
 class LakeBranch(LakeTable):
@@ -2778,7 +2811,8 @@ class LakeBranch(LakeTable):
     def fast_forward(self, name):
         raise ValueError("fast_forward runs on the MAIN table")
 
-    def remove_orphan_files(self, dry_run: bool = False):
+    def remove_orphan_files(self, dry_run: bool = False,
+                            older_than_s: float = 3600.0):
         # a branch-scoped walk would miss main's manifests and delete
         # dirs main still references — GC is a whole-table operation
         raise ValueError("remove_orphan_files runs on the MAIN table "
@@ -3042,7 +3076,13 @@ class LakeCatalog:
             snap = t.snapshot()
             live_now = set(snap.all_dirs() + snap.all_delete_dirs())
             own_prefix = t.data_dir.rstrip("/") + "/"
-            would_free = t.remove_orphan_files(dry_run=True)["orphan_dirs_found"]
+            # accounting asks "unreferenced by anything?", a pure
+            # reference question — the in-flight-writer grace is an
+            # operational delay, so audit with it disabled (a fresh
+            # orphan is still reclaimable bytes, just not yet)
+            would_free = t.remove_orphan_files(
+                dry_run=True, older_than_s=0.0
+            )["orphan_dirs_found"]
             cur_components = set()
             for d in live_now:
                 abs_d = d if d.startswith("/") else self.fs.join(t.location, d)

@@ -73,7 +73,7 @@ def test_compaction_preserves_bloom_filters(catalog, spark):
     t.append(spark.createDataFrame([Row(id=1000 + i, v="a") for i in range(50)]))
     t.rewrite_data_files()
     t.expire_snapshots()
-    t.remove_orphan_files()
+    t.remove_orphan_files(older_than_s=0.0)
     assert _bloom_offsets(t)["id"] >= 0
 
 

@@ -78,7 +78,7 @@ def test_dirty_batch_never_reaches_main(spark, target):
     assert {tuple(r) for r in target.read().select("id", "v").collect()} == before
     assert target.branches() == []  # staging branch cleaned up
     # and the failed attempt's data dirs are reclaimable
-    target.remove_orphan_files()
+    target.remove_orphan_files(older_than_s=0.0)
     assert target.read().count() == 10
 
 

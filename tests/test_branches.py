@@ -70,7 +70,7 @@ def test_fast_forward_promotes_branch_head(catalog, spark):
     assert t.read(version=0).count() == 10
     # promoted state survives branch drop + GC
     t.drop_branch("load")
-    t.remove_orphan_files()
+    t.remove_orphan_files(older_than_s=0.0)
     assert t.read().count() == 11
 
 
@@ -88,12 +88,12 @@ def test_orphan_gc_spares_live_branch_dirs(catalog, spark):
     t = _mk(catalog, spark, "db.br")
     br = t.create_branch("audit")
     br.append(spark.createDataFrame([Row(id=100, v="branch-only")]))
-    t.remove_orphan_files()
+    t.remove_orphan_files(older_than_s=0.0)
     assert _rows(br.read()) >= {(100, "branch-only")}  # still readable
     # after drop, the branch-only dir IS reclaimable
     before = _data_dirs(t)
     t.drop_branch("audit")
-    out = t.remove_orphan_files()
+    out = t.remove_orphan_files(older_than_s=0.0)
     assert out["orphan_dirs_removed"] >= 1
     assert _data_dirs(t) < before
     assert t.read().count() == 10  # main data intact
@@ -142,7 +142,7 @@ def test_branch_guards(catalog, spark):
     with pytest.raises(ValueError, match="nested"):
         br.create_branch("b")
     with pytest.raises(ValueError, match="MAIN"):
-        br.remove_orphan_files()
+        br.remove_orphan_files(older_than_s=0.0)
     with pytest.raises(ValueError, match="MAIN"):
         br.fast_forward("a")
     with pytest.raises(ValueError, match="already exists"):

@@ -57,7 +57,7 @@ def test_source_gc_keeps_dirs_clones_reference(catalog, spark):
     # orphan CANDIDATES on the source side
     src.rewrite_data_files(sort_by=["id"])
     src.expire_snapshots(keep_last=1)
-    report = src.remove_orphan_files()
+    report = src.remove_orphan_files(older_than_s=0.0)
     assert _rows(dst.read()) == before  # still fully readable
     # and the source itself still reads correctly
     assert len(_rows(src.read())) == 8
@@ -74,7 +74,7 @@ def test_source_gc_reclaims_after_clone_localizes(catalog, spark):
     # clone localizes: compaction copies rows into clone-local dirs
     dst.rewrite_data_files(sort_by=["id"])
     dst.expire_snapshots(keep_last=1)
-    report = src.remove_orphan_files()
+    report = src.remove_orphan_files(older_than_s=0.0)
     assert report["orphan_dirs_removed"] >= 1  # pre-compaction dirs freed
     assert src.clone_markers() == []  # marker pruned
     assert len(_rows(dst.read())) == 8  # clone reads its own copies
@@ -111,7 +111,7 @@ def test_rename_clone_rekeys_markers(catalog, spark):
     # GC still honors the re-keyed marker
     src.rewrite_data_files(sort_by=["id"])
     src.expire_snapshots(keep_last=1)
-    src.remove_orphan_files()
+    src.remove_orphan_files(older_than_s=0.0)
     assert len(_rows(moved.read())) == 8
 
 
@@ -140,7 +140,7 @@ def test_clone_of_clone_protects_original_source(catalog, spark):
     catalog.drop("db.a9")
     s.rewrite_data_files(sort_by=["id"])
     s.expire_snapshots(keep_last=1)
-    s.remove_orphan_files()
+    s.remove_orphan_files(older_than_s=0.0)
     assert len(_rows(b.read())) == 8
 
 
@@ -162,7 +162,7 @@ def test_dangling_marker_self_heals(catalog, spark):
     assert len(src.clone_markers()) == 1
     # does not block drop/rename (the clone doesn't exist)
     t = catalog.rename_table("db.s10", "db.s10r")
-    t.remove_orphan_files()
+    t.remove_orphan_files(older_than_s=0.0)
     assert t.clone_markers() == []
 
 
@@ -178,7 +178,7 @@ def test_storage_report_accounting_matches_gc(catalog, spark):
     assert rep["data_bytes_on_disk"] == rep["live_bytes"] + rep["reclaimable_bytes"]
     assert rep["reclaimable_bytes"] > 0
     assert rep["clones"] == [] and rep["clone_of"] == []
-    src.remove_orphan_files()
+    src.remove_orphan_files(older_than_s=0.0)
     (rep2,) = [r for r in catalog.storage_report("db") if r["table"] == "db.sr"]
     assert rep2["reclaimable_bytes"] == 0
     assert rep2["data_bytes_on_disk"] == rep["live_bytes"]
@@ -234,7 +234,7 @@ def test_clone_of_branched_mor_table_pins_main(catalog, spark):
     # source branch unaffected by the clone's existence + source GC
     dst.rewrite_data_files(sort_by=["id"])
     dst.expire_snapshots(keep_last=1)
-    src.remove_orphan_files()
+    src.remove_orphan_files(older_than_s=0.0)
     assert (100, "branch-only") in _rows(src.branch("dev").read())
 
 
@@ -250,14 +250,14 @@ def test_fresh_clone_marker_survives_source_gc(catalog, spark):
     want = _rows(dst.read())
     # routine source GC right after cloning: nothing is orphaned, but
     # the marker must NOT be pruned
-    src.remove_orphan_files()
+    src.remove_orphan_files(older_than_s=0.0)
     assert any(rec["clone"] == dst.location for rec in src.clone_markers())
     # now churn the source: compact + expire + GC would reclaim the
     # clone-referenced dirs if the marker were gone
     src.merge(spark.createDataFrame([Row(id=0, v="new")]))
     src.rewrite_data_files(min_input_dirs=1)
     src.expire_snapshots(keep_last=1)
-    src.remove_orphan_files()
+    src.remove_orphan_files(older_than_s=0.0)
     assert _rows(dst.read()) == want
 
 
@@ -273,7 +273,7 @@ def test_drop_keep_data_preserves_markers(catalog, spark):
     src.merge(spark.createDataFrame([Row(id=1, v="churn")]))
     src.rewrite_data_files(min_input_dirs=1)
     src.expire_snapshots(keep_last=1)
-    src.remove_orphan_files()
+    src.remove_orphan_files(older_than_s=0.0)
     reopened = catalog.table("db.dkeep")
     assert _rows(reopened.read()) == want
     # a purging drop DOES withdraw the marker
@@ -308,7 +308,7 @@ def test_gc_short_circuits_localized_clone_manifest_walk(catalog, spark):
 
     catalog.fs.read_text = spy
     try:
-        src.remove_orphan_files()
+        src.remove_orphan_files(older_than_s=0.0)
     finally:
         catalog.fs.read_text = real
     n_dep_manifests = sum(

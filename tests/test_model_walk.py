@@ -131,7 +131,7 @@ def test_random_walk_matches_model(catalog, spark, seed):
     t.rewrite_position_delete_files()
     t.rewrite_data_files()
     t.expire_snapshots(keep_last=2)
-    t.remove_orphan_files()
+    t.remove_orphan_files(older_than_s=0.0)
     assert _read_state(t) == model
 
 
@@ -257,7 +257,7 @@ def test_branch_wap_txn_walk_matches_model(catalog, spark, seed):
         t.drop_branch("wip")
     t.rewrite_data_files()
     t.expire_snapshots(keep_last=2)
-    t.remove_orphan_files()
+    t.remove_orphan_files(older_than_s=0.0)
     assert _read_state(t) == model
     assert _read_state(aux) == aux_model
 
@@ -328,7 +328,7 @@ def test_layout_evolution_walk_matches_model(catalog, spark, seed):
     t.rewrite_position_delete_files()
     t.rewrite_data_files()
     t.expire_snapshots(keep_last=2)
-    t.remove_orphan_files()
+    t.remove_orphan_files(older_than_s=0.0)
     assert {r.id: r.v for r in t.read().collect()} == model
 
 
@@ -375,7 +375,7 @@ def test_clone_walk_matches_model(catalog, spark, seed):
         elif op == "gc_source":
             src.rewrite_data_files(sort_by=["id"])
             src.expire_snapshots(keep_last=1)
-            src.remove_orphan_files()
+            src.remove_orphan_files(older_than_s=0.0)
         elif op == "drop_clone" and len(tables) > 1:
             victims = [n for n in sorted(tables) if n != "db.cw_src"]
             if victims:
@@ -390,7 +390,7 @@ def test_clone_walk_matches_model(catalog, spark, seed):
         catalog.drop(n)
     src.rewrite_data_files(sort_by=["id"])
     src.expire_snapshots(keep_last=1)
-    src.remove_orphan_files()
+    src.remove_orphan_files(older_than_s=0.0)
     assert _read_state(src) == tables["db.cw_src"][1]
     assert src.clone_markers() == []
 
@@ -446,7 +446,7 @@ def test_clone_gc_walk_matches_model(catalog, spark, seed):
             src.rewrite_position_delete_files()
             src.rewrite_data_files()
             src.expire_snapshots(keep_last=1)
-            src.remove_orphan_files()
+            src.remove_orphan_files(older_than_s=0.0)
         elif op == "clone_new":
             if len(clones) >= 2:
                 continue
@@ -469,7 +469,7 @@ def test_clone_gc_walk_matches_model(catalog, spark, seed):
             c, _ = clones[name]
             c.rewrite_data_files()
             c.expire_snapshots(keep_last=1)
-            c.remove_orphan_files()
+            c.remove_orphan_files(older_than_s=0.0)
         elif op == "drop_keep":
             if not clones:
                 continue
@@ -492,7 +492,7 @@ def test_clone_gc_walk_matches_model(catalog, spark, seed):
     # survivor (and the source) must still read back exactly
     src.rewrite_data_files()
     src.expire_snapshots(keep_last=1)
-    src.remove_orphan_files()
+    src.remove_orphan_files(older_than_s=0.0)
     assert _read_state(src) == src_model
     for name, (c, m) in clones.items():
         assert _read_state(c) == m, f"final ({name})"

@@ -76,7 +76,7 @@ def test_rewrite_position_delete_files_folds(catalog, spark):
     }
     # orphan cleanup after expiry reclaims the delete dirs
     t.expire_snapshots(keep_last=1)
-    t.remove_orphan_files()
+    t.remove_orphan_files(older_than_s=0.0)
     assert _ids(t) == set(range(10, 40))
 
 

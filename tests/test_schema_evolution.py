@@ -175,7 +175,7 @@ def test_evolution_chain_compaction_and_orphans(catalog, spark):
     assert t.snapshot().renames == {}
     assert _rows(t.read()) == {(i, i, None) for i in range(6)} | {(50, 5, 9)}
     t.expire_snapshots(keep_last=1)
-    t.remove_orphan_files()
+    t.remove_orphan_files(older_than_s=0.0)
     assert t.read().count() == 7
 
 

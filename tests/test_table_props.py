@@ -40,7 +40,7 @@ def test_compression_codec_property_applies_to_all_writes(catalog, spark):
     t.merge(spark.createDataFrame([Row(id=0, v="patched")]))
     t.rewrite_data_files()
     t.expire_snapshots()
-    t.remove_orphan_files()
+    t.remove_orphan_files(older_than_s=0.0)
     assert _codecs(t) == {"ZSTD"}
     assert {r["v"] for r in t.lookup(
         spark.createDataFrame([Row(id=0)])).collect()} == {"patched"}
@@ -70,11 +70,11 @@ def test_orphan_dry_run_reports_without_deleting(catalog, spark):
     t = _mk(catalog, spark, "db.g")
     _mk(catalog, spark, "db.g")  # replace: the first commit dir dies
     t.expire_snapshots(keep_last=1)
-    dry = t.remove_orphan_files(dry_run=True)
+    dry = t.remove_orphan_files(dry_run=True, older_than_s=0.0)
     assert dry["orphan_dirs_removed"] == 0
     assert len(dry["orphan_dirs_found"]) >= 1
     # nothing was touched: a real pass still finds the same dirs
-    real = t.remove_orphan_files()
+    real = t.remove_orphan_files(older_than_s=0.0)
     assert real["orphan_dirs_removed"] == len(dry["orphan_dirs_found"])
     assert t.read().count() == 200
 
@@ -104,7 +104,7 @@ def test_declared_sort_order_applies_on_compaction(spark, catalog):
     out = t.rewrite_data_files()  # no args: declared order applies
     assert out["rewritten_buckets"] == 2
     t.expire_snapshots()
-    t.remove_orphan_files()  # drop pre-compaction files before globbing
+    t.remove_orphan_files(older_than_s=0.0)  # drop pre-compaction files before globbing
     # every rewritten file is v-sorted (the fixture fits one row group
     # per file, so order — not min/max extents — is the observable)
     files = glob.glob(f"{t.location}/data/*/**/*.parquet", recursive=True)

@@ -46,7 +46,7 @@ def test_append_and_compact(catalog, spark):
     assert res["rewritten_buckets"] >= 1
     assert t.read().count() == 8
     t.expire_snapshots(keep_last=1)
-    removed = t.remove_orphan_files()
+    removed = t.remove_orphan_files(older_than_s=0.0)
     assert removed["orphan_dirs_removed"] >= 1
     assert t.read().count() == 8
 
@@ -325,3 +325,47 @@ def test_concurrent_same_key_merges_linearizable(catalog, spark):
     assert len(got) == 16  # no lost base rows
     winners = {tag for tag, s in outcomes.items() if s == "ok"}
     assert got[7] in winners  # final value belongs to a SUCCESSFUL writer
+
+
+def test_gc_grace_protects_inflight_writer_dirs(catalog, spark):
+    """The in-flight-writer window (r11): a commit writes its data/c-*
+    dir BEFORE publishing the manifest that references it, so a
+    concurrent GC sees every in-flight commit as an orphan. With the
+    default grace (aligned to the reserved-manifest reclaim gate,
+    3600 s), fresh unreferenced dirs are PROTECTED and reported; only
+    dirs older than the grace are reclaimed. Age is backdated via
+    os.utime to simulate a long-dead write."""
+    import os
+
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(id=i, v=i * 1.0) for i in range(5)])
+    t = catalog.create_or_replace("db.grace", df, key=["id"], n_buckets=2)
+    # simulate an in-flight writer: a staged commit dir with a part file,
+    # not referenced by any manifest yet
+    rel = t._new_commit_dir()
+    staged_dir = catalog.fs.join(t.location, rel)
+    with open(os.path.join(staged_dir, "part-0.parquet"), "wb") as f:
+        f.write(b"inflight")
+
+    # default grace: the fresh dir survives, is reported protected
+    rep = t.remove_orphan_files()
+    assert rep["orphan_dirs_removed"] == 0
+    assert rep["orphan_dirs_protected"] == 1
+    assert catalog.fs.isdir(staged_dir)
+    # dry_run classifies the same way
+    audit = t.remove_orphan_files(dry_run=True)
+    assert audit["orphan_dirs_found"] == []
+    assert audit["orphan_dirs_protected"] == [rel.split("/", 1)[1]]
+
+    # the writer died an hour+ ago: backdate and reclaim
+    old = 4000.0
+    os.utime(staged_dir, (os.path.getatime(staged_dir) - old,
+                          os.path.getmtime(staged_dir) - old))
+    audit = t.remove_orphan_files(dry_run=True)
+    assert audit["orphan_dirs_found"] == [rel.split("/", 1)[1]]
+    rep = t.remove_orphan_files()
+    assert rep["orphan_dirs_removed"] == 1
+    assert not catalog.fs.isdir(staged_dir)
+    # table state untouched throughout
+    assert t.read().count() == 5

@@ -150,7 +150,7 @@ def test_maintenance_compaction_preserves_index(spark, catalog):
     n_dirs_before = len(idx.postings.snapshot().all_dirs())
     idx.postings.rewrite_data_files()
     idx.postings.expire_snapshots(keep_last=1)
-    idx.postings.remove_orphan_files()
+    idx.postings.remove_orphan_files(older_than_s=0.0)
     after = [tuple(r) for r in idx.search([(0, "alpha"), (1, "beta")], top_k=10).collect()]
     assert after == before
     assert len(idx.postings.snapshot().all_dirs()) < n_dirs_before

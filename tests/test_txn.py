@@ -51,7 +51,7 @@ def test_exception_aborts_everything(catalog, spark):
     assert a.current_version() == va and b.current_version() == vb
     assert (1, "changed") not in _rows(a.read())
     # the staged data files are unreferenced; orphan GC reclaims them
-    report = a.remove_orphan_files()
+    report = a.remove_orphan_files(older_than_s=0.0)
     assert report["orphan_dirs_removed"] >= 1
 
 

@@ -70,7 +70,7 @@ def test_expire_keeps_tagged_versions(catalog, spark):
     with pytest.raises(ValueError, match="no snapshot v1"):
         t.read(version=1)
     # orphan cleanup must not reclaim the tagged version's data
-    t.remove_orphan_files()
+    t.remove_orphan_files(older_than_s=0.0)
     assert t.read(tag="pinned").count() == 10
     # dropping the tag releases it on the next expire
     t.drop_tag("pinned")
@@ -183,7 +183,7 @@ def test_wap_publish_refuses_after_schema_change(catalog, spark):
 def test_wap_orphan_cleanup_spares_staged_dirs(catalog, spark):
     t = _mk(catalog, spark, "db.waporphan")
     t.stage_append(spark.createDataFrame([Row(id=100, v="staged")]), "keepme")
-    assert t.remove_orphan_files()["orphan_dirs_removed"] == 0
+    assert t.remove_orphan_files(older_than_s=0.0)["orphan_dirs_removed"] == 0
     t.publish_staged("keepme")
     assert t.read().count() == 11
 
