@@ -239,6 +239,16 @@ def main() -> None:
         dml["merge_1pct_checked"] = round(time.perf_counter() - t0, 3)
         table.drop_constraint("price_positive")
 
+        # partial-column MERGE (update_columns): full-merge cost + ONE
+        # extra bucket-pruned lookup of the batch's keys (the
+        # effective-source rewrite) — the delta vs merge_1pct IS the
+        # lookup's price
+        upd3 = upd.withColumn("o_orderpriority", F.lit("BENCH-PARTIAL"))
+        t0 = _case("dml:merge_1pct_partial")
+        table.merge(upd3, assert_unique_key=False,
+                    update_columns=["o_orderpriority"])
+        dml["merge_1pct_partial"] = round(time.perf_counter() - t0, 3)
+
         dels = orders.filter(F.col("o_orderkey") % 100 == 1).select("id_iceberg")
         t0 = _case("dml:delete_1pct")
         table.delete_keys(dels)
