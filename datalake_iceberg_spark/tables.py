@@ -64,6 +64,10 @@ MAX_WRITE_SPLITS = 16
 # above this many distinct keys a lookup stays a broadcast semi-join —
 # an IN-list that size stops being a "point" lookup and bloats the plan
 MAX_PUSHED_LOOKUP_KEYS = 1024
+#: broadcast a MoR delete era's key set only below this on-disk size —
+#: hot-path CDC eras are KBs–MBs and broadcast; a bulk delete's keys can
+#: be GBs at scale, where the anti-join strategy is left to AQE
+DELETE_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 
 
 def _utcnow() -> str:
@@ -734,6 +738,21 @@ class LakeTable:
         )
         return self._read_mapped(rel_dirs, key_schema, snap.renames).distinct()
 
+    def _dirs_bytes(self, rel_dirs) -> int:
+        """Total parquet bytes under the given dirs (relative to this
+        table, or absolute for a clone's foreign refs) — manifest-time
+        metadata, no Spark job."""
+        total = 0
+        for rel in rel_dirs:
+            d = rel if rel.startswith("/") else self.fs.join(self.location, rel)
+            try:
+                for f in self.fs.listdir(d):
+                    if f.endswith(".parquet"):
+                        total += self.fs.size(self.fs.join(d, f))
+            except FileNotFoundError:
+                continue
+        return total
+
     def _read_with_deletes(self, snap: Snapshot, bucket_dirs: dict[str, list[str]]) -> DataFrame:
         """Read the given per-bucket data dirs applying any merge-on-read
         delete files. Dirs are grouped by their covering delete-COMMIT
@@ -776,9 +795,18 @@ class LakeTable:
         pieces: list[DataFrame] = []
         for data_dirs, del_dirs in groups.values():
             dkeys = self._read_delete_keys(snap, sorted(del_dirs))
+            # broadcast the era's delete keys only when their on-disk
+            # bytes say it's safe (hot-path CDC eras are KBs–MBs); a
+            # bulk MoR delete's key set can be GBs at 100 TB, where a
+            # FORCED broadcast (r1-r10 behavior) would pin the driver
+            # and every executor — past the gate, leave the anti-join
+            # strategy to AQE, which sees the distinct's actual output
+            # size at runtime
+            if self._dirs_bytes(del_dirs) <= DELETE_BROADCAST_MAX_BYTES:
+                dkeys = F.broadcast(dkeys)
             pieces.append(
                 self._read_dirs(data_dirs, snap).join(
-                    F.broadcast(dkeys), on=snap.key, how="left_anti"
+                    dkeys, on=snap.key, how="left_anti"
                 )
             )
         if plain or not pieces:

@@ -152,3 +152,32 @@ def test_mor_era_grouping_single_bucket_commit_exact(catalog, spark):
     assert got[2] == "reborn"          # survived: newer than delete A
     assert 5 not in got
     assert set(got) == (set(range(8)) - {5}) | {2}
+
+
+def test_mor_read_broadcast_gated_by_delete_era_bytes(catalog, spark, monkeypatch):
+    """r11 scale guard: the MoR read broadcasts an era's delete keys
+    only while their on-disk bytes sit under DELETE_BROADCAST_MAX_BYTES
+    — a bulk delete's key set can be GBs at 100 TB, where a forced
+    broadcast pins the driver. Small era (KBs): the anti-join build
+    side carries the broadcast hint; threshold forced to 0: no hint,
+    the strategy is AQE's."""
+    from datalake_iceberg_spark import tables as tables_mod
+
+    df = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(40)])
+    t = catalog.create_or_replace("db.bgate", df, key=["id"], n_buckets=4)
+    t.delete_keys(
+        spark.createDataFrame([(k,) for k in (3, 7, 11)], "id long"),
+        mode="merge-on-read",
+    )
+    assert t.snapshot().deletes  # live era
+
+    plan_small = t.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" in plan_small or "broadcast" in plan_small.lower()
+
+    monkeypatch.setattr(tables_mod, "DELETE_BROADCAST_MAX_BYTES", 0)
+    plan_big = t.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in plan_big and "broadcast" not in plan_big.lower()
+    # value parity between the two strategies
+    monkeypatch.setattr(tables_mod, "DELETE_BROADCAST_MAX_BYTES", 0)
+    got = {r.id for r in t.read().collect()}
+    assert got == set(range(40)) - {3, 7, 11}
