@@ -508,7 +508,10 @@ ORDER BY o_orderkey, o_custkey
 """
 
 
+import threading as _threading
+
 _PARTIAL_MERGE_TABLES: dict[str, str] = {}
+_PARTIAL_MERGE_LOCK = _threading.Lock()
 
 
 def _partial_merge_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -558,23 +561,24 @@ def merge_partial_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datalake_iceberg_spark.tables import LakeTable
 
-    loc = _PARTIAL_MERGE_TABLES.get(sf_dir)
-    if loc is None:
-        loc = tempfile.mkdtemp(prefix="merge_partial_orders_")
-        _PARTIAL_MERGE_TABLES[sf_dir] = loc
-        atexit.register(shutil.rmtree, loc, ignore_errors=True)
-        orders = load(spark, sf_dir, "orders")
-        target = orders.select(
-            "o_orderkey", "o_custkey", "o_orderstatus",
-            (cents("o_totalprice").cast("double") / 100.0).alias("o_totalprice"),
-            "o_orderdate", "o_orderpriority",
-        )
-        t = LakeTable(spark, loc)
-        t.create_or_replace(target, key=["o_orderkey"], n_buckets=4)
-        t.merge(
-            _partial_merge_source(spark, sf_dir),
-            update_columns=["o_totalprice", "o_orderpriority"],
-        )
+    with _PARTIAL_MERGE_LOCK:  # one builder per sf_dir, even under
+        loc = _PARTIAL_MERGE_TABLES.get(sf_dir)  # concurrent grading
+        if loc is None:
+            loc = tempfile.mkdtemp(prefix="merge_partial_orders_")
+            atexit.register(shutil.rmtree, loc, ignore_errors=True)
+            orders = load(spark, sf_dir, "orders")
+            target = orders.select(
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                (cents("o_totalprice").cast("double") / 100.0).alias("o_totalprice"),
+                "o_orderdate", "o_orderpriority",
+            )
+            t = LakeTable(spark, loc)
+            t.create_or_replace(target, key=["o_orderkey"], n_buckets=4)
+            t.merge(
+                _partial_merge_source(spark, sf_dir),
+                update_columns=["o_totalprice", "o_orderpriority"],
+            )
+            _PARTIAL_MERGE_TABLES[sf_dir] = loc  # publish only when built
     return (
         LakeTable(spark, loc)
         .read()
