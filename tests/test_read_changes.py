@@ -153,3 +153,38 @@ def test_keyed_diff_mixed_merge_and_compaction(table):
     rows = ch.collect()
     assert len(rows) == 4
     assert all(r["_change_type"] == "update_postimage" for r in rows)
+
+
+def test_partial_merge_changes_carry_current_columns(table, spark):
+    """CDC-out over a partial-column MERGE commit (r11): the diff's
+    update_postimage rows must show the MERGED row — updated columns
+    from the batch, every other column at its pre-merge CURRENT value —
+    and a batch key absent from the table surfaces as a plain insert
+    with all batch columns. Downstream incremental consumers see
+    exactly what a reader of the table sees."""
+    t, orders = table
+    v0 = t.current_version()
+    keys = [r.o_orderkey for r in orders.select("o_orderkey").limit(3).collect()]
+    pre = {
+        r.o_orderkey: (r.o_custkey, r.o_orderpriority)
+        for r in t.read().filter(F.col("o_orderkey").isin(keys)).collect()
+    }
+    batch = (
+        orders.filter(F.col("o_orderkey").isin(keys))
+        .withColumn("o_custkey", F.col("o_custkey") + 5_000_000)  # NOT updated
+        .withColumn("o_orderpriority", F.lit("PARTIAL"))           # updated
+    )
+    new_key = 77_000_000
+    insert = batch.limit(1).withColumn("o_orderkey", F.lit(new_key))
+    t.merge(batch.unionByName(insert), update_columns=["o_orderpriority"])
+
+    ch = {r.o_orderkey: r for r in t.read_changes(v0).collect()}
+    for k in keys:
+        r = ch[k]
+        assert r._change_type == "update_postimage"
+        assert r.o_orderpriority == "PARTIAL"          # from the batch
+        assert r.o_custkey == pre[k][0]                # current, NOT +5M
+    r = ch[new_key]
+    assert r._change_type == "insert"
+    assert r.o_orderpriority == "PARTIAL"
+    assert r.o_custkey >= 5_000_000                    # insert takes ALL batch cols
