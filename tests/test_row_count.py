@@ -1,0 +1,111 @@
+"""Metadata-only COUNT(*) — ``LakeTable.row_count`` (r11; the Iceberg
+manifest record-count analogue). The ladder: snapshot ``#rows`` stats →
+footer fallback for pre-stat dirs → real scan only under live MoR
+delete eras."""
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.tables import ROWS_STAT, LakeCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "wh"))
+
+
+def _mk(catalog, spark, name, n=40):
+    df = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(n)])
+    return catalog.create_or_replace(name, df, key=["id"], n_buckets=4)
+
+
+def test_row_count_matches_scan_across_dml(catalog, spark):
+    t = _mk(catalog, spark, "db.rc")
+    assert t.row_count() == 40 == t.read().count()
+    t.append(spark.createDataFrame([Row(id=100 + i, v="a") for i in range(7)]))
+    assert t.row_count() == 47
+    t.merge(spark.createDataFrame(
+        [Row(id=1, v="m"), Row(id=999, v="new")]))  # 1 update + 1 insert
+    assert t.row_count() == 48 == t.read().count()
+    t.delete_keys(spark.createDataFrame([(999,), (100,)], "id long"))  # CoW
+    assert t.row_count() == 46 == t.read().count()
+    t.rewrite_data_files(min_input_dirs=1)
+    t.rebucket(8)
+    assert t.row_count() == 46 == t.read().count()
+    t.update_where([("id", "<=", 5)], {"v": "'u'"})
+    assert t.row_count() == 46 == t.read().count()
+
+
+def test_row_count_version_pinned(catalog, spark):
+    t = _mk(catalog, spark, "db.rcv")
+    v0 = t.current_version()
+    t.append(spark.createDataFrame([Row(id=500, v="x")]))
+    assert t.row_count(version=v0) == 40
+    assert t.row_count() == 41
+
+
+def test_row_count_is_metadata_only_when_stats_present(catalog, spark):
+    """No Spark job: the manifest path must not touch the session at
+    all (spark job count unchanged across the call)."""
+    t = _mk(catalog, spark, "db.rcm")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    n = t.row_count()
+    after = tracker.getJobIdsForGroup(None)
+    assert n == 40
+    assert before == after, "row_count launched a Spark job on the stats path"
+
+
+def test_row_count_mor_deletes_fall_back_to_scan_then_fold_restores(catalog, spark):
+    t = _mk(catalog, spark, "db.rcd")
+    t.delete_keys(
+        spark.createDataFrame([(k,) for k in (1, 2, 3)], "id long"),
+        mode="merge-on-read",
+    )
+    assert t.snapshot().deletes
+    assert t.row_count() == 37 == t.read().count()  # exact under masks
+    t.rewrite_position_delete_files()
+    assert not t.snapshot().deletes
+    assert t.row_count() == 37  # metadata path again
+
+
+def test_row_count_footer_fallback_for_pre_stat_manifests(catalog, spark):
+    """Manifests written before ROWS_STAT existed lack the entry —
+    strip it from the on-disk manifest and the count must come from
+    parquet footers (no data scan, value identical)."""
+    t = _mk(catalog, spark, "db.rcl")
+    mpath = catalog.fs.join(t.meta_dir, f"v{t.current_version()}.json")
+    doc = json.loads(catalog.fs.read_text(mpath))
+    stripped = 0
+    for d, cols in doc.get("stats", {}).items():
+        if ROWS_STAT in cols:
+            del cols[ROWS_STAT]
+            stripped += 1
+    assert stripped > 0
+    import os
+    os.remove(mpath)
+    with open(mpath, "w") as f:
+        f.write(json.dumps(doc))
+    t2 = catalog.table("db.rcl")
+    assert t2.snapshot().stats and all(
+        ROWS_STAT not in c for c in t2.snapshot().stats.values()
+    )
+    assert t2.row_count() == 40
+
+
+def test_rows_stat_invisible_to_data_skipping(catalog, spark):
+    """The pseudo-column must never match a predicate lookup: skipping
+    over a real filter behaves exactly as before, and a dir's
+    ROWS_STAT entry equals its actual row count."""
+    t = _mk(catalog, spark, "db.rcs")
+    snap = t.snapshot()
+    for d in snap.all_dirs():
+        n = snap.stats[d][ROWS_STAT][0]
+        got = t._read_dirs([d], snap).count()
+        assert n == got
+    # real-column pruning still works (id range disjoint from filter)
+    assert t.scan([("id", ">", 10_000)]).count() == 0
