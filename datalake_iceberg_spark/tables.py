@@ -891,6 +891,44 @@ class LakeTable:
                     total += _footer_num_rows(self.fs.join(abs_dir, f))
         return total
 
+    def column_bounds(
+        self, column: str, version: int | None = None
+    ) -> tuple[Any, Any] | None:
+        """Metadata-only ``MIN(col), MAX(col)`` from the per-dir footer
+        stats — the companion to :meth:`row_count`. Returns ``None``
+        when the metadata path cannot answer EXACTLY, rather than
+        degrading silently:
+
+        - a live MoR delete era may have masked the extremal rows;
+        - a dir without harvested stats for the column (bytes-typed
+          min/max, pre-stat manifest, harvest degraded) leaves a gap;
+        - footer min/max are value bounds, exact for the types the
+          harvest keeps (it drops bytes/truncated stats already).
+
+        Callers fall back to ``read().agg(min, max)`` on ``None`` — the
+        explicit contract beats an approximate answer that is silently
+        wrong at the 100 TB audit."""
+        snap = self.snapshot(version)
+        if snap.deletes:
+            return None
+        dirs = snap.all_dirs()
+        if not dirs:
+            return None
+        lo = hi = None
+        for d in dirs:
+            # renames: a dir written under an old physical name keeps
+            # stats under that name — map the logical column back
+            phys = snap.renames.get(d, {}).get(column, column)
+            ent = snap.stats.get(d, {}).get(phys)
+            if ent is None:
+                return None  # gap -> metadata path can't answer exactly
+            dlo, dhi = ent[0], ent[1]
+            if lo is None or dlo < lo:
+                lo = dlo
+            if hi is None or dhi > hi:
+                hi = dhi
+        return (lo, hi)
+
     def read_changes(
         self, from_version: int, to_version: int | None = None,
         include_preimages: bool = False,

@@ -109,3 +109,39 @@ def test_rows_stat_invisible_to_data_skipping(catalog, spark):
         assert n == got
     # real-column pruning still works (id range disjoint from filter)
     assert t.scan([("id", ">", 10_000)]).count() == 0
+
+
+def test_column_bounds_matches_scan(catalog, spark):
+    t = _mk(catalog, spark, "db.cb")
+    lo, hi = t.column_bounds("id")
+    row = t.read().agg(F.min("id"), F.max("id")).collect()[0]
+    assert (lo, hi) == (row[0], row[1]) == (0, 39)
+    slo, shi = t.column_bounds("v")
+    srow = t.read().agg(F.min("v"), F.max("v")).collect()[0]
+    assert (slo, shi) == (srow[0], srow[1])
+    # stays exact across DML + compaction
+    t.merge(spark.createDataFrame([Row(id=-5, v="zz"), Row(id=500, v="a")]))
+    t.rewrite_data_files(min_input_dirs=1)
+    assert t.column_bounds("id") == (-5, 500)
+
+
+def test_column_bounds_refuses_inexact(catalog, spark):
+    """None (never a silently-wrong answer) under live MoR masks and
+    for stat-less columns; fold restores the metadata path."""
+    t = _mk(catalog, spark, "db.cbr")
+    t.delete_keys(spark.createDataFrame([(39,)], "id long"), mode="merge-on-read")
+    assert t.column_bounds("id") is None  # 39 is masked; 38 is the truth
+    t.rewrite_position_delete_files()
+    assert t.column_bounds("id") == (0, 38)
+    assert t.column_bounds("nope") is None  # unknown column -> no stats
+
+
+def test_column_bounds_across_rename(catalog, spark):
+    """Dirs written under the OLD physical name keep their stats under
+    it — the logical lookup must translate per dir, exactly like the
+    data-skipping path."""
+    t = _mk(catalog, spark, "db.cbn")
+    t.rename_column("id", "ident")
+    # old dirs: stats under 'id'; new dir (from append) under 'ident'
+    t.append(spark.createDataFrame([Row(ident=777, v="n")]))
+    assert t.column_bounds("ident") == (0, 777)
