@@ -30,16 +30,19 @@ from datalake_iceberg_spark.jobs.common import (
 
 
 def build_parser():
-    p = base_parser("catalog admin: list / storage / clone / rename / drop")
+    p = base_parser("catalog admin: list / storage / fsck / clone / rename / drop")
     p.add_argument("command",
-                   choices=["list", "storage", "clone", "rename", "drop"])
+                   choices=["list", "storage", "fsck", "clone", "rename",
+                            "drop"])
     p.add_argument("--schema", default="default")
     p.add_argument("--table", default=None)
     p.add_argument("--target", default=None)
     p.add_argument("--keep-data", action="store_true",
                    help="drop: leave the directory in place (metadata drop)")
     p.add_argument("--json", action="store_true", dest="as_json",
-                   help="storage: one JSON line per table")
+                   help="storage/fsck: one JSON line per table")
+    p.add_argument("--deep", action="store_true",
+                   help="fsck: also recount rows from parquet footers")
     return p
 
 
@@ -66,6 +69,21 @@ def main(argv=None, spark=None) -> int:
                     f"clones={len(r['clones'])}"
                 )
         return 0
+    if args.command == "fsck":
+        names = [args.table] if args.table else catalog.list_tables(args.schema)
+        bad = 0
+        for name in names:
+            rep = catalog.table(name).fsck(deep=args.deep)
+            bad += 0 if rep["ok"] else 1
+            if args.as_json:
+                print(json.dumps({"table": name, **rep}, sort_keys=True))
+            else:
+                status = "ok" if rep["ok"] else "ISSUES"
+                detail = {k: len(v) for k, v in rep.items()
+                          if isinstance(v, list) and v}
+                print(f"{name}: {status} v{rep['version']}"
+                      + (f" {detail}" if detail else ""))
+        return 0 if bad == 0 else 3
     if not args.table:
         raise SystemExit(f"{args.command} requires --table")
     if args.command == "drop":

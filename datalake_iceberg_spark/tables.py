@@ -852,6 +852,85 @@ class LakeTable:
             return self._read_with_deletes(snap, snap.buckets)
         return self._read_dirs(snap.all_dirs(), snap)
 
+    def fsck(self, deep: bool = False) -> dict:
+        """Manifest↔disk integrity audit (the lakehouse ``fsck``;
+        Iceberg ships the same idea as metadata validation in its
+        maintenance suite). Read-only — reports, never repairs:
+
+        - ``missing_dirs`` — current-snapshot data/delete dirs (incl. a
+          clone's absolute foreign refs) absent on disk: unreadable
+          table, usually an external delete or a botched GC;
+        - ``empty_dirs`` — referenced dirs with zero parquet files;
+        - ``dangling_covers`` — MoR delete entries covering dirs no
+          longer in the snapshot (the commit path prunes these; any
+          survivor indicates manifest corruption);
+        - ``stale_stats`` — stats keys for dirs not live (cosmetic:
+          wasted manifest bytes, never wrong results);
+        - ``staged_missing`` — WAP-staged docs referencing missing dirs
+          (an audit-gated publish would fail);
+        - with ``deep=True``: ``row_drift`` — dirs whose ``ROWS_STAT``
+          disagrees with a fresh footer recount (O(files) footer reads,
+          no data scan).
+
+        ``ok`` is True when nothing but ``stale_stats`` was found.
+        Branch manifests are covered by running fsck per branch (each
+        branch is its own chain sharing main's data dirs)."""
+        snap = self.snapshot()
+        issues: dict[str, list] = {
+            "missing_dirs": [], "empty_dirs": [], "dangling_covers": [],
+            "stale_stats": [], "staged_missing": [],
+        }
+
+        def _abs(d: str) -> str:
+            return d if d.startswith("/") else self.fs.join(self.location, d)
+
+        def _parquets(d: str) -> list[str] | None:
+            try:
+                return [f for f in self.fs.listdir(_abs(d))
+                        if f.endswith(".parquet")]
+            except FileNotFoundError:
+                return None
+
+        live = set(snap.all_dirs())
+        for d in sorted(live | set(snap.all_delete_dirs())):
+            files = _parquets(d)
+            if files is None:
+                issues["missing_dirs"].append(d)
+            elif not files:
+                issues["empty_dirs"].append(d)
+        for b, entries in snap.deletes.items():
+            for e in entries:
+                gone = sorted(set(e["covers"]) - live)
+                if gone:
+                    issues["dangling_covers"].append(
+                        {"bucket": b, "delete_dir": e["dir"], "covers": gone}
+                    )
+        issues["stale_stats"] = sorted(set(snap.stats) - live)
+        for wap_id in self.staged_ids():
+            doc = self._load_staged(wap_id)
+            for dirs in doc["buckets"].values():
+                for d in dirs:
+                    if _parquets(d) is None:
+                        issues["staged_missing"].append(
+                            {"wap_id": wap_id, "dir": d}
+                        )
+        if deep:
+            drift = []
+            for d in sorted(live):
+                ent = snap.stats.get(d, {}).get(ROWS_STAT)
+                files = _parquets(d)
+                if ent is None or files is None:
+                    continue
+                actual = sum(
+                    _footer_num_rows(self.fs.join(_abs(d), f)) for f in files
+                )
+                if actual != int(ent[0]):
+                    drift.append({"dir": d, "manifest": int(ent[0]),
+                                  "footers": actual})
+            issues["row_drift"] = drift
+        ok = not any(v for k, v in issues.items() if k != "stale_stats")
+        return {"ok": ok, "version": snap.version, **issues}
+
     def row_count(self, version: int | None = None) -> int:
         """``COUNT(*)`` without a data scan (Iceberg answers this from
         manifest record counts; at 100 TB the difference is metadata
