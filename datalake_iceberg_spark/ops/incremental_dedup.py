@@ -9,10 +9,13 @@ the corpus:
 
 - **batch signatures**: one scan + one shuffle of the batch;
 - **probe**: the index keeps a BAND table (band_hash, doc_id) bucketed
-  by ``band_hash``; the probe collects the batch's band-hash bucket
-  ids (≤ 4×batch, deduped driver-side like every keyed-DML plan here)
-  and reads ONLY those buckets — corpus bytes outside colliding
-  buckets are never touched, and no corpus hash is ever recomputed;
+  by ``band_hash``; the probe collects only the batch's DISTINCT
+  bucket ids (≤ n_buckets, never the band hashes themselves) and
+  reads ONLY those buckets — corpus bytes outside colliding buckets
+  are never touched, and no corpus hash is ever recomputed. Past the
+  IN-list cap the bucket-pruned read semi-joins the probe hashes
+  distributedly (AQE picks the strategy), so a 10 M-doc batch never
+  lands on the driver;
 - **index update**: survivors' signatures MERGE into the signature
   table (keyed by doc_id); their band rows append after an anti-join
   against the probe's hits, so a re-run of the same batch adds nothing

@@ -870,7 +870,9 @@ class LakeTable:
           (an audit-gated publish would fail);
         - with ``deep=True``: ``row_drift`` — dirs whose ``ROWS_STAT``
           disagrees with a fresh footer recount (O(files) footer reads,
-          no data scan).
+          no data scan) — and ``unreadable_footers`` — files whose
+          footer cannot be parsed (reported as their own issue, never
+          folded into the recount where a -1 could cancel real drift).
 
         ``ok`` is True when nothing but ``stale_stats`` was found.
         Branch manifests are covered by running fsck per branch (each
@@ -916,18 +918,29 @@ class LakeTable:
                         )
         if deep:
             drift = []
+            unreadable = []
             for d in sorted(live):
                 ent = snap.stats.get(d, {}).get(ROWS_STAT)
                 files = _parquets(d)
                 if ent is None or files is None:
                     continue
-                actual = sum(
-                    _footer_num_rows(self.fs.join(_abs(d), f)) for f in files
-                )
+                counts = {
+                    f: _footer_num_rows(self.fs.join(_abs(d), f))
+                    for f in files
+                }
+                bad = sorted(f for f, n in counts.items() if n < 0)
+                if bad:
+                    # an unreadable footer is its own finding — folding
+                    # its -1 into the sum could cancel a genuine drift
+                    # (manifest=10, files=[11, unreadable] -> 10)
+                    unreadable.append({"dir": d, "files": bad})
+                    continue
+                actual = sum(counts.values())
                 if actual != int(ent[0]):
                     drift.append({"dir": d, "manifest": int(ent[0]),
                                   "footers": actual})
             issues["row_drift"] = drift
+            issues["unreadable_footers"] = unreadable
         ok = not any(v for k, v in issues.items() if k != "stale_stats")
         return {"ok": ok, "version": snap.version, **issues}
 
@@ -942,18 +955,40 @@ class LakeTable:
         2. **Footer fallback** for dirs committed before the stat
            existed (or whose harvest degraded): read ONLY those dirs'
            parquet footers — O(files) metadata round-trips, no data.
-        3. **Scan fallback** when the snapshot carries live MoR delete
-           eras: masked rows make footer counts an upper bound, so the
-           exact answer takes the real read (deletes fold away on the
-           scheduled ``rewrite_position_delete_files``, restoring the
-           metadata path).
+        3. **Hybrid scan under live MoR delete eras**: masked rows make
+           footer counts an upper bound, but ONLY for the dirs an era
+           actually ``covers`` — those take the real anti-joined read;
+           every uncovered dir keeps the metadata path. Count cost is
+           ∝ masked dirs, not table size (a 100 TB table with one hot
+           MoR partition counts at the cost of that partition; the
+           scheduled ``rewrite_position_delete_files`` fold restores
+           pure metadata math).
+
+        Exactness is a hard contract: a missing dir raises
+        ``FileNotFoundError`` (``read()`` on the same snapshot would
+        fail too) and an unreadable parquet footer falls back to a
+        Spark count of ONLY that dir — never a silently-wrong total.
         """
         snap = self.snapshot(version)
+        live = snap.all_dirs()
+        covered: set[str] = set()
         if snap.deletes:
-            return self.read(version).count()
+            live_set = set(live)
+            for entries in snap.deletes.values():
+                for e in entries:
+                    covered.update(set(e["covers"]) & live_set)
         total = 0
+        if covered:
+            masked_buckets = {
+                b: [d for d in dirs if d in covered]
+                for b, dirs in snap.buckets.items()
+            }
+            masked_buckets = {b: ds for b, ds in masked_buckets.items() if ds}
+            total += self._read_with_deletes(snap, masked_buckets).count()
         missing: list[str] = []
-        for d in snap.all_dirs():
+        for d in live:
+            if d in covered:
+                continue
             rows = snap.stats.get(d, {}).get(ROWS_STAT)
             if rows is None:
                 missing.append(d)
@@ -961,13 +996,20 @@ class LakeTable:
                 total += int(rows[0])
         for d in missing:
             abs_dir = d if d.startswith("/") else self.fs.join(self.location, d)
-            try:
-                names = self.fs.listdir(abs_dir)
-            except FileNotFoundError:
-                continue
-            for f in names:
-                if f.endswith(".parquet"):
-                    total += _footer_num_rows(self.fs.join(abs_dir, f))
+            # a vanished dir is manifest<->disk corruption: raise, never
+            # skip (the silent-continue here was a wrong-answer bug)
+            names = self.fs.listdir(abs_dir)
+            counts = [
+                _footer_num_rows(self.fs.join(abs_dir, f))
+                for f in names if f.endswith(".parquet")
+            ]
+            if any(n < 0 for n in counts):
+                # footer unreadable by pyarrow: exact count of just
+                # this dir via the engine (loud if truly corrupt) —
+                # never fold the -1 sentinel into the total
+                total += self._read_dirs([d], snap).count()
+            else:
+                total += sum(counts)
         return total
 
     def column_bounds(
@@ -1793,13 +1835,23 @@ class LakeTable:
             # row groups are skipped by dictionary/bloom-filter checks
             # (enable via the write.parquet.bloom-filter-columns table
             # property for high-cardinality keys whose min/max ranges
-            # overlap every probe). Bounded: _affected_buckets already
-            # collected this ≤ point-lookup-sized key set once.
+            # overlap every probe). The probe set is caller-supplied and
+            # can be O(batch) (SignatureIndex band hashes, rollup touched
+            # groups), so collect AT MOST cap+1 rows to decide — never
+            # the whole set — and past the cap fall through to a
+            # distributed semi-join.
             k = snap.key[0]
-            vals = [r[0] for r in keys_df.collect()]
+            vals = [r[0] for r in keys_df.limit(MAX_PUSHED_LOOKUP_KEYS + 1).collect()]
             if len(vals) <= MAX_PUSHED_LOOKUP_KEYS:
                 return pruned.where(F.col(k).isin(vals))
-        return pruned.join(F.broadcast(keys_df), on=snap.key, how="left_semi")
+        # over-cap / composite-key path: no forced broadcast — the probe
+        # side's size is unknown and can be GBs at 100 TB scale, where a
+        # forced broadcast pins the driver and every executor. AQE sees
+        # the distinct's actual output size at runtime and picks
+        # broadcast vs shuffle itself (same reasoning as the
+        # DELETE_BROADCAST_MAX_BYTES gate on the MoR read path; Iceberg
+        # likewise leaves read-side join strategy to the engine).
+        return pruned.join(keys_df, on=snap.key, how="left_semi")
 
     def _affected_buckets(self, source: DataFrame, snap: Snapshot) -> list[int]:
         if snap.n_buckets <= 1:

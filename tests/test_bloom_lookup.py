@@ -96,6 +96,58 @@ def test_large_key_set_falls_back_to_semi_join(catalog, spark):
     assert "Join" in plan
 
 
+def test_over_cap_lookup_never_forces_broadcast(catalog, spark):
+    """Past MAX_PUSHED_LOOKUP_KEYS the probe side's size is unknown
+    (SignatureIndex routes O(batch) band hashes through here), so the
+    semi-join must carry NO broadcast hint — AQE picks the strategy from
+    the probe's actual runtime size. A forced F.broadcast here was the
+    r11 scale defect (driver OOM + pinned executors at 100 TB)."""
+    t = _mk(catalog, spark, "db.bloom", n=3000)
+    probe = spark.createDataFrame([Row(id=i) for i in range(0, 3000, 2)])
+    out = t.lookup(probe)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join LeftSemi" in optimized
+    assert "ResolvedHint" not in optimized  # no forced strategy
+
+
+def test_over_cap_lookup_does_not_collect_probe_keys(catalog, spark, monkeypatch):
+    """The IN-list decision must read at most cap+1 probe rows on the
+    driver — never the full key set. Pinned by shrinking the cap and
+    counting the rows the decision probe actually materializes."""
+    import datalake_iceberg_spark.tables as tables_mod
+
+    monkeypatch.setattr(tables_mod, "MAX_PUSHED_LOOKUP_KEYS", 8)
+    t = _mk(catalog, spark, "db.bloom", n=200)
+    probe = spark.createDataFrame([Row(id=i) for i in range(100)])
+    SparkDF = type(probe)  # the concrete (classic) DataFrame class
+    collected: list[int] = []
+    orig = SparkDF.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(SparkDF, "collect", spy)
+    out = t.lookup(probe)
+    # every driver-side collect inside lookup is bounded: bucket ids
+    # (≤ n_buckets=4) or the capped decision probe (≤ cap+1=9)
+    assert collected and max(collected) <= 9
+    assert out.count() == 100
+
+
+def test_under_cap_composite_key_lookup_stays_unforced(catalog, spark):
+    df = spark.createDataFrame(
+        [Row(a=i % 10, b=i // 10, v=f"x{i}") for i in range(100)]
+    )
+    t = catalog.create_or_replace("db.comp", df, key=["a", "b"], n_buckets=4)
+    probe = spark.createDataFrame([Row(a=3, b=4), Row(a=7, b=7)])
+    out = t.lookup(probe)
+    assert {r["v"] for r in out.collect()} == {"x43", "x77"}
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized
+
+
 def test_lookup_matches_read_filter(catalog, spark):
     t = _mk(catalog, spark, "db.bloom", props=BLOOM_PROPS)
     t.merge(spark.createDataFrame([Row(id=7, v="patched")]))

@@ -133,3 +133,33 @@ def test_collapse_batch_drops_in_batch_dups(spark, tmp_path):
     assert r["admitted"] == 1
     ids = {x["doc_id"] for x in idx.table.read().select("doc_id").collect()}
     assert 60 in ids and 61 not in ids and 62 not in ids
+
+
+def test_over_cap_probe_value_parity(spark, tmp_path, monkeypatch):
+    """A batch whose band-hash set exceeds MAX_PUSHED_LOOKUP_KEYS takes
+    the distributed semi-join probe path (no driver collect of the
+    hashes, no forced broadcast) and must produce IDENTICAL dedup
+    decisions to the IN-list path. Regression pin for the r11 lookup
+    defect: SignatureIndex._hits routes O(batch) band hashes through
+    LakeTable.lookup."""
+    import datalake_iceberg_spark.tables as tables_mod
+
+    batch = _docs(spark, [
+        (100 + i, f"unique filler document number {i} with shared tail words")
+        for i in range(12)
+    ] + [(200, "the quick brown fox jumps over the lazy dog")])  # dup of corpus 1
+
+    results = {}
+    for cap, label in [(10**6, "inlist"), (1, "semijoin")]:
+        monkeypatch.setattr(tables_mod, "MAX_PUSHED_LOOKUP_KEYS", cap)
+        cat = LakeCatalog(spark, str(tmp_path / f"wh_cap_{label}"))
+        idx = SignatureIndex.create(
+            cat, "dd.sig_cap", _docs(spark, CORPUS), n_buckets=4
+        )
+        r = idx.dedup_batch(batch, count_index=True)
+        ids = frozenset(
+            x["doc_id"] for x in idx.table.read().select("doc_id").collect()
+        )
+        results[label] = (r["near_dups_dropped"], r["admitted"], r["index_docs"], ids)
+    assert results["inlist"] == results["semijoin"]
+    assert results["inlist"][0] == 1  # doc 200 dropped either way

@@ -145,3 +145,101 @@ def test_column_bounds_across_rename(catalog, spark):
     # old dirs: stats under 'id'; new dir (from append) under 'ident'
     t.append(spark.createDataFrame([Row(ident=777, v="n")]))
     assert t.column_bounds("ident") == (0, 777)
+
+
+def test_row_count_hybrid_scans_only_masked_dirs(catalog, spark, monkeypatch):
+    """Under a live MoR era, only era-covered dirs take the real read;
+    uncovered dirs stay on the metadata path — count cost ∝ masked
+    dirs, not table size."""
+    t = _mk(catalog, spark, "db.rch")
+    # delete keys that all hash into a strict subset of buckets
+    t.delete_keys(
+        spark.createDataFrame([(1,)], "id long"), mode="merge-on-read"
+    )
+    snap = t.snapshot()
+    assert snap.deletes
+    covered = {
+        d for entries in snap.deletes.values() for e in entries
+        for d in e["covers"]
+    }
+    live = set(snap.all_dirs())
+    assert covered and covered < live  # a strict subset is masked
+
+    seen: list[dict] = []
+    orig = type(t)._read_with_deletes
+
+    def spy(self, s, bucket_dirs):
+        seen.append(bucket_dirs)
+        return orig(self, s, bucket_dirs)
+
+    expected = t.read().count()
+    monkeypatch.setattr(type(t), "_read_with_deletes", spy)
+    assert t.row_count() == 39 == expected
+    scanned = {d for bd in seen for ds in bd.values() for d in ds}
+    assert scanned == (covered & live)  # nothing uncovered was read
+
+
+def test_row_count_missing_dir_raises(catalog, spark):
+    """Exactness contract: a manifest dir vanished from disk must raise
+    on the footer-fallback path, never return a silently-short count."""
+    import shutil
+
+    t = _mk(catalog, spark, "db.rcx")
+    # strip ROWS_STAT so the footer fallback engages
+    mpath = catalog.fs.join(t.meta_dir, f"v{t.current_version()}.json")
+    doc = json.loads(catalog.fs.read_text(mpath))
+    for cols in doc.get("stats", {}).values():
+        cols.pop(ROWS_STAT, None)
+    with open(mpath, "w") as f:
+        f.write(json.dumps(doc))
+    t2 = catalog.table("db.rcx")
+    victim = t2.snapshot().all_dirs()[0]
+    shutil.rmtree(catalog.fs.join(t2.location, victim))
+    with pytest.raises(FileNotFoundError):
+        t2.row_count()
+
+
+def test_row_count_unreadable_footer_falls_back_to_dir_scan(catalog, spark):
+    """A corrupt footer must not fold -1 into the total: that dir takes
+    an exact per-dir Spark count instead (value parity)."""
+    import glob
+    import os
+
+    t = _mk(catalog, spark, "db.rcc")
+    mpath = catalog.fs.join(t.meta_dir, f"v{t.current_version()}.json")
+    doc = json.loads(catalog.fs.read_text(mpath))
+    for cols in doc.get("stats", {}).values():
+        cols.pop(ROWS_STAT, None)
+    with open(mpath, "w") as f:
+        f.write(json.dumps(doc))
+    t2 = catalog.table("db.rcc")
+    # append a junk .parquet into one live dir: footer unreadable but
+    # the dir's REAL files still count exactly via the engine's scan
+    victim = t2.snapshot().all_dirs()[0]
+    junk = os.path.join(catalog.fs.join(t2.location, victim), "zz_junk.parquet")
+    with open(junk, "wb") as f:
+        f.write(b"not a parquet file")
+    try:
+        with pytest.raises(Exception):
+            t2.row_count()  # Spark itself refuses the junk file: loud
+    finally:
+        os.remove(junk)
+    assert t2.row_count() == 40
+
+
+def test_fsck_deep_reports_unreadable_footer_as_own_issue(catalog, spark):
+    """One unreadable file must surface in ``unreadable_footers`` (and
+    flip ok=False) rather than offsetting a genuine row drift via the
+    -1 sentinel."""
+    import os
+
+    t = _mk(catalog, spark, "db.rcf")
+    victim = t.snapshot().all_dirs()[0]
+    junk = os.path.join(catalog.fs.join(t.location, victim), "zz_junk.parquet")
+    with open(junk, "wb") as f:
+        f.write(b"not a parquet file")
+    rep = t.fsck(deep=True)
+    assert rep["unreadable_footers"] == [{"dir": victim, "files": ["zz_junk.parquet"]}]
+    assert not rep["ok"]
+    # the victim dir is excluded from the drift recount, not mis-summed
+    assert all(d["dir"] != victim for d in rep["row_drift"])
