@@ -623,6 +623,85 @@ ORDER BY o_orderkey, o_custkey
 """
 
 
+_METADATA_STATS_CACHE: dict[str, tuple] = {}
+_METADATA_STATS_LOCK = _threading.Lock()
+
+
+def metadata_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 metadata aggregates, driver-graded against scan truth:
+    ``LakeTable.row_count`` (Iceberg's manifest record-count analogue)
+    and ``column_bounds`` (manifest min/max) on a staged orders table.
+
+    The staged flow exercises every rung of the resolution ladder:
+
+    1. a merge-on-read DELETE leaves a LIVE delete era →
+       ``row_count`` takes the hybrid path (anti-joined read of ONLY
+       era-covered dirs, metadata for the rest) = ``n_live``;
+       ``column_bounds`` REFUSES (returns None) because masked rows
+       may hold the extrema = ``live_bounds_refused``;
+    2. ``rewrite_position_delete_files`` folds the era →
+       ``row_count`` is pure manifest math (no Spark job) =
+       ``n_folded``; ``column_bounds`` answers from footer-harvested
+       stats = key/price min/max.
+
+    The DuckDB oracle computes the same numbers by scanning: metadata
+    math must equal scan truth exactly or the grade hash-mismatches.
+    Idempotent: values are computed once per sf_dir and replayed."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from datalake_iceberg_spark.tables import LakeTable
+
+    with _METADATA_STATS_LOCK:
+        vals = _METADATA_STATS_CACHE.get(sf_dir)
+        if vals is None:
+            loc = tempfile.mkdtemp(prefix="metadata_order_stats_")
+            atexit.register(shutil.rmtree, loc, ignore_errors=True)
+            orders = load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderpriority",
+            )
+            t = LakeTable(spark, loc)
+            t.create_or_replace(orders, key=["o_orderkey"], n_buckets=4)
+            t.delete_keys(
+                orders.where(F.col("o_orderkey") % 10 == 7)
+                .select("o_orderkey"),
+                mode="merge-on-read",
+            )
+            assert t.snapshot().deletes  # era live: hybrid + refusal
+            n_live = t.row_count()
+            live_refused = t.column_bounds("o_orderkey") is None
+            t.rewrite_position_delete_files()
+            assert not t.snapshot().deletes  # folded: pure metadata
+            n_folded = t.row_count()
+            key_lo, key_hi = t.column_bounds("o_orderkey")
+            price_lo, price_hi = t.column_bounds("o_totalprice")
+            vals = (n_live, live_refused, n_folded,
+                    int(key_lo), int(key_hi), float(price_lo), float(price_hi))
+            _METADATA_STATS_CACHE[sf_dir] = vals
+    return spark.createDataFrame(
+        [vals],
+        schema=(
+            "n_live bigint, live_bounds_refused boolean, n_folded bigint, "
+            "key_min bigint, key_max bigint, price_min double, price_max double"
+        ),
+    )
+
+
+METADATA_STATS_SQL = """
+WITH kept AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 7)
+SELECT CAST(COUNT(*) AS BIGINT)  AS n_live,
+       TRUE                      AS live_bounds_refused,
+       CAST(COUNT(*) AS BIGINT)  AS n_folded,
+       MIN(o_orderkey)           AS key_min,
+       MAX(o_orderkey)           AS key_max,
+       MIN(o_totalprice)         AS price_min,
+       MAX(o_totalprice)         AS price_max
+FROM kept
+"""
+
+
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate — beyond-reference coverage (§2.5 notes it absent).
     Revenue by (status, priority), (status), and grand total."""
