@@ -38,6 +38,16 @@ def _read_state(t) -> dict[int, str]:
     return {r.id: r.v for r in t.read().collect()}
 
 
+def _fsck_ok(t, ctx: str):
+    """Manifest<->disk integrity must hold after EVERY walk step — the
+    cheapest tripwire for a DML change that corrupts the manifest the
+    moment it lands (deep=True also recounts footers vs ROWS_STAT)."""
+    rep = t.fsck(deep=True)
+    found = {k: v for k, v in rep.items() if v and k not in ("ok", "version")}
+    assert rep["ok"], f"{ctx}: fsck issues {found}"
+
+
+
 N_STEPS = 24
 
 
@@ -120,6 +130,7 @@ def test_random_walk_matches_model(catalog, spark, seed):
             model = dict(history[target])
         history[t.current_version()] = dict(model)
         assert _read_state(t) == model, f"seed={seed} step={step} op={op}"
+        _fsck_ok(t, f"seed={seed} step={step} op={op}")
 
     # time travel: every recorded version still reads as its archived model
     for v in rng.sample(sorted(history), min(4, len(history))):
@@ -133,6 +144,7 @@ def test_random_walk_matches_model(catalog, spark, seed):
     t.expire_snapshots(keep_last=2)
     t.remove_orphan_files(older_than_s=0.0)
     assert _read_state(t) == model
+    _fsck_ok(t, f"seed={seed} post-maintenance")
 
 
 @pytest.mark.parametrize("seed", [11, 23])
@@ -249,6 +261,8 @@ def test_branch_wap_txn_walk_matches_model(catalog, spark, seed):
                 txn.abort()
         assert _read_state(t) == model, f"seed={seed} step={step} op={op}"
         assert _read_state(aux) == aux_model, f"seed={seed} step={step} op={op}"
+        _fsck_ok(t, f"seed={seed} step={step} op={op} (main)")
+        _fsck_ok(aux, f"seed={seed} step={step} op={op} (aux)")
 
     # cleanup surfaces still open at walk end, then maintenance no-op
     for wid in list(staged_wap):
@@ -260,6 +274,8 @@ def test_branch_wap_txn_walk_matches_model(catalog, spark, seed):
     t.remove_orphan_files(older_than_s=0.0)
     assert _read_state(t) == model
     assert _read_state(aux) == aux_model
+    _fsck_ok(t, f"seed={seed} post-maintenance (main)")
+    _fsck_ok(aux, f"seed={seed} post-maintenance (aux)")
 
 
 @pytest.mark.parametrize("seed", [5, 31])
@@ -324,12 +340,14 @@ def test_layout_evolution_walk_matches_model(catalog, spark, seed):
         got = {r.id: r.v for r in t.read().collect()}
         assert got == model, f"seed={seed} step={step} op={op}"
         assert t.snapshot().n_buckets == n_buckets
+        _fsck_ok(t, f"seed={seed} step={step} op={op}")
 
     t.rewrite_position_delete_files()
     t.rewrite_data_files()
     t.expire_snapshots(keep_last=2)
     t.remove_orphan_files(older_than_s=0.0)
     assert {r.id: r.v for r in t.read().collect()} == model
+    _fsck_ok(t, f"seed={seed} post-maintenance")
 
 
 @pytest.mark.parametrize("seed", [11])
@@ -385,6 +403,7 @@ def test_clone_walk_matches_model(catalog, spark, seed):
         # EVERY table must read back its own model after every step
         for n, (tt, mm) in sorted(tables.items()):
             assert _read_state(tt) == mm, (seed, step, op, n)
+            _fsck_ok(tt, f"seed={seed} step={step} op={op} ({n})")
     # closing: localize + drop every clone, then source GC reclaims
     for n in [x for x in sorted(tables) if x != "db.cw_src"]:
         catalog.drop(n)
@@ -393,6 +412,7 @@ def test_clone_walk_matches_model(catalog, spark, seed):
     src.remove_orphan_files(older_than_s=0.0)
     assert _read_state(src) == tables["db.cw_src"][1]
     assert src.clone_markers() == []
+    _fsck_ok(src, f"seed={seed} closing GC")
 
 
 @pytest.mark.parametrize("seed", [5, 13])
@@ -485,8 +505,10 @@ def test_clone_gc_walk_matches_model(catalog, spark, seed):
             catalog.drop(name, purge=True)
             del clones[name]
         assert _read_state(src) == src_model, f"seed={seed} step={step} op={op} (src)"
+        _fsck_ok(src, f"seed={seed} step={step} op={op} (src)")
         for name, (c, m) in clones.items():
             assert _read_state(c) == m, f"seed={seed} step={step} op={op} ({name})"
+            _fsck_ok(c, f"seed={seed} step={step} op={op} ({name})")
 
     # end state: one more aggressive source GC cycle, then every
     # survivor (and the source) must still read back exactly
@@ -494,8 +516,10 @@ def test_clone_gc_walk_matches_model(catalog, spark, seed):
     src.expire_snapshots(keep_last=1)
     src.remove_orphan_files(older_than_s=0.0)
     assert _read_state(src) == src_model
+    _fsck_ok(src, "final (src)")
     for name, (c, m) in clones.items():
         assert _read_state(c) == m, f"final ({name})"
+        _fsck_ok(c, f"final ({name})")
 
 
 def test_rollback_across_rebucket_with_mor(catalog, spark):
