@@ -36,6 +36,7 @@ only manifest bookkeeping happens on the driver.
 from __future__ import annotations
 
 import json
+import os
 import re
 import time
 import uuid
@@ -61,9 +62,19 @@ MAX_AUTO_BUCKETS = 1024
 #: n_buckets on big writes, while small CDC merges stay 1 task/bucket
 TARGET_WRITE_BYTES = 128 * 1024 * 1024
 MAX_WRITE_SPLITS = 16
-# above this many distinct keys a lookup stays a broadcast semi-join —
-# an IN-list that size stops being a "point" lookup and bloats the plan
+# above this many distinct keys a lookup stays a distributed semi-join
+# (strategy left to AQE) — an IN-list that size stops being a "point"
+# lookup and bloats the plan
 MAX_PUSHED_LOOKUP_KEYS = 1024
+#: in-flight-writer grace shared by orphan GC (``remove_orphan_files``
+#: ``older_than_s``; Iceberg's ``older_than``) and the PUBLISH-side age
+#: gate in ``_commit``: a commit whose data dirs are older than this
+#: refuses to publish, because a concurrent GC with the default grace
+#: may legitimately have reclaimed them. Together the two sides make the
+#: grace a real bound for every commit kind — plain append/merge
+#: included, which the reserved-manifest gate alone never covered (it
+#: only bounds reserve-to-publish, and plain commits reserve at the END)
+GC_GRACE_S = 3600.0
 #: broadcast a MoR delete era's key set only below this on-disk size —
 #: hot-path CDC eras are KBs–MBs and broadcast; a bulk delete's keys can
 #: be GBs at scale, where the anti-join strategy is left to AQE
@@ -174,6 +185,12 @@ def _footer_num_rows(path: str) -> int:
 #: invisible to `_dir_may_match`. Powers `row_count()` — Iceberg's
 #: manifest record-count analogue.
 ROWS_STAT = "#rows"
+#: pseudo-column for a dir's TOTAL parquet bytes (summed like `#rows`),
+#: harvested at commit time. Lets read-path size decisions — the MoR
+#: delete-era broadcast gate — run as pure manifest math instead of a
+#: per-query filesystem LIST + per-file HEAD of every delete dir (on an
+#: object store that was O(delete dirs + files) round trips per read).
+BYTES_STAT = "#bytes"
 
 
 def _footer_stats_one(rel_dir: str, path: str) -> list[tuple[str, str, Any, Any]]:
@@ -205,6 +222,11 @@ def _footer_stats_one(rel_dir: str, path: str) -> list[tuple[str, str, Any, Any]
                 maxs[name] = hi
     out = [(rel_dir, c, mins[c], maxs[c]) for c in mins if c in maxs]
     out.append((rel_dir, ROWS_STAT, md.num_rows, md.num_rows))
+    try:
+        size = os.path.getsize(path)
+        out.append((rel_dir, BYTES_STAT, size, size))
+    except OSError:
+        pass  # non-local path: no bytes stat -> callers fall back to listing
     return out
 
 
@@ -344,6 +366,10 @@ class LakeTable:
         # properties of an in-flight create_or_replace, visible to the
         # write path before the snapshot that carries them exists
         self._pending_props: dict[str, str] | None = None
+        # commit dir -> creation time, for the publish-side GC-grace
+        # gate in _commit (keys are uuid-unique, so concurrent writers
+        # sharing an instance can't collide)
+        self._commit_dir_birth: dict[str, float] = {}
 
     # ------------------------------------------------------------------ meta
     def exists(self) -> bool:
@@ -420,8 +446,13 @@ class LakeTable:
         # that survive into this snapshot (data-skipping manifests)
         inherited = dict(parent.stats) if parent else {}
         inherited.update(self._pending_stats)
+        # delete dirs keep their stats too: the MoR read path's
+        # broadcast gate answers from the manifest (#bytes) instead of
+        # listing delete dirs on every query
         snap.stats = {
-            d: inherited[d] for d in snap.all_dirs() if d in inherited
+            d: inherited[d]
+            for d in snap.all_dirs() + snap.all_delete_dirs()
+            if d in inherited
         }
         # prune rename mappings to live dirs. Builders carry the
         # parent's mappings forward explicitly (like ``deletes``) —
@@ -448,9 +479,44 @@ class LakeTable:
                 snap = self._finalize_snapshot(build_snapshot(parent), parent)
             except _AlreadyApplied as done:
                 return done.snap
+            # Publish-side GC-grace gate: a commit whose freshly-written
+            # data dirs have aged past GC_GRACE_S must NOT publish — a
+            # concurrent remove_orphan_files (default grace) may have
+            # reclaimed them, and flipping _current to a manifest over
+            # deleted data bricks the table. This is the plain-commit
+            # analogue of the reserved-manifest reclaim re-check in
+            # _write_manifest (which only bounds STAGED/txn commits:
+            # plain writes reserve their manifest at the END). Dirs with
+            # no recorded birth (rollback targets, staged publishes,
+            # another process's dirs) pass — they are referenced by
+            # older manifests or staged docs and were never GC-eligible.
+            parent_dirs = (
+                set(parent.all_dirs()) | set(parent.all_delete_dirs())
+                if parent else set()
+            )
+            fresh_dirs = {
+                _commit_dir_of(d)
+                for d in (set(snap.all_dirs()) | set(snap.all_delete_dirs()))
+                - parent_dirs
+                if not d.startswith("/")
+            }
+            now = time.time()
+            aged = sorted(
+                c for c in fresh_dirs
+                if now - self._commit_dir_birth.get(c, now) > GC_GRACE_S
+            )
+            if aged:
+                raise CommitConflict(
+                    f"{operation} on {self.location}: data write exceeded the "
+                    f"{GC_GRACE_S:.0f}s in-flight GC grace (dirs {aged}); a "
+                    "concurrent remove_orphan_files may have reclaimed the "
+                    "files — re-run the operation"
+                )
             try:
                 self._write_manifest(snap)
                 self._pending_stats = {}
+                for c in fresh_dirs:
+                    self._commit_dir_birth.pop(c, None)
                 return snap
             except FileExistsError:
                 if attempt == COMMIT_RETRIES:
@@ -479,6 +545,7 @@ class LakeTable:
     def _new_commit_dir(self) -> str:
         rel = f"data/c-{uuid.uuid4().hex[:12]}"
         self.fs.makedirs(self.fs.join(self.location, rel))
+        self._commit_dir_birth[rel] = time.time()
         return rel
 
     def _write_parallelism(self, df: DataFrame, n_buckets: int) -> int:
@@ -689,7 +756,7 @@ class LakeTable:
                 cur = merged.setdefault(rel_dir, {}).get(col)
                 if cur is None:
                     merged[rel_dir][col] = [lo, hi]
-                elif col == ROWS_STAT:  # counts SUM across a dir's files
+                elif col in (ROWS_STAT, BYTES_STAT):  # SUM across a dir's files
                     cur[0] = cur[1] = cur[0] + lo
                 else:
                     cur[0] = min(cur[0], lo)
@@ -752,12 +819,21 @@ class LakeTable:
         )
         return self._read_mapped(rel_dirs, key_schema, snap.renames).distinct()
 
-    def _dirs_bytes(self, rel_dirs) -> int:
+    def _dirs_bytes(self, rel_dirs, stats: dict | None = None) -> int:
         """Total parquet bytes under the given dirs (relative to this
-        table, or absolute for a clone's foreign refs) — manifest-time
-        metadata, no Spark job."""
+        table, or absolute for a clone's foreign refs). Answered from
+        the snapshot's commit-time ``#bytes`` stat when present — pure
+        manifest math, zero IO — and only dirs without the stat (pre-
+        stat manifests, non-local harvest) fall back to a filesystem
+        listing, mirroring how ``#rows`` keeps ``row_count`` off the
+        read path."""
         total = 0
+        stats = stats or {}
         for rel in rel_dirs:
+            ent = stats.get(rel, {}).get(BYTES_STAT)
+            if ent is not None:
+                total += int(ent[0])
+                continue
             d = rel if rel.startswith("/") else self.fs.join(self.location, rel)
             try:
                 for f in self.fs.listdir(d):
@@ -816,7 +892,7 @@ class LakeTable:
             # and every executor — past the gate, leave the anti-join
             # strategy to AQE, which sees the distinct's actual output
             # size at runtime
-            if self._dirs_bytes(del_dirs) <= DELETE_BROADCAST_MAX_BYTES:
+            if self._dirs_bytes(del_dirs, snap.stats) <= DELETE_BROADCAST_MAX_BYTES:
                 dkeys = F.broadcast(dkeys)
             pieces.append(
                 self._read_dirs(data_dirs, snap).join(
@@ -907,7 +983,9 @@ class LakeTable:
                     issues["dangling_covers"].append(
                         {"bucket": b, "delete_dir": e["dir"], "covers": gone}
                     )
-        issues["stale_stats"] = sorted(set(snap.stats) - live)
+        issues["stale_stats"] = sorted(
+            set(snap.stats) - live - set(snap.all_delete_dirs())
+        )
         for wap_id in self.staged_ids():
             doc = self._load_staged(wap_id)
             for dirs in doc["buckets"].values():
@@ -919,7 +997,7 @@ class LakeTable:
         if deep:
             drift = []
             unreadable = []
-            for d in sorted(live):
+            for d in sorted(live | set(snap.all_delete_dirs())):
                 ent = snap.stats.get(d, {}).get(ROWS_STAT)
                 files = _parquets(d)
                 if ent is None or files is None:
@@ -1478,6 +1556,20 @@ class LakeTable:
             "buckets": new,
             "stats": stats,
         }
+        # same publish-side grace gate as _commit: a staged dir only
+        # becomes GC-protected once this doc lands — a data write that
+        # outlived the grace may already have been reclaimed
+        now = time.time()
+        aged = sorted(
+            c for c in {_commit_dir_of(d) for d in new_dirs}
+            if now - self._commit_dir_birth.get(c, now) > GC_GRACE_S
+        )
+        if aged:
+            raise CommitConflict(
+                f"stage_append on {self.location}: staged data write "
+                f"exceeded the {GC_GRACE_S:.0f}s in-flight GC grace "
+                f"(dirs {aged}) — re-run the stage"
+            )
         self.fs.makedirs(self._staged_dir())
         self.fs.write_exclusive(path, json.dumps(doc, indent=1, sort_keys=True))
         return doc
@@ -1786,14 +1878,20 @@ class LakeTable:
         target = self.read_buckets(affected)
         upd = set(update_columns)
         carried = [n for n in names if n not in snap.key and n not in upd]
+        # helper-column names carry a per-call unique tag so a table
+        # whose schema legitimately contains a "__matched"/"__t_*"
+        # column can never make the post-join references ambiguous
+        tag = uuid.uuid4().hex[:8]
+        matched_col = f"__matched_{tag}"
+        t_col = {n: f"__t_{tag}_{n}" for n in carried}
         flagged = target.select(
             *snap.key,
-            *[F.col(n).alias(f"__t_{n}") for n in carried],
-            F.lit(True).alias("__matched"),
+            *[F.col(n).alias(t_col[n]) for n in carried],
+            F.lit(True).alias(matched_col),
         )
         eff = source.join(flagged, on=snap.key, how="left")
         cols = [
-            F.when(F.col("__matched"), F.col(f"__t_{n}"))
+            F.when(F.col(matched_col), F.col(t_col[n]))
             .otherwise(F.col(n)).alias(n)
             if n in carried else F.col(n)
             for n in names
@@ -2941,7 +3039,7 @@ class LakeTable:
         return roots
 
     def remove_orphan_files(
-        self, dry_run: bool = False, older_than_s: float = 3600.0
+        self, dry_run: bool = False, older_than_s: float = GC_GRACE_S
     ) -> dict:
         """Delete data dirs unreferenced by any remaining manifest
         (Iceberg ``remove_orphan_files``, ``src/utils/maintenance.py:266-271``).
@@ -2966,13 +3064,20 @@ class LakeTable:
         100 TB a bucketed write runs for minutes, plenty of window to
         delete data out from under it. Orphan dirs younger than the
         grace are therefore KEPT (reported as ``orphan_dirs_protected``)
-        and reclaimed by a later run. The default aligns with the
-        reserved-manifest reclaim gate (``txn.reclaim_reserved_manifests``
-        ``older_than_s=3600``), which already bounds any commit's
-        reserve-to-publish duration to the same hour: past it, the
-        commit cannot publish (``_write_manifest`` re-verifies), so
-        deleting its data is safe. Clone-marker pruning is metadata
-        staleness and is not age-gated."""
+        and reclaimed by a later run. The default (``GC_GRACE_S``) is a
+        REAL bound for every commit kind because publish enforces the
+        other side: ``_commit`` refuses to flip ``_current`` when any of
+        the commit's freshly-written dirs has aged past the same grace
+        (plain append/merge included — the reserved-manifest reclaim
+        gate only bounds STAGED/txn commits' reserve-to-publish window,
+        and a plain commit reserves its manifest at the END of the data
+        write). Note the dir-mtime clock here measures write START
+        (files land in nested ``_bucket=`` subdirs, so the commit dir's
+        POSIX mtime freezes at creation) — the same clock the publish
+        gate uses, so the two sides agree. Callers passing a SMALLER
+        grace (tests use 0.0 on quiesced tables) opt out of in-flight
+        protection and must know no write is running. Clone-marker
+        pruning is metadata staleness and is not age-gated."""
         live: set[str] = set()
         own_prefix = self.data_dir.rstrip("/") + "/"
 

@@ -181,3 +181,39 @@ def test_mor_read_broadcast_gated_by_delete_era_bytes(catalog, spark, monkeypatc
     monkeypatch.setattr(tables_mod, "DELETE_BROADCAST_MAX_BYTES", 0)
     got = {r.id for r in t.read().collect()}
     assert got == set(range(40)) - {3, 7, 11}
+
+
+def test_mor_broadcast_gate_is_manifest_math(catalog, spark, monkeypatch):
+    """The delete-era broadcast size gate must answer from the
+    snapshot's commit-time #bytes stat — constructing a read-with-
+    deletes DataFrame may not LIST delete dirs (on an object store that
+    was O(delete dirs + files) round trips per query)."""
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.tables import BYTES_STAT
+
+    df = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(40)])
+    t = catalog.create_or_replace("db.mbytes", df, key=["id"], n_buckets=4)
+    t.delete_keys(
+        spark.createDataFrame([(k,) for k in (1, 2, 3)], "id long"),
+        mode="merge-on-read",
+    )
+    snap = t.snapshot()
+    del_dirs = {e["dir"] for es in snap.deletes.values() for e in es}
+    assert del_dirs and all(
+        BYTES_STAT in snap.stats.get(d, {}) for d in del_dirs
+    ), "delete dirs missing commit-time #bytes stat"
+
+    listed: list[str] = []
+    orig = type(t.fs).listdir
+
+    def spy(self, path):
+        listed.append(path)
+        return orig(self, path)
+
+    monkeypatch.setattr(type(t.fs), "listdir", spy)
+    out = t.read()  # plan construction: the gate decides broadcast here
+    assert not [p for p in listed if any(d.split("/")[-2] in p for d in del_dirs)], (
+        "read-with-deletes listed delete dirs instead of using #bytes"
+    )
+    assert out.count() == 37  # and the masked read is still correct

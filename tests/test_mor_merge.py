@@ -321,3 +321,27 @@ def test_partial_merge_walk_matches_model(spark, tmp_path, seed):
     t.rewrite_position_delete_files()
     t.rewrite_data_files()
     assert {r.id: (r.a, r.b, r.n) for r in t.read().collect()} == model
+
+
+def test_partial_merge_with_reserved_looking_columns(catalog, spark):
+    """A table that legitimately contains __matched / __t_<col> columns
+    must partial-merge cleanly — the helper columns carry a per-call
+    unique tag, so no AnalysisException ambiguity."""
+    from pyspark.sql import Row
+
+    rows = [Row(id=i, __matched=f"m{i}", __t_v=f"t{i}", v=f"v{i}")
+            for i in range(6)]
+    df = spark.createDataFrame(rows)
+    t = catalog.create_or_replace("db.reserved", df, key=["id"], n_buckets=2)
+    batch = spark.createDataFrame(
+        [Row(id=1, __matched="XX", __t_v="YY", v="patched"),
+         Row(id=100, __matched="new", __t_v="new", v="inserted")]
+    )
+    t.merge(batch, update_columns=["v"])
+    got = {r["id"]: (r["__matched"], r["__t_v"], r["v"])
+           for r in t.read().collect()}
+    # matched row: ONLY v updated, the weird-named columns preserved
+    assert got[1] == ("m1", "t1", "patched")
+    # unmatched row inserts in full
+    assert got[100] == ("new", "new", "inserted")
+    assert len(got) == 7

@@ -369,3 +369,43 @@ def test_gc_grace_protects_inflight_writer_dirs(catalog, spark):
     assert not catalog.fs.isdir(staged_dir)
     # table state untouched throughout
     assert t.read().count() == 5
+
+
+def test_publish_gate_refuses_commit_past_gc_grace(catalog, spark):
+    """The publish side of the grace contract: a commit whose data dirs
+    have aged past GC_GRACE_S must refuse to flip _current (a concurrent
+    GC with the default grace may have reclaimed them) — this is what
+    makes the 1h grace a REAL bound for plain append/merge commits,
+    which reserve their manifest only at the END of the data write.
+    Simulated by backdating the commit-dir birth stamps mid-write."""
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.tables import GC_GRACE_S, CommitConflict
+
+    df = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(8)])
+    t = catalog.create_or_replace("db.pubgate", df, key=["id"], n_buckets=2)
+    v0 = t.current_version()
+
+    orig = type(t)._write_bucketed
+
+    def slow_write(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        # the write "took" longer than the grace
+        for k in list(self._commit_dir_birth):
+            self._commit_dir_birth[k] -= GC_GRACE_S + 1
+        return out
+
+    import unittest.mock as mock
+
+    with mock.patch.object(type(t), "_write_bucketed", slow_write):
+        with pytest.raises(CommitConflict, match="GC grace"):
+            t.append(spark.createDataFrame([Row(id=100, v="late")]))
+        with pytest.raises(CommitConflict, match="GC grace"):
+            t.stage_append(
+                spark.createDataFrame([Row(id=101, v="late")]), "w-late"
+            )
+    # table unharmed, and a normal-speed commit still publishes
+    assert t.current_version() == v0
+    assert "w-late" not in t.staged_ids()
+    t.append(spark.createDataFrame([Row(id=102, v="ontime")]))
+    assert t.read().where("id = 102").count() == 1
