@@ -93,6 +93,7 @@ KEY_DML_TIERS = (
     "merge_0p1pct_1024b", "delete_mor_0p1pct_1024b",
     "delete_cow_0p1pct_1024b", "mor_fold_1024b", "mor_fold_fill_64b",
     "read_changes_pruned_diff", "gc_with_clones", "gc_with_clones_steady",
+    "lookup_16_keys_1024b", "lookup_overcap_1pct",
 )
 
 
@@ -306,9 +307,42 @@ def main() -> None:
         t0 = _case("dml:delete_cow_0p1pct_1024b")
         table_hb.delete_keys(dels_b)  # copy-on-write
         dml["delete_cow_0p1pct_1024b"] = round(time.perf_counter() - t0, 3)
+        # metadata COUNT(*) under a live MoR era vs post-fold: the
+        # hybrid path scans ONLY era-covered dirs (two 0.1% deletes
+        # cover ~2×150 of 1024 buckets here, so ~25% of table bytes);
+        # post-fold the count is pure manifest math (~0 s, no job)
+        t0 = _case("dml:row_count_hybrid_live_mor")
+        n_live_cnt = table_hb.row_count()
+        dml["row_count_hybrid_live_mor"] = round(time.perf_counter() - t0, 3)
         t0 = _case("dml:mor_fold_1024b")
         table_hb.rewrite_position_delete_files()
         dml["mor_fold_1024b"] = round(time.perf_counter() - t0, 3)
+        t0 = _case("dml:row_count_metadata_folded")
+        n_folded_cnt = table_hb.row_count()
+        dml["row_count_metadata_folded"] = round(time.perf_counter() - t0, 3)
+        assert n_live_cnt == n_folded_cnt, (n_live_cnt, n_folded_cnt)
+
+        # point-lookup tiers (r12, alongside the lookup-probe fix):
+        # - 16 keys -> the IN-list path: probe pushed into the parquet
+        #   scan, bucket pruning reads <= 16/1024 of the table; expect
+        #   well under a second (cost ~ Spark job overhead + 16 dirs).
+        # - ~1% of keys (>> MAX_PUSHED_LOOKUP_KEYS=1024) -> the
+        #   distributed semi-join path: the probe set must NOT be
+        #   collected on the driver nor force-broadcast (strategy is
+        #   AQE's); expect seconds-scale, ~ a bucket-pruned join of the
+        #   probed buckets, NOT a full-table scan.
+        probe16 = (
+            orders.filter(F.col("o_orderkey") % 6000 == 11)
+            .select("id_iceberg").limit(16)
+        )
+        t0 = _case("dml:lookup_16_keys_1024b")
+        n_hit16 = table_hb.lookup(probe16).count()
+        dml["lookup_16_keys_1024b"] = round(time.perf_counter() - t0, 3)
+        probe_big = orders.filter(F.col("o_orderkey") % 100 == 23).select("id_iceberg")
+        t0 = _case("dml:lookup_overcap_1pct")
+        n_hit_big = table_hb.lookup(probe_big).count()
+        dml["lookup_overcap_1pct"] = round(time.perf_counter() - t0, 3)
+        dml["lookup_hits"] = n_hit16 + n_hit_big
 
         # changed-bucket-pruned keyed diff: same bucket count at both
         # endpoints, so only buckets the deletes/fold touched are read —
