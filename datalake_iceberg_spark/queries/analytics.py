@@ -702,6 +702,116 @@ FROM kept
 """
 
 
+_UPDATE_WHERE_TABLES: dict[str, str] = {}
+_UPDATE_WHERE_LOCK = _threading.Lock()
+
+
+def update_where_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 bulk UPDATE through the REAL ``LakeTable.update_where`` path
+    (reference: ``scripts/migrate_v2_naming.sql:43-49``), driver-graded
+    for the first time in r12 — previously test-pinned only.
+
+    Tuple-filter form ``[("o_totalprice", ">", 300000.0)]`` engages
+    dir-level data skipping: dirs whose footer max can't exceed the cut
+    are carried forward untouched (at 100 TB a narrow UPDATE costs ∝
+    the dirs it can touch). The graded DataFrame is the post-update
+    snapshot read; the DuckDB oracle applies the same SET as a CASE
+    over the raw parquet. Idempotent: re-running the update assigns the
+    same value to the same rows."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from datalake_iceberg_spark.tables import LakeTable
+
+    with _UPDATE_WHERE_LOCK:
+        loc = _UPDATE_WHERE_TABLES.get(sf_dir)
+        if loc is None:
+            loc = tempfile.mkdtemp(prefix="update_where_orders_")
+            atexit.register(shutil.rmtree, loc, ignore_errors=True)
+            orders = load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderpriority",
+            )
+            t = LakeTable(spark, loc)
+            t.create_or_replace(orders, key=["o_orderkey"], n_buckets=4)
+            t.update_where(
+                [("o_totalprice", ">", 300000.0)],
+                {"o_orderpriority": "'BULK-UPDATED'"},
+            )
+            _UPDATE_WHERE_TABLES[sf_dir] = loc
+    return (
+        LakeTable(spark, loc)
+        .read()
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+UPDATE_WHERE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CASE WHEN o_totalprice > 300000.0 THEN 'BULK-UPDATED'
+            ELSE o_orderpriority END AS o_orderpriority
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+_DELETE_MOR_TABLES: dict[str, str] = {}
+_DELETE_MOR_LOCK = _threading.Lock()
+
+
+def delete_mor_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 merge-on-read DELETE graded at READ time: the graded
+    DataFrame is the post-delete snapshot read **while the delete era
+    is still live** — masked rows must vanish via the era's anti-join
+    (``_read_with_deletes``), not a rewrite, so this grades the exact
+    read path a 100 TB hot-ingest table runs between folds (the
+    broadcast-vs-AQE byte gate included). The DuckDB oracle filters the
+    same keys from the raw parquet. Idempotent: the staged table is
+    built once per sf_dir; the era stays live for every re-read."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from datalake_iceberg_spark.tables import LakeTable
+
+    with _DELETE_MOR_LOCK:
+        loc = _DELETE_MOR_TABLES.get(sf_dir)
+        if loc is None:
+            loc = tempfile.mkdtemp(prefix="delete_mor_orders_")
+            atexit.register(shutil.rmtree, loc, ignore_errors=True)
+            orders = load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderpriority",
+            )
+            t = LakeTable(spark, loc)
+            t.create_or_replace(orders, key=["o_orderkey"], n_buckets=4)
+            t.delete_keys(
+                orders.where(F.col("o_orderkey") % 7 == 3)
+                .select("o_orderkey"),
+                mode="merge-on-read",
+            )
+            assert t.snapshot().deletes  # era LIVE: the mask is graded
+            _DELETE_MOR_TABLES[sf_dir] = loc
+    return (
+        LakeTable(spark, loc)
+        .read()
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+DELETE_MOR_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderkey % 7 <> 3
+ORDER BY o_orderkey
+"""
+
+
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate — beyond-reference coverage (§2.5 notes it absent).
     Revenue by (status, priority), (status), and grand total."""
