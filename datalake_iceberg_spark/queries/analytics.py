@@ -634,19 +634,20 @@ def metadata_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The staged flow exercises every rung of the resolution ladder:
 
-    1. a merge-on-read DELETE leaves a LIVE delete era →
-       ``row_count`` takes the hybrid path (anti-joined read of ONLY
-       era-covered dirs, metadata for the rest) = ``n_live``;
-       ``column_bounds`` REFUSES (returns None) because masked rows
-       may hold the extrema = ``live_bounds_refused``;
+    1. a merge-on-read DELETE leaves a LIVE delete era → ``row_count``
+       and ``column_bounds`` take the hybrid path (anti-joined read of
+       ONLY era-covered dirs, manifest math for the rest): ``n_live``,
+       ``*_live`` bounds — a masked row may hold an extremum, so the
+       hybrid must find the SURVIVING extrema exactly;
     2. ``rewrite_position_delete_files`` folds the era →
        ``row_count`` is pure manifest math (no Spark job) =
-       ``n_folded``; ``column_bounds`` answers from footer-harvested
-       stats = key/price min/max.
+       ``n_folded``; ``column_bounds`` answers purely from
+       footer-harvested stats = key/price min/max.
 
-    The DuckDB oracle computes the same numbers by scanning: metadata
-    math must equal scan truth exactly or the grade hash-mismatches.
-    Idempotent: values are computed once per sf_dir and replayed."""
+    The DuckDB oracle computes all eight numbers by scanning the kept
+    rows: metadata/hybrid math must equal scan truth exactly or the
+    grade hash-mismatches. Idempotent: values are computed once per
+    sf_dir and replayed."""
     import atexit
     import shutil
     import tempfile
@@ -669,21 +670,24 @@ def metadata_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("o_orderkey"),
                 mode="merge-on-read",
             )
-            assert t.snapshot().deletes  # era live: hybrid + refusal
+            assert t.snapshot().deletes  # era live: hybrid paths
             n_live = t.row_count()
-            live_refused = t.column_bounds("o_orderkey") is None
+            klo_l, khi_l = t.column_bounds("o_orderkey")
+            plo_l, phi_l = t.column_bounds("o_totalprice")
             t.rewrite_position_delete_files()
             assert not t.snapshot().deletes  # folded: pure metadata
             n_folded = t.row_count()
             key_lo, key_hi = t.column_bounds("o_orderkey")
             price_lo, price_hi = t.column_bounds("o_totalprice")
-            vals = (n_live, live_refused, n_folded,
+            vals = (n_live, int(klo_l), int(khi_l), float(plo_l), float(phi_l),
+                    n_folded,
                     int(key_lo), int(key_hi), float(price_lo), float(price_hi))
             _METADATA_STATS_CACHE[sf_dir] = vals
     return spark.createDataFrame(
         [vals],
         schema=(
-            "n_live bigint, live_bounds_refused boolean, n_folded bigint, "
+            "n_live bigint, key_min_live bigint, key_max_live bigint, "
+            "price_min_live double, price_max_live double, n_folded bigint, "
             "key_min bigint, key_max bigint, price_min double, price_max double"
         ),
     )
@@ -692,7 +696,10 @@ def metadata_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 METADATA_STATS_SQL = """
 WITH kept AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 7)
 SELECT CAST(COUNT(*) AS BIGINT)  AS n_live,
-       TRUE                      AS live_bounds_refused,
+       MIN(o_orderkey)           AS key_min_live,
+       MAX(o_orderkey)           AS key_max_live,
+       MIN(o_totalprice)         AS price_min_live,
+       MAX(o_totalprice)         AS price_max_live,
        CAST(COUNT(*) AS BIGINT)  AS n_folded,
        MIN(o_orderkey)           AS key_min,
        MAX(o_orderkey)           AS key_max,

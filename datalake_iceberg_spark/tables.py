@@ -1093,12 +1093,15 @@ class LakeTable:
     def column_bounds(
         self, column: str, version: int | None = None
     ) -> tuple[Any, Any] | None:
-        """Metadata-only ``MIN(col), MAX(col)`` from the per-dir footer
-        stats — the companion to :meth:`row_count`. Returns ``None``
-        when the metadata path cannot answer EXACTLY, rather than
-        degrading silently:
+        """``MIN(col), MAX(col)`` from the per-dir footer stats — the
+        companion to :meth:`row_count`, with the same hybrid resolution
+        under live MoR delete eras (r12): a masked row may hold the
+        extremum, so era-COVERED dirs take the real anti-joined read
+        (cost ∝ masked dirs) while every uncovered dir stays pure
+        manifest math — uncovered dirs keep all their rows, so their
+        footer min/max are exact. Returns ``None`` when the answer
+        cannot be EXACT, rather than degrading silently:
 
-        - a live MoR delete era may have masked the extremal rows;
         - a dir without harvested stats for the column (bytes-typed
           min/max, pre-stat manifest, harvest degraded) leaves a gap;
         - footer min/max are value bounds, exact for the types the
@@ -1108,13 +1111,19 @@ class LakeTable:
         explicit contract beats an approximate answer that is silently
         wrong at the 100 TB audit."""
         snap = self.snapshot(version)
-        if snap.deletes:
-            return None
         dirs = snap.all_dirs()
         if not dirs:
             return None
+        covered: set[str] = set()
+        if snap.deletes:
+            live_set = set(dirs)
+            for entries in snap.deletes.values():
+                for e in entries:
+                    covered.update(set(e["covers"]) & live_set)
         lo = hi = None
         for d in dirs:
+            if d in covered:
+                continue
             # renames: a dir written under an old physical name keeps
             # stats under that name — map the logical column back
             phys = snap.renames.get(d, {}).get(column, column)
@@ -1126,6 +1135,29 @@ class LakeTable:
                 lo = dlo
             if hi is None or dhi > hi:
                 hi = dhi
+        if covered:
+            masked_buckets = {
+                b: [d for d in ds if d in covered]
+                for b, ds in snap.buckets.items()
+            }
+            masked_buckets = {b: ds for b, ds in masked_buckets.items() if ds}
+            row = (
+                self._read_with_deletes(snap, masked_buckets)
+                .agg(F.min(column).alias("lo"), F.max(column).alias("hi"))
+                .first()
+            )
+            slo, shi = row["lo"], row["hi"]
+            if slo is not None:
+                # stats store timestamps as isoformat strings (ordering-
+                # preserving); normalize the scan side the same way
+                if hasattr(slo, "isoformat"):
+                    slo, shi = slo.isoformat(), shi.isoformat()
+                if lo is None or slo < lo:
+                    lo = slo
+                if hi is None or shi > hi:
+                    hi = shi
+        if lo is None:
+            return None  # every surviving row was masked away
         return (lo, hi)
 
     def read_changes(

@@ -125,15 +125,58 @@ def test_column_bounds_matches_scan(catalog, spark):
     assert t.column_bounds("id") == (-5, 500)
 
 
-def test_column_bounds_refuses_inexact(catalog, spark):
-    """None (never a silently-wrong answer) under live MoR masks and
-    for stat-less columns; fold restores the metadata path."""
+def test_column_bounds_hybrid_under_live_mor(catalog, spark):
+    """A live MoR era no longer forces refusal: era-covered dirs take
+    the real masked read (39 is deleted, so 38 is the truth and the
+    hybrid must find it), uncovered dirs stay manifest math; fold
+    restores the pure metadata path; stat-less columns still None."""
     t = _mk(catalog, spark, "db.cbr")
     t.delete_keys(spark.createDataFrame([(39,)], "id long"), mode="merge-on-read")
-    assert t.column_bounds("id") is None  # 39 is masked; 38 is the truth
+    assert t.snapshot().deletes
+    assert t.column_bounds("id") == (0, 38)  # exact despite the mask
     t.rewrite_position_delete_files()
     assert t.column_bounds("id") == (0, 38)
     assert t.column_bounds("nope") is None  # unknown column -> no stats
+
+
+def test_column_bounds_hybrid_scans_only_masked_dirs(catalog, spark, monkeypatch):
+    """The bounds hybrid reads exactly the era-covered dirs — same
+    cost model as row_count's hybrid."""
+    t = _mk(catalog, spark, "db.cbh")
+    t.delete_keys(spark.createDataFrame([(1,)], "id long"), mode="merge-on-read")
+    snap = t.snapshot()
+    covered = {
+        d for entries in snap.deletes.values() for e in entries
+        for d in e["covers"]
+    }
+    live = set(snap.all_dirs())
+    assert covered and covered < live
+
+    seen: list[dict] = []
+    orig = type(t)._read_with_deletes
+
+    def spy(self, s, bucket_dirs):
+        seen.append(bucket_dirs)
+        return orig(self, s, bucket_dirs)
+
+    monkeypatch.setattr(type(t), "_read_with_deletes", spy)
+    assert t.column_bounds("id") == (0, 39)  # 1 masked, extrema survive
+    scanned = {d for bd in seen for ds in bd.values() for d in ds}
+    assert scanned == (covered & live)
+
+
+def test_column_bounds_all_rows_masked(catalog, spark):
+    """Every surviving row masked away -> None, not a stale bound."""
+    from pyspark.sql import Row as R
+
+    df = spark.createDataFrame([R(id=i, v=f"v{i}") for i in range(4)])
+    t = catalog.create_or_replace("db.cbm", df, key=["id"], n_buckets=1)
+    t.delete_keys(
+        spark.createDataFrame([(i,) for i in range(4)], "id long"),
+        mode="merge-on-read",
+    )
+    assert t.read().count() == 0
+    assert t.column_bounds("id") is None
 
 
 def test_column_bounds_across_rename(catalog, spark):
