@@ -709,6 +709,74 @@ FROM kept
 """
 
 
+_NULL_COUNTS_CACHE: dict[str, tuple] = {}
+_NULL_COUNTS_LOCK = _threading.Lock()
+
+
+def metadata_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 metadata aggregates, part 2: ``LakeTable.null_count`` —
+    exact COUNT(col IS NULL) from the per-dir ``#nulls:<col>`` footer
+    pseudo-stats (Iceberg's manifest ``null_value_counts`` analogue),
+    driver-graded against DuckDB scan truth.
+
+    The staged orders table derives a nullable column
+    (``NULLIF(o_orderstatus, 'F')`` — the testdata has no native NULLs)
+    and grades three rungs: the pure manifest path (zero IO), the
+    hybrid under a LIVE MoR delete era (masked dirs really read; the
+    deleted keys include both null and non-null rows), and the restored
+    metadata path post-fold. Idempotent via the per-sf_dir cache."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from datalake_iceberg_spark.tables import LakeTable
+
+    with _NULL_COUNTS_LOCK:
+        vals = _NULL_COUNTS_CACHE.get(sf_dir)
+        if vals is None:
+            loc = tempfile.mkdtemp(prefix="metadata_null_counts_")
+            atexit.register(shutil.rmtree, loc, ignore_errors=True)
+            orders = load(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("status_nf"),
+                "o_totalprice",
+            )
+            t = LakeTable(spark, loc)
+            t.create_or_replace(orders, key=["o_orderkey"], n_buckets=4)
+            n_initial = t.null_count("status_nf")
+            n_price = t.null_count("o_totalprice")  # 0: no nulls
+            t.delete_keys(
+                orders.where(F.col("o_orderkey") % 9 == 4)
+                .select("o_orderkey"),
+                mode="merge-on-read",
+            )
+            assert t.snapshot().deletes
+            n_live = t.null_count("status_nf")  # hybrid path
+            t.rewrite_position_delete_files()
+            n_folded = t.null_count("status_nf")  # metadata path
+            vals = (n_initial, n_price, n_live, n_folded)
+            _NULL_COUNTS_CACHE[sf_dir] = vals
+    return spark.createDataFrame(
+        [vals],
+        schema=(
+            "nulls_initial bigint, nulls_price bigint, "
+            "nulls_live bigint, nulls_folded bigint"
+        ),
+    )
+
+
+METADATA_NULLS_SQL = """
+SELECT CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS nulls_initial,
+       CAST(0 AS BIGINT) AS nulls_price,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' AND o_orderkey % 9 <> 4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS nulls_live,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' AND o_orderkey % 9 <> 4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS nulls_folded
+FROM orders
+"""
+
+
 _UPDATE_WHERE_TABLES: dict[str, str] = {}
 _UPDATE_WHERE_LOCK = _threading.Lock()
 

@@ -178,6 +178,32 @@ def _footer_num_rows(path: str) -> int:
         return -1
 
 
+def _footer_null_count(path: str, column: str) -> int | None:
+    """Total null count of one column from one parquet file's footer;
+    None when any row-group chunk lacks a valid null-count statistic
+    (callers then fall back to an exact scan of the dir)."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        total = 0
+        seen = False
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema != column:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_null_count or st.null_count is None:
+                    return None
+                total += st.null_count
+                seen = True
+        return total if seen else None
+    except Exception:  # noqa: BLE001 — unreadable footer -> scan fallback
+        return None
+
+
 #: pseudo-column under which each dir's TOTAL footer row count is
 #: harvested into the snapshot stats (stored as [n, n], summed across a
 #: dir's files). `#` keeps it out of any real column's namespace; data
@@ -191,6 +217,12 @@ ROWS_STAT = "#rows"
 #: per-query filesystem LIST + per-file HEAD of every delete dir (on an
 #: object store that was O(delete dirs + files) round trips per read).
 BYTES_STAT = "#bytes"
+#: per-column null-count pseudo-stats: ``#nulls:<physical col>`` -> the
+#: dir's total null count for that column (summed like `#rows`). Powers
+#: metadata-only COUNT(col) / null-ratio DQ audits (`null_count()`) —
+#: the fourth member of the Iceberg manifest-stat quartet
+#: (record count / bytes / bounds / null counts).
+NULLS_STAT_PREFIX = "#nulls:"
 
 
 def _footer_stats_one(rel_dir: str, path: str) -> list[tuple[str, str, Any, Any]]:
@@ -202,6 +234,8 @@ def _footer_stats_one(rel_dir: str, path: str) -> list[tuple[str, str, Any, Any]
 
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    nulls_ok: dict[str, bool] = {}
     md = pq.ParquetFile(path).metadata
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -209,7 +243,17 @@ def _footer_stats_one(rel_dir: str, path: str) -> list[tuple[str, str, Any, Any]
             col = g.column(ci)
             st = col.statistics
             name = col.path_in_schema
-            if st is None or not st.has_min_max or "." in name:
+            if "." in name:
+                continue
+            # null counts are valid even where min/max are not (all-null
+            # or bytes-typed chunks); a single chunk without the stat
+            # invalidates the column's count for this file
+            if st is not None and st.has_null_count and st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+                nulls_ok.setdefault(name, True)
+            else:
+                nulls_ok[name] = False
+            if st is None or not st.has_min_max:
                 continue
             lo, hi = st.min, st.max
             if isinstance(lo, bytes) or isinstance(hi, bytes):
@@ -221,6 +265,10 @@ def _footer_stats_one(rel_dir: str, path: str) -> list[tuple[str, str, Any, Any]
             if name not in maxs or hi > maxs[name]:
                 maxs[name] = hi
     out = [(rel_dir, c, mins[c], maxs[c]) for c in mins if c in maxs]
+    out.extend(
+        (rel_dir, NULLS_STAT_PREFIX + c, n, n)
+        for c, n in nulls.items() if nulls_ok.get(c)
+    )
     out.append((rel_dir, ROWS_STAT, md.num_rows, md.num_rows))
     try:
         size = os.path.getsize(path)
@@ -756,7 +804,7 @@ class LakeTable:
                 cur = merged.setdefault(rel_dir, {}).get(col)
                 if cur is None:
                     merged[rel_dir][col] = [lo, hi]
-                elif col in (ROWS_STAT, BYTES_STAT):  # SUM across a dir's files
+                elif col.startswith("#"):  # pseudo-stats SUM across files
                     cur[0] = cur[1] = cur[0] + lo
                 else:
                     cur[0] = min(cur[0], lo)
@@ -1159,6 +1207,71 @@ class LakeTable:
         if lo is None:
             return None  # every surviving row was masked away
         return (lo, hi)
+
+    def null_count(self, column: str, version: int | None = None) -> int:
+        """Exact ``COUNT(*) WHERE col IS NULL`` without a data scan —
+        the fourth metadata aggregate (Iceberg manifests carry
+        ``null_value_counts`` for the same reason: null-ratio DQ audits
+        at 100 TB should be manifest math, not table reads). Ladder
+        mirrors :meth:`row_count`:
+
+        1. **Manifest**: sum the per-dir ``#nulls:<col>`` pseudo-stats
+           harvested from parquet footers at commit — zero IO.
+        2. **Footer fallback** for dirs without the stat: read ONLY
+           those dirs' footers (rename-aware physical column).
+        3. **Per-dir scan fallback** when a footer lacks a valid null
+           count — never a silently-wrong total.
+        4. **Hybrid under live MoR eras**: era-covered dirs take the
+           masked read; uncovered dirs stay on 1-3.
+        """
+        snap = self.snapshot(version)
+        fields = T.StructType.fromJson(json.loads(snap.schema_json)).fields
+        if column not in {f.name for f in fields}:
+            raise ValueError(f"no column {column!r} on {self.location}")
+        live = snap.all_dirs()
+        covered: set[str] = set()
+        if snap.deletes:
+            live_set = set(live)
+            for entries in snap.deletes.values():
+                for e in entries:
+                    covered.update(set(e["covers"]) & live_set)
+        total = 0
+        if covered:
+            masked_buckets = {
+                b: [d for d in ds if d in covered]
+                for b, ds in snap.buckets.items()
+            }
+            masked_buckets = {b: ds for b, ds in masked_buckets.items() if ds}
+            total += (
+                self._read_with_deletes(snap, masked_buckets)
+                .where(F.col(column).isNull())
+                .count()
+            )
+        for d in live:
+            if d in covered:
+                continue
+            phys = snap.renames.get(d, {}).get(column, column)
+            ent = snap.stats.get(d, {}).get(NULLS_STAT_PREFIX + phys)
+            if ent is not None:
+                total += int(ent[0])
+                continue
+            # footer fallback, then per-dir scan if any file's footer
+            # lacks a valid null count
+            abs_dir = d if d.startswith("/") else self.fs.join(self.location, d)
+            counts = [
+                _footer_null_count(self.fs.join(abs_dir, f), phys)
+                for f in self.fs.listdir(abs_dir)
+                if f.endswith(".parquet")
+            ]
+            if any(c is None for c in counts):
+                total += (
+                    self._read_dirs([d], snap)
+                    .where(F.col(column).isNull())
+                    .count()
+                )
+            else:
+                total += sum(counts)
+        return total
 
     def read_changes(
         self, from_version: int, to_version: int | None = None,

@@ -286,3 +286,84 @@ def test_fsck_deep_reports_unreadable_footer_as_own_issue(catalog, spark):
     assert not rep["ok"]
     # the victim dir is excluded from the drift recount, not mis-summed
     assert all(d["dir"] != victim for d in rep["row_drift"])
+
+
+def _mk_nullable(catalog, spark, name, n=40):
+    # v is NULL for every id divisible by 5 -> 8 nulls in 40
+    df = spark.createDataFrame(
+        [Row(id=i, v=(None if i % 5 == 0 else f"v{i}")) for i in range(n)],
+        "id long, v string",
+    )
+    return catalog.create_or_replace(name, df, key=["id"], n_buckets=4)
+
+
+def test_null_count_matches_scan_across_dml(catalog, spark):
+    t = _mk_nullable(catalog, spark, "db.nc")
+    assert t.null_count("v") == 8 == t.read().where("v IS NULL").count()
+    assert t.null_count("id") == 0
+    # merge in more nulls + non-nulls
+    t.merge(spark.createDataFrame(
+        [(100, None), (101, "x"), (5, "filled")], "id long, v string"
+    ))
+    assert t.null_count("v") == 8  # id=5's null replaced, id=100 adds one
+    t.delete_keys(spark.createDataFrame([(10,)], "id long"))
+    assert t.null_count("v") == 7 == t.read().where("v IS NULL").count()
+    with pytest.raises(ValueError, match="no column"):
+        t.null_count("nope")
+
+
+def test_null_count_is_metadata_only_when_stats_present(catalog, spark):
+    t = _mk_nullable(catalog, spark, "db.ncm")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    assert t.null_count("v") == 8
+    assert tracker.getJobIdsForGroup(None) == before, (
+        "null_count launched a Spark job on the stats path"
+    )
+
+
+def test_null_count_footer_fallback(catalog, spark):
+    """Strip the #nulls stats from the manifest: the count must come
+    from parquet footers (value identical, still no data scan)."""
+    from datalake_iceberg_spark.tables import NULLS_STAT_PREFIX
+
+    t = _mk_nullable(catalog, spark, "db.ncf")
+    mpath = catalog.fs.join(t.meta_dir, f"v{t.current_version()}.json")
+    doc = json.loads(catalog.fs.read_text(mpath))
+    stripped = 0
+    for cols in doc.get("stats", {}).values():
+        for k in [k for k in cols if k.startswith(NULLS_STAT_PREFIX)]:
+            del cols[k]
+            stripped += 1
+    assert stripped > 0
+    with open(mpath, "w") as f:
+        f.write(json.dumps(doc))
+    assert catalog.table("db.ncf").null_count("v") == 8
+
+
+def test_null_count_hybrid_under_live_mor(catalog, spark):
+    t = _mk_nullable(catalog, spark, "db.nch")
+    # delete two null-v rows and one non-null row, merge-on-read
+    t.delete_keys(
+        spark.createDataFrame([(0,), (5,), (7,)], "id long"),
+        mode="merge-on-read",
+    )
+    assert t.snapshot().deletes
+    assert t.null_count("v") == 6 == t.read().where("v IS NULL").count()
+    t.rewrite_position_delete_files()
+    assert t.null_count("v") == 6  # metadata path again
+
+
+def test_null_count_all_null_column(catalog, spark):
+    df = spark.createDataFrame(
+        [(i, None) for i in range(12)], "id long, v string"
+    )
+    t = catalog.create_or_replace("db.ncz", df, key=["id"], n_buckets=2)
+    assert t.null_count("v") == 12
+
+
+def test_null_count_across_rename(catalog, spark):
+    t = _mk_nullable(catalog, spark, "db.ncr")
+    t.rename_column("v", "val")
+    t.append(spark.createDataFrame([(500, None)], "id long, val string"))
+    assert t.null_count("val") == 9
