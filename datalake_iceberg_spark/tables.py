@@ -1414,10 +1414,26 @@ class LakeTable:
     def _dir_may_match(
         dstats: dict[str, list], filters, mapping: dict[str, str] | None = None
     ) -> bool:
-        for col, op, value in filters:
+        for f in filters:
+            col, op, value = f if len(f) == 3 else (f[0], f[1], None)
             # footer stats are keyed by the PHYSICAL column name the dir
             # was written with; translate renamed logical names
             col = (mapping or {}).get(col, col)
+            if op in ("is_null", "is_not_null"):
+                # null-count skipping (#nulls harvested at commit):
+                # IS NULL prunes dirs with zero nulls; IS NOT NULL
+                # prunes all-null dirs (#nulls == #rows)
+                ent = dstats.get(NULLS_STAT_PREFIX + col)
+                if ent is None:
+                    continue  # no null stat -> can't prune
+                nulls = int(ent[0])
+                if op == "is_null" and nulls == 0:
+                    return False
+                rows = dstats.get(ROWS_STAT)
+                if (op == "is_not_null" and rows is not None
+                        and nulls >= int(rows[0])):
+                    return False
+                continue
             if col not in dstats:
                 continue
             lo, hi = dstats[col]
@@ -1447,8 +1463,12 @@ class LakeTable:
         """Filtered scan with manifest-level data skipping: directories
         whose column stats can't satisfy the predicate are never listed
         (on top of parquet's own row-group pruning). ``filters`` is a
-        conjunction of ``(col, op, value)``, op ∈ {<, <=, >, >=, =}.
-        The exact predicate is re-applied on the surviving data."""
+        conjunction of ``(col, op, value)``, op ∈ {<, <=, >, >=, =},
+        plus unary ``(col, "is_null")`` / ``(col, "is_not_null")``
+        pruned via the commit-time ``#nulls`` stats (a dir with zero
+        nulls never serves IS NULL; an all-null dir never serves
+        IS NOT NULL). The exact predicate is re-applied on the
+        surviving data."""
         snap = self.snapshot(version)
         dirs = self.candidate_dirs(filters, version)
         if snap.deletes:
@@ -1464,8 +1484,14 @@ class LakeTable:
             "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
             "=": lambda c, v: c == v, "==": lambda c, v: c == v,
         }
-        for col, op, value in filters:
-            df = df.filter(ops[op](F.col(col), F.lit(value)))
+        for f in filters:
+            col, op, value = f if len(f) == 3 else (f[0], f[1], None)
+            if op == "is_null":
+                df = df.filter(F.col(col).isNull())
+            elif op == "is_not_null":
+                df = df.filter(F.col(col).isNotNull())
+            else:
+                df = df.filter(ops[op](F.col(col), F.lit(value)))
         return df
 
     def scan_report(self, filters, version: int | None = None) -> dict:
@@ -1479,7 +1505,7 @@ class LakeTable:
         snap = self.snapshot(version)
         all_dirs = snap.all_dirs()
         kept = set(self.candidate_dirs(filters, version))
-        cols = [c for c, _, _ in filters]
+        cols = [f[0] for f in filters]
         no_stats = [
             d for d in all_dirs
             if d in kept and not any(c in snap.stats.get(d, {}) for c in cols)
@@ -2540,8 +2566,14 @@ class LakeTable:
                 "=": lambda c, v: c == v, "==": lambda c, v: c == v,
             }
             cond = None
-            for col, op, value in filters:
-                term = ops[op](F.col(col), F.lit(value))
+            for f in filters:
+                col, op, value = f if len(f) == 3 else (f[0], f[1], None)
+                if op == "is_null":
+                    term = F.col(col).isNull()
+                elif op == "is_not_null":
+                    term = F.col(col).isNotNull()
+                else:
+                    term = ops[op](F.col(col), F.lit(value))
                 cond = term if cond is None else cond & term
             touched: dict[str, list[str]] = {}
             kept: dict[str, list[str]] = {}

@@ -80,3 +80,56 @@ def test_scan_report_explains_pruning(spark, tmp_path):
     rep2 = t.scan_report([("nonexistent_col", ">=", 1)])
     assert rep2["pruned_dirs"] == 0
     assert rep2["kept_without_stats"] == rep2["total_dirs"]
+
+
+def test_null_filter_skipping(spark, tmp_path):
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    """IS NULL / IS NOT NULL dir skipping via the commit-time #nulls
+    stats: a dir with zero nulls never serves IS NULL; an all-null dir
+    never serves IS NOT NULL; values stay exact either way."""
+    from pyspark.sql import Row
+
+    # bucket by id so null-free and all-null rows land in known dirs:
+    # two separate appends give per-commit dirs with distinct profiles
+    df_nonull = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id long, v string"
+    )
+    t = catalog.create_or_replace("db.nskip", df_nonull, key=["id"], n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(100 + i, None) for i in range(10)], "id long, v string"
+    ))
+
+    snap = t.snapshot()
+    all_dirs = set(snap.all_dirs())
+    null_dirs = set(t.candidate_dirs([("v", "is_null")]))
+    notnull_dirs = set(t.candidate_dirs([("v", "is_not_null")]))
+    # the no-null commit's dirs are pruned for IS NULL, and vice versa
+    assert null_dirs < all_dirs and notnull_dirs < all_dirs
+    assert null_dirs | notnull_dirs == all_dirs
+    assert null_dirs.isdisjoint(notnull_dirs)
+
+    assert t.scan([("v", "is_null")]).count() == 10
+    assert t.scan([("v", "is_not_null")]).count() == 20
+    # composes with range filters (3-tuples and 2-tuples mixed)
+    assert t.scan([("v", "is_null"), ("id", ">=", 105)]).count() == 5
+    rep = t.scan_report([("v", "is_null")])
+    assert rep["pruned_dirs"] >= 1 and rep["read_dirs"] == len(null_dirs)
+
+
+def test_update_where_null_filter(spark, tmp_path):
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh2"))
+    """update_where accepts unary null filters with the same dir-level
+    skipping, e.g. backfilling a NULL column."""
+    t_df = spark.createDataFrame(
+        [(i, None if i % 4 == 0 else f"v{i}") for i in range(16)],
+        "id long, v string",
+    )
+    t = catalog.create_or_replace("db.nupd", t_df, key=["id"], n_buckets=2)
+    t.update_where([("v", "is_null")], {"v": "'backfilled'"})
+    got = {r.id: r.v for r in t.read().collect()}
+    assert all(got[i] == "backfilled" for i in range(0, 16, 4))
+    assert got[1] == "v1" and got[15] == "v15"
