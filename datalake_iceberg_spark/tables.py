@@ -1505,10 +1505,15 @@ class LakeTable:
         snap = self.snapshot(version)
         all_dirs = snap.all_dirs()
         kept = set(self.candidate_dirs(filters, version))
-        cols = [f[0] for f in filters]
+        # the stat a filter prunes on: #nulls:<col> for unary null
+        # filters, the column's min/max entry otherwise
+        keys = [
+            (NULLS_STAT_PREFIX + f[0]) if len(f) == 2 else f[0]
+            for f in filters
+        ]
         no_stats = [
             d for d in all_dirs
-            if d in kept and not any(c in snap.stats.get(d, {}) for c in cols)
+            if d in kept and not any(k in snap.stats.get(d, {}) for k in keys)
         ]
         return {
             "filters": [list(f) for f in filters],
