@@ -6,10 +6,14 @@ Subcommands::
 
     catalog_admin list    [--schema default]
     catalog_admin storage [--schema default] [--json]
+    catalog_admin stats   [--schema default | --table db.t] [--column c] [--json]
     catalog_admin clone   --table db.src --target db.dst
     catalog_admin rename  --table db.old --target db.new
     catalog_admin drop    --table db.t [--keep-data]
 
+``stats`` answers COUNT(*) (and, with ``--column``, MIN/MAX bounds and
+the null count) from manifest math — the 100 TB audit that never reads
+the table (live MoR eras degrade only the masked dirs to a real read).
 ``clone`` is metadata-only at any table size (see
 :meth:`LakeCatalog.clone_table`); ``drop``/``rename`` enforce the
 clone-safety protocol (refused while live clones reference the table's
@@ -30,10 +34,12 @@ from datalake_iceberg_spark.jobs.common import (
 
 
 def build_parser():
-    p = base_parser("catalog admin: list / storage / fsck / clone / rename / drop")
+    p = base_parser(
+        "catalog admin: list / storage / stats / fsck / clone / rename / drop"
+    )
     p.add_argument("command",
-                   choices=["list", "storage", "fsck", "clone", "rename",
-                            "drop"])
+                   choices=["list", "storage", "stats", "fsck", "clone",
+                            "rename", "drop"])
     p.add_argument("--schema", default="default")
     p.add_argument("--table", default=None)
     p.add_argument("--target", default=None)
@@ -43,6 +49,8 @@ def build_parser():
                    help="storage/fsck: one JSON line per table")
     p.add_argument("--deep", action="store_true",
                    help="fsck: also recount rows from parquet footers")
+    p.add_argument("--column", default=None,
+                   help="stats: also report this column's bounds + null count")
     return p
 
 
@@ -68,6 +76,25 @@ def main(argv=None, spark=None) -> int:
                     f"reclaimable={r['reclaimable_bytes']} "
                     f"clones={len(r['clones'])}"
                 )
+        return 0
+    if args.command == "stats":
+        names = [args.table] if args.table else catalog.list_tables(args.schema)
+        for name in names:
+            t = catalog.table(name)
+            rec = {"table": name, "version": t.current_version(),
+                   "row_count": t.row_count()}
+            if args.column:
+                b = t.column_bounds(args.column)
+                rec["column"] = args.column
+                rec["bounds"] = list(b) if b is not None else None
+                rec["null_count"] = t.null_count(args.column)
+            if args.as_json:
+                print(json.dumps(rec, sort_keys=True))
+            else:
+                extra = (f" {args.column}: bounds={rec['bounds']} "
+                         f"nulls={rec['null_count']}" if args.column else "")
+                print(f"{name}: v{rec['version']} rows={rec['row_count']}"
+                      + extra)
         return 0
     if args.command == "fsck":
         names = [args.table] if args.table else catalog.list_tables(args.schema)

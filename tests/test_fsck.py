@@ -117,3 +117,27 @@ def test_catalog_admin_fsck_command(catalog, spark, tmp_path, capsys):
     assert rc == 3
     flagged = {r["table"]: r["ok"] for r in out}
     assert flagged["default.fb"] is False and flagged["default.fa"] is True
+
+
+def test_catalog_admin_stats_command(catalog, spark, capsys):
+    """`catalog_admin stats` reports the metadata aggregates as JSON
+    lines — row count always, bounds + null count with --column."""
+    import json as _json
+
+    from datalake_iceberg_spark.jobs import catalog_admin
+
+    df = spark.createDataFrame(
+        [(i, None if i % 4 == 0 else float(i)) for i in range(16)],
+        "id long, score double",
+    )
+    catalog.create_or_replace("db.adminstats", df, key=["id"], n_buckets=2)
+    rc = catalog_admin.main(
+        ["stats", "--table", "db.adminstats", "--column", "score", "--json",
+         "--warehouse", catalog.warehouse],
+        spark=spark,
+    )
+    assert rc == 0
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["row_count"] == 16
+    assert rec["bounds"] == [1.0, 15.0]
+    assert rec["null_count"] == 4
