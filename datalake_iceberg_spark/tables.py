@@ -1748,6 +1748,12 @@ class LakeTable:
             )
         self.fs.makedirs(self._staged_dir())
         self.fs.write_exclusive(path, json.dumps(doc, indent=1, sort_keys=True))
+        # the staged doc now GC-protects these dirs (remove_orphan_files
+        # walks staged refs), so they leave the birth registry — a
+        # publish_staged hours later must NOT trip the plain-commit age
+        # gate: WAP's whole point is stage now, audit, publish later
+        for d in new_dirs:
+            self._commit_dir_birth.pop(_commit_dir_of(d), None)
         return doc
 
     def staged_ids(self) -> list[str]:

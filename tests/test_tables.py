@@ -409,3 +409,22 @@ def test_publish_gate_refuses_commit_past_gc_grace(catalog, spark):
     assert "w-late" not in t.staged_ids()
     t.append(spark.createDataFrame([Row(id=102, v="ontime")]))
     assert t.read().where("id = 102").count() == 1
+
+
+def test_staged_publish_not_gated_after_long_audit(catalog, spark):
+    """WAP contract: once stage_append's doc lands, the staged dirs are
+    GC-protected via the staged refs — a publish hours later must NOT
+    trip the plain-commit age gate. Simulated by backdating every birth
+    stamp after staging."""
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.tables import GC_GRACE_S
+
+    df = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(6)])
+    t = catalog.create_or_replace("db.wapgate", df, key=["id"], n_buckets=2)
+    t.stage_append(spark.createDataFrame([Row(id=50, v="staged")]), "w1")
+    # the audit takes "two hours"
+    for k in list(t._commit_dir_birth):
+        t._commit_dir_birth[k] -= GC_GRACE_S * 2
+    t.publish_staged("w1")  # must not raise
+    assert t.read().where("id = 50").count() == 1
