@@ -996,7 +996,10 @@ class LakeTable:
           disagrees with a fresh footer recount (O(files) footer reads,
           no data scan) — and ``unreadable_footers`` — files whose
           footer cannot be parsed (reported as their own issue, never
-          folded into the recount where a -1 could cancel real drift).
+          folded into the recount where a -1 could cancel real drift) —
+          and ``bytes_drift``: dirs whose on-disk parquet bytes disagree
+          with the commit-time ``#bytes`` stat (truncation / in-place
+          rewrite that preserved row metadata).
 
         ``ok`` is True when nothing but ``stale_stats`` was found.
         Branch manifests are covered by running fsck per branch (each
@@ -1044,6 +1047,7 @@ class LakeTable:
                         )
         if deep:
             drift = []
+            bdrift = []
             unreadable = []
             for d in sorted(live | set(snap.all_delete_dirs())):
                 ent = snap.stats.get(d, {}).get(ROWS_STAT)
@@ -1065,7 +1069,18 @@ class LakeTable:
                 if actual != int(ent[0]):
                     drift.append({"dir": d, "manifest": int(ent[0]),
                                   "footers": actual})
+                # bytes drift: a rewrite-in-place / truncation that kept
+                # row metadata still changes on-disk size vs #bytes
+                bent = snap.stats.get(d, {}).get(BYTES_STAT)
+                if bent is not None:
+                    size = sum(
+                        self.fs.size(self.fs.join(_abs(d), f)) for f in files
+                    )
+                    if size != int(bent[0]):
+                        bdrift.append({"dir": d, "manifest": int(bent[0]),
+                                       "on_disk": size})
             issues["row_drift"] = drift
+            issues["bytes_drift"] = bdrift
             issues["unreadable_footers"] = unreadable
         ok = not any(v for k, v in issues.items() if k != "stale_stats")
         return {"ok": ok, "version": snap.version, **issues}
@@ -1437,6 +1452,17 @@ class LakeTable:
             if col not in dstats:
                 continue
             lo, hi = dstats[col]
+            if op == "in":
+                vals = [
+                    x.isoformat() if hasattr(x, "isoformat") else x
+                    for x in value
+                ]
+                try:
+                    if not any(lo <= x <= hi for x in vals):
+                        return False
+                except TypeError:
+                    pass  # incomparable -> can't prune
+                continue
             v = value.isoformat() if hasattr(value, "isoformat") else value
             try:
                 if op in (">", ">=") and (hi < v or (op == ">" and hi <= v)):
@@ -1464,7 +1490,9 @@ class LakeTable:
         whose column stats can't satisfy the predicate are never listed
         (on top of parquet's own row-group pruning). ``filters`` is a
         conjunction of ``(col, op, value)``, op ∈ {<, <=, >, >=, =},
-        plus unary ``(col, "is_null")`` / ``(col, "is_not_null")``
+        plus ``(col, "in", [v, ...])`` (dir kept only when some value
+        falls inside its min/max range) and unary
+        ``(col, "is_null")`` / ``(col, "is_not_null")``
         pruned via the commit-time ``#nulls`` stats (a dir with zero
         nulls never serves IS NULL; an all-null dir never serves
         IS NOT NULL). The exact predicate is re-applied on the
@@ -1490,6 +1518,8 @@ class LakeTable:
                 df = df.filter(F.col(col).isNull())
             elif op == "is_not_null":
                 df = df.filter(F.col(col).isNotNull())
+            elif op == "in":
+                df = df.filter(F.col(col).isin(list(value)))
             else:
                 df = df.filter(ops[op](F.col(col), F.lit(value)))
         return df
@@ -2583,6 +2613,8 @@ class LakeTable:
                     term = F.col(col).isNull()
                 elif op == "is_not_null":
                     term = F.col(col).isNotNull()
+                elif op == "in":
+                    term = F.col(col).isin(list(value))
                 else:
                     term = ops[op](F.col(col), F.lit(value))
                 cond = term if cond is None else cond & term

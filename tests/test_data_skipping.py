@@ -133,3 +133,31 @@ def test_update_where_null_filter(spark, tmp_path):
     got = {r.id: r.v for r in t.read().collect()}
     assert all(got[i] == "backfilled" for i in range(0, 16, 4))
     assert got[1] == "v1" and got[15] == "v15"
+
+
+def test_in_filter_skipping(spark, tmp_path):
+    """(col, 'in', [...]) prunes dirs whose min/max range contains none
+    of the probe values, and the exact predicate is re-applied."""
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = catalog.create_or_replace(
+        "db.inskip",
+        spark.createDataFrame([(i, f"v{i}") for i in range(100)],
+                              "id long, v string"),
+        key=["id"], n_buckets=1,
+    )
+    # three disjoint-range commits -> three dirs with tight id bounds
+    t.append(spark.createDataFrame(
+        [(1000 + i, "a") for i in range(50)], "id long, v string"))
+    t.append(spark.createDataFrame(
+        [(2000 + i, "b") for i in range(50)], "id long, v string"))
+
+    kept = t.candidate_dirs([("id", "in", [1005, 1007])])
+    assert len(kept) < len(t.snapshot().all_dirs())
+    got = {r.id for r in t.scan([("id", "in", [1005, 1007, 999999])]).collect()}
+    assert got == {1005, 1007}
+    # composes with range filters; update_where accepts it too
+    t.update_where([("id", "in", [3, 2049])], {"v": "'picked'"})
+    vals = {r.id: r.v for r in t.read().where("id in (3, 2049)").collect()}
+    assert vals == {3: "picked", 2049: "picked"}

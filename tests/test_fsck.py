@@ -141,3 +141,31 @@ def test_catalog_admin_stats_command(catalog, spark, capsys):
     assert rec["row_count"] == 16
     assert rec["bounds"] == [1.0, 15.0]
     assert rec["null_count"] == 4
+
+
+def test_fsck_deep_detects_bytes_drift(catalog, spark):
+    """An in-place rewrite that preserves rows (valid footer, same row
+    count, different encoding/size) is invisible to the row recount —
+    bytes_drift is the tripwire. (A junk-tail append instead breaks the
+    footer and lands in unreadable_footers; both flip ok=False.)"""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame([(i, f"v{i}" * 20) for i in range(20)],
+                               "id long, v string")
+    t = catalog.create_or_replace("db.bdrift", df, key=["id"], n_buckets=2)
+    assert t.fsck(deep=True)["bytes_drift"] == []
+    victim = sorted(glob.glob(
+        os.path.join(t.location, "data", "*", "**", "*.parquet"),
+        recursive=True,
+    ))[0]
+    tbl = pq.read_table(victim)
+    pq.write_table(tbl, victim, compression="none")  # same rows, new size
+    rep = t.fsck(deep=True)
+    assert rep["row_drift"] == []  # rows unchanged: count audit is blind
+    assert [d["dir"] for d in rep["bytes_drift"]] == [
+        os.path.relpath(os.path.dirname(victim), t.location)
+    ]
+    assert not rep["ok"]
