@@ -79,23 +79,34 @@ def main(argv=None, spark=None) -> int:
         return 0
     if args.command == "stats":
         names = [args.table] if args.table else catalog.list_tables(args.schema)
+        failed = 0
         for name in names:
-            t = catalog.table(name)
-            rec = {"table": name, "version": t.current_version(),
-                   "row_count": t.row_count()}
-            if args.column:
-                b = t.column_bounds(args.column)
-                rec["column"] = args.column
-                rec["bounds"] = list(b) if b is not None else None
-                rec["null_count"] = t.null_count(args.column)
+            # per-table isolation: one broken table (vanished dir raises
+            # by row_count's exactness contract) or one table lacking
+            # --column must not abort the sweep — report and continue,
+            # exactly like the sibling fsck subcommand's posture
+            try:
+                t = catalog.table(name)
+                rec = {"table": name, "version": t.current_version(),
+                       "row_count": t.row_count()}
+                if args.column:
+                    b = t.column_bounds(args.column)
+                    rec["column"] = args.column
+                    rec["bounds"] = list(b) if b is not None else None
+                    rec["null_count"] = t.null_count(args.column)
+            except Exception as e:  # noqa: BLE001 — sweep isolation
+                failed += 1
+                rec = {"table": name, "error": f"{type(e).__name__}: {e}"}
             if args.as_json:
                 print(json.dumps(rec, sort_keys=True))
+            elif "error" in rec:
+                print(f"{name}: ERROR {rec['error']}")
             else:
                 extra = (f" {args.column}: bounds={rec['bounds']} "
                          f"nulls={rec['null_count']}" if args.column else "")
                 print(f"{name}: v{rec['version']} rows={rec['row_count']}"
                       + extra)
-        return 0
+        return 0 if failed == 0 else 3
     if args.command == "fsck":
         names = [args.table] if args.table else catalog.list_tables(args.schema)
         bad = 0

@@ -100,6 +100,50 @@ def _parse_iso_utc(ts: str) -> datetime:
     return dt.astimezone(timezone.utc)
 
 
+def _norm_filters(filters) -> list[tuple]:
+    """Normalize the scan/update filter vocabulary ONCE per call:
+    2-tuples gain a None value slot, temporal values convert to the
+    isoformat strings the footer stats store — so the per-dir pruning
+    loop does plain comparisons, not O(dirs x values) conversions."""
+    out = []
+    for f in filters:
+        col, op, value = f if len(f) == 3 else (f[0], f[1], None)
+        if op == "in":
+            value = [
+                x.isoformat() if hasattr(x, "isoformat") else x
+                for x in value
+            ]
+        elif hasattr(value, "isoformat"):
+            value = value.isoformat()
+        out.append((col, op, value))
+    return out
+
+
+_FILTER_OPS = {
+    ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
+    "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
+    "=": lambda c, v: c == v, "==": lambda c, v: c == v,
+}
+
+
+def _filter_expr(filters):
+    """The exact Spark predicate for a normalized filter conjunction —
+    ONE translation shared by scan() and update_where() so the operator
+    vocabulary can never drift between the two."""
+    cond = None
+    for col, op, value in filters:
+        if op == "is_null":
+            term = F.col(col).isNull()
+        elif op == "is_not_null":
+            term = F.col(col).isNotNull()
+        elif op == "in":
+            term = F.col(col).isin(list(value))
+        else:
+            term = _FILTER_OPS[op](F.col(col), F.lit(value))
+        cond = term if cond is None else cond & term
+    return cond
+
+
 def _commit_dir_of(rel_dir: str) -> str:
     """Commit-level prefix of a data/delete dir: strips the per-bucket
     ``_bucket=k`` leaf that ``_write_bucketed`` appends, leaving the
@@ -236,6 +280,8 @@ def _footer_stats_one(rel_dir: str, path: str) -> list[tuple[str, str, Any, Any]
     maxs: dict[str, Any] = {}
     nulls: dict[str, int] = {}
     nulls_ok: dict[str, bool] = {}
+    seen: set[str] = set()
+    mm_bad: set[str] = set()
     md = pq.ParquetFile(path).metadata
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -245,6 +291,7 @@ def _footer_stats_one(rel_dir: str, path: str) -> list[tuple[str, str, Any, Any]
             name = col.path_in_schema
             if "." in name:
                 continue
+            seen.add(name)
             # null counts are valid even where min/max are not (all-null
             # or bytes-typed chunks); a single chunk without the stat
             # invalidates the column's count for this file
@@ -254,9 +301,21 @@ def _footer_stats_one(rel_dir: str, path: str) -> list[tuple[str, str, Any, Any]
             else:
                 nulls_ok[name] = False
             if st is None or not st.has_min_max:
+                # an ALL-NULL chunk legitimately has no min/max and
+                # contributes no values — it must not invalidate the
+                # column's bounds; any other statless/bytes-typed chunk
+                # might hold values outside the other chunks' range, so
+                # the whole column's bounds are unusable for this file
+                all_null = (
+                    st is not None and st.has_null_count
+                    and st.null_count == g.num_rows
+                )
+                if not all_null:
+                    mm_bad.add(name)
                 continue
             lo, hi = st.min, st.max
             if isinstance(lo, bytes) or isinstance(hi, bytes):
+                mm_bad.add(name)
                 continue
             if hasattr(lo, "isoformat"):
                 lo, hi = lo.isoformat(), hi.isoformat()
@@ -264,7 +323,13 @@ def _footer_stats_one(rel_dir: str, path: str) -> list[tuple[str, str, Any, Any]
                 mins[name] = lo
             if name not in maxs or hi > maxs[name]:
                 maxs[name] = hi
-    out = [(rel_dir, c, mins[c], maxs[c]) for c in mins if c in maxs]
+    # a (None, None) row is a VALID no-values contribution (all-null
+    # file): the dir-level merge needs it to prove every file was
+    # accounted for before trusting the dir's bounds
+    out = [
+        (rel_dir, c, mins.get(c), maxs.get(c))
+        for c in sorted(seen - mm_bad)
+    ]
     out.extend(
         (rel_dir, NULLS_STAT_PREFIX + c, n, n)
         for c, n in nulls.items() if nulls_ok.get(c)
@@ -460,6 +525,48 @@ class LakeTable:
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.snapshot().schema_json))
 
+    def _masked_buckets(
+        self, snap: Snapshot
+    ) -> tuple[set[str], dict[str, list[str]]]:
+        """Era-COVERED live dirs and the bucket map restricted to them —
+        the shared core of every hybrid metadata aggregate (row_count /
+        column_bounds / null_count): covered dirs take the real masked
+        read, everything else stays manifest math."""
+        covered: set[str] = set()
+        if snap.deletes:
+            live_set = set(snap.all_dirs())
+            for entries in snap.deletes.values():
+                for e in entries:
+                    covered.update(set(e["covers"]) & live_set)
+        if not covered:
+            return covered, {}
+        masked = {
+            b: [d for d in ds if d in covered]
+            for b, ds in snap.buckets.items()
+        }
+        return covered, {b: ds for b, ds in masked.items() if ds}
+
+    def _gc_grace(self) -> float:
+        """The in-flight-writer grace BOTH sides of the GC contract use
+        (orphan GC keeps younger dirs; publish refuses older ones).
+        Table property ``commit.gc-grace-seconds`` overrides the 1h
+        default — a deployment whose bulk writes legitimately run
+        longer than an hour raises it (toward Iceberg's 3-day
+        ``older_than``) on the TABLE, so writers and GC can never
+        disagree about the bound."""
+        try:
+            props = (
+                self._pending_props
+                if self._pending_props is not None
+                else (self.snapshot().properties if self.exists() else {})
+            )
+            declared = float(props.get("commit.gc-grace-seconds", 0))
+            if declared > 0:
+                return declared
+        except (ValueError, TypeError):
+            pass  # malformed property -> default
+        return GC_GRACE_S
+
     def _write_manifest(self, snap: Snapshot) -> None:
         """Exclusive-create the manifest, then flip ``_current`` atomically.
         ``write_exclusive`` raising on an existing path is the commit
@@ -549,16 +656,18 @@ class LakeTable:
                 if not d.startswith("/")
             }
             now = time.time()
+            grace = self._gc_grace()
             aged = sorted(
                 c for c in fresh_dirs
-                if now - self._commit_dir_birth.get(c, now) > GC_GRACE_S
+                if now - self._commit_dir_birth.get(c, now) > grace
             )
             if aged:
                 raise CommitConflict(
                     f"{operation} on {self.location}: data write exceeded the "
-                    f"{GC_GRACE_S:.0f}s in-flight GC grace (dirs {aged}); a "
+                    f"{grace:.0f}s in-flight GC grace (dirs {aged}); a "
                     "concurrent remove_orphan_files may have reclaimed the "
-                    "files — re-run the operation"
+                    "files — re-run, or raise the table's "
+                    "commit.gc-grace-seconds property for long writes"
                 )
             try:
                 self._write_manifest(snap)
@@ -799,16 +908,38 @@ class LakeTable:
                 file_stats = [r for pair in files for r in _footer_stats_one(*pair)]
             else:
                 file_stats = _footer_stats_job(self.spark, files)
+            nfiles: dict[str, int] = {}
+            for rel_dir, _ in files:
+                nfiles[rel_dir] = nfiles.get(rel_dir, 0) + 1
+            contrib: dict[tuple, int] = {}
             merged: dict[str, dict[str, list]] = {}
             for rel_dir, col, lo, hi in file_stats:
+                contrib[(rel_dir, col)] = contrib.get((rel_dir, col), 0) + 1
                 cur = merged.setdefault(rel_dir, {}).get(col)
-                if cur is None:
+                if col.startswith("#"):  # pseudo-stats SUM across files
+                    if cur is None:
+                        merged[rel_dir][col] = [lo, hi]
+                    else:
+                        cur[0] = cur[1] = cur[0] + lo
+                    continue
+                if lo is None:  # valid all-null contribution: no values
+                    if cur is None:
+                        merged[rel_dir][col] = [None, None]
+                    continue
+                if cur is None or cur[0] is None:
                     merged[rel_dir][col] = [lo, hi]
-                elif col.startswith("#"):  # pseudo-stats SUM across files
-                    cur[0] = cur[1] = cur[0] + lo
                 else:
                     cur[0] = min(cur[0], lo)
                     cur[1] = max(cur[1], hi)
+            # a dir-level stat is trustworthy ONLY when every file of
+            # the dir contributed: a single file whose footer lacked the
+            # stat could hold values/nulls/bytes outside the partial sum
+            # or range — silently wrong bounds, null counts, byte gates
+            for rel_dir, cols in merged.items():
+                for col in list(cols):
+                    if (contrib.get((rel_dir, col), 0) < nfiles.get(rel_dir, 0)
+                            or cols[col][0] is None):
+                        del cols[col]
             self._pending_stats.update(merged)
         except Exception:  # noqa: BLE001 — stats are best-effort
             pass
@@ -1112,19 +1243,9 @@ class LakeTable:
         """
         snap = self.snapshot(version)
         live = snap.all_dirs()
-        covered: set[str] = set()
-        if snap.deletes:
-            live_set = set(live)
-            for entries in snap.deletes.values():
-                for e in entries:
-                    covered.update(set(e["covers"]) & live_set)
+        covered, masked_buckets = self._masked_buckets(snap)
         total = 0
         if covered:
-            masked_buckets = {
-                b: [d for d in dirs if d in covered]
-                for b, dirs in snap.buckets.items()
-            }
-            masked_buckets = {b: ds for b, ds in masked_buckets.items() if ds}
             total += self._read_with_deletes(snap, masked_buckets).count()
         missing: list[str] = []
         for d in live:
@@ -1177,12 +1298,7 @@ class LakeTable:
         dirs = snap.all_dirs()
         if not dirs:
             return None
-        covered: set[str] = set()
-        if snap.deletes:
-            live_set = set(dirs)
-            for entries in snap.deletes.values():
-                for e in entries:
-                    covered.update(set(e["covers"]) & live_set)
+        covered, masked_buckets = self._masked_buckets(snap)
         lo = hi = None
         for d in dirs:
             if d in covered:
@@ -1199,11 +1315,6 @@ class LakeTable:
             if hi is None or dhi > hi:
                 hi = dhi
         if covered:
-            masked_buckets = {
-                b: [d for d in ds if d in covered]
-                for b, ds in snap.buckets.items()
-            }
-            masked_buckets = {b: ds for b, ds in masked_buckets.items() if ds}
             row = (
                 self._read_with_deletes(snap, masked_buckets)
                 .agg(F.min(column).alias("lo"), F.max(column).alias("hi"))
@@ -1244,19 +1355,9 @@ class LakeTable:
         if column not in {f.name for f in fields}:
             raise ValueError(f"no column {column!r} on {self.location}")
         live = snap.all_dirs()
-        covered: set[str] = set()
-        if snap.deletes:
-            live_set = set(live)
-            for entries in snap.deletes.values():
-                for e in entries:
-                    covered.update(set(e["covers"]) & live_set)
+        covered, masked_buckets = self._masked_buckets(snap)
         total = 0
         if covered:
-            masked_buckets = {
-                b: [d for d in ds if d in covered]
-                for b, ds in snap.buckets.items()
-            }
-            masked_buckets = {b: ds for b, ds in masked_buckets.items() if ds}
             total += (
                 self._read_with_deletes(snap, masked_buckets)
                 .where(F.col(column).isNull())
@@ -1429,6 +1530,8 @@ class LakeTable:
     def _dir_may_match(
         dstats: dict[str, list], filters, mapping: dict[str, str] | None = None
     ) -> bool:
+        # expects _norm_filters-normalized filters (callers normalize
+        # ONCE per scan/update, never per dir); tolerates raw 2-tuples
         for f in filters:
             col, op, value = f if len(f) == 3 else (f[0], f[1], None)
             # footer stats are keyed by the PHYSICAL column name the dir
@@ -1453,17 +1556,13 @@ class LakeTable:
                 continue
             lo, hi = dstats[col]
             if op == "in":
-                vals = [
-                    x.isoformat() if hasattr(x, "isoformat") else x
-                    for x in value
-                ]
                 try:
-                    if not any(lo <= x <= hi for x in vals):
+                    if not any(lo <= x <= hi for x in value):
                         return False
                 except TypeError:
                     pass  # incomparable -> can't prune
                 continue
-            v = value.isoformat() if hasattr(value, "isoformat") else value
+            v = value
             try:
                 if op in (">", ">=") and (hi < v or (op == ">" and hi <= v)):
                     return False
@@ -1479,10 +1578,11 @@ class LakeTable:
         """Data-skipping: dirs whose footer min/max could satisfy the
         conjunction of ``(col, op, value)`` filters."""
         snap = self.snapshot(version)
+        normed = _norm_filters(filters)  # once, not per dir
         return [
             d
             for d in snap.all_dirs()
-            if self._dir_may_match(snap.stats.get(d, {}), filters, snap.renames.get(d))
+            if self._dir_may_match(snap.stats.get(d, {}), normed, snap.renames.get(d))
         ]
 
     def scan(self, filters, version: int | None = None) -> DataFrame:
@@ -1507,22 +1607,8 @@ class LakeTable:
             )
         else:
             df = self._read_dirs(dirs, snap)
-        ops = {
-            ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
-            "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
-            "=": lambda c, v: c == v, "==": lambda c, v: c == v,
-        }
-        for f in filters:
-            col, op, value = f if len(f) == 3 else (f[0], f[1], None)
-            if op == "is_null":
-                df = df.filter(F.col(col).isNull())
-            elif op == "is_not_null":
-                df = df.filter(F.col(col).isNotNull())
-            elif op == "in":
-                df = df.filter(F.col(col).isin(list(value)))
-            else:
-                df = df.filter(ops[op](F.col(col), F.lit(value)))
-        return df
+        cond = _filter_expr(_norm_filters(filters))
+        return df.filter(cond) if cond is not None else df
 
     def scan_report(self, filters, version: int | None = None) -> dict:
         """EXPLAIN for manifest-level data skipping: which dirs a
@@ -1535,15 +1621,25 @@ class LakeTable:
         snap = self.snapshot(version)
         all_dirs = snap.all_dirs()
         kept = set(self.candidate_dirs(filters, version))
-        # the stat a filter prunes on: #nulls:<col> for unary null
-        # filters, the column's min/max entry otherwise
-        keys = [
-            (NULLS_STAT_PREFIX + f[0]) if len(f) == 2 else f[0]
-            for f in filters
-        ]
+
+        def _keys(d: str) -> list[str]:
+            # the stat a filter prunes on, under the dir's PHYSICAL
+            # column names (renamed tables keep old-name stats):
+            # #nulls:<col> for unary null filters, min/max otherwise
+            m = snap.renames.get(d, {})
+            out = []
+            for f in filters:
+                phys = m.get(f[0], f[0])
+                out.append(
+                    (NULLS_STAT_PREFIX + phys)
+                    if f[1] in ("is_null", "is_not_null") else phys
+                )
+            return out
+
         no_stats = [
             d for d in all_dirs
-            if d in kept and not any(k in snap.stats.get(d, {}) for k in keys)
+            if d in kept
+            and not any(k in snap.stats.get(d, {}) for k in _keys(d))
         ]
         return {
             "filters": [list(f) for f in filters],
@@ -1766,15 +1862,17 @@ class LakeTable:
         # becomes GC-protected once this doc lands — a data write that
         # outlived the grace may already have been reclaimed
         now = time.time()
+        grace = self._gc_grace()
         aged = sorted(
             c for c in {_commit_dir_of(d) for d in new_dirs}
-            if now - self._commit_dir_birth.get(c, now) > GC_GRACE_S
+            if now - self._commit_dir_birth.get(c, now) > grace
         )
         if aged:
             raise CommitConflict(
                 f"stage_append on {self.location}: staged data write "
-                f"exceeded the {GC_GRACE_S:.0f}s in-flight GC grace "
-                f"(dirs {aged}) — re-run the stage"
+                f"exceeded the {grace:.0f}s in-flight GC grace "
+                f"(dirs {aged}) — re-run the stage, or raise the table's "
+                "commit.gc-grace-seconds property for long writes"
             )
         self.fs.makedirs(self._staged_dir())
         self.fs.write_exclusive(path, json.dumps(doc, indent=1, sort_keys=True))
@@ -2386,7 +2484,7 @@ class LakeTable:
                 touched[bs], kept[bs] = list(dirs), []
                 continue
             kmin, kmax = bounds[b]
-            filters = [(kcol, ">=", kmin), (kcol, "<=", kmax)]
+            filters = _norm_filters([(kcol, ">=", kmin), (kcol, "<=", kmax)])
             t: list[str] = []
             k: list[str] = []
             for d in dirs:
@@ -2601,23 +2699,8 @@ class LakeTable:
         snap = self.snapshot()
         filters = condition if isinstance(condition, list) else None
         if filters is not None:
-            ops = {
-                ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
-                "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
-                "=": lambda c, v: c == v, "==": lambda c, v: c == v,
-            }
-            cond = None
-            for f in filters:
-                col, op, value = f if len(f) == 3 else (f[0], f[1], None)
-                if op == "is_null":
-                    term = F.col(col).isNull()
-                elif op == "is_not_null":
-                    term = F.col(col).isNotNull()
-                elif op == "in":
-                    term = F.col(col).isin(list(value))
-                else:
-                    term = ops[op](F.col(col), F.lit(value))
-                cond = term if cond is None else cond & term
+            filters = _norm_filters(filters)  # once, not per dir
+            cond = _filter_expr(filters)
             touched: dict[str, list[str]] = {}
             kept: dict[str, list[str]] = {}
             for bs, dirs in snap.buckets.items():
@@ -2643,14 +2726,18 @@ class LakeTable:
             kept = {}
             affected = list(range(snap.n_buckets))
             df = self.read()
-        df = df.withColumn("__upd", cond)
+        # per-call unique helper name — same collision-proofing as the
+        # partial-merge __matched/__t_* columns (a table may legitimately
+        # contain a column named "__upd")
+        upd_col = f"__upd_{uuid.uuid4().hex[:8]}"
+        df = df.withColumn(upd_col, cond)
         for col, val in assignments.items():
             expr = F.expr(val) if isinstance(val, str) else F.lit(val)
-            df = df.withColumn(col, F.when(F.col("__upd"), expr).otherwise(F.col(col)))
+            df = df.withColumn(col, F.when(F.col(upd_col), expr).otherwise(F.col(col)))
         # CHECK constraints gate the rows this UPDATE actually changed
         # (untouched rows predate the constraint's validate decision)
-        self._enforce_constraints(df.where(F.col("__upd")), "update_where")
-        updated = self._align(df.drop("__upd"))
+        self._enforce_constraints(df.where(F.col(upd_col)), "update_where")
+        updated = self._align(df.drop(upd_col))
         new_dirs = self._write_bucketed(updated, snap.key, snap.n_buckets)
         per_bucket = {
             str(b): kept.get(str(b), []) + new_dirs.get(str(b), []) for b in affected
@@ -3259,7 +3346,7 @@ class LakeTable:
         return roots
 
     def remove_orphan_files(
-        self, dry_run: bool = False, older_than_s: float = GC_GRACE_S
+        self, dry_run: bool = False, older_than_s: float | None = None
     ) -> dict:
         """Delete data dirs unreferenced by any remaining manifest
         (Iceberg ``remove_orphan_files``, ``src/utils/maintenance.py:266-271``).
@@ -3297,7 +3384,13 @@ class LakeTable:
         gate uses, so the two sides agree. Callers passing a SMALLER
         grace (tests use 0.0 on quiesced tables) opt out of in-flight
         protection and must know no write is running. Clone-marker
-        pruning is metadata staleness and is not age-gated."""
+        pruning is metadata staleness and is not age-gated.
+
+        ``older_than_s=None`` (default) follows the table's
+        ``commit.gc-grace-seconds`` property (else ``GC_GRACE_S``) —
+        the same value the publish gate enforces."""
+        if older_than_s is None:
+            older_than_s = self._gc_grace()
         live: set[str] = set()
         own_prefix = self.data_dir.rstrip("/") + "/"
 
@@ -3420,7 +3513,7 @@ class LakeBranch(LakeTable):
         raise ValueError("fast_forward runs on the MAIN table")
 
     def remove_orphan_files(self, dry_run: bool = False,
-                            older_than_s: float = 3600.0):
+                            older_than_s: float | None = None):
         # a branch-scoped walk would miss main's manifests and delete
         # dirs main still references — GC is a whole-table operation
         raise ValueError("remove_orphan_files runs on the MAIN table "

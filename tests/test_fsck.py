@@ -169,3 +169,34 @@ def test_fsck_deep_detects_bytes_drift(catalog, spark):
         os.path.relpath(os.path.dirname(victim), t.location)
     ]
     assert not rep["ok"]
+
+
+def test_catalog_admin_stats_sweep_isolates_broken_tables(
+    catalog, spark, capsys
+):
+    """A schema sweep keeps reporting past a table that errors (missing
+    --column here) and exits 3, mirroring fsck's posture."""
+    import json as _json
+
+    from datalake_iceberg_spark.jobs import catalog_admin
+
+    catalog.create_or_replace(
+        "db.sweep_a",
+        spark.createDataFrame([(1, 2.0)], "id long, score double"),
+        key=["id"], n_buckets=1,
+    )
+    catalog.create_or_replace(
+        "db.sweep_b",
+        spark.createDataFrame([(1, "x")], "id long, name string"),
+        key=["id"], n_buckets=1,
+    )
+    rc = catalog_admin.main(
+        ["stats", "--schema", "db", "--column", "score", "--json",
+         "--warehouse", catalog.warehouse],
+        spark=spark,
+    )
+    assert rc == 3  # one table lacks the column
+    recs = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    by = {r["table"]: r for r in recs}
+    assert by["db.sweep_a"]["null_count"] == 0
+    assert "error" in by["db.sweep_b"] and "score" in by["db.sweep_b"]["error"]

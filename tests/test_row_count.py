@@ -367,3 +367,73 @@ def test_null_count_across_rename(catalog, spark):
     t.rename_column("v", "val")
     t.append(spark.createDataFrame([(500, None)], "id long, val string"))
     assert t.null_count("val") == 9
+
+
+def test_partial_file_stats_are_invalidated_not_undercounted(catalog, spark):
+    """A dir where ONE file's footer lacks a stat must drop the
+    dir-level entry entirely (forcing the exact fallback) — a partial
+    sum/range would be silently wrong: bounds could exclude the
+    stat-less file's values, #nulls could miss its nulls."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datalake_iceberg_spark.tables import (
+        BYTES_STAT, NULLS_STAT_PREFIX, ROWS_STAT,
+    )
+
+    t = _mk_nullable(catalog, spark, "db.pfi")
+    # hand-build a dir with a with-stats file and a WITHOUT-stats file
+    rel = t._new_commit_dir()
+    d = catalog.fs.join(t.location, rel)
+    pq.write_table(
+        pa.table({"id": [1, 2], "v": ["a", None]}),
+        os.path.join(d, "with_stats.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": [900, 901], "v": [None, None]}),
+        os.path.join(d, "no_stats.parquet"),
+        write_statistics=False,
+    )
+    t._pending_stats = {}
+    t._harvest_stats([rel])
+    st = t._pending_stats[rel]
+    assert int(st[ROWS_STAT][0]) == 4  # row count never needs stats
+    assert BYTES_STAT in st  # getsize works for both files
+    # bounds and null counts are DROPPED, not formed from one file
+    assert "id" not in st and "v" not in st
+    assert NULLS_STAT_PREFIX + "v" not in st
+    assert NULLS_STAT_PREFIX + "id" not in st
+
+
+def test_all_null_file_does_not_invalidate_dir_bounds(catalog, spark):
+    """An all-null file has no min/max by construction — its presence
+    must not drop the dir's bounds (NULLs carry no values), and the
+    null counts still sum across both files."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datalake_iceberg_spark.tables import NULLS_STAT_PREFIX
+
+    t = _mk_nullable(catalog, spark, "db.anf")
+    rel = t._new_commit_dir()
+    d = catalog.fs.join(t.location, rel)
+    pq.write_table(
+        pa.table({"id": [1, 2], "v": ["a", "b"]}),
+        os.path.join(d, "values.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"id": [3, 4], "v": pa.array([None, None], type=pa.string())}
+        ),
+        os.path.join(d, "allnull.parquet"),
+    )
+    t._pending_stats = {}
+    t._harvest_stats([rel])
+    st = t._pending_stats[rel]
+    assert st["v"] == ["a", "b"]  # bounds from the values file alone
+    assert st["id"] == [1, 4]
+    assert int(st[NULLS_STAT_PREFIX + "v"][0]) == 2

@@ -428,3 +428,57 @@ def test_staged_publish_not_gated_after_long_audit(catalog, spark):
         t._commit_dir_birth[k] -= GC_GRACE_S * 2
     t.publish_staged("w1")  # must not raise
     assert t.read().where("id = 50").count() == 1
+
+
+def test_gc_grace_property_raises_the_bound(catalog, spark):
+    """commit.gc-grace-seconds widens BOTH sides: a slow write inside
+    the declared grace publishes, and default-grace GC protects orphans
+    up to the same declared age."""
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.tables import GC_GRACE_S
+
+    df = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(6)])
+    t = catalog.create_or_replace(
+        "db.gracep", df, key=["id"], n_buckets=2,
+        properties={"commit.gc-grace-seconds": str(GC_GRACE_S * 48)},
+    )
+    orig = type(t)._write_bucketed
+
+    def slow_write(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        for k in list(self._commit_dir_birth):
+            self._commit_dir_birth[k] -= GC_GRACE_S * 2  # 2h write
+        return out
+
+    import unittest.mock as mock
+
+    with mock.patch.object(type(t), "_write_bucketed", slow_write):
+        t.append(spark.createDataFrame([Row(id=100, v="slow-but-ok")]))
+    assert t.read().where("id = 100").count() == 1
+    # GC default follows the property: a 2h-old orphan is still protected
+    import os
+
+    rel = t._new_commit_dir()
+    staged = catalog.fs.join(t.location, rel)
+    with open(os.path.join(staged, "p.parquet"), "wb") as f:
+        f.write(b"x")
+    os.utime(staged, (os.path.getatime(staged) - 7200,
+                      os.path.getmtime(staged) - 7200))
+    rep = t.remove_orphan_files()
+    assert rep["orphan_dirs_removed"] == 0 and rep["orphan_dirs_protected"] == 1
+
+
+def test_update_where_with_reserved_looking_column(catalog, spark):
+    """A table legitimately containing a '__upd' column must survive
+    update_where unscathed — helper names carry a per-call tag."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(id=i, __upd=f"keep{i}", v=f"v{i}") for i in range(8)]
+    )
+    t = catalog.create_or_replace("db.updres", df, key=["id"], n_buckets=2)
+    t.update_where([("id", "<=", 3)], {"v": "'u'"})
+    got = {r["id"]: (r["__upd"], r["v"]) for r in t.read().collect()}
+    assert got[2] == ("keep2", "u")
+    assert got[7] == ("keep7", "v7")  # user column fully preserved
