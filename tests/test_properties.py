@@ -108,3 +108,43 @@ def test_cdc_converges_under_arbitrary_batching(spark, tmp_path, data):
     table = _fresh_table(spark, tmp_path, tag)
     _apply_batches(spark, table, batches)
     assert _table_state(table) == expected
+
+
+@given(
+    bounds=st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)).map(sorted),
+    v_off=st.integers(0, 2000),
+    probe=st.lists(st.integers(-1500, 1500), min_size=1, max_size=12),
+)
+@settings(max_examples=300)
+def test_in_filter_skipping_never_prunes_a_matching_dir(bounds, v_off, probe):
+    """(col, 'in', vals) soundness: a dir containing some probed value
+    must never be pruned."""
+    lo, hi = bounds
+    v = min(lo + v_off, hi)  # inside [lo, hi]
+    if v in set(probe):
+        assert LakeTable._dir_may_match(
+            {"c": [lo, hi]}, [("c", "in", probe)]
+        ), f"pruned dir [{lo},{hi}] containing probed v={v}"
+    # and a pruned dir truly holds none of the probe values
+    if not LakeTable._dir_may_match({"c": [lo, hi]}, [("c", "in", probe)]):
+        assert not any(lo <= x <= hi for x in probe)
+
+
+@given(
+    n_rows=st.integers(1, 100),
+    n_nulls_off=st.integers(0, 100),
+)
+@settings(max_examples=200)
+def test_null_filter_skipping_soundness(n_rows, n_nulls_off):
+    """is_null / is_not_null soundness against #nulls + #rows: a dir
+    with nulls must survive is_null; a dir with any non-null value must
+    survive is_not_null; and pruned dirs truly hold no matching rows."""
+    n_nulls = min(n_nulls_off, n_rows)
+    dstats = {"#nulls:c": [n_nulls, n_nulls], "#rows": [n_rows, n_rows]}
+    keep_null = LakeTable._dir_may_match(dstats, [("c", "is_null")])
+    keep_notnull = LakeTable._dir_may_match(dstats, [("c", "is_not_null")])
+    assert keep_null == (n_nulls > 0)
+    assert keep_notnull == (n_nulls < n_rows)
+    # without the stat, never prune (soundness over savings)
+    assert LakeTable._dir_may_match({}, [("c", "is_null")])
+    assert LakeTable._dir_may_match({}, [("c", "is_not_null")])
