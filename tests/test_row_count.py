@@ -437,3 +437,23 @@ def test_all_null_file_does_not_invalidate_dir_bounds(catalog, spark):
     assert st["v"] == ["a", "b"]  # bounds from the values file alone
     assert st["id"] == [1, 4]
     assert int(st[NULLS_STAT_PREFIX + "v"][0]) == 2
+
+
+def test_null_count_footer_fallback_across_rename(catalog, spark):
+    """Stats stripped AND column renamed: the footer fallback must look
+    up each dir's PHYSICAL column name (old files store 'v')."""
+    from datalake_iceberg_spark.tables import NULLS_STAT_PREFIX
+
+    t = _mk_nullable(catalog, spark, "db.ncfr")
+    t.rename_column("v", "val")
+    mpath = catalog.fs.join(t.meta_dir, f"v{t.current_version()}.json")
+    doc = json.loads(catalog.fs.read_text(mpath))
+    stripped = 0
+    for cols in doc.get("stats", {}).values():
+        for k in [k for k in cols if k.startswith(NULLS_STAT_PREFIX)]:
+            del cols[k]
+            stripped += 1
+    assert stripped > 0
+    with open(mpath, "w") as f:
+        f.write(json.dumps(doc))
+    assert catalog.table("db.ncfr").null_count("val") == 8
