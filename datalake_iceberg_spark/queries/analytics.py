@@ -777,6 +777,118 @@ FROM orders
 """
 
 
+_NDV_CACHE: dict[str, tuple] = {}
+_NDV_LOCK = _threading.Lock()
+
+#: relative tolerance for the graded NDV booleans — Datasketches HLL at
+#: the default lg_k=12 has ~1.6% RSE; 5% is >3 sigma, and the estimate
+#: is DETERMINISTIC for a given input set (hash-based, no RNG), so the
+#: booleans are stable round over round.
+_NDV_TOL = 0.05
+
+
+def metadata_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 metadata aggregates, part 3 (r13): ``LakeTable.analyze_ndv``
+    + ``approx_ndv`` — per-dir HLL NDV sketches in a parquet sidecar,
+    the Iceberg Puffin / ``compute_table_stats`` analogue (Spark's
+    ``hll_sketch_agg`` does the math; reference exposes NDV only via
+    engine ``COUNT(DISTINCT)``).
+
+    Grades three rungs against DuckDB scan truth:
+
+    1. sketch path after ``analyze_ndv`` (sidecar-only, no data scan)
+       for a bigint key and a low-cardinality string (o_orderpriority:
+       HLL is EXACT in its sparse range, so small-NDV answers are not
+       approximations at all);
+    2. hybrid under a LIVE merge-on-read delete era — masked dirs are
+       sketched from the real anti-joined read because a raw-dir sketch
+       cannot subtract masked rows (keys ``% 7 == 3`` deleted, which
+       which can thin o_custkey values whose every order matched);
+    3. post-fold, back on the pure sidecar path.
+
+    The DataFrame carries the EXACT distinct counts (computed by Spark
+    scan, hash-compared against DuckDB's COUNT(DISTINCT)) plus booleans
+    asserting each HLL estimate lands within the 5% tolerance — so the
+    grade checks both that exact truth agrees across engines AND that
+    the sketch machinery tracks it. Idempotent via the per-sf_dir
+    cache."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from datalake_iceberg_spark.tables import LakeTable
+
+    with _NDV_LOCK:
+        vals = _NDV_CACHE.get(sf_dir)
+        if vals is None:
+            loc = tempfile.mkdtemp(prefix="metadata_ndv_")
+            atexit.register(shutil.rmtree, loc, ignore_errors=True)
+            orders = load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus",
+            )
+            t = LakeTable(spark, loc)
+            t.create_or_replace(orders, key=["o_orderkey"], n_buckets=4)
+            t.analyze_ndv(["o_custkey", "o_orderpriority"])
+
+            def _exact(cols):
+                r = t.read().agg(
+                    *[F.countDistinct(c).alias(c) for c in cols]
+                ).first()
+                return {c: int(r[c]) for c in cols}
+
+            def _ok(est, exact):
+                return bool(abs(est - exact) <= _NDV_TOL * exact)
+
+            e0 = _exact(["o_custkey", "o_orderpriority"])
+            cust_est = t.approx_ndv("o_custkey")
+            prio_est = t.approx_ndv("o_orderpriority")
+            t.delete_keys(
+                orders.where(F.col("o_orderkey") % 7 == 3)
+                .select("o_orderkey"),
+                mode="merge-on-read",
+            )
+            assert t.snapshot().deletes  # era live: hybrid sketch path
+            e1 = _exact(["o_custkey"])
+            cust_live_est = t.approx_ndv("o_custkey")
+            t.rewrite_position_delete_files()
+            t.analyze_ndv(["o_custkey"])  # re-cover the rewritten dirs
+            assert not t.snapshot().deletes
+            e2 = _exact(["o_custkey"])
+            cust_folded_est = t.approx_ndv("o_custkey")
+            vals = (
+                e0["o_custkey"], _ok(cust_est, e0["o_custkey"]),
+                e0["o_orderpriority"], _ok(prio_est, e0["o_orderpriority"]),
+                e1["o_custkey"], _ok(cust_live_est, e1["o_custkey"]),
+                e2["o_custkey"], _ok(cust_folded_est, e2["o_custkey"]),
+            )
+            _NDV_CACHE[sf_dir] = vals
+    return spark.createDataFrame(
+        [vals],
+        schema=(
+            "ndv_custkey bigint, custkey_ok boolean, "
+            "ndv_prio bigint, prio_ok boolean, "
+            "ndv_custkey_live bigint, custkey_live_ok boolean, "
+            "ndv_custkey_folded bigint, custkey_folded_ok boolean"
+        ),
+    )
+
+
+METADATA_NDV_SQL = """
+WITH kept AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 3)
+SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_custkey,
+       TRUE AS custkey_ok,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ndv_prio,
+       TRUE AS prio_ok,
+       (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM kept)
+         AS ndv_custkey_live,
+       TRUE AS custkey_live_ok,
+       (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM kept)
+         AS ndv_custkey_folded,
+       TRUE AS custkey_folded_ok
+FROM orders
+"""
+
+
 _UPDATE_WHERE_TABLES: dict[str, str] = {}
 _UPDATE_WHERE_LOCK = _threading.Lock()
 

@@ -267,6 +267,20 @@ BYTES_STAT = "#bytes"
 #: the fourth member of the Iceberg manifest-stat quartet
 #: (record count / bytes / bounds / null counts).
 NULLS_STAT_PREFIX = "#nulls:"
+#: where per-column NDV sketch sidecars live, relative to the table
+#: location (the Iceberg Puffin-file analogue: sketches are too big for
+#: the JSON manifest — one HLL sketch is ~KBs per dir — so the manifest
+#: holds only a POINTER per analyzed column and the sketches themselves
+#: are a tiny parquet file of (dir, sketch) rows).
+NDV_SIDECAR_DIR = "metadata/ndv"
+#: Datasketches HLL lgConfigK for `analyze_ndv` — 2^12 registers,
+#: ~1.6% relative standard error, ~4 KB per sketch.
+NDV_DEFAULT_LG_K = 12
+#: column types hll_sketch_agg accepts natively; everything else is
+#: sketched through an injective CAST to string (dates, timestamps,
+#: decimals, and float/double via Java's shortest-round-trip repr all
+#: preserve distinctness, so the NDV is unchanged).
+_NDV_NATIVE_TYPES = {"int", "bigint", "string", "binary"}
 
 
 def _footer_stats_one(rel_dir: str, path: str) -> list[tuple[str, str, Any, Any]]:
@@ -393,6 +407,14 @@ class Snapshot:
     # resurrect old values (Iceberg's no-resurrection rule, which it
     # gets from fresh field ids).
     renames: dict[str, dict[str, str]] = field(default_factory=dict)
+    # per-column NDV sketch pointers (Iceberg Puffin analogue):
+    # logical column -> relative path of a parquet sidecar holding
+    # (dir, HLL sketch) rows for the dirs covered by the last
+    # ``analyze_ndv``. Dirs are immutable, so a dir's sketch stays
+    # valid until the dir is rewritten; staleness is computed at read
+    # time (covered ⊆ live), never stored. Old manifests load fine
+    # (empty = nothing analyzed).
+    ndv: dict[str, str] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=1, sort_keys=True)
@@ -617,6 +639,21 @@ class LakeTable:
         live = set(snap.all_dirs()) | set(snap.all_delete_dirs())
         snap.renames = {
             d: dict(m) for d, m in snap.renames.items() if d in live and m
+        }
+        # carry NDV sidecar pointers forward (an analyze commit sets its
+        # own entry; every other commit inherits the parent's). Entries
+        # for columns no longer in the schema are dropped — a rename or
+        # drop DDL invalidates the pointer (the sketches were keyed to
+        # the old logical name; re-analyze after a rename). Dir-level
+        # staleness is NOT checked here: it is recomputed at read time
+        # against the live dir set, so a compaction that rewrites dirs
+        # simply makes those sketch rows unreachable.
+        cols = set(
+            T.StructType.fromJson(json.loads(snap.schema_json)).fieldNames()
+        )
+        parent_ndv = parent.ndv if parent else {}
+        snap.ndv = {
+            c: p for c, p in {**parent_ndv, **snap.ndv}.items() if c in cols
         }
         return snap
 
@@ -947,6 +984,7 @@ class LakeTable:
     def _read_mapped(
         self, rel_dirs: list[str], schema: T.StructType,
         renames: dict[str, dict[str, str]],
+        tag_col: str | None = None,
     ) -> DataFrame:
         """Read dirs under a logical ``schema``, translating per-dir
         physical column names (schema evolution). Dirs are grouped by
@@ -956,9 +994,19 @@ class LakeTable:
         naming (≤ number of rename DDLs), never one per dir. A mapped
         physical name absent from the files (the ``add_column``
         sentinel, or a column added after the dir was written) reads as
-        NULL via the explicit-schema projection."""
+        NULL via the explicit-schema projection.
+
+        ``tag_col`` additionally attaches each row's REL DIR (manifest
+        key form: relative to the table location, or the absolute dir
+        for a clone's foreign refs) derived from ``input_file_name()``
+        — a per-row expression inside the scan stage, NOT one plan
+        branch per dir, so per-dir aggregations (NDV sketches) stay one
+        scan regardless of dir count."""
         if not rel_dirs:
-            return self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame([], schema)
+            if tag_col is not None:
+                df = df.withColumn(tag_col, F.lit(""))
+            return df
         groups: dict[frozenset, list[str]] = {}
         for d in rel_dirs:
             rel = {k: v for k, v in renames.get(d, {}).items() if k in schema.fieldNames()}
@@ -979,6 +1027,16 @@ class LakeTable:
                     [F.col(m.get(f.name, f.name)).alias(f.name) for f in schema.fields]
                 )
             )
+        if tag_col is not None:
+            # file URI -> manifest dir key: strip the filename, the URI
+            # scheme, then the table-location prefix (foreign absolute
+            # refs keep their absolute form, matching their manifest key)
+            rel = F.regexp_replace(F.input_file_name(), "/[^/]*$", "")
+            rel = F.regexp_replace(rel, "^[A-Za-z][A-Za-z0-9+.-]*:(//)?", "")
+            rel = F.regexp_replace(
+                rel, "^" + re.escape(self.location.rstrip("/")) + "/", ""
+            )
+            pieces = [p.withColumn(tag_col, rel) for p in pieces]
         out = pieces[0]
         for p in pieces[1:]:
             out = out.unionByName(p)
@@ -1213,7 +1271,18 @@ class LakeTable:
             issues["row_drift"] = drift
             issues["bytes_drift"] = bdrift
             issues["unreadable_footers"] = unreadable
-        ok = not any(v for k, v in issues.items() if k != "stale_stats")
+        # NDV pointers whose sidecar vanished: cosmetic like
+        # stale_stats — approx_ndv degrades to recompute, never to a
+        # wrong answer — but a vanished sidecar usually means an
+        # external delete or botched GC, so it is worth surfacing
+        issues["missing_ndv_sidecars"] = sorted(
+            c for c, rel in snap.ndv.items()
+            if not self.fs.isdir(self.fs.join(self.location, rel))
+        )
+        ok = not any(
+            v for k, v in issues.items()
+            if k not in ("stale_stats", "missing_ndv_sidecars")
+        )
         return {"ok": ok, "version": snap.version, **issues}
 
     def row_count(self, version: int | None = None) -> int:
@@ -1388,6 +1457,238 @@ class LakeTable:
             else:
                 total += sum(counts)
         return total
+
+    # ------------------------------------------------------- NDV sketches
+    def _ndv_expr(self, snap: Snapshot, column: str):
+        """The column expression ``hll_sketch_agg`` accepts: native for
+        int/bigint/string/binary, else an injective CAST to string
+        (dates, timestamps, decimals, float/double via shortest-round-
+        trip formatting — distinctness is preserved, so the NDV is
+        unchanged). Raises on unknown columns."""
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        by_name = {f.name: f for f in schema.fields}
+        if column not in by_name:
+            raise ValueError(f"no column {column!r} on {self.location}")
+        if by_name[column].dataType.simpleString() in _NDV_NATIVE_TYPES:
+            return F.col(column)
+        return F.col(column).cast("string")
+
+    def _read_ndv_sidecar(self, snap: Snapshot, column: str) -> DataFrame | None:
+        """(dir, sketch) rows of the column's committed sidecar, or None
+        when the column was never analyzed (or the sidecar vanished —
+        treated as never-analyzed: sketches are a cache over immutable
+        dirs, so a lost sidecar degrades to recompute, never to a wrong
+        answer)."""
+        rel = snap.ndv.get(column)
+        if rel is None:
+            return None
+        path = self.fs.join(self.location, rel)
+        if not self.fs.isdir(path):
+            return None
+        return self.spark.read.schema("dir string, sketch binary").parquet(path)
+
+    def _ndv_fresh_sketches(
+        self, snap: Snapshot, dirs: list[str], columns: list[str],
+        lg_k: int,
+    ) -> DataFrame:
+        """One scan of ``dirs`` producing per-dir HLL sketches for every
+        requested column at once: rows ``(__ndv_dir, __sk0..__skN)``
+        with one binary sketch column per analyzed column, POSITIONAL
+        names so a data column called ``dir`` or ``sketch`` can never
+        collide (the reserved-name hazard the partial-merge and
+        update_where helpers already guard against). The dir tag is a
+        per-row expression inside the scan stage (``_read_mapped``
+        ``tag_col``), so this is a single pass + one partial-aggregated
+        groupBy regardless of dir count — never one job per dir."""
+        tag = f"__ndv_dir_{uuid.uuid4().hex[:8]}"
+        tagged = self._read_mapped(
+            dirs,
+            T.StructType.fromJson(json.loads(snap.schema_json)),
+            snap.renames,
+            tag_col=tag,
+        )
+        return tagged.groupBy(F.col(tag).alias("__ndv_dir")).agg(
+            *[
+                F.hll_sketch_agg(self._ndv_expr(snap, c), lg_k)
+                .alias(f"__sk{i}")
+                for i, c in enumerate(columns)
+            ]
+        )
+
+    def analyze_ndv(
+        self, columns: list[str], lg_k: int = NDV_DEFAULT_LG_K
+    ) -> Snapshot:
+        """Compute and commit per-dir HLL NDV sketches for ``columns``
+        (Iceberg's ``compute_table_stats`` writing Puffin theta/HLL
+        blobs; Spark's own ``hll_sketch_agg`` — Datasketches HLL — does
+        the math). INCREMENTAL over immutable dirs: a dir's sketch
+        never changes once written, so an analyze after N new commits
+        scans ONLY the dirs without a cached sketch — cost ∝ data added
+        since the last analyze, not table size. At 100 TB that is the
+        difference between a nightly stats job that reads the day's
+        ingest and one that reads the lake.
+
+        Era-covered dirs (live merge-on-read delete masks) are SKIPPED,
+        not sketched: a raw-dir sketch cannot subtract masked rows, and
+        the fold rewrite renames those dirs anyway — they get sketched
+        by the first analyze after the fold. ``approx_ndv`` answers
+        exactly-masked in the meantime via its hybrid path.
+
+        The sketches land in a parquet SIDECAR under ``metadata/ndv/``
+        — one (dir, sketch) file per column, ~4 KB per dir at the
+        default ``lg_k`` — and the manifest carries only the pointer
+        (the JSON manifest must stay O(dirs), not O(dirs × sketch
+        bytes)). Sidecars are versioned, never mutated in place (time
+        travel keeps working), and swept by ``remove_orphan_files``
+        once no remaining manifest references them. Mixed ``lg_k``
+        across analyzes is fine: unions downgrade to the smaller k.
+        """
+        snap = self.snapshot()
+        for c in columns:
+            self._ndv_expr(snap, c)  # validate names/types up front
+        live = snap.all_dirs()
+        covered, _ = self._masked_buckets(snap)
+        usable = [d for d in live if d not in covered]
+        # per-column cached rows (live, unmasked dirs only) + delta set
+        cached: dict[str, DataFrame | None] = {}
+        deltas: dict[str, list[str]] = {}
+        for c in columns:
+            side = self._read_ndv_sidecar(snap, c)
+            if side is None:
+                cached[c] = None
+                deltas[c] = list(usable)
+                continue
+            have = {
+                r["dir"]
+                for r in side.select("dir").collect()  # bounded: O(dirs)
+            }
+            cached[c] = side
+            deltas[c] = [d for d in usable if d not in have]
+        union_delta = sorted({d for ds in deltas.values() for d in ds})
+        fresh = None
+        if union_delta:
+            fresh = self._ndv_fresh_sketches(
+                snap, union_delta, columns, lg_k
+            ).persist()
+        new_paths: dict[str, str] = {}
+        scanned = {c: len(ds) for c, ds in deltas.items()}
+        try:
+            for c in columns:
+                pieces = []
+                if cached[c] is not None:
+                    keep = self.spark.createDataFrame(
+                        [(d,) for d in usable], "dir string"
+                    )
+                    pieces.append(
+                        cached[c].join(F.broadcast(keep), "dir", "left_semi")
+                    )
+                if fresh is not None and deltas[c]:
+                    want = self.spark.createDataFrame(
+                        [(d,) for d in deltas[c]], "dir string"
+                    )
+                    pieces.append(
+                        fresh.select(
+                            F.col("__ndv_dir").alias("dir"),
+                            F.col(f"__sk{columns.index(c)}").alias("sketch"),
+                        ).join(F.broadcast(want), "dir", "left_semi")
+                    )
+                if not pieces:
+                    pieces.append(
+                        self.spark.createDataFrame(
+                            [], "dir string, sketch binary"
+                        )
+                    )
+                out = pieces[0]
+                for p in pieces[1:]:
+                    out = out.unionByName(p)
+                rel = self.fs.join(
+                    NDV_SIDECAR_DIR,
+                    f"v{snap.version + 1}-{c}-{uuid.uuid4().hex[:8]}",
+                )
+                out.coalesce(1).write.parquet(
+                    self.fs.join(self.location, rel)
+                )
+                new_paths[c] = rel
+        finally:
+            if fresh is not None:
+                fresh.unpersist()
+
+        def mutate(s):
+            s.ndv.update(new_paths)
+            s.summary = {
+                "analyzed_columns": sorted(new_paths),
+                "scanned_dirs": scanned,
+                "skipped_masked_dirs": len(covered),
+            }
+
+        return self._commit_metadata(mutate, "analyze")
+
+    def approx_ndv(self, column: str, version: int | None = None) -> int:
+        """Approximate ``COUNT(DISTINCT column)`` (non-null values, the
+        SQL semantics) from the committed NDV sketches — Datasketches
+        HLL, ~1.6% RSE at the default ``analyze_ndv`` lg_k. Resolution
+        is hybrid, mirroring the other metadata aggregates:
+
+        - dirs with a cached sketch: read the tiny sidecar, zero data IO;
+        - dirs added since the last analyze: sketched fresh in the same
+          job (one pass over ONLY those dirs — the un-analyzed delta);
+        - era-covered dirs (live MoR delete masks): sketched from the
+          real anti-joined read, because a raw-dir sketch cannot
+          subtract masked rows — cost ∝ masked dirs, and the scheduled
+          fold restores the pure-sidecar path.
+
+        Everything assembles into ONE Spark job: union(cached sidecar
+        scan, delta sketch agg, masked sketch agg) →
+        ``hll_union_agg`` → ``hll_sketch_estimate``. Never collects
+        sketches on the driver. A never-analyzed column degrades to a
+        single full-scan sketch pass (still cheaper than an exact
+        distinct: map-side partial HLL merge, no key shuffle) — run
+        ``analyze_ndv`` to make repeat calls O(new data)."""
+        snap = self.snapshot(version)
+        self._ndv_expr(snap, column)
+        live = snap.all_dirs()
+        if not live:
+            return 0
+        covered, masked_buckets = self._masked_buckets(snap)
+        usable = [d for d in live if d not in covered]
+        side = self._read_ndv_sidecar(snap, column)
+        pieces: list[DataFrame] = []
+        delta = usable
+        if side is not None:
+            have = {r["dir"] for r in side.select("dir").collect()}
+            hit = [d for d in usable if d in have]
+            delta = [d for d in usable if d not in have]
+            if hit:
+                keep = self.spark.createDataFrame(
+                    [(d,) for d in hit], "dir string"
+                )
+                pieces.append(
+                    side.join(F.broadcast(keep), "dir", "left_semi")
+                    .select("sketch")
+                )
+        if delta:
+            pieces.append(
+                self._ndv_fresh_sketches(
+                    snap, delta, [column], NDV_DEFAULT_LG_K
+                ).select(F.col("__sk0").alias("sketch"))
+            )
+        if covered:
+            pieces.append(
+                self._read_with_deletes(snap, masked_buckets).agg(
+                    F.hll_sketch_agg(
+                        self._ndv_expr(snap, column), NDV_DEFAULT_LG_K
+                    ).alias("sketch")
+                )
+            )
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        row = out.where(F.col("sketch").isNotNull()).agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("sketch", True)
+            ).alias("ndv")
+        ).first()
+        return int(row["ndv"]) if row["ndv"] is not None else 0
 
     def read_changes(
         self, from_version: int, to_version: int | None = None,
@@ -3392,6 +3693,7 @@ class LakeTable:
         if older_than_s is None:
             older_than_s = self._gc_grace()
         live: set[str] = set()
+        ndv_live: set[str] = set()
         own_prefix = self.data_dir.rstrip("/") + "/"
 
         def _keep(d: str, owner_location: str) -> None:
@@ -3410,6 +3712,11 @@ class LakeTable:
                     )
                     for d in snap.all_dirs() + snap.all_delete_dirs():
                         _keep(d, table.location)
+                    # NDV sidecar pointers are location-relative: only
+                    # manifests of THIS location (main + its branches)
+                    # can reference sidecars under our metadata/ndv
+                    if table.location == self.location:
+                        ndv_live.update(snap.ndv.values())
             for wap_id in table.staged_ids():
                 doc = table._load_staged(wap_id)
                 for dirs in doc["buckets"].values():
@@ -3463,11 +3770,33 @@ class LakeTable:
                 except FileNotFoundError:
                     continue  # vanished concurrently — nothing to do
                 (protected if fresh else orphans).append(entry)
+        # NDV sidecars: swept by the same referenced-set logic — an
+        # entry under metadata/ndv no remaining manifest points at is
+        # an orphan (expired analyze versions, failed analyze commits).
+        # The age gate is the SAME in-flight grace: an analyze writes
+        # its sidecar files BEFORE its metadata commit, exactly like a
+        # data write.
+        ndv_orphans: list[str] = []
+        ndv_root = self.fs.join(self.location, NDV_SIDECAR_DIR)
+        if self.fs.isdir(ndv_root):
+            for entry in self.fs.listdir(ndv_root):
+                rel = self.fs.join(NDV_SIDECAR_DIR, entry)
+                if rel in ndv_live:
+                    continue
+                try:
+                    fresh = now - self.fs.mtime(
+                        self.fs.join(ndv_root, entry)
+                    ) < older_than_s
+                except FileNotFoundError:
+                    continue
+                if not fresh:
+                    ndv_orphans.append(entry)
         if dry_run:
             return {
                 "orphan_dirs_removed": 0,
                 "orphan_dirs_found": sorted(orphans),
                 "orphan_dirs_protected": sorted(protected),
+                "orphan_ndv_sidecars_found": sorted(ndv_orphans),
             }
         for mpath in stale_markers:
             try:
@@ -3476,9 +3805,12 @@ class LakeTable:
                 pass
         for entry in orphans:
             self.fs.rmtree(self.fs.join(self.data_dir, entry))
+        for entry in ndv_orphans:
+            self.fs.rmtree(self.fs.join(ndv_root, entry))
         return {
             "orphan_dirs_removed": len(orphans),
             "orphan_dirs_protected": len(protected),
+            "orphan_ndv_sidecars_removed": len(ndv_orphans),
         }
 
 
