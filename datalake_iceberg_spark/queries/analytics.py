@@ -999,6 +999,61 @@ ORDER BY o_orderkey
 """
 
 
+_DELETE_WHERE_TABLES: dict[str, str] = {}
+_DELETE_WHERE_LOCK = _threading.Lock()
+
+
+def delete_where_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE (W3/W6 shape, reference retention purge
+    ``src/utils/watermark.py:421-438``) through the r12 dir-pruned
+    ``delete_where`` in **merge-on-read** mode: the tuple-filter
+    predicate is evaluated over only the dirs whose footer stats can
+    match, the matching rows' keys commit as an equality-delete era
+    covering exactly those dirs, and the graded DataFrame is the
+    post-delete read **while the era is live** — at 100 TB a retention
+    purge costs O(matching rows) with reads anti-joining only the
+    covered dirs until the scheduled fold. The DuckDB oracle applies
+    the inverse predicate to the raw parquet. Idempotent: the staged
+    table is built once per sf_dir; the era stays live for re-reads."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from datalake_iceberg_spark.tables import LakeTable
+
+    with _DELETE_WHERE_LOCK:
+        loc = _DELETE_WHERE_TABLES.get(sf_dir)
+        if loc is None:
+            loc = tempfile.mkdtemp(prefix="delete_where_orders_")
+            atexit.register(shutil.rmtree, loc, ignore_errors=True)
+            orders = load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderpriority",
+            )
+            t = LakeTable(spark, loc)
+            t.create_or_replace(orders, key=["o_orderkey"], n_buckets=4)
+            snap = t.delete_where(
+                [("o_totalprice", ">", 400000.0)], mode="merge-on-read"
+            )
+            assert snap.deletes  # era LIVE: the masked read is graded
+            _DELETE_WHERE_TABLES[sf_dir] = loc
+    return (
+        LakeTable(spark, loc)
+        .read()
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+DELETE_WHERE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE NOT (o_totalprice > 400000.0)
+ORDER BY o_orderkey
+"""
+
+
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate — beyond-reference coverage (§2.5 notes it absent).
     Revenue by (status, priority), (status), and grand total."""

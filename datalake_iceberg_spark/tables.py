@@ -2968,16 +2968,152 @@ class LakeTable:
 
         return self._commit(build, "delete-mor", txn_app=txn_app, txn_version=txn_version)
 
-    def delete_where(self, condition) -> Snapshot:
+    def delete_where(self, condition, mode: str = "copy-on-write") -> Snapshot:
         """Predicate delete (the reference's retention purge shape,
-        ``src/utils/watermark.py:421-438``). Rewrites every bucket — at
-        scale prefer ``delete_keys`` or a partition-aligned predicate."""
+        ``src/utils/watermark.py:421-438``).
+
+        ``condition`` forms (same contract as ``update_where``):
+
+        - list of ``(col, op, value)`` tuples (the ``scan()`` filter
+          vocabulary, AND-ed): dir-level data skipping — dirs whose
+          footer stats cannot satisfy the conjunction are carried
+          forward untouched and buckets with no matching dir stay out
+          of the commit, so a narrow DELETE costs ∝ the dirs it can
+          touch, not table size (at 100 TB a retention purge on a
+          time-clustered table rewrites only the expiring dirs).
+        - SQL string or Column: arbitrary predicate; stats can't reason
+          about it, so every dir is touched (the pre-r12 behavior).
+
+        ``mode="copy-on-write"`` (default): touched dirs are read
+        (existing MoR masks folded in) and rewritten without the
+        matching rows.  ``mode="merge-on-read"`` (keyed tables):
+        the matching rows' KEYS are written as an equality-delete era
+        whose ``covers`` is exactly the touched dirs — commit cost is
+        O(matching rows) + the pruned scan, never a rewrite; reads
+        apply the era anti-join on covered dirs only until
+        ``rewrite_position_delete_files`` folds it (Iceberg's
+        ``write.delete.mode`` choice, here with predicate semantics:
+        the predicate is evaluated AS OF this snapshot's touched dirs —
+        a concurrent rewrite of a touched dir raises
+        ``CommitConflict`` rather than masking rows that may no longer
+        match; concurrent appends are NOT covered, unlike
+        ``delete_keys``'s newest-key-wins stance, because a predicate
+        match on unseen rows was never evaluated)."""
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown delete mode {mode!r}")
         snap = self.snapshot()
-        remaining = self.read().filter(~F.expr(condition) if isinstance(condition, str) else ~condition)
-        per_bucket = self._write_bucketed(remaining, snap.key, snap.n_buckets)
-        affected = list(range(snap.n_buckets))
-        per_bucket = {str(b): per_bucket.get(str(b), []) for b in affected}
-        return self._replace_buckets(snap, per_bucket, affected, "delete", {})
+        filters = condition if isinstance(condition, list) else None
+        if filters is not None:
+            filters = _norm_filters(filters)  # once, not per dir
+            cond = _filter_expr(filters)
+            touched: dict[str, list[str]] = {}
+            kept: dict[str, list[str]] = {}
+            for bs, dirs in snap.buckets.items():
+                t = [
+                    d
+                    for d in dirs
+                    if self._dir_may_match(
+                        snap.stats.get(d, {}), filters, snap.renames.get(d)
+                    )
+                ]
+                if t:
+                    touched[bs] = t
+                    kept[bs] = [d for d in dirs if d not in set(t)]
+        else:
+            cond = F.expr(condition) if isinstance(condition, str) else condition
+            touched = {b: list(d) for b, d in snap.buckets.items() if d}
+            kept = {}
+        summary = {
+            "pruned_dirs": sum(len(v) for v in kept.values()),
+            "touched_dirs": sum(len(v) for v in touched.values()),
+            "mode": mode,
+        }
+        if mode == "merge-on-read":
+            return self._delete_where_mor(snap, touched, cond, summary)
+        affected = sorted(int(b) for b in touched)
+        if any(snap.deletes.get(b) for b in touched):
+            df = self._read_with_deletes(snap, touched)
+        elif touched:
+            df = self._read_dirs([d for ds in touched.values() for d in ds], snap)
+        else:
+            return self._replace_buckets(snap, {}, [], "delete", summary)
+        # SQL DELETE semantics: remove rows where cond IS TRUE — a row
+        # where the predicate evaluates NULL survives (~NULL is NULL and
+        # filter() would wrongly drop it)
+        remaining = df.filter(~cond | cond.isNull())
+        new_dirs = self._write_bucketed(remaining, snap.key, snap.n_buckets)
+        per_bucket = {
+            str(b): kept.get(str(b), []) + new_dirs.get(str(b), []) for b in affected
+        }
+        return self._replace_buckets(snap, per_bucket, affected, "delete", summary)
+
+    def _delete_where_mor(
+        self, snap: Snapshot, touched: dict[str, list[str]], cond, summary: dict
+    ) -> Snapshot:
+        """Merge-on-read predicate delete: one pruned scan projects the
+        matching rows' keys; they commit as an equality-delete era whose
+        ``covers`` is exactly the touched dirs (pruned dirs never pay
+        the read-side anti-join). See ``delete_where`` for semantics."""
+        if not snap.key:
+            raise ValueError("merge-on-read delete_where requires a keyed table")
+        if not touched:
+            def build_noop(parent):
+                return Snapshot(
+                    version=parent.version + 1,
+                    parent=parent.version,
+                    timestamp=_utcnow(),
+                    operation="delete-mor",
+                    schema_json=parent.schema_json,
+                    key=parent.key,
+                    n_buckets=parent.n_buckets,
+                    buckets={b: list(d) for b, d in parent.buckets.items()},
+                    properties=parent.properties,
+                    summary=summary,
+                    deletes=parent.deletes,
+                    renames=parent.renames,
+                )
+            return self._commit(build_noop, "delete-mor")
+        if any(snap.deletes.get(b) for b in touched):
+            df = self._read_with_deletes(snap, touched)
+        else:
+            df = self._read_dirs([d for ds in touched.values() for d in ds], snap)
+        keys_df = df.filter(cond).select(*snap.key).distinct()
+        new_dirs = self._write_bucketed(keys_df, snap.key, snap.n_buckets)
+
+        def build(parent):
+            deletes = {b: list(entries) for b, entries in parent.deletes.items()}
+            affected = []
+            for b, t_dirs in touched.items():
+                live = set(parent.buckets.get(b, []))
+                if not set(t_dirs) <= live:
+                    # a touched dir was rewritten under us — its rows may
+                    # no longer match the predicate we evaluated
+                    raise CommitConflict(
+                        f"delete_where on {self.location}: concurrent writer "
+                        f"rewrote a predicate-matched dir; re-run the delete"
+                    )
+                for d in new_dirs.get(b, []):
+                    deletes.setdefault(b, []).append(
+                        {"dir": d, "covers": list(t_dirs)}
+                    )
+                if new_dirs.get(b):
+                    affected.append(int(b))
+            return Snapshot(
+                version=parent.version + 1,
+                parent=parent.version,
+                timestamp=_utcnow(),
+                operation="delete-mor",
+                schema_json=parent.schema_json,
+                key=parent.key,
+                n_buckets=parent.n_buckets,
+                buckets={b: list(d) for b, d in parent.buckets.items()},
+                properties=parent.properties,
+                summary={**summary, "affected_buckets": sorted(affected)},
+                deletes=deletes,
+                renames=parent.renames,
+            )
+
+        return self._commit(build, "delete-mor")
 
     def update_where(self, condition, assignments: dict[str, Any]) -> Snapshot:
         """Bulk UPDATE ... SET (reference: ``scripts/migrate_v2_naming.sql:43-49``).

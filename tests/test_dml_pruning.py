@@ -217,3 +217,142 @@ def test_time_travel_unaffected_by_pruned_merge(catalog, spark):
     v_before = t.current_version()
     t.merge(spark.createDataFrame([Row(id=299, v="hot")]))
     assert _rows(t.read(version=v_before)) == {(i, f"v{i}") for i in range(300)}
+
+
+# ---------------------------------------------------------------- delete_where
+
+
+def test_delete_where_filters_prunes_and_deletes(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    snap = t.delete_where([("id", ">=", 250)])
+    assert snap.summary["pruned_dirs"] > 0
+    assert snap.summary["mode"] == "copy-on-write"
+    assert _rows(t.read()) == {(i, f"v{i}") for i in range(250)}
+
+
+def test_delete_where_filters_no_match_is_a_noop_commit(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    before = _rows(t.read())
+    snap = t.delete_where([("id", ">=", 10_000)])
+    assert snap.summary["touched_dirs"] == 0
+    assert _rows(t.read()) == before
+
+
+def test_delete_where_string_condition_still_full_rewrite(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    snap = t.delete_where("id % 2 = 0")
+    assert snap.summary["pruned_dirs"] == 0
+    got = _rows(t.read())
+    assert got == {(i, f"v{i}") for i in range(300) if i % 2 == 1}
+
+
+def test_delete_where_column_condition_back_compat(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    t.delete_where(F.col("id") >= 150)
+    assert _rows(t.read()) == {(i, f"v{i}") for i in range(150)}
+
+
+def test_delete_where_null_predicate_rows_survive(catalog, spark):
+    """SQL DELETE removes rows where cond IS TRUE — a NULL predicate
+    result (NULL column in a range comparison) must keep the row."""
+    t = catalog.create_or_replace(
+        "db.nulldel",
+        spark.createDataFrame(
+            [Row(id=1, x=10), Row(id=2, x=None), Row(id=3, x=50)],
+            "id INT, x INT",
+        ),
+        key=["id"],
+        n_buckets=2,
+    )
+    t.delete_where([("x", ">=", 40)])
+    assert _rows(t.read().select("id")) == {(1,), (2,)}
+    t.delete_where("x >= 5")
+    assert _rows(t.read().select("id")) == {(2,)}
+
+
+def test_delete_where_filters_respects_live_mor_era(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    t.delete_keys(
+        spark.createDataFrame([Row(id=i) for i in range(250, 255)]),
+        mode="merge-on-read",
+    )
+    t.delete_where([("id", ">=", 280)])
+    got = _rows(t.read())
+    want = {
+        (i, f"v{i}")
+        for i in range(280)
+        if not 250 <= i < 255
+    }
+    assert got == want
+
+
+def test_delete_where_mor_masks_without_rewrite(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    dirs_before = {b: list(d) for b, d in t.snapshot().buckets.items()}
+    snap = t.delete_where([("id", ">=", 250)], mode="merge-on-read")
+    # data dirs untouched — the delete is an era, not a rewrite
+    assert {b: list(d) for b, d in snap.buckets.items()} == dirs_before
+    assert snap.deletes, "era must be live"
+    assert snap.summary["mode"] == "merge-on-read"
+    assert _rows(t.read()) == {(i, f"v{i}") for i in range(250)}
+
+
+def test_delete_where_mor_covers_only_touched_dirs(catalog, spark):
+    """Pruned dirs never pay the read-side anti-join: the era's covers
+    is exactly the dirs whose stats could match the predicate."""
+    t = _mk_range_table(catalog, spark)
+    snap = t.delete_where([("id", ">=", 250)], mode="merge-on-read")
+    covered = {d for es in snap.deletes.values() for e in es for d in e["covers"]}
+    all_dirs = {d for ds in snap.buckets.values() for d in ds}
+    assert covered, "some dirs must be covered"
+    assert covered < all_dirs, "cold dirs (id<200 ranges) must stay uncovered"
+    assert snap.summary["pruned_dirs"] > 0
+
+
+def test_delete_where_mor_fold_restores_plain_path(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    t.delete_where([("id", ">=", 250)], mode="merge-on-read")
+    t.rewrite_position_delete_files()
+    snap = t.snapshot()
+    assert not snap.deletes
+    assert _rows(t.read()) == {(i, f"v{i}") for i in range(250)}
+
+
+def test_delete_where_mor_no_match_is_a_noop_commit(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    before = _rows(t.read())
+    snap = t.delete_where([("id", ">=", 10_000)], mode="merge-on-read")
+    assert snap.summary["touched_dirs"] == 0
+    assert not snap.deletes
+    assert _rows(t.read()) == before
+
+
+def test_delete_where_mor_requires_key(catalog, spark):
+    t = catalog.create_or_replace(
+        "db.keyless_dw",
+        spark.createDataFrame([Row(id=1, v="a")]),
+        key=None,
+    )
+    with pytest.raises(ValueError, match="keyed"):
+        t.delete_where([("id", ">=", 0)], mode="merge-on-read")
+
+
+def test_delete_where_unknown_mode_raises(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    with pytest.raises(ValueError, match="unknown delete mode"):
+        t.delete_where([("id", ">=", 0)], mode="bogus")
+
+
+def test_delete_where_mor_then_row_count_hybrid(catalog, spark):
+    """The hybrid metadata COUNT composes: era-covered dirs take the
+    real masked read, pruned dirs keep the footer sum."""
+    t = _mk_range_table(catalog, spark)
+    t.delete_where([("id", ">=", 250)], mode="merge-on-read")
+    assert t.row_count() == 250
+
+
+def test_delete_where_time_travel_keeps_prior_version(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    v = t.current_version()
+    t.delete_where([("id", ">=", 250)])
+    assert _rows(t.read(version=v)) == {(i, f"v{i}") for i in range(300)}

@@ -70,7 +70,8 @@ def test_random_walk_matches_model(catalog, spark, seed):
     for step in range(N_STEPS):
         op = rng.choice(
             ["append", "merge_cow", "merge_mor", "delete_cow", "delete_mor",
-             "update", "compact", "fold", "rollback",
+             "update", "delete_where_cow", "delete_where_mor",
+             "compact", "fold", "rollback",
              "rebucket_grow", "rebucket_shrink"]
         )
         if op == "append":
@@ -103,6 +104,18 @@ def test_random_walk_matches_model(catalog, spark, seed):
             for k in list(model):
                 if k <= cut:
                     model[k] = f"u{step}"
+        elif op in ("delete_where_cow", "delete_where_mor"):
+            # predicate delete of a random id range (r12): dir-pruned
+            # CoW rewrite or a predicate-scoped equality-delete era
+            lo = rng.randint(0, next_id)
+            hi = lo + rng.randint(0, 8)
+            mode = (
+                "merge-on-read" if op == "delete_where_mor" else "copy-on-write"
+            )
+            t.delete_where([("id", ">=", lo), ("id", "<=", hi)], mode=mode)
+            for k in list(model):
+                if lo <= k <= hi:
+                    model.pop(k)
         elif op == "compact":
             t.rewrite_data_files()
         elif op == "fold":
