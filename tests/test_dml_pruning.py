@@ -356,3 +356,77 @@ def test_delete_where_time_travel_keeps_prior_version(catalog, spark):
     v = t.current_version()
     t.delete_where([("id", ">=", 250)])
     assert _rows(t.read(version=v)) == {(i, f"v{i}") for i in range(300)}
+
+
+def test_delete_where_mor_conflicts_with_concurrent_rewrite(catalog, spark):
+    """Predicate semantics are as-of-snapshot: if a touched dir is
+    rewritten between the predicate scan and the commit, the era must
+    NOT publish (the rewritten rows may no longer match). Simulated by
+    driving _delete_where_mor with a stale touched-set after an
+    update_where replaced those dirs."""
+    from datalake_iceberg_spark import tables as tb
+
+    t = _mk_range_table(catalog, spark)
+    snap = t.snapshot()
+    filters = tb._norm_filters([("id", ">=", 250)])
+    cond = tb._filter_expr(filters)
+    touched = {
+        bs: [
+            d for d in dirs
+            if t._dir_may_match(snap.stats.get(d, {}), filters, snap.renames.get(d))
+        ]
+        for bs, dirs in snap.buckets.items()
+    }
+    touched = {b: ds for b, ds in touched.items() if ds}
+    assert touched
+    # concurrent writer rewrites (part of) the touched range
+    t.update_where([("id", ">=", 290)], {"v": "'raced'"})
+    with pytest.raises(tb.CommitConflict, match="rewrote a predicate-matched dir"):
+        t._delete_where_mor(snap, touched, cond, {"mode": "merge-on-read"})
+    # nothing published: the race left the table exactly post-update
+    got = _rows(t.read())
+    assert got == {(i, "raced" if i >= 290 else f"v{i}") for i in range(300)}
+
+
+def test_delete_where_mor_concurrent_append_not_covered(catalog, spark):
+    """Documented stance: rows appended AFTER the predicate scan are
+    not covered by the era even when they match the predicate — the
+    match was never evaluated on them (contrast delete_keys'
+    newest-key-wins)."""
+    from datalake_iceberg_spark import tables as tb
+
+    t = _mk_range_table(catalog, spark)
+    snap = t.snapshot()
+    filters = tb._norm_filters([("id", ">=", 250)])
+    cond = tb._filter_expr(filters)
+    touched = {
+        bs: [
+            d for d in dirs
+            if t._dir_may_match(snap.stats.get(d, {}), filters, snap.renames.get(d))
+        ]
+        for bs, dirs in snap.buckets.items()
+    }
+    touched = {b: ds for b, ds in touched.items() if ds}
+    t.append(spark.createDataFrame([Row(id=500, v="late")]))  # matches id>=250
+    t._delete_where_mor(snap, touched, cond, {"mode": "merge-on-read"})
+    got = _rows(t.read())
+    want = {(i, f"v{i}") for i in range(250)} | {(500, "late")}
+    assert got == want
+
+
+def test_delete_where_stages_inside_catalog_transaction(catalog, spark):
+    """delete_where funnels through _commit, so it stages in a
+    multi-table transaction like every other DML: neither the delete
+    nor the paired append is visible until publish, then both are."""
+    t1 = _mk_range_table(catalog, spark, name="db.txn_dw")
+    t2 = catalog.create_or_replace(
+        "db.txn_log", spark.createDataFrame([Row(id=0, v="seed")]), key=["id"]
+    )
+    with catalog.transaction() as txn:
+        txn.table("db.txn_dw").delete_where([("id", ">=", 250)], mode="merge-on-read")
+        txn.table("db.txn_log").append(spark.createDataFrame([Row(id=1, v="purged")]))
+        # staged, not visible
+        assert t1.read().count() == 300
+        assert t2.read().count() == 1
+    assert _rows(t1.read()) == {(i, f"v{i}") for i in range(250)}
+    assert t2.read().count() == 2
