@@ -144,6 +144,65 @@ def _filter_expr(filters):
     return cond
 
 
+def _is_filter_triple(f) -> bool:
+    """A single ``(col, op[, value])`` filter — distinguishes a triple
+    from a DNF branch (a list OF triples) by the leading column name."""
+    return (
+        isinstance(f, (tuple, list))
+        and len(f) in (2, 3)
+        and isinstance(f[0], str)
+    )
+
+
+def _norm_dnf(filters) -> list[list[tuple]]:
+    """Canonicalize the filter vocabulary to OR-of-AND form (r12).
+
+    - ``[(col, op, v), ...]`` — the classic conjunction — becomes one
+      branch: ``[[...]]``.
+    - ``[[(col, op, v), ...], [...]]`` — a list of conjunctions — is a
+      DISJUNCTION of those branches (DNF), letting retention predicates
+      like ``source = 'a' OR (lang = 'b' AND score < c)`` keep
+      dir-level skipping: a dir is read only when SOME branch's stats
+      ranges can match, which is exactly the zone-map rule for OR.
+
+    Mixed forms raise — silently AND-ing what the caller meant as OR
+    (or vice versa) is the one outcome worse than an error."""
+    if not isinstance(filters, list) or not filters:
+        raise ValueError(
+            "filters must be a non-empty list of (col, op, value) tuples "
+            "or a non-empty list of such conjunctions (OR of ANDs)"
+        )
+    if all(_is_filter_triple(f) for f in filters):
+        return [_norm_filters(filters)]
+    if all(
+        isinstance(br, (tuple, list)) and not _is_filter_triple(br) for br in filters
+    ):
+        branches = []
+        for br in filters:
+            if not br or not all(_is_filter_triple(f) for f in br):
+                raise ValueError(
+                    f"DNF branch must be a non-empty list of (col, op, value) "
+                    f"tuples, got {br!r}"
+                )
+            branches.append(_norm_filters(list(br)))
+        return branches
+    raise ValueError(
+        "mixed filter forms: pass either one conjunction of (col, op, value) "
+        "tuples or a list of such conjunctions (OR of ANDs), not both shapes "
+        f"in one list: {filters!r}"
+    )
+
+
+def _dnf_expr(dnf: list[list[tuple]]):
+    """Spark predicate for a ``_norm_dnf`` result: OR over the branches'
+    ``_filter_expr`` conjunctions (single-branch == the classic path)."""
+    cond = None
+    for branch in dnf:
+        term = _filter_expr(branch)
+        cond = term if cond is None else cond | term
+    return cond
+
+
 def _commit_dir_of(rel_dir: str) -> str:
     """Commit-level prefix of a data/delete dir: strips the per-bucket
     ``_bucket=k`` leaf that ``_write_bucketed`` appends, leaving the
@@ -1875,15 +1934,25 @@ class LakeTable:
                 continue  # incomparable types → can't prune
         return True
 
+    @classmethod
+    def _dir_may_match_dnf(
+        cls, dstats: dict[str, list], dnf: list[list[tuple]],
+        mapping: dict[str, str] | None = None,
+    ) -> bool:
+        """Zone-map rule for OR: a dir can serve a disjunction iff SOME
+        branch's conjunction can match its stats."""
+        return any(cls._dir_may_match(dstats, br, mapping) for br in dnf)
+
     def candidate_dirs(self, filters, version: int | None = None) -> list[str]:
         """Data-skipping: dirs whose footer min/max could satisfy the
-        conjunction of ``(col, op, value)`` filters."""
+        ``(col, op, value)`` conjunction — or, for a list of
+        conjunctions, their disjunction (see ``_norm_dnf``)."""
         snap = self.snapshot(version)
-        normed = _norm_filters(filters)  # once, not per dir
+        dnf = _norm_dnf(filters)  # once, not per dir
         return [
             d
             for d in snap.all_dirs()
-            if self._dir_may_match(snap.stats.get(d, {}), normed, snap.renames.get(d))
+            if self._dir_may_match_dnf(snap.stats.get(d, {}), dnf, snap.renames.get(d))
         ]
 
     def scan(self, filters, version: int | None = None) -> DataFrame:
@@ -1896,8 +1965,10 @@ class LakeTable:
         ``(col, "is_null")`` / ``(col, "is_not_null")``
         pruned via the commit-time ``#nulls`` stats (a dir with zero
         nulls never serves IS NULL; an all-null dir never serves
-        IS NOT NULL). The exact predicate is re-applied on the
-        surviving data."""
+        IS NOT NULL). A LIST of such conjunctions is their
+        DISJUNCTION (OR of ANDs, see ``_norm_dnf``) — a dir is read
+        only when some branch can match its stats. The exact predicate
+        is re-applied on the surviving data."""
         snap = self.snapshot(version)
         dirs = self.candidate_dirs(filters, version)
         if snap.deletes:
@@ -1908,7 +1979,7 @@ class LakeTable:
             )
         else:
             df = self._read_dirs(dirs, snap)
-        cond = _filter_expr(_norm_filters(filters))
+        cond = _dnf_expr(_norm_dnf(filters))
         return df.filter(cond) if cond is not None else df
 
     def scan_report(self, filters, version: int | None = None) -> dict:
@@ -1922,6 +1993,7 @@ class LakeTable:
         snap = self.snapshot(version)
         all_dirs = snap.all_dirs()
         kept = set(self.candidate_dirs(filters, version))
+        dnf = _norm_dnf(filters)
 
         def _keys(d: str) -> list[str]:
             # the stat a filter prunes on, under the dir's PHYSICAL
@@ -1929,7 +2001,7 @@ class LakeTable:
             # #nulls:<col> for unary null filters, min/max otherwise
             m = snap.renames.get(d, {})
             out = []
-            for f in filters:
+            for f in (f for br in dnf for f in br):
                 phys = m.get(f[0], f[0])
                 out.append(
                     (NULLS_STAT_PREFIX + phys)
@@ -1943,7 +2015,11 @@ class LakeTable:
             and not any(k in snap.stats.get(d, {}) for k in _keys(d))
         ]
         return {
-            "filters": [list(f) for f in filters],
+            "filters": (
+                [list(f) for f in filters]
+                if all(_is_filter_triple(f) for f in filters)
+                else [[list(f) for f in br] for br in filters]
+            ),
             "total_dirs": len(all_dirs),
             "read_dirs": len(kept),
             "pruned_dirs": len(all_dirs) - len(kept),
@@ -2975,12 +3051,14 @@ class LakeTable:
         ``condition`` forms (same contract as ``update_where``):
 
         - list of ``(col, op, value)`` tuples (the ``scan()`` filter
-          vocabulary, AND-ed): dir-level data skipping — dirs whose
-          footer stats cannot satisfy the conjunction are carried
-          forward untouched and buckets with no matching dir stay out
-          of the commit, so a narrow DELETE costs ∝ the dirs it can
-          touch, not table size (at 100 TB a retention purge on a
-          time-clustered table rewrites only the expiring dirs).
+          vocabulary, AND-ed) — or a list of such conjunctions, their
+          DISJUNCTION (OR of ANDs, ``_norm_dnf``): dir-level data
+          skipping — dirs whose footer stats cannot satisfy the
+          predicate are carried forward untouched and buckets with no
+          matching dir stay out of the commit, so a narrow DELETE
+          costs ∝ the dirs it can touch, not table size (at 100 TB a
+          retention purge on a time-clustered table rewrites only the
+          expiring dirs).
         - SQL string or Column: arbitrary predicate; stats can't reason
           about it, so every dir is touched (the pre-r12 behavior).
 
@@ -3004,16 +3082,16 @@ class LakeTable:
         snap = self.snapshot()
         filters = condition if isinstance(condition, list) else None
         if filters is not None:
-            filters = _norm_filters(filters)  # once, not per dir
-            cond = _filter_expr(filters)
+            dnf = _norm_dnf(filters)  # once, not per dir
+            cond = _dnf_expr(dnf)
             touched: dict[str, list[str]] = {}
             kept: dict[str, list[str]] = {}
             for bs, dirs in snap.buckets.items():
                 t = [
                     d
                     for d in dirs
-                    if self._dir_may_match(
-                        snap.stats.get(d, {}), filters, snap.renames.get(d)
+                    if self._dir_may_match_dnf(
+                        snap.stats.get(d, {}), dnf, snap.renames.get(d)
                     )
                 ]
                 if t:
@@ -3122,11 +3200,13 @@ class LakeTable:
         - SQL string or Column: arbitrary predicate, full-table rewrite
           (every bucket's dirs are read and rewritten).
         - list of ``(col, op, value)`` tuples (the ``scan()`` filter
-          vocabulary, AND-ed): same semantics, plus dir-level data
-          skipping — dirs whose footer min/max cannot satisfy the
-          conjunction are carried forward untouched, and buckets with
-          no matching dir are left out of the commit entirely, so a
-          narrow UPDATE costs ∝ the dirs it can touch, not table size.
+          vocabulary, AND-ed) — or a list of such conjunctions, their
+          DISJUNCTION (OR of ANDs, ``_norm_dnf``): same semantics, plus
+          dir-level data skipping — dirs whose footer stats cannot
+          satisfy the predicate (no branch can match, for OR) are
+          carried forward untouched, and buckets with no matching dir
+          are left out of the commit entirely, so a narrow UPDATE
+          costs ∝ the dirs it can touch, not table size.
 
         ``assignments`` values follow SQL ``SET col = expr``: a string
         is parsed as a SQL EXPRESSION (quote string literals:
@@ -3136,16 +3216,16 @@ class LakeTable:
         snap = self.snapshot()
         filters = condition if isinstance(condition, list) else None
         if filters is not None:
-            filters = _norm_filters(filters)  # once, not per dir
-            cond = _filter_expr(filters)
+            dnf = _norm_dnf(filters)  # once, not per dir
+            cond = _dnf_expr(dnf)
             touched: dict[str, list[str]] = {}
             kept: dict[str, list[str]] = {}
             for bs, dirs in snap.buckets.items():
                 t = [
                     d
                     for d in dirs
-                    if self._dir_may_match(
-                        snap.stats.get(d, {}), filters, snap.renames.get(d)
+                    if self._dir_may_match_dnf(
+                        snap.stats.get(d, {}), dnf, snap.renames.get(d)
                     )
                 ]
                 if t:

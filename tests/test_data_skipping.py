@@ -161,3 +161,100 @@ def test_in_filter_skipping(spark, tmp_path):
     t.update_where([("id", "in", [3, 2049])], {"v": "'picked'"})
     vals = {r.id: r.v for r in t.read().where("id in (3, 2049)").collect()}
     assert vals == {3: "picked", 2049: "picked"}
+
+
+# ------------------------------------------------------------------- DNF (OR)
+
+
+def test_dnf_scan_prunes_per_branch(spark, tmp_path):
+    """OR of two disjoint ranges keeps exactly the union of each
+    branch's candidate dirs — the zone-map rule for disjunctions."""
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = cat.create_or_replace("db.dnf", _batch(spark, 0, 100, 1))
+    t.append(_batch(spark, 100, 200, 2))
+    t.append(_batch(spark, 200, 300, 3))
+    dnf = [[("pk", "<", 50)], [("pk", ">=", 250)]]
+    cands = t.candidate_dirs(dnf)
+    assert len(cands) == 2  # middle dir pruned
+    out = t.scan(dnf)
+    assert out.count() == 100
+    assert out.agg(F.min("pk"), F.max("pk")).first() == (0, 299)
+
+
+def test_dnf_branch_with_conjunction(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = cat.create_or_replace("db.dnf2", _batch(spark, 0, 100, 1))
+    t.append(_batch(spark, 100, 200, 2))
+    # (pk >= 20 AND pk < 30) OR (ts >= day2)
+    dnf = [
+        [("pk", ">=", 20), ("pk", "<", 30)],
+        [("ts", ">=", datetime(2024, 1, 2, tzinfo=timezone.utc))],
+    ]
+    assert t.scan(dnf).count() == 110
+    assert len(t.candidate_dirs(dnf)) == 2  # both dirs can match a branch
+
+
+def test_dnf_single_branch_equals_conjunction(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = cat.create_or_replace("db.dnf3", _batch(spark, 0, 100, 1))
+    t.append(_batch(spark, 100, 200, 2))
+    conj = [("pk", ">=", 150)]
+    assert t.scan([conj]).count() == t.scan(conj).count() == 50
+    assert t.candidate_dirs([conj]) == t.candidate_dirs(conj)
+
+
+def test_dnf_scan_report_shapes(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = cat.create_or_replace("db.dnf4", _batch(spark, 0, 100, 1))
+    t.append(_batch(spark, 100, 200, 2))
+    t.append(_batch(spark, 200, 300, 3))
+    rep = t.scan_report([[("pk", "<", 50)], [("pk", ">=", 250)]])
+    assert rep["read_dirs"] == 2 and rep["pruned_dirs"] == 1
+    assert rep["filters"] == [[["pk", "<", 50]], [["pk", ">=", 250]]]
+    # conjunction report shape unchanged
+    rep2 = t.scan_report([("pk", "<", 50)])
+    assert rep2["filters"] == [["pk", "<", 50]]
+
+
+def test_dnf_mixed_forms_raise(spark, tmp_path):
+    import pytest
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = cat.create_or_replace("db.dnf5", _batch(spark, 0, 100, 1))
+    with pytest.raises(ValueError, match="mixed filter forms"):
+        t.scan([("pk", "<", 50), [("pk", ">=", 250)]])
+    with pytest.raises(ValueError, match="non-empty"):
+        t.scan([])
+    with pytest.raises(ValueError, match="branch"):
+        t.scan([[("pk", "<", 50)], []])
+
+
+def test_dnf_update_where(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = cat.create_or_replace("db.dnf6", _batch(spark, 0, 100, 1), key=["pk"])
+    t.append(_batch(spark, 100, 200, 2))
+    t.append(_batch(spark, 200, 300, 3))
+    snap = t.update_where(
+        [[("pk", "<", 50)], [("pk", ">=", 250)]], {"v": "-1.0"}
+    )
+    assert snap.summary["pruned_dirs"] > 0
+    got = t.read().filter(F.col("v") == -1.0).count()
+    assert got == 100
+    assert t.read().filter(F.col("v") >= 0).count() == 200
+
+
+def test_dnf_delete_where_both_modes(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = cat.create_or_replace("db.dnf7", _batch(spark, 0, 100, 1), key=["pk"])
+    t.append(_batch(spark, 100, 200, 2))
+    t.append(_batch(spark, 200, 300, 3))
+    snap = t.delete_where([[("pk", "<", 50)], [("pk", ">=", 250)]])
+    assert snap.summary["pruned_dirs"] > 0
+    assert t.read().count() == 200
+    assert t.read().agg(F.min("pk"), F.max("pk")).first() == (50, 249)
+    snap = t.delete_where(
+        [[("pk", "<", 80)], [("pk", ">=", 220)]], mode="merge-on-read"
+    )
+    assert snap.deletes
+    assert t.read().count() == 140
+    assert t.read().agg(F.min("pk"), F.max("pk")).first() == (80, 219)
