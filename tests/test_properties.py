@@ -148,3 +148,56 @@ def test_null_filter_skipping_soundness(n_rows, n_nulls_off):
     # without the stat, never prune (soundness over savings)
     assert LakeTable._dir_may_match({}, [("c", "is_null")])
     assert LakeTable._dir_may_match({}, [("c", "is_not_null")])
+
+
+# ------------------------------------------------------------------ DNF (r12)
+
+
+@given(
+    bounds=st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)).map(sorted),
+    v_off=st.integers(0, 2000),
+    branches=st.lists(
+        st.lists(
+            st.tuples(st.sampled_from(OPS), st.integers(-1500, 1500)),
+            min_size=1, max_size=3,
+        ),
+        min_size=1, max_size=3,
+    ),
+)
+@settings(max_examples=300)
+def test_dnf_skipping_never_prunes_a_matching_dir(bounds, v_off, branches):
+    """OR-of-AND soundness: if some value in [lo, hi] satisfies SOME
+    branch's conjunction, _dir_may_match_dnf must keep the dir."""
+    lo, hi = bounds
+    v = min(lo + v_off, hi)
+    dnf = [[("c", op, t) for op, t in br] for br in branches]
+    if any(all(_matches(op, v, t) for op, t in br) for br in branches):
+        assert LakeTable._dir_may_match_dnf({"c": [lo, hi]}, dnf), (
+            f"pruned dir [{lo},{hi}] containing v={v} matching {dnf}"
+        )
+
+
+@given(
+    bounds=st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)).map(sorted),
+    branches=st.lists(
+        st.lists(
+            st.tuples(st.sampled_from(OPS), st.integers(-1500, 1500)),
+            min_size=1, max_size=3,
+        ),
+        min_size=1, max_size=3,
+    ),
+)
+@settings(max_examples=200)
+def test_dnf_pruned_dirs_hold_no_matches(bounds, branches):
+    """When the DNF prunes a dir, NO integer in [lo, hi] satisfies any
+    branch (single-column conjunctions over one range are exactly
+    checkable by exhaustion on a narrowed window)."""
+    lo, hi = bounds
+    if hi - lo > 200:  # keep exhaustive check cheap
+        hi = lo + 200
+    dnf = [[("c", op, t) for op, t in br] for br in branches]
+    if not LakeTable._dir_may_match_dnf({"c": [lo, hi]}, dnf):
+        for v in range(lo, hi + 1):
+            assert not any(
+                all(_matches(op, v, t) for op, t in br) for br in branches
+            ), f"dir [{lo},{hi}] pruned but v={v} matches {dnf}"
