@@ -999,6 +999,57 @@ ORDER BY o_orderkey
 """
 
 
+_SCAN_DNF_TABLES: dict[str, str] = {}
+_SCAN_DNF_LOCK = _threading.Lock()
+
+
+def scan_dnf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive filtered scan (r12 DNF vocabulary) through the REAL
+    ``LakeTable.scan`` path: ``(status='F' AND price>300k) OR
+    priority='1-URGENT'`` prunes dirs branch-wise (a dir is read only
+    when SOME branch's footer stats can match) and re-applies the exact
+    OR predicate on the survivors. The DuckDB oracle runs the same
+    disjunction over the raw parquet. Idempotent: the staged lake table
+    is built once per sf_dir and only ever read."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from datalake_iceberg_spark.tables import LakeTable
+
+    with _SCAN_DNF_LOCK:
+        loc = _SCAN_DNF_TABLES.get(sf_dir)
+        if loc is None:
+            loc = tempfile.mkdtemp(prefix="scan_dnf_orders_")
+            atexit.register(shutil.rmtree, loc, ignore_errors=True)
+            orders = load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderpriority",
+            )
+            t = LakeTable(spark, loc)
+            t.create_or_replace(orders, key=["o_orderkey"], n_buckets=4)
+            _SCAN_DNF_TABLES[sf_dir] = loc
+    return (
+        LakeTable(spark, loc)
+        .scan([
+            [("o_orderstatus", "=", "F"), ("o_totalprice", ">", 300000.0)],
+            [("o_orderpriority", "=", "1-URGENT")],
+        ])
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+SCAN_DNF_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE (o_orderstatus = 'F' AND o_totalprice > 300000.0)
+   OR o_orderpriority = '1-URGENT'
+ORDER BY o_orderkey
+"""
+
+
 _DELETE_WHERE_TABLES: dict[str, str] = {}
 _DELETE_WHERE_LOCK = _threading.Lock()
 
