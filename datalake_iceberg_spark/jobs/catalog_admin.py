@@ -10,6 +10,17 @@ Subcommands::
     catalog_admin clone   --table db.src --target db.dst
     catalog_admin rename  --table db.old --target db.new
     catalog_admin drop    --table db.t [--keep-data]
+    catalog_admin purge   --table db.t --filters JSON [--mode cow|mor]
+                          [--dry-run]
+
+``purge`` is the operator retention verb over ``delete_where``:
+``--filters`` takes the scan vocabulary as JSON — a conjunction
+(``[["ts","<","2024-01-01"]]``) or a disjunction of conjunctions
+(``[[["src","=","a"]], [["score","<",0.2]]]``) — with dir-level stats
+pruning in both modes. ``--dry-run`` prints the scan_report plus the
+matched-row count WITHOUT committing (cost ∝ the dirs the predicate
+can touch — the sane first step before purging a 100 TB table);
+``--mode mor`` masks via an equality-delete era instead of rewriting.
 
 ``stats`` answers COUNT(*) (and, with ``--column``, MIN/MAX bounds and
 the null count) from manifest math — the 100 TB audit that never reads
@@ -35,11 +46,12 @@ from datalake_iceberg_spark.jobs.common import (
 
 def build_parser():
     p = base_parser(
-        "catalog admin: list / storage / stats / fsck / clone / rename / drop"
+        "catalog admin: list / storage / stats / fsck / clone / rename / "
+        "drop / purge"
     )
     p.add_argument("command",
                    choices=["list", "storage", "stats", "fsck", "clone",
-                            "rename", "drop"])
+                            "rename", "drop", "purge"])
     p.add_argument("--schema", default="default")
     p.add_argument("--table", default=None)
     p.add_argument("--target", default=None)
@@ -51,6 +63,16 @@ def build_parser():
                    help="fsck: also recount rows from parquet footers")
     p.add_argument("--column", default=None,
                    help="stats: also report this column's bounds + null count")
+    p.add_argument("--filters", default=None,
+                   help="purge: scan-vocabulary predicate as JSON — a "
+                        "conjunction of [col, op, value] triples or a list "
+                        "of such conjunctions (OR of ANDs)")
+    p.add_argument("--mode", choices=["cow", "mor"], default="cow",
+                   help="purge: copy-on-write rewrite (default) or "
+                        "merge-on-read equality-delete era")
+    p.add_argument("--dry-run", action="store_true",
+                   help="purge: report matched rows + dir pruning without "
+                        "committing")
     return p
 
 
@@ -124,6 +146,27 @@ def main(argv=None, spark=None) -> int:
         return 0 if bad == 0 else 3
     if not args.table:
         raise SystemExit(f"{args.command} requires --table")
+    if args.command == "purge":
+        if not args.filters:
+            raise SystemExit("purge requires --filters")
+        try:
+            filters = json.loads(args.filters)
+        except json.JSONDecodeError as e:
+            raise SystemExit(f"--filters is not valid JSON: {e}") from e
+        t = catalog.table(args.table)
+        rep = t.scan_report(filters)  # validates the vocabulary up front
+        if args.dry_run:
+            matched = t.scan(filters).count()
+            print(json.dumps(
+                {"table": args.table, "dry_run": True,
+                 "would_delete_rows": matched, **rep}, sort_keys=True))
+            return 0
+        mode = "merge-on-read" if args.mode == "mor" else "copy-on-write"
+        snap = t.delete_where(filters, mode=mode)
+        print(json.dumps(
+            {"table": args.table, "version": snap.version,
+             "mode": mode, **snap.summary}, sort_keys=True))
+        return 0
     if args.command == "drop":
         catalog.drop(args.table, purge=not args.keep_data)
         print(f"dropped {args.table}")

@@ -387,3 +387,67 @@ def test_text_index_job_build_add_search(spark, tmp_path, capsys):
          "--output", out, *base], spark=spark) == 0
     hits = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert hits == {1, 3}
+
+
+def test_catalog_admin_purge(spark, tmp_path, capsys):
+    """Operator retention verb: dry-run report, then CoW purge, then a
+    DNF MoR purge — all through the CLI with JSON filters."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.jobs import catalog_admin
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    wh = str(tmp_path / "wh")
+    base = ["--env-file", str(tmp_path / "none.env"), "--warehouse", wh]
+    cat = LakeCatalog(spark, wh)
+    t = cat.create_or_replace(
+        "default.ret",
+        spark.createDataFrame([Row(id=i, v=i * 10) for i in range(20)]),
+        key=["id"], n_buckets=2,
+    )
+    t.append(spark.createDataFrame([Row(id=i, v=i * 10) for i in range(20, 40)]))
+
+    # dry run: reports, commits nothing
+    assert catalog_admin.main(
+        ["purge", "--table", "default.ret",
+         "--filters", '[["id", ">=", 30]]', "--dry-run", *base],
+        spark=spark,
+    ) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["would_delete_rows"] == 10 and rep["dry_run"]
+    assert rep["pruned_dirs"] > 0  # the id<20 create-dirs never read
+    assert t.read().count() == 40
+
+    # CoW purge
+    assert catalog_admin.main(
+        ["purge", "--table", "default.ret",
+         "--filters", '[["id", ">=", 30]]', *base],
+        spark=spark,
+    ) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["mode"] == "copy-on-write" and rep["pruned_dirs"] > 0
+    assert t.read().count() == 30
+
+    # DNF MoR purge: (id < 5) OR (id >= 25)
+    assert catalog_admin.main(
+        ["purge", "--table", "default.ret", "--mode", "mor",
+         "--filters", '[[["id", "<", 5]], [["id", ">=", 25]]]', *base],
+        spark=spark,
+    ) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["mode"] == "merge-on-read"
+    assert t.snapshot().deletes  # era live
+    assert t.read().count() == 20
+    assert t.read().agg({"id": "min"}).first()[0] == 5
+
+    # bad JSON / missing filters are operator errors, not tracebacks
+    import pytest
+    with pytest.raises(SystemExit, match="not valid JSON"):
+        catalog_admin.main(
+            ["purge", "--table", "default.ret", "--filters", "nope", *base],
+            spark=spark)
+    with pytest.raises(SystemExit, match="requires --filters"):
+        catalog_admin.main(["purge", "--table", "default.ret", *base],
+                           spark=spark)
