@@ -686,6 +686,22 @@ def main() -> None:
         dml["merge_hot_era_pruned_dirs"] = s.summary["pruned_dirs"]
         dml["merge_hot_era_rewritten_dirs"] = s.summary["rewritten_dirs"]
 
+        # merge-on-read predicate UPDATE on the same era-layout table
+        # (r12): only the hot era's dirs are scanned (stats prune the
+        # cold eras) and only the MATCHED rows are written — new data
+        # dirs doubling as the equality-delete mask of their old
+        # versions. Commit cost ∝ matched rows; contrast the CoW
+        # merge_hot_era tier above, which rewrites the touched dirs.
+        t0 = _case("dml:update_where_hot_era_mor")
+        s = table_seq.update_where(
+            [("id", ">=", 2 * era), ("id", "<", 2 * era + era // 100)],
+            {"o_orderpriority": "'BENCH-UPD-MOR'"},
+            mode="merge-on-read",
+        )
+        dml["update_where_hot_era_mor"] = round(time.perf_counter() - t0, 3)
+        dml["update_mor_pruned_dirs"] = s.summary["pruned_dirs"]
+        dml["update_mor_touched_dirs"] = s.summary["touched_dirs"]
+
         # retention purge on the same era-layout table (r12
         # delete_where): "delete everything older than X" as a
         # tuple-filter predicate. CoW tier drops the oldest era — footer

@@ -999,6 +999,64 @@ ORDER BY o_orderkey
 """
 
 
+_UPDATE_MOR_TABLES: dict[str, str] = {}
+_UPDATE_MOR_LOCK = _threading.Lock()
+
+
+def update_mor_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 bulk UPDATE in **merge-on-read** mode (r12; Iceberg's
+    ``write.update.mode`` choice) graded at READ time: the tuple-filter
+    predicate is evaluated over only the dirs whose footer stats can
+    match, the MATCHED rows commit as new data dirs doubling as the
+    equality-delete mask of their old versions (covers = the touched
+    dirs only), and the graded DataFrame is the post-update read
+    **while the era is live** — old versions must vanish via the era
+    anti-join and the updated rows must serve from the new dirs, the
+    exact read a 100 TB backfill pipeline runs between folds. The
+    DuckDB oracle applies the same SET as a CASE over the raw parquet.
+    Idempotent: staged once per sf_dir; the era stays live."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from datalake_iceberg_spark.tables import LakeTable
+
+    with _UPDATE_MOR_LOCK:
+        loc = _UPDATE_MOR_TABLES.get(sf_dir)
+        if loc is None:
+            loc = tempfile.mkdtemp(prefix="update_mor_orders_")
+            atexit.register(shutil.rmtree, loc, ignore_errors=True)
+            orders = load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderpriority",
+            )
+            t = LakeTable(spark, loc)
+            t.create_or_replace(orders, key=["o_orderkey"], n_buckets=4)
+            snap = t.update_where(
+                [("o_totalprice", "<", 5000.0)],
+                {"o_orderpriority": "'MOR-UPDATED'"},
+                mode="merge-on-read",
+            )
+            assert snap.deletes  # era LIVE: the masked read is graded
+            _UPDATE_MOR_TABLES[sf_dir] = loc
+    return (
+        LakeTable(spark, loc)
+        .read()
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+UPDATE_MOR_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CASE WHEN o_totalprice < 5000.0 THEN 'MOR-UPDATED'
+            ELSE o_orderpriority END AS o_orderpriority
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 _SCAN_DNF_TABLES: dict[str, str] = {}
 _SCAN_DNF_LOCK = _threading.Lock()
 

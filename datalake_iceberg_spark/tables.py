@@ -3193,7 +3193,8 @@ class LakeTable:
 
         return self._commit(build, "delete-mor")
 
-    def update_where(self, condition, assignments: dict[str, Any]) -> Snapshot:
+    def update_where(self, condition, assignments: dict[str, Any],
+                     mode: str = "copy-on-write") -> Snapshot:
         """Bulk UPDATE ... SET (reference: ``scripts/migrate_v2_naming.sql:43-49``).
 
         ``condition`` forms:
@@ -3212,7 +3213,23 @@ class LakeTable:
         is parsed as a SQL EXPRESSION (quote string literals:
         ``{"v": "'fixed'"}``; reference columns directly: ``{"v":
         "upper(v)"}``); any non-string becomes a literal.
+
+        ``mode="merge-on-read"`` (keyed tables; Iceberg's
+        ``write.update.mode`` choice): only the MATCHED rows are
+        written, as new data dirs that double as the equality-delete
+        key source masking their old versions (the ``_merge_mor``
+        layout) with ``covers`` = exactly the touched dirs — commit
+        cost is the pruned scan + O(matched rows), never a rewrite; a
+        backfill touching 0.1% of a 100 TB table moves 0.1% of the
+        bytes. Key columns cannot be assigned in this mode (the mask is
+        keyed on the NEW row's key, so a key change would leave the old
+        row unmasked — CoW handles key rewrites). Same as-of-snapshot
+        concurrency stance as ``delete_where``'s MoR mode: a concurrent
+        rewrite of a touched dir raises ``CommitConflict``; concurrent
+        appends are not covered.
         """
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown update mode {mode!r}")
         snap = self.snapshot()
         filters = condition if isinstance(condition, list) else None
         if filters is not None:
@@ -3232,6 +3249,19 @@ class LakeTable:
                     touched[bs] = t
                     kept[bs] = [d for d in dirs if d not in set(t)]
             affected = sorted(int(b) for b in touched)
+        else:
+            cond = F.expr(condition) if isinstance(condition, str) else condition
+            touched = {b: list(d) for b, d in snap.buckets.items() if d}
+            kept = {}
+            affected = list(range(snap.n_buckets))
+        if mode == "merge-on-read":
+            summary = {
+                "pruned_dirs": sum(len(v) for v in kept.values()),
+                "touched_dirs": sum(len(v) for v in touched.values()),
+                "mode": mode,
+            }
+            return self._update_where_mor(snap, touched, cond, assignments, summary)
+        if filters is not None:
             if any(snap.deletes.get(b) for b in touched):
                 df = self._read_with_deletes(snap, touched)
             else:
@@ -3239,9 +3269,6 @@ class LakeTable:
                     [d for ds in touched.values() for d in ds], snap
                 )
         else:
-            cond = F.expr(condition) if isinstance(condition, str) else condition
-            kept = {}
-            affected = list(range(snap.n_buckets))
             df = self.read()
         # per-call unique helper name — same collision-proofing as the
         # partial-merge __matched/__t_* columns (a table may legitimately
@@ -3268,6 +3295,92 @@ class LakeTable:
             else {}
         )
         return self._replace_buckets(snap, per_bucket, affected, "update", summary)
+
+    def _update_where_mor(
+        self, snap: Snapshot, touched: dict[str, list[str]], cond,
+        assignments: dict[str, Any], summary: dict,
+    ) -> Snapshot:
+        """Merge-on-read predicate UPDATE: one pruned scan selects the
+        matched rows, the assignments apply to THOSE rows only, and
+        they commit as new data dirs that double as the equality-delete
+        key source (the ``_merge_mor`` layout) with ``covers`` =
+        exactly the touched dirs. See ``update_where`` for semantics."""
+        if not snap.key:
+            raise ValueError("merge-on-read update_where requires a keyed table")
+        bad = sorted(set(assignments) & set(snap.key))
+        if bad:
+            raise ValueError(
+                f"merge-on-read update_where cannot assign key columns {bad}: "
+                "the mask is keyed on the new row's key, so a key change "
+                "would leave the old row unmasked — use copy-on-write"
+            )
+        if not touched:
+            def build_noop(parent):
+                return Snapshot(
+                    version=parent.version + 1,
+                    parent=parent.version,
+                    timestamp=_utcnow(),
+                    operation="update-mor",
+                    schema_json=parent.schema_json,
+                    key=parent.key,
+                    n_buckets=parent.n_buckets,
+                    buckets={b: list(d) for b, d in parent.buckets.items()},
+                    properties=parent.properties,
+                    summary=summary,
+                    deletes=parent.deletes,
+                    renames=parent.renames,
+                )
+            return self._commit(build_noop, "update-mor")
+        if any(snap.deletes.get(b) for b in touched):
+            df = self._read_with_deletes(snap, touched)
+        else:
+            df = self._read_dirs([d for ds in touched.values() for d in ds], snap)
+        matched = df.filter(cond)
+        for col, val in assignments.items():
+            expr = F.expr(val) if isinstance(val, str) else F.lit(val)
+            matched = matched.withColumn(col, expr)
+        # CHECK constraints gate exactly the rows this UPDATE changes
+        self._enforce_constraints(matched, "update_where")
+        updated = self._align(matched)
+        new_dirs = self._write_bucketed(updated, snap.key, snap.n_buckets)
+
+        def build(parent):
+            deletes = {b: list(entries) for b, entries in parent.deletes.items()}
+            buckets = {b: list(d) for b, d in parent.buckets.items()}
+            affected = []
+            for b, t_dirs in touched.items():
+                live = set(parent.buckets.get(b, []))
+                if not set(t_dirs) <= live:
+                    raise CommitConflict(
+                        f"update_where on {self.location}: concurrent writer "
+                        f"rewrote a predicate-matched dir; re-run the update"
+                    )
+            for b, dirs in new_dirs.items():
+                covers = list(touched.get(b, []))
+                for d in dirs:
+                    if covers:
+                        deletes.setdefault(b, []).append(
+                            {"dir": d, "covers": covers}
+                        )
+                buckets.setdefault(b, [])
+                buckets[b] = buckets[b] + dirs
+                affected.append(int(b))
+            return Snapshot(
+                version=parent.version + 1,
+                parent=parent.version,
+                timestamp=_utcnow(),
+                operation="update-mor",
+                schema_json=parent.schema_json,
+                key=parent.key,
+                n_buckets=parent.n_buckets,
+                buckets=buckets,
+                properties=parent.properties,
+                summary={**summary, "affected_buckets": sorted(affected)},
+                deletes=deletes,
+                renames=parent.renames,
+            )
+
+        return self._commit(build, "update-mor")
 
     # ------------------------------------------------------------------ maintenance
     def rebucket(self, new_n_buckets: int) -> Snapshot:

@@ -430,3 +430,115 @@ def test_delete_where_stages_inside_catalog_transaction(catalog, spark):
         assert t2.read().count() == 1
     assert _rows(t1.read()) == {(i, f"v{i}") for i in range(250)}
     assert t2.read().count() == 2
+
+
+# ----------------------------------------------------------- update_where MoR
+
+
+def test_update_where_mor_masks_without_rewrite(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    dirs_before = {b: list(d) for b, d in t.snapshot().buckets.items()}
+    snap = t.update_where([("id", ">=", 250)], {"v": "'upd'"},
+                          mode="merge-on-read")
+    # old data dirs all still present — only NEW dirs were added
+    for b, ds in dirs_before.items():
+        assert set(ds) <= set(snap.buckets.get(b, []))
+    assert snap.deletes, "era must be live"
+    assert snap.summary["mode"] == "merge-on-read"
+    assert snap.summary["pruned_dirs"] > 0
+    got = _rows(t.read())
+    want = {(i, "upd" if i >= 250 else f"v{i}") for i in range(300)}
+    assert got == want
+
+
+def test_update_where_mor_value_parity_with_cow(catalog, spark):
+    t1 = _mk_range_table(catalog, spark, name="db.upd_cow")
+    t2 = _mk_range_table(catalog, spark, name="db.upd_mor")
+    t1.update_where([("id", ">=", 150), ("id", "<", 260)], {"v": "upper(v)"})
+    t2.update_where([("id", ">=", 150), ("id", "<", 260)], {"v": "upper(v)"},
+                    mode="merge-on-read")
+    assert _rows(t1.read()) == _rows(t2.read())
+
+
+def test_update_where_mor_fold_restores_plain_path(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    t.update_where([("id", ">=", 250)], {"v": "'upd'"}, mode="merge-on-read")
+    t.rewrite_position_delete_files()
+    snap = t.snapshot()
+    assert not snap.deletes
+    got = _rows(t.read())
+    assert got == {(i, "upd" if i >= 250 else f"v{i}") for i in range(300)}
+
+
+def test_update_where_mor_rejects_key_assignment(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    with pytest.raises(ValueError, match="cannot assign key columns"):
+        t.update_where([("id", ">=", 250)], {"id": "id + 1000"},
+                       mode="merge-on-read")
+
+
+def test_update_where_mor_requires_key(catalog, spark):
+    t = catalog.create_or_replace(
+        "db.keyless_uw",
+        spark.createDataFrame([Row(id=1, v="a")]),
+        key=None,
+    )
+    with pytest.raises(ValueError, match="keyed"):
+        t.update_where([("id", ">=", 0)], {"v": "'x'"}, mode="merge-on-read")
+
+
+def test_update_where_mor_no_match_is_a_noop_commit(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    before = _rows(t.read())
+    snap = t.update_where([("id", ">=", 10_000)], {"v": "'x'"},
+                          mode="merge-on-read")
+    assert snap.summary["touched_dirs"] == 0
+    assert not snap.deletes
+    assert _rows(t.read()) == before
+
+
+def test_update_where_mor_respects_live_mor_era(catalog, spark):
+    """An update over rows already masked by an older era must not
+    resurrect them: the pruned scan reads with deletes applied."""
+    t = _mk_range_table(catalog, spark)
+    t.delete_keys(
+        spark.createDataFrame([Row(id=i) for i in range(250, 255)]),
+        mode="merge-on-read",
+    )
+    t.update_where([("id", ">=", 200)], {"v": "'upd'"}, mode="merge-on-read")
+    got = _rows(t.read())
+    want = {
+        (i, "upd" if i >= 200 else f"v{i}")
+        for i in range(300)
+        if not 250 <= i < 255
+    }
+    assert got == want
+
+
+def test_update_where_mor_row_count_and_fsck(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    t.update_where([("id", ">=", 250)], {"v": "'upd'"}, mode="merge-on-read")
+    assert t.row_count() == 300  # masked olds replaced 1:1 by new rows
+    rep = t.fsck(deep=True)
+    assert rep["ok"], rep
+
+
+def test_update_where_mor_string_condition(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    t.update_where("id % 100 = 7", {"v": "'lucky'"}, mode="merge-on-read")
+    got = _rows(t.read())
+    want = {(i, "lucky" if i % 100 == 7 else f"v{i}") for i in range(300)}
+    assert got == want
+
+
+def test_update_where_mor_time_travel(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    v = t.current_version()
+    t.update_where([("id", ">=", 250)], {"v": "'upd'"}, mode="merge-on-read")
+    assert _rows(t.read(version=v)) == {(i, f"v{i}") for i in range(300)}
+
+
+def test_update_where_unknown_mode_raises(catalog, spark):
+    t = _mk_range_table(catalog, spark)
+    with pytest.raises(ValueError, match="unknown update mode"):
+        t.update_where([("id", ">=", 0)], {"v": "'x'"}, mode="bogus")

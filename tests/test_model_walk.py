@@ -70,7 +70,7 @@ def test_random_walk_matches_model(catalog, spark, seed):
     for step in range(N_STEPS):
         op = rng.choice(
             ["append", "merge_cow", "merge_mor", "delete_cow", "delete_mor",
-             "update", "delete_where_cow", "delete_where_mor",
+             "update", "update_mor", "delete_where_cow", "delete_where_mor",
              "compact", "fold", "rollback",
              "rebucket_grow", "rebucket_shrink"]
         )
@@ -97,10 +97,11 @@ def test_random_walk_matches_model(catalog, spark, seed):
             )
             for k in keys:
                 model.pop(k)
-        elif op == "update":
+        elif op in ("update", "update_mor"):
             cut = rng.randint(0, next_id)
+            mode = "merge-on-read" if op == "update_mor" else "copy-on-write"
             # string assignment values are SQL EXPRESSIONS (SET v = ...)
-            t.update_where([("id", "<=", cut)], {"v": f"'u{step}'"})
+            t.update_where([("id", "<=", cut)], {"v": f"'u{step}'"}, mode=mode)
             for k in list(model):
                 if k <= cut:
                     model[k] = f"u{step}"

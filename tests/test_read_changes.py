@@ -188,3 +188,29 @@ def test_partial_merge_changes_carry_current_columns(table, spark):
     assert r._change_type == "insert"
     assert r.o_orderpriority == "PARTIAL"
     assert r.o_custkey >= 5_000_000                    # insert takes ALL batch cols
+
+
+def test_read_changes_over_update_where_mor(spark, tmp_path):
+    """CDC diff across a merge-on-read predicate UPDATE: the updated
+    keys surface with their POST-update images, untouched keys are
+    absent."""
+    from pyspark.sql import Row
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = cat.create_or_replace(
+        "db.uwmor_cdc",
+        spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(40)]),
+        key=["id"], n_buckets=2,
+    )
+    v0 = t.current_version()
+    t.update_where([("id", ">=", 30)], {"v": "'upd'"}, mode="merge-on-read")
+    changes = {(r.id, r.v, r._change_type) for r in t.read_changes(v0).collect()}
+    want = {(i, "upd", "update_postimage") for i in range(30, 40)} | {
+        (i, f"v{i}", "update_preimage") for i in range(30, 40)
+    }
+    # accept either pre+post or post-only shapes, but post-images must
+    # be exactly the updated keys with updated values
+    posts = {c for c in changes if c[2] != "update_preimage"}
+    assert {(i, v) for i, v, _ in posts} == {(i, "upd") for i in range(30, 40)}, (
+        changes, want,
+    )
