@@ -10,17 +10,22 @@ Subcommands::
     catalog_admin clone   --table db.src --target db.dst
     catalog_admin rename  --table db.old --target db.new
     catalog_admin drop    --table db.t [--keep-data]
-    catalog_admin purge   --table db.t --filters JSON [--mode cow|mor]
-                          [--dry-run]
+    catalog_admin purge    --table db.t --filters JSON [--mode cow|mor]
+                           [--dry-run]
+    catalog_admin backfill --table db.t --filters JSON --set JSON
+                           [--mode cow|mor] [--dry-run]
 
-``purge`` is the operator retention verb over ``delete_where``:
-``--filters`` takes the scan vocabulary as JSON — a conjunction
-(``[["ts","<","2024-01-01"]]``) or a disjunction of conjunctions
-(``[[["src","=","a"]], [["score","<",0.2]]]``) — with dir-level stats
-pruning in both modes. ``--dry-run`` prints the scan_report plus the
-matched-row count WITHOUT committing (cost ∝ the dirs the predicate
-can touch — the sane first step before purging a 100 TB table);
-``--mode mor`` masks via an equality-delete era instead of rewriting.
+``purge`` / ``backfill`` are the operator retention/repair verbs over
+``delete_where`` / ``update_where``: ``--filters`` takes the scan
+vocabulary as JSON — a conjunction (``[["ts","<","2024-01-01"]]``) or
+a disjunction of conjunctions (``[[["src","=","a"]],
+[["score","<",0.2]]]``) — with dir-level stats pruning in both modes;
+``backfill --set`` is the assignments dict (string values are SQL
+expressions, e.g. ``{"v": "upper(v)"}``). ``--dry-run`` prints the
+scan_report plus the matched-row count WITHOUT committing (cost ∝ the
+dirs the predicate can touch — the sane first step before touching a
+100 TB table); ``--mode mor`` commits O(matched rows) via the
+equality-delete era machinery instead of rewriting.
 
 ``stats`` answers COUNT(*) (and, with ``--column``, MIN/MAX bounds and
 the null count) from manifest math — the 100 TB audit that never reads
@@ -47,11 +52,11 @@ from datalake_iceberg_spark.jobs.common import (
 def build_parser():
     p = base_parser(
         "catalog admin: list / storage / stats / fsck / clone / rename / "
-        "drop / purge"
+        "drop / purge / backfill"
     )
     p.add_argument("command",
                    choices=["list", "storage", "stats", "fsck", "clone",
-                            "rename", "drop", "purge"])
+                            "rename", "drop", "purge", "backfill"])
     p.add_argument("--schema", default="default")
     p.add_argument("--table", default=None)
     p.add_argument("--target", default=None)
@@ -64,15 +69,18 @@ def build_parser():
     p.add_argument("--column", default=None,
                    help="stats: also report this column's bounds + null count")
     p.add_argument("--filters", default=None,
-                   help="purge: scan-vocabulary predicate as JSON — a "
-                        "conjunction of [col, op, value] triples or a list "
+                   help="purge/backfill: scan-vocabulary predicate as JSON — "
+                        "a conjunction of [col, op, value] triples or a list "
                         "of such conjunctions (OR of ANDs)")
+    p.add_argument("--set", default=None, dest="assignments",
+                   help="backfill: assignments as a JSON object; string "
+                        "values are SQL expressions (quote literals)")
     p.add_argument("--mode", choices=["cow", "mor"], default="cow",
-                   help="purge: copy-on-write rewrite (default) or "
-                        "merge-on-read equality-delete era")
+                   help="purge/backfill: copy-on-write rewrite (default) or "
+                        "merge-on-read era (O(matched rows) commit)")
     p.add_argument("--dry-run", action="store_true",
-                   help="purge: report matched rows + dir pruning without "
-                        "committing")
+                   help="purge/backfill: report matched rows + dir pruning "
+                        "without committing")
     return p
 
 
@@ -146,23 +154,37 @@ def main(argv=None, spark=None) -> int:
         return 0 if bad == 0 else 3
     if not args.table:
         raise SystemExit(f"{args.command} requires --table")
-    if args.command == "purge":
+    if args.command in ("purge", "backfill"):
         if not args.filters:
-            raise SystemExit("purge requires --filters")
+            raise SystemExit(f"{args.command} requires --filters")
         try:
             filters = json.loads(args.filters)
         except json.JSONDecodeError as e:
             raise SystemExit(f"--filters is not valid JSON: {e}") from e
+        assignments = None
+        if args.command == "backfill":
+            if not args.assignments:
+                raise SystemExit("backfill requires --set")
+            try:
+                assignments = json.loads(args.assignments)
+            except json.JSONDecodeError as e:
+                raise SystemExit(f"--set is not valid JSON: {e}") from e
+            if not isinstance(assignments, dict) or not assignments:
+                raise SystemExit("--set must be a non-empty JSON object")
         t = catalog.table(args.table)
         rep = t.scan_report(filters)  # validates the vocabulary up front
         if args.dry_run:
             matched = t.scan(filters).count()
+            verb = "would_delete_rows" if args.command == "purge" else "would_update_rows"
             print(json.dumps(
                 {"table": args.table, "dry_run": True,
-                 "would_delete_rows": matched, **rep}, sort_keys=True))
+                 verb: matched, **rep}, sort_keys=True))
             return 0
         mode = "merge-on-read" if args.mode == "mor" else "copy-on-write"
-        snap = t.delete_where(filters, mode=mode)
+        if args.command == "purge":
+            snap = t.delete_where(filters, mode=mode)
+        else:
+            snap = t.update_where(filters, assignments, mode=mode)
         print(json.dumps(
             {"table": args.table, "version": snap.version,
              "mode": mode, **snap.summary}, sort_keys=True))

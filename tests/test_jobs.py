@@ -451,3 +451,55 @@ def test_catalog_admin_purge(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="requires --filters"):
         catalog_admin.main(["purge", "--table", "default.ret", *base],
                            spark=spark)
+
+
+def test_catalog_admin_backfill(spark, tmp_path, capsys):
+    """Operator repair verb: dry-run, then a MoR backfill through the
+    CLI — only the matched rows move."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.jobs import catalog_admin
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    wh = str(tmp_path / "wh")
+    base = ["--env-file", str(tmp_path / "none.env"), "--warehouse", wh]
+    cat = LakeCatalog(spark, wh)
+    t = cat.create_or_replace(
+        "default.bf",
+        spark.createDataFrame([Row(id=i, v=i * 10, tag="old") for i in range(30)]),
+        key=["id"], n_buckets=2,
+    )
+    assert catalog_admin.main(
+        ["backfill", "--table", "default.bf",
+         "--filters", '[["id", ">=", 20]]',
+         "--set", '{"tag": "'"'"'fixed'"'"'"}', "--dry-run", *base],
+        spark=spark,
+    ) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["would_update_rows"] == 10 and rep["dry_run"]
+    assert t.read().filter("tag = 'fixed'").count() == 0
+
+    assert catalog_admin.main(
+        ["backfill", "--table", "default.bf", "--mode", "mor",
+         "--filters", '[["id", ">=", 20]]',
+         "--set", '{"tag": "'"'"'fixed'"'"'"}', *base],
+        spark=spark,
+    ) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["mode"] == "merge-on-read"
+    assert t.snapshot().deletes  # era live, no rewrite
+    assert t.read().filter("tag = 'fixed'").count() == 10
+    assert t.read().count() == 30
+
+    import pytest
+    with pytest.raises(SystemExit, match="requires --set"):
+        catalog_admin.main(
+            ["backfill", "--table", "default.bf",
+             "--filters", '[["id", ">=", 0]]', *base], spark=spark)
+    with pytest.raises(SystemExit, match="non-empty JSON object"):
+        catalog_admin.main(
+            ["backfill", "--table", "default.bf",
+             "--filters", '[["id", ">=", 0]]', "--set", "[]", *base],
+            spark=spark)
