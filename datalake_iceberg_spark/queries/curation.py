@@ -1066,3 +1066,68 @@ SELECT source, COUNT(*) AS n_docs,
                 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
 FROM g GROUP BY source ORDER BY source
 """
+
+
+# ------------------------------------------------------- budgeted selection
+
+
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection: per source, admit documents
+    in descending token-count order (doc_id tiebreak) until 20% of the
+    source's total tokens are spent — the "fill an N-token training
+    budget with the best docs per source" curation primitive. One scan,
+    one shuffle on ``source`` (two window functions share the
+    partitioning); the ROWS-frame cumulative sum makes the admission
+    threshold exact and deterministic in both engines. Reports, per
+    source, the docs/tokens admitted and the smallest admitted doc (the
+    admission cut-off a pipeline would publish)."""
+    docs = load_balanced(spark, sf_dir, "documents")
+    toks = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), " ")))
+    d = docs.select("doc_id", "source", toks.alias("n_tokens"))
+    order = Window.partitionBy("source").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    whole = Window.partitionBy("source")
+    sel = (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(order))
+        .withColumn("total_tokens", F.sum("n_tokens").over(whole))
+        .filter(F.col("cum_tokens") * 5 <= F.col("total_tokens"))
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.sum("n_tokens").alias("tokens_selected"),
+            F.min("n_tokens").alias("cutoff_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_BUDGET_SQL = """
+WITH d AS (
+    SELECT doc_id, source,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split(trim(text), ' ')) END AS n_tokens
+    FROM documents
+), ranked AS (
+    SELECT source, n_tokens,
+           SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source) AS total_tokens
+    FROM d
+)
+SELECT source,
+       COUNT(*) AS n_selected,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
+       MIN(n_tokens) AS cutoff_tokens
+FROM ranked
+WHERE cum_tokens * 5 <= total_tokens
+GROUP BY source
+ORDER BY source
+"""
