@@ -123,6 +123,7 @@ _FILTER_OPS = {
     ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
     "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
     "=": lambda c, v: c == v, "==": lambda c, v: c == v,
+    "!=": lambda c, v: c != v, "<>": lambda c, v: c != v,
 }
 
 
@@ -1929,6 +1930,9 @@ class LakeTable:
                 if op in ("<", "<=") and (lo > v or (op == "<" and lo >= v)):
                     return False
                 if op in ("=", "==") and (v < lo or v > hi):
+                    return False
+                # != prunes only a constant dir: every row equals v
+                if op in ("!=", "<>") and lo == hi == v:
                     return False
             except TypeError:
                 continue  # incomparable types → can't prune

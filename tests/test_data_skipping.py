@@ -258,3 +258,25 @@ def test_dnf_delete_where_both_modes(spark, tmp_path):
     assert snap.deletes
     assert t.read().count() == 140
     assert t.read().agg(F.min("pk"), F.max("pk")).first() == (80, 219)
+
+
+def test_neq_filter_prunes_constant_dirs(spark, tmp_path):
+    """!= prunes only dirs whose min == max == value (a constant dir);
+    NULL rows never match != in SQL, so null-bearing constant dirs
+    still prune soundly."""
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = cat.create_or_replace(
+        "db.neq",
+        spark.range(0, 50).select(F.col("id").alias("pk"), F.lit(7).alias("v")),
+    )
+    t.append(spark.range(50, 100).select(F.col("id").alias("pk"), F.lit(9).alias("v")))
+    t.append(
+        spark.range(100, 150).select(
+            F.col("id").alias("pk"),
+            F.when(F.col("id") % 2 == 0, 7).alias("v"),  # 7s + NULLs
+        )
+    )
+    assert len(t.candidate_dirs([("v", "!=", 7)])) == 1  # only the 9-dir
+    assert t.scan([("v", "!=", 7)]).count() == 50
+    assert t.scan([("v", "<>", 9)]).count() == 75  # 50 sevens + 25 sevens
+    assert len(t.candidate_dirs([("v", "!=", 5)])) == 3  # nothing prunable

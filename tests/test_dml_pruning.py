@@ -542,3 +542,24 @@ def test_update_where_unknown_mode_raises(catalog, spark):
     t = _mk_range_table(catalog, spark)
     with pytest.raises(ValueError, match="unknown update mode"):
         t.update_where([("id", ">=", 0)], {"v": "'x'"}, mode="bogus")
+
+
+def test_update_where_mor_stacks_and_folds(catalog, spark):
+    """Two MoR updates hitting overlapping rows stack correctly: the
+    second era masks both the original rows AND the first update's new
+    dirs (its covers snapshot includes them), so the latest value
+    serves; the fold collapses both eras at once."""
+    t = _mk_range_table(catalog, spark)
+    t.update_where([("id", ">=", 250)], {"v": "'first'"}, mode="merge-on-read")
+    t.update_where([("id", ">=", 270)], {"v": "'second'"}, mode="merge-on-read")
+    want = {
+        (i, "second" if i >= 270 else "first" if i >= 250 else f"v{i}")
+        for i in range(300)
+    }
+    assert _rows(t.read()) == want
+    assert t.row_count() == 300
+    t.rewrite_position_delete_files()
+    assert not t.snapshot().deletes
+    assert _rows(t.read()) == want
+    rep = t.fsck(deep=True)
+    assert rep["ok"], rep

@@ -20,14 +20,14 @@ from hypothesis import strategies as st
 
 from datalake_iceberg_spark.tables import LakeTable
 
-OPS = ["<", "<=", ">", ">=", "="]
+OPS = ["<", "<=", ">", ">=", "=", "!="]
 
 
 def _matches(op: str, v, threshold) -> bool:
     return {
         "<": v < threshold, "<=": v <= threshold,
         ">": v > threshold, ">=": v >= threshold,
-        "=": v == threshold,
+        "=": v == threshold, "!=": v != threshold,
     }[op]
 
 
