@@ -999,6 +999,80 @@ ORDER BY o_orderkey
 """
 
 
+_TXN_ARCHIVE_WH: dict[str, str] = {}
+_TXN_ARCHIVE_LOCK = _threading.Lock()
+
+
+def txn_archive_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table ATOMIC archival move through the REAL
+    ``CatalogTransaction`` path (``txn.py`` — reserved manifests + a
+    write-ahead intent log): one transaction stages a keyed DELETE on
+    the live table and the matching APPEND on the archive table, then
+    publishes both or neither. The graded DataFrame proves the
+    move-without-loss-or-duplication invariant as per-side aggregates
+    (live ∪ archive == source, live ∩ archive == ∅); the DuckDB oracle
+    recomputes both sides from the raw parquet with the same split
+    predicate. Idempotent: the warehouse is staged once per sf_dir."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    with _TXN_ARCHIVE_LOCK:
+        wh = _TXN_ARCHIVE_WH.get(sf_dir)
+        if wh is None:
+            wh = tempfile.mkdtemp(prefix="txn_archive_")
+            atexit.register(shutil.rmtree, wh, ignore_errors=True)
+            orders = load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            )
+            cat = LakeCatalog(spark, wh)
+            cat.create_or_replace(
+                "default.live", orders, key=["o_orderkey"], n_buckets=4
+            )
+            archived = orders.filter(F.col("o_orderkey") % 13 == 5)
+            cat.create_or_replace(
+                "default.archive", archived.limit(0),
+                key=["o_orderkey"], n_buckets=4,
+            )
+            with cat.transaction() as txn:
+                txn.table("default.live").delete_keys(
+                    archived.select("o_orderkey")
+                )
+                txn.table("default.archive").append(archived)
+            _TXN_ARCHIVE_WH[sf_dir] = wh
+    cat = LakeCatalog(spark, wh)
+    live = cat.table("default.live").read()
+    arch = cat.table("default.archive").read()
+    both = live.withColumn("side", F.lit("live")).unionByName(
+        arch.withColumn("side", F.lit("archive"))
+    )
+    return (
+        both.groupBy("side")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+        )
+        .orderBy("side")
+    )
+
+
+TXN_ARCHIVE_SQL = f"""
+SELECT side, COUNT(*) AS n_rows,
+       CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS total_cents,
+       COUNT(DISTINCT o_orderkey) AS n_keys
+FROM (
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 13 = 5 THEN 'archive' ELSE 'live' END AS side
+    FROM orders
+)
+GROUP BY side
+ORDER BY side
+"""
+
+
 _UPDATE_MOR_TABLES: dict[str, str] = {}
 _UPDATE_MOR_LOCK = _threading.Lock()
 
