@@ -40,6 +40,7 @@ import os
 import re
 import time
 import uuid
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from typing import Any
@@ -475,9 +476,23 @@ class Snapshot:
     # time (covered ⊆ live), never stored. Old manifests load fine
     # (empty = nothing analyzed).
     ndv: dict[str, str] = field(default_factory=dict)
+    # ancestor commit log ([[version, iso-timestamp], ...], oldest
+    # first, self last; Iceberg's ``snapshot-log``): lets
+    # ``version_as_of`` answer from ONE small root read instead of
+    # parsing every manifest ever written. Capped by the
+    # ``commit.history-max-entries`` table property (default
+    # HISTORY_MAX_ENTRIES); entries for expired versions are harmless —
+    # the reader verifies the chosen manifest still exists. Legacy
+    # manifests without the field fall back to the directory scan.
+    history: list = field(default_factory=list)
 
     def to_json(self) -> str:
-        return json.dumps(self.__dict__, indent=1, sort_keys=True)
+        # private attrs (the loader's ``_segment_refs`` stash) are
+        # runtime bookkeeping, never serialized
+        return json.dumps(
+            {k: v for k, v in self.__dict__.items() if not k.startswith("_")},
+            indent=1, sort_keys=True,
+        )
 
     @staticmethod
     def from_json(s: str) -> "Snapshot":
@@ -546,6 +561,258 @@ def _prune_deletes(
     return out
 
 
+# --------------------------------------------------------------------------
+# Segmented manifests (format v2) — the Iceberg manifest-list analogue.
+#
+# A single ``v{N}.json`` holding every dir + per-dir stats of every bucket
+# is rewritten whole on every commit and re-parsed whole on every
+# ``snapshot()`` — microseconds at bench scale, but at the 100 TB design
+# point (~200k dirs × ~20 stat entries) it is tens of MB of JSON
+# serialized per commit and parsed per read ON THE DRIVER: the
+# coordinator bottleneck Iceberg's manifest-list + per-manifest reuse
+# exists to avoid (the reference inherits that from the Iceberg runtime,
+# ``src/utils/iceberg.py:68-95``). Format v2 splits the bulk out:
+#
+# - ``metadata/segments/seg-{md5}.json`` — one content-addressed,
+#   immutable file per BUCKET holding that bucket's dir list, MoR delete
+#   entries, per-dir stats and rename maps. Identical content ⇒ identical
+#   file name, so concurrent identical writes are benign and unchanged
+#   buckets are never rewritten.
+# - ``v{N}.json`` (the root) — everything else (schema, properties,
+#   summary, ndv pointers, history) plus ``{"segments": {bucket: file}}``
+#   references. Small (~O(n_buckets)) regardless of table size.
+#
+# A commit serializes and writes ONLY the buckets whose payload differs
+# from the parent's (an in-memory ``==`` against the parent's cached
+# segment payloads — no JSON, no IO for untouched buckets) and re-links
+# the rest, so commit metadata cost is ∝ touched buckets. Reads go
+# through a per-filesystem LRU cache of parsed roots and segments;
+# published manifests (version ≤ ``_current``) are immutable by protocol
+# — ``_write_manifest``/txn publish flip ``_current`` only to
+# exclusively-created manifests and expiry only ever deletes — so cache
+# entries never go stale. Reserved manifests ABOVE ``_current`` can be
+# reclaimed and re-reserved with different content, so those are never
+# cached. Legacy inline (v1) manifests load transparently; the first
+# commit on an old table migrates it to v2 (or set the
+# ``commit.manifest-format = inline`` table property to stay on v1).
+# Unreferenced segments (lost commit races, aborted transactions,
+# expired snapshots) are swept by ``expire_snapshots`` under the same
+# in-flight GC grace as data dirs.
+# --------------------------------------------------------------------------
+
+MANIFEST_FORMAT = 2
+SEGMENTS_DIRNAME = "segments"
+HISTORY_MAX_ENTRIES = 10_000
+_BULK_FIELDS = ("buckets", "deletes", "stats", "renames")
+_ROOT_CACHE_MAX = 256
+_SEGMENT_CACHE_MAX = 2048
+
+
+def _meta_cache(fs) -> dict:
+    """Per-filesystem manifest cache ``{"roots": OrderedDict[(meta_dir,
+    version) -> parsed root doc], "segments": OrderedDict[(meta_dir,
+    fname) -> parsed payload]}``. Hanging it off the fs instance gives
+    test doubles their own isolated cache for free and scopes the
+    shared one to ``DEFAULT_FS``'s lifetime. Cached values are treated
+    as IMMUTABLE by every consumer (the loader hands out fresh outer
+    dicts; commit builders copy inner lists before extending them —
+    the existing copy-on-write discipline of the builder closures)."""
+    cache = getattr(fs, "_manifest_cache", None)
+    if cache is None:
+        cache = {"roots": OrderedDict(), "segments": OrderedDict()}
+        try:
+            fs._manifest_cache = cache
+        except AttributeError:  # slotted/frozen fs double: no caching
+            pass
+    return cache
+
+
+def _cache_put(od: OrderedDict, key, val, cap: int) -> None:
+    od[key] = val
+    od.move_to_end(key)
+    while len(od) > cap:
+        od.popitem(last=False)
+
+
+def evict_meta_cache(fs, path_prefix: str) -> None:
+    """Drop every cached root/segment whose meta_dir is ``path_prefix``
+    or sits under it — called whenever a metadata namespace is deleted
+    or moved (snapshot expiry, ``drop_branch``, DROP TABLE, RENAME):
+    a namespace recreated at the same path restarts its version numbers,
+    so a later read must fail or re-read like a cold process would."""
+    prefix = path_prefix.rstrip("/") + "/"
+    cache = _meta_cache(fs)
+    for kind in ("roots", "segments"):
+        for key in [
+            k for k in cache[kind]
+            if k[0] == path_prefix or k[0].startswith(prefix)
+        ]:
+            del cache[kind][key]
+
+
+def _load_root_doc(fs, meta_dir: str, version: int, cacheable: bool = True) -> dict:
+    """Parsed ``v{version}.json`` (segmented root or legacy inline)."""
+    cache = _meta_cache(fs)["roots"]
+    key = (meta_dir, version)
+    hit = cache.get(key)
+    if hit is not None:
+        cache.move_to_end(key)
+        return hit
+    doc = json.loads(fs.read_text(fs.join(meta_dir, f"v{version}.json")))
+    if cacheable:
+        _cache_put(cache, key, doc, _ROOT_CACHE_MAX)
+    return doc
+
+
+def _load_segment(fs, meta_dir: str, fname: str) -> dict:
+    """Parsed segment payload — content-addressed, so always cacheable."""
+    cache = _meta_cache(fs)["segments"]
+    key = (meta_dir, fname)
+    hit = cache.get(key)
+    if hit is not None:
+        cache.move_to_end(key)
+        return hit
+    pay = json.loads(fs.read_text(fs.join(meta_dir, SEGMENTS_DIRNAME, fname)))
+    _cache_put(cache, key, pay, _SEGMENT_CACHE_MAX)
+    return pay
+
+
+def _snapshot_from_doc(fs, meta_dir: str, doc: dict) -> Snapshot:
+    """Materialize a :class:`Snapshot` from a parsed root doc, resolving
+    segment references. Outer dicts are FRESH per call (builders may
+    rebind/del keys); inner lists/dicts are shared with the cache and
+    must not be mutated in place — the invariant every commit builder
+    already keeps (``list(dirs)`` / ``dict(m)`` copies before edits)."""
+    doc = dict(doc)
+    fmt = doc.pop("format", 1)
+    refs = doc.pop("segments", None)
+    if refs is None or fmt < MANIFEST_FORMAT:
+        snap = Snapshot(**doc)
+        snap.buckets = dict(snap.buckets)
+        snap.deletes = dict(snap.deletes)
+        snap.stats = dict(snap.stats)
+        snap.renames = dict(snap.renames)
+        return snap
+    # bulk keys present IN a segmented root (hand-edited manifests)
+    # overlay the segment-assembled maps rather than erroring
+    over = {k: doc.pop(k) for k in _BULK_FIELDS if k in doc}
+    buckets: dict[str, list[str]] = {}
+    deletes: dict[str, list[dict]] = {}
+    stats: dict[str, dict] = {}
+    renames: dict[str, dict] = {}
+    for b, fname in refs.items():
+        pay = _load_segment(fs, meta_dir, fname)
+        if pay.get("dirs") is not None:
+            buckets[b] = pay["dirs"]
+        if pay.get("deletes") is not None:
+            deletes[b] = pay["deletes"]
+        stats.update(pay.get("stats") or {})
+        renames.update(pay.get("renames") or {})
+    buckets.update(over.get("buckets") or {})
+    deletes.update(over.get("deletes") or {})
+    stats.update(over.get("stats") or {})
+    renames.update(over.get("renames") or {})
+    snap = Snapshot(
+        **doc, buckets=buckets, deletes=deletes, stats=stats, renames=renames
+    )
+    snap._segment_refs = dict(refs)
+    return snap
+
+
+def _meta_current(fs, meta_dir: str) -> int:
+    """``_current`` of a metadata namespace, or -1 when absent — the
+    cacheability bound (only published manifests are immutable)."""
+    try:
+        return int(fs.read_text(fs.join(meta_dir, "_current")).strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def load_manifest(fs, meta_dir: str, version: int,
+                  cacheable: bool | None = None) -> Snapshot:
+    """Load one manifest version from ``meta_dir`` (root + segments).
+    ``cacheable=None`` (default) derives it from the namespace's
+    ``_current`` — reserved manifests above it may be reclaimed and
+    re-reserved with different content, so they are never cached."""
+    if cacheable is None:
+        cacheable = version <= _meta_current(fs, meta_dir)
+    return _snapshot_from_doc(
+        fs, meta_dir, _load_root_doc(fs, meta_dir, version, cacheable=cacheable)
+    )
+
+
+def _segment_payloads(snap: Snapshot) -> dict[str, dict]:
+    """Split a snapshot's bulk into per-bucket segment payloads. ``None``
+    marks "this bucket has no entry in that map" so reassembly is exact
+    (an empty dir list is a real state on MoR tables). Stats/renames for
+    dirs no bucket owns (snapshots written outside ``_finalize_snapshot``,
+    e.g. clone manifests before their first commit) land in a catch-all
+    ``"_"`` group rather than being dropped."""
+    out: dict[str, dict] = {}
+    owned_all: set[str] = set()
+    for b in set(snap.buckets) | set(snap.deletes):
+        dirs = snap.buckets.get(b)
+        dels = snap.deletes.get(b)
+        owned = list(dirs or []) + [e["dir"] for e in (dels or [])]
+        owned_all.update(owned)
+        out[b] = {
+            "dirs": dirs,
+            "deletes": dels,
+            "stats": {d: snap.stats[d] for d in owned if d in snap.stats},
+            "renames": {d: snap.renames[d] for d in owned if d in snap.renames},
+        }
+    left_stats = {d: v for d, v in snap.stats.items() if d not in owned_all}
+    left_ren = {d: v for d, v in snap.renames.items() if d not in owned_all}
+    if left_stats or left_ren:
+        out["_"] = {"dirs": None, "deletes": None,
+                    "stats": left_stats, "renames": left_ren}
+    return out
+
+
+def manifest_text_for(fs, meta_dir: str, snap: Snapshot,
+                      parent: Snapshot | None = None) -> str:
+    """Serialize ``snap`` for publication at ``meta_dir``: write the
+    segment files it needs (only buckets whose payload differs from
+    ``parent``'s — unchanged buckets re-link the parent's segment with
+    zero serialization) and return the ROOT manifest text the caller
+    ``write_exclusive``s as the commit arbiter. Shared by the direct
+    commit path and the multi-table transaction reserve step. Segments
+    written for a commit that then loses its race are reclaimed by the
+    ``expire_snapshots`` segment sweep."""
+    if snap.properties.get("commit.manifest-format", "segmented") == "inline":
+        return snap.to_json()
+    seg_root = fs.join(meta_dir, SEGMENTS_DIRNAME)
+    fs.makedirs(seg_root)
+    cache = _meta_cache(fs)["segments"]
+    parent_refs = getattr(parent, "_segment_refs", None) or {}
+    refs: dict[str, str] = {}
+    for b, pay in _segment_payloads(snap).items():
+        pref = parent_refs.get(b)
+        if pref is not None:
+            try:
+                if _load_segment(fs, meta_dir, pref) == pay:
+                    refs[b] = pref
+                    continue
+            except FileNotFoundError:
+                pass  # parent segment swept concurrently — write fresh
+        text = json.dumps(pay, sort_keys=True, separators=(",", ":"))
+        fname = f"seg-{_md5_hex(text)}.json"
+        path = fs.join(seg_root, fname)
+        if not fs.exists(path):
+            try:
+                fs.write_exclusive(path, text)
+            except FileExistsError:
+                pass  # concurrent identical write: same content by name
+        _cache_put(cache, (meta_dir, fname), pay, _SEGMENT_CACHE_MAX)
+        refs[b] = fname
+    root = {k: v for k, v in snap.__dict__.items()
+            if k not in _BULK_FIELDS and not k.startswith("_")}
+    root["format"] = MANIFEST_FORMAT
+    root["segments"] = refs
+    snap._segment_refs = refs  # committed snap is the next commit's parent
+    return json.dumps(root, indent=1, sort_keys=True)
+
+
 class LakeTable:
     """One versioned table rooted at ``location``."""
 
@@ -574,15 +841,24 @@ class LakeTable:
         return int(self.fs.read_text(self.fs.join(self.meta_dir, "_current")).strip())
 
     def snapshot(self, version: int | None = None) -> Snapshot:
-        v = self.current_version() if version is None else version
+        if version is None:
+            v = cur = self.current_version()
+        else:
+            v = version
+            try:
+                cur = self.current_version()
+            except FileNotFoundError:
+                cur = -1
         try:
-            text = self.fs.read_text(self.fs.join(self.meta_dir, f"v{v}.json"))
+            # published manifests (v ≤ _current) are immutable → cacheable;
+            # reserved manifests above _current can be reclaimed/rewritten
+            doc = _load_root_doc(self.fs, self.meta_dir, v, cacheable=(v <= cur))
         except FileNotFoundError:
             raise ValueError(
                 f"{self.location}: no snapshot v{v} "
                 f"(current version is {self.current_version()})"
             ) from None
-        return Snapshot.from_json(text)
+        return _snapshot_from_doc(self.fs, self.meta_dir, doc)
 
     def version_as_of(self, timestamp: str) -> int:
         """Latest committed version at or before an ISO-8601 UTC
@@ -590,16 +866,36 @@ class LakeTable:
         form is ``VERSION AS OF``). Raises if the table didn't exist
         yet. Both sides are parsed to aware datetimes — raw string
         comparison would misorder mixed ISO spellings ('Z' suffix vs
-        '+00:00', with/without microseconds)."""
+        '+00:00', with/without microseconds).
+
+        Fast path: the current snapshot's ``history`` (the Iceberg
+        snapshot-log analogue) answers in ONE root read when it reaches
+        back to or past the cutoff — O(1) instead of parsing every
+        manifest ever written. Falls back to the directory scan when
+        the cutoff predates the oldest history entry (pre-history
+        ancestors, legacy manifests) or the chosen manifest was expired
+        (the scan only ever sees manifests that still exist)."""
         cutoff = _parse_iso_utc(timestamp)
+        cur = self.current_version()
+        hist = _load_root_doc(self.fs, self.meta_dir, cur).get("history") or []
+        if hist and _parse_iso_utc(hist[0][1]) <= cutoff:
+            best = max(
+                (int(v) for v, ts in hist if _parse_iso_utc(ts) <= cutoff),
+                default=None,
+            )
+            if best is not None and self.fs.exists(
+                self.fs.join(self.meta_dir, f"v{best}.json")
+            ):
+                return best
         best = None
         for name in self.fs.listdir(self.meta_dir):
             if name.startswith("v") and name.endswith(".json"):
-                snap = Snapshot.from_json(self.fs.read_text(self.fs.join(self.meta_dir, name)))
-                if _parse_iso_utc(snap.timestamp) <= cutoff and (
-                    best is None or snap.version > best
+                v = int(name[1:-5])
+                doc = _load_root_doc(self.fs, self.meta_dir, v, cacheable=(v <= cur))
+                if _parse_iso_utc(doc["timestamp"]) <= cutoff and (
+                    best is None or v > best
                 ):
-                    best = snap.version
+                    best = v
         if best is None:
             raise ValueError(f"no snapshot of {self.location} at or before {timestamp}")
         return best
@@ -649,10 +945,12 @@ class LakeTable:
             pass  # malformed property -> default
         return GC_GRACE_S
 
-    def _write_manifest(self, snap: Snapshot) -> None:
+    def _write_manifest(self, snap: Snapshot, parent: Snapshot | None = None) -> None:
         """Exclusive-create the manifest, then flip ``_current`` atomically.
         ``write_exclusive`` raising on an existing path is the commit
-        race arbiter (S3 adapter: conditional PUT).
+        race arbiter (S3 adapter: conditional PUT). ``parent`` enables
+        segment reuse: only buckets whose payload changed are written
+        (see the segmented-manifest notes above :data:`MANIFEST_FORMAT`).
 
         The reservation is re-verified immediately before the flip: a
         process stalled past the reserved-manifest GC age gate
@@ -665,7 +963,9 @@ class LakeTable:
         retries like any lost race."""
         self.fs.makedirs(self.meta_dir)
         mpath = self.fs.join(self.meta_dir, f"v{snap.version}.json")
-        self.fs.write_exclusive(mpath, snap.to_json())
+        self.fs.write_exclusive(
+            mpath, manifest_text_for(self.fs, self.meta_dir, snap, parent)
+        )
         if not self.fs.exists(mpath):
             raise FileExistsError(
                 f"reserved manifest {mpath} was reclaimed before publish "
@@ -715,6 +1015,23 @@ class LakeTable:
         snap.ndv = {
             c: p for c, p in {**parent_ndv, **snap.ndv}.items() if c in cols
         }
+        # append self to the ancestor commit log (see Snapshot.history).
+        # A legacy parent without the field seeds it with the parent
+        # itself — version_as_of falls back to the scan for anything
+        # older. Capped so the root stays small at any commit count
+        # (entries for since-expired versions age out with the cap).
+        if parent is None:
+            hist = []
+        elif parent.history:
+            hist = list(parent.history)
+        else:
+            hist = [[parent.version, parent.timestamp]]
+        try:
+            cap = int(snap.properties.get(
+                "commit.history-max-entries", HISTORY_MAX_ENTRIES))
+        except (TypeError, ValueError):
+            cap = HISTORY_MAX_ENTRIES
+        snap.history = (hist + [[snap.version, snap.timestamp]])[-max(cap, 1):]
         return snap
 
     def _commit(
@@ -767,7 +1084,7 @@ class LakeTable:
                     "commit.gc-grace-seconds property for long writes"
                 )
             try:
-                self._write_manifest(snap)
+                self._write_manifest(snap, parent)
                 self._pending_stats = {}
                 for c in fresh_dirs:
                     self._commit_dir_birth.pop(c, None)
@@ -2046,11 +2363,16 @@ class LakeTable:
     def snapshots(self) -> DataFrame:
         """Metadata table, like Iceberg's ``table.snapshots``."""
         rows = []
+        cur = self.current_version()
         for name in sorted(self.fs.listdir(self.meta_dir)):
             if name.startswith("v") and name.endswith(".json"):
-                s = Snapshot.from_json(self.fs.read_text(self.fs.join(self.meta_dir, name)))
+                v = int(name[1:-5])
+                # root-only read: version/parent/timestamp/operation/
+                # summary all live in the root, so segments never load
+                d = _load_root_doc(self.fs, self.meta_dir, v, cacheable=(v <= cur))
                 rows.append(
-                    (s.version, s.parent, s.timestamp, s.operation, json.dumps(s.summary))
+                    (d["version"], d["parent"], d["timestamp"], d["operation"],
+                     json.dumps(d["summary"]))
                 )
         return self.spark.createDataFrame(
             rows, "version INT, parent INT, committed_at STRING, operation STRING, summary STRING"
@@ -2414,6 +2736,9 @@ class LakeTable:
         if not br.exists():
             raise ValueError(f"no branch {name!r} on {self.location}")
         self.fs.rmtree(br.meta_dir)
+        # a re-created branch of the same name restarts at v0 — cached
+        # manifests of the dead namespace must not shadow it
+        evict_meta_cache(self.fs, br.meta_dir)
 
     def fast_forward(self, name: str) -> Snapshot:
         """Advance MAIN to a branch's head (Iceberg ``fast_forward``).
@@ -3913,20 +4238,56 @@ class LakeTable:
         pinned = set(self.refs().values())
         cutoff = _parse_iso_utc(older_than) if older_than else None
         removed = 0
+        cache = _meta_cache(self.fs)
         for name in self.fs.listdir(self.meta_dir):
             if name.startswith("v") and name.endswith(".json"):
                 v = int(name[1:-5])
                 if v > cur - keep_last or v in pinned:
                     continue
                 if cutoff is not None:
-                    snap = Snapshot.from_json(
-                        self.fs.read_text(self.fs.join(self.meta_dir, name))
-                    )
-                    if _parse_iso_utc(snap.timestamp) >= cutoff:
+                    doc = _load_root_doc(self.fs, self.meta_dir, v)
+                    if _parse_iso_utc(doc["timestamp"]) >= cutoff:
                         continue
                 self.fs.remove(self.fs.join(self.meta_dir, name))
+                cache["roots"].pop((self.meta_dir, v), None)
                 removed += 1
-        return {"expired_snapshots": removed}
+        swept = self._sweep_segments() if removed else 0
+        return {"expired_snapshots": removed, "expired_segments": swept}
+
+    def _sweep_segments(self) -> int:
+        """Delete segment files no remaining manifest (published OR
+        reserved — both exist as ``v{N}.json``) references, age-gated by
+        the same in-flight GC grace as data dirs: a concurrent commit
+        writes its segments moments before its root, so fresh
+        unreferenced segments are an in-flight commit, not garbage.
+        Root-only reads — O(retained manifests), zero segment parses."""
+        seg_root = self.fs.join(self.meta_dir, SEGMENTS_DIRNAME)
+        if not self.fs.isdir(seg_root):
+            return 0
+        cur = self.current_version()
+        referenced: set[str] = set()
+        for name in self.fs.listdir(self.meta_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                v = int(name[1:-5])
+                doc = _load_root_doc(self.fs, self.meta_dir, v, cacheable=(v <= cur))
+                referenced.update((doc.get("segments") or {}).values())
+        grace = self._gc_grace()
+        now = time.time()
+        cache = _meta_cache(self.fs)["segments"]
+        swept = 0
+        for fname in self.fs.listdir(seg_root):
+            if fname in referenced:
+                continue
+            path = self.fs.join(seg_root, fname)
+            try:
+                if now - self.fs.mtime(path) <= grace:
+                    continue
+                self.fs.remove(path)
+            except FileNotFoundError:
+                continue  # vanished concurrently
+            cache.pop((self.meta_dir, fname), None)
+            swept += 1
+        return swept
 
     # -------------------------------------------------- shallow clones
     def _clones_meta_dir(self) -> str:
@@ -3967,8 +4328,8 @@ class LakeTable:
                 return
             for name in self.fs.listdir(meta_dir):
                 if name.startswith("v") and name.endswith(".json"):
-                    snap = Snapshot.from_json(
-                        self.fs.read_text(self.fs.join(meta_dir, name))
+                    snap = load_manifest(
+                        self.fs, meta_dir, int(name[1:-5])
                     )
                     for d in snap.all_dirs() + snap.all_delete_dirs():
                         if d.startswith("/") and not d.startswith(own):
@@ -4038,10 +4399,12 @@ class LakeTable:
                 live.add(abs_d[len(own_prefix):].split("/")[0])
 
         def _walk_meta(meta_dir, table):
+            cur = _meta_current(self.fs, meta_dir)
             for name in self.fs.listdir(meta_dir):
                 if name.startswith("v") and name.endswith(".json"):
-                    snap = Snapshot.from_json(
-                        self.fs.read_text(self.fs.join(meta_dir, name))
+                    v = int(name[1:-5])
+                    snap = load_manifest(
+                        self.fs, meta_dir, v, cacheable=(v <= cur)
                     )
                     for d in snap.all_dirs() + snap.all_delete_dirs():
                         _keep(d, table.location)
@@ -4320,6 +4683,7 @@ class LakeCatalog:
                         pass
         if purge and self.fs.isdir(loc):
             self.fs.rmtree(loc)
+            evict_meta_cache(self.fs, loc)
 
     def location_referenced_by(self, clone_loc: str, source_loc: str) -> bool:
         """True when any manifest of the table at ``clone_loc`` (main or
@@ -4377,6 +4741,8 @@ class LakeCatalog:
         parent = dst.rsplit("/", 1)[0]
         self.fs.makedirs(parent)
         self.fs.move(src, dst)
+        evict_meta_cache(self.fs, src)
+        evict_meta_cache(self.fs, dst)
         # a renamed CLONE re-keys its markers so source GC keeps honoring
         # them (markers are keyed by the clone's location hash)
         for root in clone_roots:

@@ -74,6 +74,7 @@ from datalake_iceberg_spark.tables import (
     LakeTable,
     Snapshot,
     _AlreadyApplied,
+    manifest_text_for,
 )
 
 
@@ -159,7 +160,7 @@ class CatalogTransaction:
         if not staged:
             return {}
         for attempt in range(COMMIT_RETRIES + 1):
-            built: list[tuple[_StagedTable, Snapshot]] = []
+            built: list[tuple[_StagedTable, Snapshot, Snapshot | None]] = []
             for t, build, _op in staged:
                 parent = t.snapshot() if t.exists() else None
                 # per-op conflict detection (bucket overlap etc.) raises
@@ -167,7 +168,9 @@ class CatalogTransaction:
                 # staged rewrite is against stale data, retrying the
                 # metadata alone cannot fix it
                 try:
-                    built.append((t, t._finalize_snapshot(build(parent), parent)))
+                    built.append(
+                        (t, t._finalize_snapshot(build(parent), parent), parent)
+                    )
                 except _AlreadyApplied:
                     # idempotent write already landed (txn_app/version
                     # replay) — this table needs no flip; the rest of
@@ -178,12 +181,12 @@ class CatalogTransaction:
             reserved: list[tuple[_StagedTable, Snapshot]] = []
             race = False
             try:
-                for t, snap in built:
+                for t, snap, parent in built:
                     try:
                         t.fs.makedirs(t.meta_dir)
                         t.fs.write_exclusive(
                             t.fs.join(t.meta_dir, f"v{snap.version}.json"),
-                            snap.to_json(),
+                            manifest_text_for(t.fs, t.meta_dir, snap, parent),
                         )
                         reserved.append((t, snap))
                     except FileExistsError:
@@ -210,7 +213,7 @@ class CatalogTransaction:
                             "version": snap.version,
                             "parent": snap.parent,
                         }
-                        for t, snap in built
+                        for t, snap, _parent in built
                     ],
                 }
                 rec_path = self.fs.join(txn_dir, f"txn-{record['txn_id']}.json")
@@ -224,7 +227,7 @@ class CatalogTransaction:
                 # and retrying is still a clean pre-commit-point abort.
                 missing = [
                     (t, snap)
-                    for t, snap in built
+                    for t, snap, _parent in built
                     if not t.fs.exists(
                         t.fs.join(t.meta_dir, f"v{snap.version}.json")
                     )
@@ -258,7 +261,7 @@ class CatalogTransaction:
             # Past the commit point failures roll FORWARD (recovery
             # completes the flips from the intent record) — never
             # unreserve here.
-            for t, snap in built:
+            for t, snap, _parent in built:
                 t.fs.replace_atomic(
                     t.fs.join(t.meta_dir, "_current"), str(snap.version)
                 )
@@ -270,7 +273,7 @@ class CatalogTransaction:
                 # re-applied the (already-done) flips and consumed it —
                 # the transaction is durably committed either way
                 pass
-            return {t.location: snap for t, snap in built}
+            return {t.location: snap for t, snap, _parent in built}
         raise AssertionError("unreachable")
 
     @staticmethod

@@ -20,3 +20,24 @@ def sf_dir():
 
 def load(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def tamper_manifest(t, mutate):
+    """Rewrite a table's CURRENT manifest with ``mutate(doc)`` applied to
+    the fully-inlined doc (bulk fields materialized from segments), then
+    evict the per-fs manifest cache so readers see the tampered state —
+    the segmented-manifest-era replacement for tests that used to edit
+    ``v{N}.json`` in place. Writes back INLINE format (the legacy shape
+    these tests simulate), which the loader handles transparently."""
+    import json as _json
+
+    import datalake_iceberg_spark.tables as _tables
+
+    v = t.current_version()
+    doc = _json.loads(t.snapshot(v).to_json())
+    mutate(doc)
+    mpath = t.fs.join(t.meta_dir, f"v{v}.json")
+    os.remove(mpath)
+    with open(mpath, "w") as f:
+        f.write(_json.dumps(doc))
+    _tables.evict_meta_cache(t.fs, t.meta_dir)

@@ -283,13 +283,20 @@ def test_drop_keep_data_preserves_markers(catalog, spark):
     )
 
 
-def test_gc_short_circuits_localized_clone_manifest_walk(catalog, spark):
+def test_gc_short_circuits_localized_clone_manifest_walk(
+    catalog, spark, monkeypatch
+):
     """r11 cost-model pin: a LOCALIZED clone is detected by the
     ``_foreign_roots`` predicate alone — GC must not walk its manifests
-    a second time (with K clones of which L are localized, GC parses
-    (K-L)*2 + L manifest sets, not K*2). Counted via fs.read_text calls
-    on the clone's version files; a DEPENDENT clone is read twice
-    (predicate + keep-walk), a localized one exactly once."""
+    a second time (with K clones of which L are localized, GC
+    materializes (K-L)*2 + L manifest sets, not K*2). Counted at the
+    ``load_manifest`` seam: a DEPENDENT clone is walked twice
+    (predicate + keep-walk), a localized one exactly once. DISK reads
+    are pinned separately and tighter: the per-fs manifest cache means
+    each published manifest is parsed from disk at most ONCE, no matter
+    how many walks touch it."""
+    import datalake_iceberg_spark.tables as tables_mod
+
     src = _mk(catalog, spark, "db.s_sc")
     dep = catalog.clone_table("db.s_sc", "db.d_dep")
     loc = catalog.clone_table("db.s_sc", "db.d_loc")
@@ -297,20 +304,32 @@ def test_gc_short_circuits_localized_clone_manifest_walk(catalog, spark):
     loc.expire_snapshots(keep_last=1)
 
     counts = {"dep": 0, "loc": 0}
-    real = catalog.fs.read_text
+    reads = {"dep": 0, "loc": 0}
+    real_load = tables_mod.load_manifest
+    real_read = catalog.fs.read_text
 
-    def spy(path):
-        if path.startswith(dep.meta_dir) and "/v" in path:
+    def spy_load(fs, meta_dir, version, cacheable=None):
+        if meta_dir.startswith(dep.meta_dir):
             counts["dep"] += 1
-        if path.startswith(loc.meta_dir) and "/v" in path:
+        if meta_dir.startswith(loc.meta_dir):
             counts["loc"] += 1
-        return real(path)
+        return real_load(fs, meta_dir, version, cacheable)
 
-    catalog.fs.read_text = spy
+    def spy_read(path):
+        if path.startswith(dep.meta_dir) and "/v" in path:
+            reads["dep"] += 1
+        if path.startswith(loc.meta_dir) and "/v" in path:
+            reads["loc"] += 1
+        return real_read(path)
+
+    tables_mod.evict_meta_cache(catalog.fs, dep.meta_dir)
+    tables_mod.evict_meta_cache(catalog.fs, loc.meta_dir)
+    monkeypatch.setattr(tables_mod, "load_manifest", spy_load)
+    catalog.fs.read_text = spy_read
     try:
         src.remove_orphan_files(older_than_s=0.0)
     finally:
-        catalog.fs.read_text = real
+        catalog.fs.read_text = real_read
     n_dep_manifests = sum(
         1 for n in catalog.fs.listdir(dep.meta_dir)
         if n.startswith("v") and n.endswith(".json")
@@ -319,10 +338,14 @@ def test_gc_short_circuits_localized_clone_manifest_walk(catalog, spark):
         1 for n in catalog.fs.listdir(loc.meta_dir)
         if n.startswith("v") and n.endswith(".json")
     )
-    # dependent clone: predicate pass + keep-walk = 2 reads/manifest
+    # dependent clone: predicate pass + keep-walk = 2 walks/manifest
     assert counts["dep"] == 2 * n_dep_manifests, counts
     # localized clone: predicate pass only
     assert counts["loc"] == n_loc_manifests, counts
+    # cache pin: each manifest file hits the disk at most once per walk
+    # set — the keep-walk re-materializes from the cache, never re-reads
+    assert reads["dep"] <= n_dep_manifests, reads
+    assert reads["loc"] <= n_loc_manifests, reads
     assert src.clone_markers() and all(
         m["clone"] == dep.location for m in src.clone_markers()
     )

@@ -82,13 +82,12 @@ def test_fsck_stale_stats_cosmetic_only(catalog, spark):
     import json as _json
     import os
 
+    from tests.conftest import tamper_manifest
+
     t = _mk(catalog, spark, "db.f5")
-    mpath = catalog.fs.join(t.meta_dir, f"v{t.current_version()}.json")
-    doc = _json.loads(catalog.fs.read_text(mpath))
-    doc.setdefault("stats", {})["data/c-deadbeef0000"] = {"id": [0, 1]}
-    os.remove(mpath)
-    with open(mpath, "w") as f:
-        f.write(_json.dumps(doc))
+    tamper_manifest(t, lambda doc: doc.setdefault("stats", {}).update(
+        {"data/c-deadbeef0000": {"id": [0, 1]}}
+    ))
     rep = catalog.table("db.f5").fsck()
     assert rep["ok"]
     assert rep["stale_stats"] == ["data/c-deadbeef0000"]

@@ -1,0 +1,252 @@
+"""Segmented manifests (format v2) — the Iceberg manifest-list analogue.
+
+The r12 verdict's one remaining 100×-scale gap: a single ``v{N}.json``
+holding every dir + per-dir stats is rewritten whole per commit and
+re-parsed whole per ``snapshot()`` — the coordinator bottleneck at the
+100 TB design point. Format v2 splits per-bucket dir/stats/delete/rename
+bulk into content-addressed ``metadata/segments/seg-{md5}.json`` files
+referenced from a small root; a commit writes ONLY the touched buckets'
+segments and re-links the rest (Iceberg's manifest-list reuse,
+``src/utils/iceberg.py:68-95`` delegates the same job to the Iceberg
+runtime). These tests pin: exact round-trip, per-bucket reuse, root size
+independence from dir count, legacy-inline migration, the ``history``
+fast path for ``version_as_of``, the per-fs parsed cache, and the
+expire-time segment sweep."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import Row
+
+import datalake_iceberg_spark.tables as tables_mod
+from datalake_iceberg_spark.tables import (
+    MANIFEST_FORMAT,
+    SEGMENTS_DIRNAME,
+    LakeCatalog,
+    evict_meta_cache,
+)
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "wh"))
+
+
+def _mk(catalog, spark, name, n=40, n_buckets=8):
+    df = spark.createDataFrame(
+        [Row(id=i, v=f"v{i}", grp=i % 4) for i in range(n)]
+    )
+    return catalog.create_or_replace(name, df, key=["id"], n_buckets=n_buckets)
+
+
+def _root_doc(t, v=None):
+    v = t.current_version() if v is None else v
+    return json.loads(t.fs.read_text(t.fs.join(t.meta_dir, f"v{v}.json")))
+
+
+def _seg_files(t):
+    d = t.fs.join(t.meta_dir, SEGMENTS_DIRNAME)
+    return set(t.fs.listdir(d)) if t.fs.isdir(d) else set()
+
+
+def test_root_is_segmented_and_bulk_free(catalog, spark):
+    t = _mk(catalog, spark, "db.seg1")
+    doc = _root_doc(t)
+    assert doc["format"] == MANIFEST_FORMAT
+    assert set(doc["segments"])  # one ref per occupied bucket
+    for k in ("buckets", "stats", "deletes", "renames"):
+        assert k not in doc
+    # every referenced segment exists and is content-addressed by name
+    for fname in doc["segments"].values():
+        text = t.fs.read_text(t.fs.join(t.meta_dir, SEGMENTS_DIRNAME, fname))
+        assert fname == f"seg-{tables_mod._md5_hex(text)}.json"
+
+
+def test_snapshot_roundtrip_exact(catalog, spark):
+    t = _mk(catalog, spark, "db.seg2")
+    t.delete_keys(spark.createDataFrame([Row(id=3)]), mode="merge-on-read")
+    t.merge(spark.createDataFrame([Row(id=1, v="upd", grp=1)]))
+    snap = t.snapshot()
+    # reload cold (fresh cache) and compare every field
+    evict_meta_cache(t.fs, t.meta_dir)
+    cold = t.snapshot()
+    for f in ("version", "parent", "timestamp", "operation", "schema_json",
+              "key", "n_buckets", "buckets", "properties", "summary",
+              "stats", "deletes", "renames", "ndv", "history"):
+        assert getattr(snap, f) == getattr(cold, f), f
+    assert {r["id"] for r in t.read().collect()} == set(range(40)) - {3}
+
+
+def test_commit_reuses_untouched_bucket_segments(catalog, spark):
+    """The scale property: a commit touching one bucket writes ~one new
+    segment and re-links every other bucket's segment BY NAME."""
+    t = _mk(catalog, spark, "db.seg3")
+    before_refs = _root_doc(t)["segments"]
+    before_files = _seg_files(t)
+    # single-key merge: touches exactly one bucket
+    t.merge(spark.createDataFrame([Row(id=7, v="touch", grp=3)]))
+    after_refs = _root_doc(t)["segments"]
+    changed = {b for b in after_refs if after_refs[b] != before_refs.get(b)}
+    assert len(changed) == 1, (before_refs, after_refs)
+    unchanged = set(before_refs) - changed
+    assert unchanged and all(
+        after_refs[b] == before_refs[b] for b in unchanged
+    )
+    # at most a couple of new segment files landed (touched bucket only)
+    assert 1 <= len(_seg_files(t) - before_files) <= 2
+
+
+def test_root_size_independent_of_dir_count(catalog, spark):
+    """Root bytes must not grow with the table's dir count — the bulk
+    lives in segments. Ten appends grow dirs 10×; the root grows only
+    by history entries (~40 B each)."""
+    t = _mk(catalog, spark, "db.seg4", n=20)
+    size_v0 = len(t.fs.read_text(
+        t.fs.join(t.meta_dir, f"v{t.current_version()}.json")))
+    for i in range(10):
+        t.append(spark.createDataFrame([Row(id=100 + i, v="x", grp=0)]))
+    size_vn = len(t.fs.read_text(
+        t.fs.join(t.meta_dir, f"v{t.current_version()}.json")))
+    n_dirs = len(t.snapshot().all_dirs())
+    assert n_dirs >= 11  # dirs did grow (one new dir per append)
+    assert size_vn - size_v0 < 150 * 10  # ~history only, no dir bulk
+
+
+def test_inline_optout_and_migration_to_segmented(catalog, spark):
+    df = spark.createDataFrame([Row(id=i, v=f"v{i}", grp=0) for i in range(10)])
+    t = catalog.create_or_replace(
+        "db.seg5", df, key=["id"],
+        properties={"commit.manifest-format": "inline"},
+    )
+    doc = _root_doc(t)
+    assert "segments" not in doc and "buckets" in doc  # legacy inline
+    rows_before = {tuple(r) for r in t.read().collect()}
+    # drop the opt-out -> next commit migrates to segmented transparently
+    t.set_properties({"commit.manifest-format": "segmented"})
+    assert _root_doc(t)["format"] == MANIFEST_FORMAT
+    assert {tuple(r) for r in t.read().collect()} == rows_before
+    # old inline versions remain readable (time travel across formats)
+    assert t.snapshot(0).buckets == t.snapshot().buckets
+
+
+def test_version_as_of_uses_history_fast_path(catalog, spark):
+    t = _mk(catalog, spark, "db.seg6")
+    marks = []
+    for i in range(3):
+        time.sleep(0.02)
+        snap = t.append(spark.createDataFrame([Row(id=200 + i, v="a", grp=0)]))
+        marks.append((snap.version, snap.timestamp))
+    # exact-timestamp and between-commit cutoffs resolve identically to
+    # the legacy scan (fast path answers from ONE root read)
+    for v, ts in marks:
+        assert t.version_as_of(ts) == v
+    hist = _root_doc(t)["history"]
+    assert [int(x[0]) for x in hist][-4:] == [marks[0][0] - 1] + [m[0] for m in marks]
+    # history caps via table property
+    t.set_properties({"commit.history-max-entries": "3"})
+    t.append(spark.createDataFrame([Row(id=300, v="b", grp=0)]))
+    assert len(_root_doc(t)["history"]) == 3
+
+
+def test_version_as_of_falls_back_when_cutoff_predates_history(catalog, spark):
+    """A legacy table upgraded mid-life: cutoffs before the oldest
+    history entry take the directory scan and still resolve."""
+    df = spark.createDataFrame([Row(id=1, v="a", grp=0)])
+    t = catalog.create_or_replace(
+        "db.seg7", df, key=["id"],
+        properties={"commit.manifest-format": "inline"},
+    )
+    ts0 = t.snapshot().timestamp
+    time.sleep(0.02)
+    t.set_properties({"commit.manifest-format": "segmented"})
+    t.append(spark.createDataFrame([Row(id=2, v="b", grp=0)]))
+    assert t.version_as_of(ts0) == 0
+
+
+def test_snapshot_cache_hits_after_first_read(catalog, spark):
+    t = _mk(catalog, spark, "db.seg8")
+    evict_meta_cache(t.fs, t.meta_dir)
+    t.snapshot()  # cold: reads root + segments
+    vname = f"v{t.current_version()}.json"
+    reads = {"n": 0}
+    real = t.fs.read_text
+
+    def spy(path):
+        if f"/{SEGMENTS_DIRNAME}/" in path or path.endswith(vname):
+            reads["n"] += 1
+        return real(path)
+
+    t.fs.read_text = spy
+    try:
+        for _ in range(5):
+            t.snapshot()
+    finally:
+        t.fs.read_text = real
+    assert reads["n"] == 0, "published manifests must be served from cache"
+
+
+def test_expire_sweeps_unreferenced_segments(catalog, spark):
+    t = _mk(catalog, spark, "db.seg9")
+    for i in range(3):
+        t.merge(spark.createDataFrame([Row(id=i, v=f"m{i}", grp=i % 4)]))
+    t.rewrite_data_files(min_input_dirs=1)  # rewrites buckets wholesale
+    # shrink the GC grace only AFTER the data writes (the same property
+    # gates the publish side, which these merges would then trip)
+    t.set_properties({"commit.gc-grace-seconds": "0.001"})
+    before = _seg_files(t)
+    assert len(before) > len(_root_doc(t)["segments"])  # garbage exists
+    time.sleep(0.05)  # age past the tiny grace
+    out = t.expire_snapshots(keep_last=1)
+    assert out["expired_snapshots"] >= 1
+    assert out["expired_segments"] >= 1
+    kept = _seg_files(t)
+    # everything still referenced by a retained manifest survives
+    assert set(_root_doc(t)["segments"].values()) <= kept
+    # table reads fine after the sweep
+    assert t.read().count() == 40
+
+
+def test_fresh_segments_survive_sweep_under_grace(catalog, spark):
+    """The in-flight-commit protection: unreferenced segments younger
+    than the GC grace are NOT swept (a concurrent commit writes its
+    segments moments before its root)."""
+    t = _mk(catalog, spark, "db.seg10")
+    for i in range(2):
+        t.merge(spark.createDataFrame([Row(id=i, v=f"g{i}", grp=0)]))
+    before = _seg_files(t)
+    out = t.expire_snapshots(keep_last=1)  # default 1h grace
+    assert out["expired_snapshots"] >= 1
+    assert out["expired_segments"] == 0
+    assert _seg_files(t) == before
+
+
+def test_multi_table_txn_reserves_segmented_manifests(catalog, spark):
+    a = _mk(catalog, spark, "db.seg_txn_a", n=10)
+    b = _mk(catalog, spark, "db.seg_txn_b", n=10)
+    with catalog.transaction() as txn:
+        txn.table("db.seg_txn_a").append(
+            spark.createDataFrame([Row(id=50, v="t", grp=0)]))
+        txn.table("db.seg_txn_b").delete_keys(
+            spark.createDataFrame([Row(id=1)]))
+        txn.commit()
+    assert _root_doc(a)["format"] == MANIFEST_FORMAT
+    assert _root_doc(b)["format"] == MANIFEST_FORMAT
+    assert a.read().count() == 11 and b.read().count() == 9
+
+
+def test_branch_fork_and_promotion_stay_segmented(catalog, spark):
+    t = _mk(catalog, spark, "db.seg11", n=12)
+    br = t.create_branch("wip")
+    br.merge(spark.createDataFrame([Row(id=0, v="branched", grp=0)]))
+    assert _root_doc(br)["format"] == MANIFEST_FORMAT
+    t.fast_forward("wip")
+    assert {r["v"] for r in t.read().where("id = 0").collect()} == {"branched"}
+    assert t.fsck()["ok"]
+
+
+def test_fsck_green_on_segmented_layout(catalog, spark):
+    t = _mk(catalog, spark, "db.seg12")
+    t.delete_keys(spark.createDataFrame([Row(id=5)]), mode="merge-on-read")
+    rep = t.fsck(deep=True)
+    assert rep["ok"], rep

@@ -5,6 +5,8 @@ delete eras."""
 
 import json
 
+from tests.conftest import tamper_manifest
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -78,18 +80,16 @@ def test_row_count_footer_fallback_for_pre_stat_manifests(catalog, spark):
     strip it from the on-disk manifest and the count must come from
     parquet footers (no data scan, value identical)."""
     t = _mk(catalog, spark, "db.rcl")
-    mpath = catalog.fs.join(t.meta_dir, f"v{t.current_version()}.json")
-    doc = json.loads(catalog.fs.read_text(mpath))
-    stripped = 0
-    for d, cols in doc.get("stats", {}).items():
-        if ROWS_STAT in cols:
-            del cols[ROWS_STAT]
-            stripped += 1
-    assert stripped > 0
-    import os
-    os.remove(mpath)
-    with open(mpath, "w") as f:
-        f.write(json.dumps(doc))
+    stripped = {"n": 0}
+
+    def strip(doc):
+        for _d, cols in doc.get("stats", {}).items():
+            if ROWS_STAT in cols:
+                del cols[ROWS_STAT]
+                stripped["n"] += 1
+
+    tamper_manifest(t, strip)
+    assert stripped["n"] > 0
     t2 = catalog.table("db.rcl")
     assert t2.snapshot().stats and all(
         ROWS_STAT not in c for c in t2.snapshot().stats.values()
@@ -229,12 +229,9 @@ def test_row_count_missing_dir_raises(catalog, spark):
 
     t = _mk(catalog, spark, "db.rcx")
     # strip ROWS_STAT so the footer fallback engages
-    mpath = catalog.fs.join(t.meta_dir, f"v{t.current_version()}.json")
-    doc = json.loads(catalog.fs.read_text(mpath))
-    for cols in doc.get("stats", {}).values():
-        cols.pop(ROWS_STAT, None)
-    with open(mpath, "w") as f:
-        f.write(json.dumps(doc))
+    tamper_manifest(t, lambda doc: [
+        cols.pop(ROWS_STAT, None) for cols in doc.get("stats", {}).values()
+    ])
     t2 = catalog.table("db.rcx")
     victim = t2.snapshot().all_dirs()[0]
     shutil.rmtree(catalog.fs.join(t2.location, victim))
@@ -249,12 +246,9 @@ def test_row_count_unreadable_footer_falls_back_to_dir_scan(catalog, spark):
     import os
 
     t = _mk(catalog, spark, "db.rcc")
-    mpath = catalog.fs.join(t.meta_dir, f"v{t.current_version()}.json")
-    doc = json.loads(catalog.fs.read_text(mpath))
-    for cols in doc.get("stats", {}).values():
-        cols.pop(ROWS_STAT, None)
-    with open(mpath, "w") as f:
-        f.write(json.dumps(doc))
+    tamper_manifest(t, lambda doc: [
+        cols.pop(ROWS_STAT, None) for cols in doc.get("stats", {}).values()
+    ])
     t2 = catalog.table("db.rcc")
     # append a junk .parquet into one live dir: footer unreadable but
     # the dir's REAL files still count exactly via the engine's scan
@@ -328,16 +322,16 @@ def test_null_count_footer_fallback(catalog, spark):
     from datalake_iceberg_spark.tables import NULLS_STAT_PREFIX
 
     t = _mk_nullable(catalog, spark, "db.ncf")
-    mpath = catalog.fs.join(t.meta_dir, f"v{t.current_version()}.json")
-    doc = json.loads(catalog.fs.read_text(mpath))
-    stripped = 0
-    for cols in doc.get("stats", {}).values():
-        for k in [k for k in cols if k.startswith(NULLS_STAT_PREFIX)]:
-            del cols[k]
-            stripped += 1
-    assert stripped > 0
-    with open(mpath, "w") as f:
-        f.write(json.dumps(doc))
+    stripped = {"n": 0}
+
+    def strip(doc):
+        for cols in doc.get("stats", {}).values():
+            for k in [k for k in cols if k.startswith(NULLS_STAT_PREFIX)]:
+                del cols[k]
+                stripped["n"] += 1
+
+    tamper_manifest(t, strip)
+    assert stripped["n"] > 0
     assert catalog.table("db.ncf").null_count("v") == 8
 
 
@@ -446,14 +440,14 @@ def test_null_count_footer_fallback_across_rename(catalog, spark):
 
     t = _mk_nullable(catalog, spark, "db.ncfr")
     t.rename_column("v", "val")
-    mpath = catalog.fs.join(t.meta_dir, f"v{t.current_version()}.json")
-    doc = json.loads(catalog.fs.read_text(mpath))
-    stripped = 0
-    for cols in doc.get("stats", {}).values():
-        for k in [k for k in cols if k.startswith(NULLS_STAT_PREFIX)]:
-            del cols[k]
-            stripped += 1
-    assert stripped > 0
-    with open(mpath, "w") as f:
-        f.write(json.dumps(doc))
+    stripped = {"n": 0}
+
+    def strip(doc):
+        for cols in doc.get("stats", {}).values():
+            for k in [k for k in cols if k.startswith(NULLS_STAT_PREFIX)]:
+                del cols[k]
+                stripped["n"] += 1
+
+    tamper_manifest(t, strip)
+    assert stripped["n"] > 0
     assert catalog.table("db.ncfr").null_count("val") == 8
