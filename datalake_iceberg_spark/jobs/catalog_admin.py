@@ -40,6 +40,7 @@ without it, a human-readable table.
 from __future__ import annotations
 
 import json
+import sys
 
 from datalake_iceberg_spark.jobs.common import (
     base_parser,
@@ -172,7 +173,27 @@ def main(argv=None, spark=None) -> int:
             if not isinstance(assignments, dict) or not assignments:
                 raise SystemExit("--set must be a non-empty JSON object")
         t = catalog.table(args.table)
-        rep = t.scan_report(filters)  # validates the vocabulary up front
+        # the ambiguous-JSON corner: a short list of triples parses as a
+        # CONJUNCTION even when the operator meant OR-of-singles — say
+        # so on stderr and show the parsed shape ({"or": ...} / {"and":
+        # ...} markers are the unambiguous spelling)
+        if (
+            isinstance(filters, list)
+            and 2 <= len(filters) <= 3
+            and all(
+                isinstance(f, list) and len(f) in (2, 3)
+                and isinstance(f[0], str) for f in filters
+            )
+        ):
+            print(
+                f"note: --filters parsed as a CONJUNCTION (AND) of "
+                f"{len(filters)} predicates; for a disjunction use "
+                '{"or": [...]}', file=sys.stderr,
+            )
+        try:
+            rep = t.scan_report(filters)  # validates the vocabulary up front
+        except ValueError as e:
+            raise SystemExit(f"invalid --filters: {e}") from e
         if args.dry_run:
             matched = t.scan(filters).count()
             verb = "would_delete_rows" if args.command == "purge" else "would_update_rows"
@@ -181,10 +202,16 @@ def main(argv=None, spark=None) -> int:
                  verb: matched, **rep}, sort_keys=True))
             return 0
         mode = "merge-on-read" if args.mode == "mor" else "copy-on-write"
-        if args.command == "purge":
-            snap = t.delete_where(filters, mode=mode)
-        else:
-            snap = t.update_where(filters, assignments, mode=mode)
+        try:
+            if args.command == "purge":
+                snap = t.delete_where(filters, mode=mode)
+            else:
+                snap = t.update_where(filters, assignments, mode=mode)
+        except ValueError as e:
+            # keyless-table MoR, key-column assignment, malformed tuples
+            # inside valid JSON — operator errors, not tracebacks (the
+            # CLI error contract test_jobs.py pins)
+            raise SystemExit(str(e)) from e
         print(json.dumps(
             {"table": args.table, "version": snap.version,
              "mode": mode, **snap.summary}, sort_keys=True))

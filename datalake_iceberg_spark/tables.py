@@ -167,8 +167,42 @@ def _norm_dnf(filters) -> list[list[tuple]]:
       dir-level skipping: a dir is read only when SOME branch's stats
       ranges can match, which is exactly the zone-map rule for OR.
 
+    - ``{"or": [branch, ...]}`` / ``{"and": [triple, ...]}`` — EXPLICIT
+      markers (r13). The list forms are ambiguous at one corner:
+      ``[["a","=",1],["b","=",2]]`` parses as a CONJUNCTION (each
+      element is a valid triple) even when the caller meant an OR of
+      two single-triple branches — easy to hit via ``catalog_admin
+      --filters`` JSON, silently turning a disjunctive purge into an
+      intersection. The ``or`` marker says it outright; its branches
+      may be bare triples (``{"or": [["a","=",1], ["b","=",2]]}``) or
+      conjunctions of triples.
+
     Mixed forms raise — silently AND-ing what the caller meant as OR
     (or vice versa) is the one outcome worse than an error."""
+    if isinstance(filters, dict):
+        if set(filters) == {"or"}:
+            branches = []
+            for br in filters["or"] or []:
+                if _is_filter_triple(br):
+                    branches.append(_norm_filters([br]))
+                elif isinstance(br, (tuple, list)) and br and all(
+                    _is_filter_triple(f) for f in br
+                ):
+                    branches.append(_norm_filters(list(br)))
+                else:
+                    raise ValueError(
+                        '{"or": ...} branch must be a (col, op, value) triple '
+                        f"or a non-empty list of them, got {br!r}"
+                    )
+            if not branches:
+                raise ValueError('{"or": ...} needs at least one branch')
+            return branches
+        if set(filters) == {"and"}:
+            return [_norm_filters(list(filters["and"]))]
+        raise ValueError(
+            'filter dict must be exactly {"or": [...]} or {"and": [...]}, '
+            f"got keys {sorted(filters)!r}"
+        )
     if not isinstance(filters, list) or not filters:
         raise ValueError(
             "filters must be a non-empty list of (col, op, value) tuples "
@@ -3454,6 +3488,30 @@ class LakeTable:
         }
         return self._replace_buckets(snap, per_bucket, affected, "delete", summary)
 
+    def _check_new_delete_eras(
+        self, snap: Snapshot, parent: Snapshot,
+        touched: dict[str, list[str]], operation: str,
+    ) -> None:
+        """Snapshot-isolation validation for MoR predicate DML (the
+        Iceberg ``validateNoConflictingDeleteFiles`` analogue): a delete
+        era committed AFTER the predicate scan whose ``covers``
+        intersect the touched dirs may have removed rows this operation
+        matched — an update would re-insert them as fresh rows no era
+        masks (resurrection), a delete would silently double-apply on a
+        changed base. Fail the commit instead; the caller re-runs
+        against the new snapshot."""
+        for b, t_dirs in touched.items():
+            scanned = {e["dir"] for e in snap.deletes.get(b, [])}
+            tset = set(t_dirs)
+            for e in parent.deletes.get(b, []):
+                if e["dir"] not in scanned and tset & set(e["covers"]):
+                    raise CommitConflict(
+                        f"{operation} on {self.location}: a concurrent "
+                        "merge-on-read delete committed an era covering "
+                        "predicate-matched dirs after the scan; re-run "
+                        "against the current snapshot"
+                    )
+
     def _delete_where_mor(
         self, snap: Snapshot, touched: dict[str, list[str]], cond, summary: dict
     ) -> Snapshot:
@@ -3499,6 +3557,8 @@ class LakeTable:
                         f"delete_where on {self.location}: concurrent writer "
                         f"rewrote a predicate-matched dir; re-run the delete"
                     )
+            self._check_new_delete_eras(snap, parent, touched, "delete_where")
+            for b, t_dirs in touched.items():
                 for d in new_dirs.get(b, []):
                     deletes.setdefault(b, []).append(
                         {"dir": d, "covers": list(t_dirs)}
@@ -3684,6 +3744,9 @@ class LakeTable:
                         f"update_where on {self.location}: concurrent writer "
                         f"rewrote a predicate-matched dir; re-run the update"
                     )
+            # concurrent MoR delete era on a touched dir would resurrect
+            # the keys it deleted with this update's new values
+            self._check_new_delete_eras(snap, parent, touched, "update_where")
             for b, dirs in new_dirs.items():
                 covers = list(touched.get(b, []))
                 for d in dirs:

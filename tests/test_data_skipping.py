@@ -280,3 +280,35 @@ def test_neq_filter_prunes_constant_dirs(spark, tmp_path):
     assert t.scan([("v", "!=", 7)]).count() == 50
     assert t.scan([("v", "<>", 9)]).count() == 75  # 50 sevens + 25 sevens
     assert len(t.candidate_dirs([("v", "!=", 5)])) == 3  # nothing prunable
+
+
+def test_dnf_explicit_or_and_markers(spark, tmp_path):
+    """r12 advice: {"or": ...} / {"and": ...} markers disambiguate the
+    one corner where a list of 2-3 triples parses as a conjunction
+    even when the caller meant OR-of-singles. Marker results must
+    equal the equivalent list forms, including pruning."""
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = cat.create_or_replace("db.dnfm", _batch(spark, 0, 100, 1))
+    t.append(_batch(spark, 100, 200, 2))
+    t.append(_batch(spark, 200, 300, 3))
+    # OR of two bare triples — the shape the list form CANNOT express
+    out = t.scan({"or": [("pk", "<", 50), ("pk", ">=", 250)]})
+    assert out.count() == 100
+    assert len(t.candidate_dirs({"or": [("pk", "<", 50), ("pk", ">=", 250)]})) == 2
+    # OR of conjunction branches == the list-of-branches form
+    dnf = [[("pk", ">=", 20), ("pk", "<", 30)], [("pk", ">=", 250)]]
+    marked = {"or": dnf}
+    assert t.scan(marked).count() == t.scan(dnf).count() == 60
+    # AND marker == the classic conjunction list
+    assert (
+        t.scan({"and": [("pk", ">=", 20), ("pk", "<", 30)]}).count()
+        == t.scan([("pk", ">=", 20), ("pk", "<", 30)]).count()
+        == 10
+    )
+    # malformed markers raise, never silently AND/OR
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one branch"):
+        t.scan({"or": []})
+    with pytest.raises(ValueError, match='"or"'):
+        t.scan({"or": [("pk", "<", 5)], "and": [("pk", ">", 1)]})

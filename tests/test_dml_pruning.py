@@ -563,3 +563,64 @@ def test_update_where_mor_stacks_and_folds(catalog, spark):
     assert _rows(t.read()) == want
     rep = t.fsck(deep=True)
     assert rep["ok"], rep
+
+
+def test_update_where_mor_detects_concurrent_delete_era(catalog, spark):
+    """Snapshot-isolation pin (r12 advice): a MoR delete era committed
+    between the update's predicate scan and its commit must FAIL the
+    update — otherwise a concurrently-deleted key that matched the
+    predicate is resurrected with the updated value (its new data dir
+    is covered by no era). Interleave deterministically by injecting
+    the delete inside ``_commit``, i.e. after the scan/write, before
+    the builder runs against the fresh parent."""
+    from datalake_iceberg_spark.tables import CommitConflict
+
+    t = _mk_range_table(catalog, spark, name="db.race_upd")
+    other = catalog.table("db.race_upd")
+    real_commit = type(t)._commit
+    fired = {"n": 0}
+
+    def racing_commit(self, build, operation, **kw):
+        if operation == "update-mor" and not fired["n"]:
+            fired["n"] = 1
+            other.delete_keys(
+                spark.createDataFrame([Row(id=250)]), mode="merge-on-read"
+            )
+        return real_commit(self, build, operation, **kw)
+
+    t._commit = racing_commit.__get__(t)
+    with pytest.raises(CommitConflict, match="concurrent.*delete"):
+        t.update_where("id >= 250 AND id < 260", {"v": "'boom'"}, mode="merge-on-read")
+    # the concurrent delete's outcome is intact: 250 stays deleted
+    assert 250 not in {r["id"] for r in t.read().collect()}
+    # and a clean re-run against the current snapshot succeeds
+    t2 = catalog.table("db.race_upd")
+    t2.update_where("id >= 250 AND id < 260", {"v": "'ok'"}, mode="merge-on-read")
+    got = {r["id"]: r["v"] for r in t2.read().collect()}
+    assert 250 not in got and got[251] == "ok" and got[259] == "ok"
+
+
+def test_delete_where_mor_detects_concurrent_delete_era(catalog, spark):
+    from datalake_iceberg_spark.tables import CommitConflict
+
+    t = _mk_range_table(catalog, spark, name="db.race_del")
+    other = catalog.table("db.race_del")
+    real_commit = type(t)._commit
+    fired = {"n": 0}
+
+    def racing_commit(self, build, operation, **kw):
+        if operation == "delete-mor" and not fired["n"]:
+            fired["n"] = 1
+            other.delete_keys(
+                spark.createDataFrame([Row(id=120)]), mode="merge-on-read"
+            )
+        return real_commit(self, build, operation, **kw)
+
+    t._commit = racing_commit.__get__(t)
+    with pytest.raises(CommitConflict, match="concurrent.*delete"):
+        t.delete_where("id >= 100 AND id < 130", mode="merge-on-read")
+    t2 = catalog.table("db.race_del")
+    t2.delete_where("id >= 100 AND id < 130", mode="merge-on-read")
+    assert {r["id"] for r in t2.read().collect()} == (
+        set(range(100)) | set(range(130, 300))
+    )

@@ -75,3 +75,21 @@ def test_no_duplicate_dict_keys_in_entry_file():
                         if isinstance(k, ast.Constant) and isinstance(k.value, str)]
                 dups = sorted(k for k, c in Counter(keys).items() if c > 1)
                 assert not dups, f"duplicate dict keys in {fn.name}(): {dups}"
+
+
+def test_readme_query_count_matches_registry():
+    """r12 advice: the README's query count drifted twice (128, 137 vs
+    the real registry). Derive it — the README must state the actual
+    ``len(queries())`` so it can't drift again."""
+    import re
+    from pathlib import Path
+
+    import __spark_entry__ as entry
+
+    n = len(entry.queries())
+    readme = Path(__file__).resolve().parent.parent / "README.md"
+    m = re.search(r"exposes (\d+) queries", readme.read_text())
+    assert m, "README.md no longer states the query count"
+    assert int(m.group(1)) == n, (
+        f"README claims {m.group(1)} queries, registry has {n}"
+    )

@@ -503,3 +503,58 @@ def test_catalog_admin_backfill(spark, tmp_path, capsys):
             ["backfill", "--table", "default.bf",
              "--filters", '[["id", ">=", 0]]', "--set", "[]", *base],
             spark=spark)
+
+
+def test_catalog_admin_or_marker_and_error_contract(spark, tmp_path, capsys):
+    """r12 advice pins: (1) the explicit {"or": ...} filter marker
+    reaches the CLI unambiguously; (2) a 2-element list of triples —
+    the ambiguous shape — warns on stderr that it parsed as AND; (3)
+    downstream ValueErrors (MoR on a keyless table) surface as
+    SystemExit operator errors, not tracebacks."""
+    import json as _json
+
+    import pytest
+    from pyspark.sql import Row
+
+    from datalake_iceberg_spark.jobs import catalog_admin
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    wh = str(tmp_path / "wh")
+    base = ["--env-file", str(tmp_path / "none.env"), "--warehouse", wh]
+    cat = LakeCatalog(spark, wh)
+    cat.create_or_replace(
+        "default.orm",
+        spark.createDataFrame([Row(id=i, v=i * 10) for i in range(20)]),
+        key=["id"], n_buckets=2,
+    )
+    # {"or": ...} disjunction of two single triples: 0,1 plus 18,19
+    assert catalog_admin.main(
+        ["purge", "--table", "default.orm",
+         "--filters", '{"or": [["id", "<", 2], ["id", ">=", 18]]}',
+         "--dry-run", *base],
+        spark=spark,
+    ) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["would_delete_rows"] == 4
+    # the SAME shape without the marker is a conjunction (AND -> 0 rows)
+    # and the CLI warns about the ambiguity on stderr
+    assert catalog_admin.main(
+        ["purge", "--table", "default.orm",
+         "--filters", '[["id", "<", 2], ["id", ">=", 18]]',
+         "--dry-run", *base],
+        spark=spark,
+    ) == 0
+    out = capsys.readouterr()
+    assert _json.loads(out.out)["would_delete_rows"] == 0
+    assert "CONJUNCTION" in out.err and '{"or":' in out.err
+    # keyless table + MoR mode: operator error, not a traceback
+    cat.create_or_replace(
+        "default.nokey",
+        spark.createDataFrame([Row(id=1, v=1)]),
+    )
+    with pytest.raises(SystemExit, match="keyed table"):
+        catalog_admin.main(
+            ["purge", "--table", "default.nokey",
+             "--filters", '[["id", "=", 1]]', "--mode", "mor", *base],
+            spark=spark,
+        )
