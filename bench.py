@@ -105,11 +105,13 @@ KEY_DML_TIERS = (
 )
 
 
-def compact_line(total, timings, dml, sf) -> str:
+def compact_line(total, timings, dml, sf, calibration_s=None) -> str:
     """The ONE stdout line, guaranteed to fit the driver's capture
     window whole (see tests/test_bench_contract.py): 2dp timings + the
     key DML tiers, shrinking to 1dp and then dropping dml if a huge
-    query list would ever outgrow the budget."""
+    query list would ever outgrow the budget. ``calibration_s`` is the
+    fixed pure-CPU job's runtime — the host-speed fingerprint the
+    settled bands are normalized against."""
     compact = {
         "metric": "headline_queries_total",
         "value": total,
@@ -118,6 +120,8 @@ def compact_line(total, timings, dml, sf) -> str:
         "dml": {k: dml[k] for k in KEY_DML_TIERS if k in dml},
         "sf": sf,
     }
+    if calibration_s is not None:
+        compact["calibration_s"] = calibration_s
     cline = json.dumps(compact)
     if len(cline) > CAPTURE_BUDGET:  # shrink ladder: 1dp first
         compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
@@ -141,6 +145,103 @@ def compact_line(total, timings, dml, sf) -> str:
         compact["queries"] = shrunk
         cline = json.dumps(compact)
     return cline
+
+
+def _bench_manifest_scale(spark, dml: dict) -> None:
+    """20k-dir manifest tier: full first write vs touch-1-bucket commit
+    (time AND metadata bytes written), cold vs cached ``snapshot()``,
+    ``version_as_of`` via the history fast path."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from datalake_iceberg_spark.tables import (
+        SEGMENTS_DIRNAME,
+        LakeTable,
+        Snapshot,
+        evict_meta_cache,
+    )
+
+    loc = tempfile.mkdtemp(prefix="bench_manifest_")
+    mt = LakeTable(spark, loc)
+    n_buckets, dirs_per = 256, 80
+    schema = _json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ]}
+    )
+
+    def mk_snap(v, parent_v, bump_bucket=None):
+        buckets, stats = {}, {}
+        for b in range(n_buckets):
+            ds = [f"data/c-{b:04x}{i:06x}/_bucket={b}" for i in range(dirs_per)]
+            if bump_bucket == b:
+                ds.append(f"data/c-v{v:06x}/_bucket={b}")
+            buckets[str(b)] = ds
+            for d in ds:
+                st = {f"col{j}": [j, j + 1000] for j in range(6)}
+                st["#rows"] = [1000, 1000]
+                stats[d] = st
+        return Snapshot(
+            version=v, parent=parent_v, timestamp=_bench_ts(v),
+            operation="bench", schema_json=schema, key=["id"],
+            n_buckets=n_buckets, buckets=buckets, properties={},
+            summary={}, stats=stats,
+            history=[[i, _bench_ts(i)] for i in range(v + 1)],
+        )
+
+    def _meta_bytes():
+        total = 0
+        seg = os.path.join(loc, "metadata", SEGMENTS_DIRNAME)
+        for root in (os.path.join(loc, "metadata"), seg):
+            if os.path.isdir(root):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in os.listdir(root)
+                    if os.path.isfile(os.path.join(root, f))
+                )
+        return total
+
+    t0 = time.perf_counter()
+    mt._write_manifest(mk_snap(0, None))
+    dml["manifest_full_write_20k"] = round(time.perf_counter() - t0, 3)
+    full_bytes = _meta_bytes()
+    dml["manifest_full_mb"] = round(full_bytes / 1e6, 2)
+
+    evict_meta_cache(mt.fs, mt.meta_dir)
+    t0 = time.perf_counter()
+    parent = mt.snapshot()
+    dml["manifest_snapshot_cold_20k"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        mt.snapshot()
+    dml["manifest_snapshot_cached_20k"] = round(
+        (time.perf_counter() - t0) / 10, 4
+    )
+
+    # touch one bucket: build + write; unchanged buckets re-link
+    snap1 = mk_snap(1, 0, bump_bucket=7)
+    t0 = time.perf_counter()
+    mt._write_manifest(snap1, parent)
+    dml["manifest_touch1_commit_20k"] = round(time.perf_counter() - t0, 3)
+    dml["manifest_touch1_kb"] = round((_meta_bytes() - full_bytes) / 1e3, 1)
+
+    t0 = time.perf_counter()
+    v = mt.version_as_of(snap1.timestamp)
+    dml["manifest_version_as_of_20k"] = round(time.perf_counter() - t0, 4)
+    assert v == 1
+    n_dirs = sum(len(d) for d in parent.buckets.values())
+    dml["manifest_n_dirs"] = n_dirs
+    shutil.rmtree(loc, ignore_errors=True)
+
+
+def _bench_ts(v: int) -> str:
+    """Deterministic increasing ISO timestamps for the synthetic chain."""
+    from datetime import datetime, timedelta, timezone
+
+    base = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    return (base + timedelta(seconds=v)).isoformat()
 
 
 def main() -> None:
@@ -182,6 +283,33 @@ def main() -> None:
 
     # warmup: JVM + codegen + parquet footer caches
     qs["q1_pricing_summary"](spark, sf_dir).collect()
+
+    # Host-speed calibration (r12 verdict item 3): a fixed pure-CPU
+    # Spark job — 64M xxhash64 rows over 32 partitions, zero IO, zero
+    # shuffle beyond the final 1-row agg — whose runtime fingerprints
+    # THIS host at THIS moment. Committed settled bands are expressed
+    # relative to it (see COVERAGE.md), so hypervisor drift (the r12
+    # 45 s -> 82 s driver-capture episode, reproduced as uniform
+    # slowdown on untouched queries) is separable from real plan
+    # regressions without old-HEAD A/B reruns. Best of 2 like every
+    # other tier.
+    calibration_s = None
+    try:
+        calib_best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.sparkContext.setJobDescription("calibration:cpu")
+            spark.range(0, 64_000_000, 1, 32).selectExpr(
+                "sum(xxhash64(id)) as h"
+            ).collect()
+            elapsed_c = time.perf_counter() - t0
+            calib_best = (
+                elapsed_c if calib_best is None else min(calib_best, elapsed_c)
+            )
+        calibration_s = round(calib_best, 3)
+        print(f"# calibration_s: {calibration_s}", file=sys.stderr)
+    except Exception as ex:
+        print(f"# calibration skipped: {ex}", file=sys.stderr)
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
@@ -731,6 +859,18 @@ def main() -> None:
     except Exception as ex:  # DML bench must never fail the headline run
         print(f"# dml bench skipped: {ex}", file=sys.stderr)
 
+    # Manifest scalability tier (r12 verdict item 1's "done" criterion):
+    # a synthetic 20k-dir / 256-bucket snapshot — the 100 TB metadata
+    # shape — pins that (a) a commit touching ONE bucket writes KBs of
+    # metadata, not the full manifest, (b) snapshot() is ~O(1) after the
+    # first read (parsed cache), (c) version_as_of answers from the
+    # history fast path. Pure driver-side metadata math, no Spark jobs —
+    # exactly the coordinator cost it models.
+    try:
+        _bench_manifest_scale(spark, dml)
+    except Exception as ex:
+        print(f"# manifest-scale tier skipped: {ex}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     spark.stop()
 
@@ -813,6 +953,7 @@ def main() -> None:
         "queries": timings,
         "dml": dml,
         "sf": sf,
+        "calibration_s": calibration_s,
         "health": health,
     })
     # Driver-capture contract: the driver records only the LAST ~2000
@@ -822,7 +963,7 @@ def main() -> None:
     # ONE compact line, guaranteed to fit the window whole (timings at
     # 2 dp, key DML tiers only, no health block); the full record goes
     # to stderr for humans and to bench_latest.json for the judge.
-    cline = compact_line(total, timings, dml, sf)
+    cline = compact_line(total, timings, dml, sf, calibration_s)
     print(f"# full record: {line}", file=sys.stderr)
     print(cline)
     # companion artifact: the driver's BENCH_r{N}.json capture has been

@@ -29,6 +29,7 @@ EXPIRE = "expire_snapshots"
 ORPHANS = "remove_orphan_files"
 POSITION_DELETES = "rewrite_position_delete_files"
 ROLLUP_REFRESH = "rollup_refresh"
+ANALYZE = "analyze_ndv"
 
 
 class ProcessedTableTracker:
@@ -172,6 +173,9 @@ ADVISE_DIRS_PER_BUCKET = 3
 ADVISE_DELETE_ERAS = 2
 #: retained snapshots before expiry is recommended
 ADVISE_SNAPSHOTS = 20
+#: fraction of live (unmasked) dirs without an NDV sketch before a
+#: re-analyze is recommended for that column
+ADVISE_NDV_STALE_FRACTION = 0.3
 
 
 def advise(table) -> list[dict]:
@@ -266,9 +270,60 @@ def advise(table) -> list[dict]:
                       "rewritten dirs against GC",
             "severity": "medium",
         })
+    # re-analyze: NDV sidecar drift (r12 stretch). A column's sketches
+    # cover the dirs that existed at its last ``analyze_ndv``; commits
+    # since then add/rewrite dirs the sidecar misses, so ``approx_ndv``
+    # degrades toward a fresh scan. Coverage comes from the sidecar's
+    # own ``dir`` column read driver-side with pyarrow — sidecars are
+    # metadata-sized (one row per dir), so this stays manifest+sidecar
+    # math with zero data IO and no Spark job.
+    stale_cols: list[tuple[str, float]] = []
+    live_unmasked = _ndv_live_dirs(table, snap) if snap.ndv else set()
+    for col, rel in sorted(snap.ndv.items()):
+        if not live_unmasked:
+            continue
+        covered = _ndv_sidecar_dirs(table, rel)
+        if covered is None:
+            continue  # sidecar unreadable/missing: GC'd — skip, not advise
+        frac = 1.0 - len(covered & live_unmasked) / len(live_unmasked)
+        if frac >= ADVISE_NDV_STALE_FRACTION:
+            stale_cols.append((col, frac))
+    if stale_cols:
+        worst = max(f for _c, f in stale_cols)
+        names = ", ".join(c for c, _f in stale_cols)
+        recs.append({
+            "procedure": ANALYZE,
+            "reason": f"NDV sketches stale for {names} — "
+                      f"{worst:.0%} of live dirs uncovered since the "
+                      "last analyze_ndv",
+            "severity": "low",
+        })
     order = {"high": 0, "medium": 1, "low": 2}
     recs.sort(key=lambda r: order[r["severity"]])
     return recs
+
+
+def _ndv_live_dirs(table, snap) -> set[str]:
+    """Live dirs an analyze WOULD sketch (era-covered dirs are skipped
+    by ``analyze_ndv``, so they don't count as uncovered)."""
+    covered, _ = table._masked_buckets(snap)
+    return {d for d in snap.all_dirs() if d not in covered}
+
+
+def _ndv_sidecar_dirs(table, rel: str) -> set[str] | None:
+    """The ``dir`` column of an NDV sidecar, read driver-side (pyarrow,
+    no Spark job) — None when the sidecar is gone or unreadable."""
+    import pyarrow.parquet as pq
+
+    path = table.fs.join(table.location, rel)
+    if not table.fs.isdir(path):
+        return None
+    try:
+        return set(
+            pq.read_table(path, columns=["dir"]).column("dir").to_pylist()
+        )
+    except Exception:
+        return None
 
 
 def _advised_runner(service: "MaintenanceService"):
@@ -282,6 +337,13 @@ def _advised_runner(service: "MaintenanceService"):
         POSITION_DELETES: lambda name: service.run_position_delete_compaction(name),
         EXPIRE: lambda name: service._run_recorded(
             name, EXPIRE, lambda: service.catalog.table(name).expire_snapshots()
+        ),
+        # analyze_ndv returns a Snapshot; _run_recorded's ledger row
+        # wants a result dict
+        ANALYZE: lambda name: service._run_recorded(
+            name, ANALYZE, lambda: (
+                lambda t: {"version": t.analyze_ndv(sorted(t.snapshot().ndv)).version}
+            )(service.catalog.table(name))
         ),
     }
 

@@ -624,3 +624,138 @@ def test_delete_where_mor_detects_concurrent_delete_era(catalog, spark):
     assert {r["id"] for r in t2.read().collect()} == (
         set(range(100)) | set(range(130, 300))
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed walk: DNF predicate DML x stacked MoR eras x fold (r12 verdict
+# item 6). The filter vocabulary is property-tested for scan and DML
+# separately; this walk pins the era-`covers` x DNF-pruning INTERACTION:
+# predicate DML on tables carrying live update/delete eras, stacked, then
+# folded, re-checking exact value parity against a dict model each step.
+# ---------------------------------------------------------------------------
+
+def _model_match(row, dnf):
+    def triple(col, op, val=None):
+        x = row[col]
+        if op == "is_null":
+            return x is None
+        if op == "is_not_null":
+            return x is not None
+        if x is None:
+            return False
+        return {
+            "<": lambda: x < val, "<=": lambda: x <= val,
+            ">": lambda: x > val, ">=": lambda: x >= val,
+            "=": lambda: x == val, "!=": lambda: x != val,
+            "in": lambda: x in val,
+        }[op]()
+    return any(all(triple(*t) for t in branch) for branch in dnf)
+
+
+def _rand_dnf(rng):
+    def rand_triple():
+        kind = rng.randrange(5)
+        if kind == 0:
+            return ("id", rng.choice(["<", "<=", ">", ">=" ]), rng.randrange(0, 300))
+        if kind == 1:
+            return ("grp", "=", rng.randrange(4))
+        if kind == 2:
+            return ("grp", "in", sorted(rng.sample(range(4), rng.randrange(1, 3))))
+        if kind == 3:
+            return ("score", rng.choice(["<", ">="]), rng.randrange(0, 3000))
+        return ("id", "!=", rng.randrange(0, 300))
+    n_branches = rng.randrange(1, 3)
+    return [[rand_triple() for _ in range(rng.randrange(1, 3))]
+            for _ in range(n_branches)]
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_dnf_mor_era_fold_walk(catalog, spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    model = {i: {"id": i, "grp": i % 4, "score": i * 10} for i in range(120)}
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [Row(**r) for r in rows], "id long, grp long, score long"
+        )
+
+    t = catalog.create_or_replace(
+        "db.dnfwalk", df_of(list(model.values())), key=["id"], n_buckets=4
+    )
+    next_id = 300
+
+    def check(ctx):
+        got = {r["id"]: {"id": r["id"], "grp": r["grp"], "score": r["score"]}
+               for r in t.read().collect()}
+        assert got == model, f"{ctx}: table != model"
+        dnf = _rand_dnf(rng)
+        want = {i for i, r in model.items() if _model_match(r, dnf)}
+        assert {r["id"] for r in t.scan(dnf).collect()} == want, (
+            f"{ctx}: scan({dnf}) mismatch"
+        )
+
+    for step in range(14):
+        op = rng.randrange(7)
+        if op == 0:  # predicate delete, random mode
+            dnf = _rand_dnf(rng)
+            mode = rng.choice(["copy-on-write", "merge-on-read"])
+            t.delete_where(dnf, mode=mode)
+            for i in [i for i, r in model.items() if _model_match(r, dnf)]:
+                del model[i]
+            ctx = f"step{step}:delete_where[{mode}]"
+        elif op == 1:  # predicate update, random mode
+            dnf = _rand_dnf(rng)
+            mode = rng.choice(["copy-on-write", "merge-on-read"])
+            bump = rng.randrange(1, 5)
+            t.update_where(dnf, {"score": f"score + {bump}"}, mode=mode)
+            for i, r in model.items():
+                if _model_match(r, dnf):
+                    r["score"] += bump
+            ctx = f"step{step}:update_where[{mode}]"
+        elif op == 2:  # keyed MoR delete era
+            victims = rng.sample(sorted(model), min(5, len(model)))
+            t.delete_keys(
+                spark.createDataFrame([Row(id=i) for i in victims], "id long"),
+                mode="merge-on-read",
+            )
+            for i in victims:
+                del model[i]
+            ctx = f"step{step}:delete_keys[mor]"
+        elif op == 3:  # merge: update some + insert some
+            upd = rng.sample(sorted(model), min(3, len(model)))
+            ins = [next_id + k for k in range(3)]
+            next_id += 3
+            rows = [
+                {"id": i, "grp": i % 4, "score": rng.randrange(5000)}
+                for i in upd + ins
+            ]
+            t.merge(df_of(rows))
+            for r in rows:
+                model[r["id"]] = dict(r)
+            ctx = f"step{step}:merge"
+        elif op == 4:  # append disjoint range
+            rows = [
+                {"id": next_id + k, "grp": (next_id + k) % 4,
+                 "score": (next_id + k) * 10}
+                for k in range(4)
+            ]
+            next_id += 4
+            t.append(df_of(rows))
+            for r in rows:
+                model[r["id"]] = dict(r)
+            ctx = f"step{step}:append"
+        elif op == 5:  # fold all outstanding eras
+            t.rewrite_position_delete_files()
+            ctx = f"step{step}:fold"
+        else:  # compaction
+            t.rewrite_data_files(min_input_dirs=2)
+            ctx = f"step{step}:compact"
+        check(ctx)
+    # close out: fold + compact + fsck deep must change nothing
+    t.rewrite_position_delete_files()
+    t.rewrite_data_files(min_input_dirs=1)
+    check("final")
+    rep = t.fsck(deep=True)
+    assert rep["ok"], rep

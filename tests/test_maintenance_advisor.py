@@ -99,3 +99,34 @@ def test_expiry_recommendation_clears_after_expire(catalog, spark):
     assert any(r["procedure"] == m.EXPIRE for r in m.advise(t))
     t.expire_snapshots(keep_last=2)
     assert not any(r["procedure"] == m.EXPIRE for r in m.advise(t))
+
+
+def test_ndv_drift_recommendation(catalog, spark):
+    """r12 stretch: NDV-sidecar drift drives a re-analyze
+    recommendation from manifest + sidecar math only (the sidecar's
+    own dir column, read driver-side) — fresh after analyze, fires
+    once enough post-analyze commits leave live dirs uncovered, and
+    clears when run_advised executes the analyze."""
+    t = _mk(catalog, spark, "db.ndvdrift", n=6, buckets=1)
+    t.analyze_ndv(["v"])
+    assert not any(r["procedure"] == m.ANALYZE for r in m.advise(t))
+    # one new dir over two live: 50% uncovered >= the 30% threshold
+    t.append(spark.createDataFrame([Row(id=100 + i, v=float(i)) for i in range(4)]))
+    recs = [r for r in m.advise(t) if r["procedure"] == m.ANALYZE]
+    assert recs and "v" in recs[0]["reason"], m.advise(t)
+    assert recs[0]["severity"] == "low"
+    # re-analyze clears it (and stays incremental: only the new dir scans)
+    t.analyze_ndv(["v"])
+    assert not any(r["procedure"] == m.ANALYZE for r in m.advise(t))
+
+
+def test_ndv_drift_runs_through_run_advised(catalog, spark, store):
+    t = _mk(catalog, spark, "db.ndvrun", n=6, buckets=1)
+    t.analyze_ndv(["v"])
+    t.append(spark.createDataFrame([Row(id=200, v=1.0)]))
+    assert any(r["procedure"] == m.ANALYZE for r in m.advise(t))
+    svc = m.MaintenanceService(catalog, store)
+    results = m.run_advised(svc, "db.ndvrun")
+    by = {r["procedure"]: r for r in results}
+    assert by[m.ANALYZE]["run"] == "success", results
+    assert not any(r["procedure"] == m.ANALYZE for r in m.advise(catalog.table("db.ndvrun")))
