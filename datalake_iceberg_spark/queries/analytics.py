@@ -1925,3 +1925,87 @@ SELECT c.from_type, c.to_type,
 FROM counts c JOIN outdeg o USING (from_type)
 ORDER BY from_type, to_type
 """
+
+
+_BRANCH_BACKFILL_TABLES: dict[str, str] = {}
+_BRANCH_BACKFILL_LOCK = _threading.Lock()
+
+
+def branch_backfill_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch/WAP lifecycle driver-graded end-to-end (r12 verdict item
+    4 — the last tests-only subsystem): ``create_branch`` → branch-local
+    predicate DML (a retention ``delete_where`` + a backfill
+    ``update_where``, both MoR-free CoW on the branch) → ``fast_forward``
+    promotion to main (the Iceberg audit-branch pattern the reference
+    leaves to Iceberg's own branch refs). The graded DataFrame is
+    per-side aggregates:
+
+    - ``pre_fork`` — a TIME-TRAVEL read of main's v0, which must still
+      serve the untouched original after promotion (isolation: branch
+      work never mutated published history);
+    - ``promoted`` — main's current read after ``fast_forward``, which
+      must equal the branch's backfilled/purged state exactly.
+
+    The DuckDB oracle recomputes both sides from the raw parquet with
+    the same predicate arithmetic. Idempotent: staged once per sf_dir."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from datalake_iceberg_spark.tables import LakeTable
+
+    with _BRANCH_BACKFILL_LOCK:
+        loc = _BRANCH_BACKFILL_TABLES.get(sf_dir)
+        if loc is None:
+            loc = tempfile.mkdtemp(prefix="branch_backfill_")
+            atexit.register(shutil.rmtree, loc, ignore_errors=True)
+            orders = load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority",
+            )
+            t = LakeTable(spark, loc)
+            t.create_or_replace(orders, key=["o_orderkey"], n_buckets=4)
+            br = t.create_branch("backfill")
+            # branch-local retention purge + priority backfill
+            br.delete_where([("o_orderstatus", "=", "F"),
+                             ("o_totalprice", "<", 50000.0)])
+            br.update_where(
+                [("o_totalprice", ">=", 150000.0)],
+                {"o_orderpriority": "'5-BACKFILLED'"},
+            )
+            # isolation: main's published read is untouched pre-publish
+            assert t.current_version() == 0
+            t.fast_forward("backfill")
+            t.drop_branch("backfill")
+            _BRANCH_BACKFILL_TABLES[sf_dir] = loc
+    t = LakeTable(spark, loc)
+    pre = t.read(version=0).withColumn("side", F.lit("pre_fork"))
+    cur = t.read().withColumn("side", F.lit("promoted"))
+    return (
+        pre.unionByName(cur)
+        .groupBy("side", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+        )
+        .orderBy("side", "o_orderpriority")
+    )
+
+
+BRANCH_BACKFILL_SQL = f"""
+WITH pre AS (
+    SELECT 'pre_fork' AS side, o_orderpriority, o_totalprice FROM orders
+), promoted AS (
+    SELECT 'promoted' AS side,
+           CASE WHEN o_totalprice >= 150000.0 THEN '5-BACKFILLED'
+                ELSE o_orderpriority END AS o_orderpriority,
+           o_totalprice
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
+)
+SELECT side, o_orderpriority, COUNT(*) AS n_rows,
+       CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS total_cents
+FROM (SELECT * FROM pre UNION ALL SELECT * FROM promoted)
+GROUP BY side, o_orderpriority
+ORDER BY side, o_orderpriority
+"""
