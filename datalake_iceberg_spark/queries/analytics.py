@@ -2009,3 +2009,34 @@ FROM (SELECT * FROM pre UNION ALL SELECT * FROM promoted)
 GROUP BY side, o_orderpriority
 ORDER BY side, o_orderpriority
 """
+
+
+def scan_dnf_or_marker_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r13 explicit ``{"or": [...]}`` filter marker through the
+    REAL ``LakeTable.scan`` path — the disjunction-of-single-triples
+    shape the list vocabulary cannot express unambiguously (a short
+    list of triples parses as a conjunction). Reuses the
+    ``scan_dnf_orders`` staged table; the DuckDB oracle runs the same
+    OR over the raw parquet."""
+    from datalake_iceberg_spark.tables import LakeTable
+
+    scan_dnf_orders(spark, sf_dir)  # stage (idempotent, shared lock)
+    loc = _SCAN_DNF_TABLES[sf_dir]
+    return (
+        LakeTable(spark, loc)
+        .scan({"or": [
+            ("o_totalprice", "<", 1500.0),
+            ("o_orderpriority", "=", "1-URGENT"),
+        ]})
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+SCAN_DNF_OR_MARKER_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_totalprice < 1500.0 OR o_orderpriority = '1-URGENT'
+ORDER BY o_orderkey
+"""
