@@ -285,7 +285,7 @@ def main() -> None:
     qs["q1_pricing_summary"](spark, sf_dir).collect()
 
     # Host-speed calibration (r12 verdict item 3): a fixed pure-CPU
-    # Spark job — 64M xxhash64 rows over 32 partitions, zero IO, zero
+    # Spark job — 256M xxhash64 rows over 32 partitions, zero IO, zero
     # shuffle beyond the final 1-row agg — whose runtime fingerprints
     # THIS host at THIS moment. Committed settled bands are expressed
     # relative to it (see COVERAGE.md), so hypervisor drift (the r12
@@ -299,8 +299,11 @@ def main() -> None:
         for _ in range(2):
             t0 = time.perf_counter()
             spark.sparkContext.setJobDescription("calibration:cpu")
-            spark.range(0, 64_000_000, 1, 32).selectExpr(
-                "sum(xxhash64(id)) as h"
+            # pmod keeps the running sum << LONG_MAX (raw xxhash64 sums
+            # overflow under ANSI mode); the hash per row is still the
+            # dominant CPU cost
+            spark.range(0, 256_000_000, 1, 32).selectExpr(
+                "sum(pmod(xxhash64(id), 1000000)) as h"
             ).collect()
             elapsed_c = time.perf_counter() - t0
             calib_best = (
