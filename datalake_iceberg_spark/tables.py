@@ -1576,6 +1576,54 @@ class LakeTable:
             return self._read_with_deletes(snap, snap.buckets)
         return self._read_dirs(snap.all_dirs(), snap)
 
+    def _fsck_segments(self) -> list[dict]:
+        """Segmented-manifest layer audit: every segment referenced by
+        any retained root must exist, parse, and hash to its
+        content-addressed name. Reads raw segment BYTES (bypassing the
+        parsed cache — tamper/corruption detection needs the disk
+        truth); each distinct segment file verifies once no matter how
+        many versions reference it."""
+        out: list[dict] = []
+        if not self.fs.isdir(self.meta_dir):
+            return out
+        try:
+            cur = self.current_version()
+        except (FileNotFoundError, ValueError):
+            return out
+        checked: set[str] = set()
+        for name in sorted(self.fs.listdir(self.meta_dir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            v = int(name[1:-5])
+            try:
+                refs = _load_root_doc(
+                    self.fs, self.meta_dir, v, cacheable=(v <= cur)
+                ).get("segments") or {}
+            except (FileNotFoundError, ValueError):
+                out.append({"version": v, "issue": "unreadable_root"})
+                continue
+            for bucket, fname in sorted(refs.items()):
+                if fname in checked:
+                    continue
+                checked.add(fname)
+                path = self.fs.join(self.meta_dir, SEGMENTS_DIRNAME, fname)
+                try:
+                    text = self.fs.read_text(path)
+                except FileNotFoundError:
+                    out.append({"version": v, "bucket": bucket,
+                                "segment": fname, "issue": "missing_segment"})
+                    continue
+                if fname != f"seg-{_md5_hex(text)}.json":
+                    out.append({"version": v, "bucket": bucket,
+                                "segment": fname, "issue": "content_hash_mismatch"})
+                    continue
+                try:
+                    json.loads(text)
+                except ValueError:
+                    out.append({"version": v, "bucket": bucket,
+                                "segment": fname, "issue": "unparseable_segment"})
+        return out
+
     def fsck(self, deep: bool = False) -> dict:
         """Manifest↔disk integrity audit (the lakehouse ``fsck``;
         Iceberg ships the same idea as metadata validation in its
@@ -1592,6 +1640,12 @@ class LakeTable:
           wasted manifest bytes, never wrong results);
         - ``staged_missing`` — WAP-staged docs referencing missing dirs
           (an audit-gated publish would fail);
+        - ``segment_issues`` — segmented-manifest (format v2) layer
+          faults across ALL retained versions: a root referencing a
+          missing/unparseable segment file, or a segment whose content
+          no longer hashes to its content-addressed name (bit rot or
+          in-place tamper). Root-level reads only — O(retained
+          manifests × segments), zero data IO;
         - with ``deep=True``: ``row_drift`` — dirs whose ``ROWS_STAT``
           disagrees with a fresh footer recount (O(files) footer reads,
           no data scan) — and ``unreadable_footers`` — files whose
@@ -1608,6 +1662,7 @@ class LakeTable:
         issues: dict[str, list] = {
             "missing_dirs": [], "empty_dirs": [], "dangling_covers": [],
             "stale_stats": [], "staged_missing": [],
+            "segment_issues": self._fsck_segments(),
         }
 
         def _abs(d: str) -> str:

@@ -250,3 +250,102 @@ def test_fsck_green_on_segmented_layout(catalog, spark):
     t.delete_keys(spark.createDataFrame([Row(id=5)]), mode="merge-on-read")
     rep = t.fsck(deep=True)
     assert rep["ok"], rep
+
+
+def test_fsck_reports_segment_faults(catalog, spark):
+    """fsck's segment layer: a deleted segment file and a tampered one
+    are reported as their own issue categories and fail ok."""
+    t = _mk(catalog, spark, "db.segfsck", n=16, n_buckets=2)
+    assert t.fsck()["ok"]
+    refs = _root_doc(t)["segments"]
+    victim = sorted(refs.values())[0]
+    vpath = t.fs.join(t.meta_dir, SEGMENTS_DIRNAME, victim)
+    original = t.fs.read_text(vpath)
+    # tamper: valid JSON, wrong content hash
+    with open(vpath, "w") as f:
+        f.write(original.replace("{", "{ ", 1))
+    rep = t.fsck()
+    assert not rep["ok"]
+    assert any(s["issue"] == "content_hash_mismatch" for s in rep["segment_issues"])
+    # missing: delete it outright
+    t.fs.remove(vpath)
+    rep = t.fsck()
+    assert not rep["ok"]
+    assert any(s["issue"] == "missing_segment" for s in rep["segment_issues"])
+    # restore -> clean again
+    with open(vpath, "w") as f:
+        f.write(original)
+    assert t.fsck()["ok"]
+
+
+# ---------------------------------------------------------------------------
+# Property: write->load roundtrip is exact for ARBITRARY snapshot bulk
+# (bucket ids present only in deletes, empty dir lists, unowned stats
+# going through the catch-all segment, renames, unicode dir names).
+# Spark-free: the manifest writer/loader never touch the session.
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _dirname = st.text(
+        alphabet="abcdef0123456789-_", min_size=1, max_size=12
+    ).map(lambda s: f"data/c-{s}")
+    _statval = st.one_of(st.integers(-10**6, 10**6), st.floats(
+        allow_nan=False, allow_infinity=False, width=32), st.text(max_size=5))
+
+    @st.composite
+    def _snapshot_bulk(draw):
+        n_buckets = draw(st.integers(1, 5))
+        buckets, deletes, stats, renames = {}, {}, {}, {}
+        all_dirs = []
+        for b in range(n_buckets):
+            dirs = draw(st.lists(_dirname, max_size=4, unique=True))
+            if draw(st.booleans()):
+                buckets[str(b)] = dirs
+                all_dirs += dirs
+            if dirs and draw(st.booleans()):
+                deletes[str(b)] = [
+                    {"dir": f"{dirs[0]}-del", "covers": list(dirs)}
+                ]
+                all_dirs.append(f"{dirs[0]}-del")
+        for d in all_dirs:
+            if draw(st.booleans()):
+                stats[d] = {"col": [draw(_statval), draw(_statval)],
+                            "#rows": [draw(st.integers(0, 99))] * 2}
+            if draw(st.booleans()):
+                renames[d] = {"new_col": "old_col"}
+        if draw(st.booleans()):
+            stats["data/unowned-dir"] = {"x": [0, 1]}  # catch-all path
+        return buckets, deletes, stats, renames
+
+    @given(bulk=_snapshot_bulk())
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_segment_roundtrip_property(bulk, tmp_path_factory):
+        import json as _json
+
+        from datalake_iceberg_spark.tables import LakeTable, Snapshot
+
+        buckets, deletes, stats, renames = bulk
+        loc = str(tmp_path_factory.mktemp("segprop"))
+        t = LakeTable(spark=None, location=loc)
+        snap = Snapshot(
+            version=0, parent=None, timestamp="2026-01-01T00:00:00+00:00",
+            operation="prop", schema_json=_json.dumps(
+                {"type": "struct", "fields": []}),
+            key=["id"], n_buckets=max(1, len(buckets)),
+            buckets=buckets, properties={}, summary={},
+            stats=stats, deletes=deletes, renames=renames,
+        )
+        t._write_manifest(snap)
+        evict_meta_cache(t.fs, t.meta_dir)
+        cold = t.snapshot()
+        assert cold.buckets == buckets
+        assert cold.deletes == deletes
+        assert cold.stats == stats
+        assert cold.renames == renames
+        assert t._fsck_segments() == []
+except ImportError:  # hypothesis is baked in; guard for minimal envs
+    pass
