@@ -638,14 +638,18 @@ MANIFEST_FORMAT = 2
 SEGMENTS_DIRNAME = "segments"
 HISTORY_MAX_ENTRIES = 10_000
 _BULK_FIELDS = ("buckets", "deletes", "stats", "renames")
-_ROOT_CACHE_MAX = 256
-_SEGMENT_CACHE_MAX = 2048
+#: cache budgets are BYTES of source JSON, not entry counts — a legacy
+#: inline root or a giant single-bucket segment can be MBs, and a
+#: count-based cap would let 256 of those pin GBs on the driver
+_ROOT_CACHE_BYTES = 64 * 1024 * 1024
+_SEGMENT_CACHE_BYTES = 256 * 1024 * 1024
 
 
 def _meta_cache(fs) -> dict:
     """Per-filesystem manifest cache ``{"roots": OrderedDict[(meta_dir,
-    version) -> parsed root doc], "segments": OrderedDict[(meta_dir,
-    fname) -> parsed payload]}``. Hanging it off the fs instance gives
+    version) -> (parsed root doc, nbytes)], "segments":
+    OrderedDict[(meta_dir, fname) -> (parsed payload, nbytes)]}`` plus
+    per-kind running byte totals. Hanging it off the fs instance gives
     test doubles their own isolated cache for free and scopes the
     shared one to ``DEFAULT_FS``'s lifetime. Cached values are treated
     as IMMUTABLE by every consumer (the loader hands out fresh outer
@@ -653,7 +657,8 @@ def _meta_cache(fs) -> dict:
     the existing copy-on-write discipline of the builder closures)."""
     cache = getattr(fs, "_manifest_cache", None)
     if cache is None:
-        cache = {"roots": OrderedDict(), "segments": OrderedDict()}
+        cache = {"roots": OrderedDict(), "segments": OrderedDict(),
+                 "roots_bytes": 0, "segments_bytes": 0}
         try:
             fs._manifest_cache = cache
         except AttributeError:  # slotted/frozen fs double: no caching
@@ -661,11 +666,24 @@ def _meta_cache(fs) -> dict:
     return cache
 
 
-def _cache_put(od: OrderedDict, key, val, cap: int) -> None:
-    od[key] = val
-    od.move_to_end(key)
-    while len(od) > cap:
-        od.popitem(last=False)
+def _cache_put(cache: dict, kind: str, key, val, nbytes: int, cap: int) -> None:
+    od = cache[kind]
+    old = od.pop(key, None)
+    if old is not None:
+        cache[f"{kind}_bytes"] -= old[1]
+    od[key] = (val, nbytes)
+    cache[f"{kind}_bytes"] += nbytes
+    while cache[f"{kind}_bytes"] > cap and len(od) > 1:
+        _k, (_v, nb) = od.popitem(last=False)
+        cache[f"{kind}_bytes"] -= nb
+
+
+def _cache_get(cache: dict, kind: str, key):
+    hit = cache[kind].get(key)
+    if hit is None:
+        return None
+    cache[kind].move_to_end(key)
+    return hit[0]
 
 
 def evict_meta_cache(fs, path_prefix: str) -> None:
@@ -681,33 +699,33 @@ def evict_meta_cache(fs, path_prefix: str) -> None:
             k for k in cache[kind]
             if k[0] == path_prefix or k[0].startswith(prefix)
         ]:
-            del cache[kind][key]
+            cache[f"{kind}_bytes"] -= cache[kind].pop(key)[1]
 
 
 def _load_root_doc(fs, meta_dir: str, version: int, cacheable: bool = True) -> dict:
     """Parsed ``v{version}.json`` (segmented root or legacy inline)."""
-    cache = _meta_cache(fs)["roots"]
+    cache = _meta_cache(fs)
     key = (meta_dir, version)
-    hit = cache.get(key)
+    hit = _cache_get(cache, "roots", key)
     if hit is not None:
-        cache.move_to_end(key)
         return hit
-    doc = json.loads(fs.read_text(fs.join(meta_dir, f"v{version}.json")))
+    text = fs.read_text(fs.join(meta_dir, f"v{version}.json"))
+    doc = json.loads(text)
     if cacheable:
-        _cache_put(cache, key, doc, _ROOT_CACHE_MAX)
+        _cache_put(cache, "roots", key, doc, len(text), _ROOT_CACHE_BYTES)
     return doc
 
 
 def _load_segment(fs, meta_dir: str, fname: str) -> dict:
     """Parsed segment payload — content-addressed, so always cacheable."""
-    cache = _meta_cache(fs)["segments"]
+    cache = _meta_cache(fs)
     key = (meta_dir, fname)
-    hit = cache.get(key)
+    hit = _cache_get(cache, "segments", key)
     if hit is not None:
-        cache.move_to_end(key)
         return hit
-    pay = json.loads(fs.read_text(fs.join(meta_dir, SEGMENTS_DIRNAME, fname)))
-    _cache_put(cache, key, pay, _SEGMENT_CACHE_MAX)
+    text = fs.read_text(fs.join(meta_dir, SEGMENTS_DIRNAME, fname))
+    pay = json.loads(text)
+    _cache_put(cache, "segments", key, pay, len(text), _SEGMENT_CACHE_BYTES)
     return pay
 
 
@@ -817,7 +835,7 @@ def manifest_text_for(fs, meta_dir: str, snap: Snapshot,
         return snap.to_json()
     seg_root = fs.join(meta_dir, SEGMENTS_DIRNAME)
     fs.makedirs(seg_root)
-    cache = _meta_cache(fs)["segments"]
+    cache = _meta_cache(fs)
     parent_refs = getattr(parent, "_segment_refs", None) or {}
     refs: dict[str, str] = {}
     for b, pay in _segment_payloads(snap).items():
@@ -837,7 +855,8 @@ def manifest_text_for(fs, meta_dir: str, snap: Snapshot,
                 fs.write_exclusive(path, text)
             except FileExistsError:
                 pass  # concurrent identical write: same content by name
-        _cache_put(cache, (meta_dir, fname), pay, _SEGMENT_CACHE_MAX)
+        _cache_put(cache, "segments", (meta_dir, fname), pay, len(text),
+                   _SEGMENT_CACHE_BYTES)
         refs[b] = fname
     root = {k: v for k, v in snap.__dict__.items()
             if k not in _BULK_FIELDS and not k.startswith("_")}
@@ -4367,7 +4386,9 @@ class LakeTable:
                     if _parse_iso_utc(doc["timestamp"]) >= cutoff:
                         continue
                 self.fs.remove(self.fs.join(self.meta_dir, name))
-                cache["roots"].pop((self.meta_dir, v), None)
+                gone_r = cache["roots"].pop((self.meta_dir, v), None)
+                if gone_r is not None:
+                    cache["roots_bytes"] -= gone_r[1]
                 removed += 1
         swept = self._sweep_segments() if removed else 0
         return {"expired_snapshots": removed, "expired_segments": swept}
@@ -4391,7 +4412,7 @@ class LakeTable:
                 referenced.update((doc.get("segments") or {}).values())
         grace = self._gc_grace()
         now = time.time()
-        cache = _meta_cache(self.fs)["segments"]
+        cache = _meta_cache(self.fs)
         swept = 0
         for fname in self.fs.listdir(seg_root):
             if fname in referenced:
@@ -4403,7 +4424,9 @@ class LakeTable:
                 self.fs.remove(path)
             except FileNotFoundError:
                 continue  # vanished concurrently
-            cache.pop((self.meta_dir, fname), None)
+            gone = cache["segments"].pop((self.meta_dir, fname), None)
+            if gone is not None:
+                cache["segments_bytes"] -= gone[1]
             swept += 1
         return swept
 

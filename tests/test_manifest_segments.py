@@ -349,3 +349,42 @@ try:
         assert t._fsck_segments() == []
 except ImportError:  # hypothesis is baked in; guard for minimal envs
     pass
+
+
+def test_cache_budget_is_bytes_not_entries(tmp_path):
+    """The cache caps are byte budgets: giant payloads (legacy inline
+    roots, mega-bucket segments) evict proportionally to SIZE, so the
+    driver can never pin GBs of parsed manifests."""
+    import json as _json
+
+    import datalake_iceberg_spark.tables as tm
+    from datalake_iceberg_spark.tables import LakeTable, Snapshot
+
+    t = LakeTable(spark=None, location=str(tmp_path / "budget"))
+    # one segment ~ (dirs_per x ~70B); write versions until the budget
+    # must have evicted the oldest
+    cache = tm._meta_cache(t.fs)
+    parent = None
+    for v in range(4):
+        dirs = [f"data/c-{v:02d}{i:04d}" for i in range(50)]
+        snap = Snapshot(
+            version=v, parent=v - 1 if v else None,
+            timestamp=f"2026-01-01T00:00:0{v}+00:00", operation="w",
+            schema_json=_json.dumps({"type": "struct", "fields": []}),
+            key=["id"], n_buckets=1, buckets={"0": dirs},
+            properties={}, summary={},
+            stats={d: {"c": [0, 1]} for d in dirs},
+        )
+        t._write_manifest(snap, parent)
+        parent = snap
+    assert cache["segments_bytes"] == sum(
+        nb for _v, nb in cache["segments"].values()
+    )
+    assert cache["roots_bytes"] == sum(
+        nb for _v, nb in cache["roots"].values()
+    )
+    # byte accounting stays exact through eviction + expiry sweep
+    t.snapshot()
+    tm.evict_meta_cache(t.fs, t.meta_dir)
+    assert not [k for k in cache["segments"] if k[0] == t.meta_dir]
+    assert cache["segments_bytes"] >= 0 and cache["roots_bytes"] >= 0
