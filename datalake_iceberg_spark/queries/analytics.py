@@ -2040,3 +2040,187 @@ FROM orders
 WHERE o_totalprice < 1500.0 OR o_orderpriority = '1-URGENT'
 ORDER BY o_orderkey
 """
+
+
+_READ_CHANGES_TABLES: dict[str, str] = {}
+_READ_CHANGES_LOCK = _threading.Lock()
+
+
+def _stage_cdc_out_table(spark: SparkSession, sf_dir: str) -> str:
+    """Shared staging for the CDC-out graded entries: orders as a keyed
+    lake table (v0), then one deterministic CDC batch — keyed MERGE
+    (updates: o_orderkey % 50 == 0 re-prioritized +1000 cents; inserts:
+    key+10M clones of every o_orderkey % 97 == 3 row) and a keyed
+    DELETE (o_orderkey % 50 == 7). Key sets are disjoint mod 50/97
+    offsets, so each change row has exactly one classification."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from datalake_iceberg_spark.tables import LakeTable
+
+    with _READ_CHANGES_LOCK:
+        loc = _READ_CHANGES_TABLES.get(sf_dir)
+        if loc is not None:
+            return loc
+        loc = tempfile.mkdtemp(prefix="cdc_out_orders_")
+        atexit.register(shutil.rmtree, loc, ignore_errors=True)
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            cents("o_totalprice").alias("total_cents"),
+            "o_orderpriority",
+        )
+        t = LakeTable(spark, loc)
+        t.create_or_replace(orders, key=["o_orderkey"], n_buckets=4)
+        upd = (
+            orders.filter(F.col("o_orderkey") % 50 == 0)
+            .withColumn("o_orderpriority", F.lit("CDC-UPD"))
+            .withColumn("total_cents", F.col("total_cents") + F.lit(1000))
+        )
+        ins = (
+            orders.filter(F.col("o_orderkey") % 97 == 3)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+            .withColumn("o_orderpriority", F.lit("CDC-NEW"))
+        )
+        t.merge(upd.unionByName(ins))
+        t.delete_keys(
+            orders.filter(F.col("o_orderkey") % 50 == 7).select("o_orderkey")
+        )
+        _READ_CHANGES_TABLES[sf_dir] = loc
+        return loc
+
+
+def read_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 incremental CDC-out driver-graded (r13; previously tests +
+    bench only): ``read_changes(0)`` over a keyed MERGE + DELETE range
+    classifies every changed row insert / update_postimage / delete
+    (deletes carry the pre-image) via the changed-bucket-pruned
+    full-outer diff — the feed a downstream incremental consumer
+    ingests instead of re-reading the table. The DuckDB oracle derives
+    the identical classification from the raw parquet with the same
+    batch arithmetic."""
+    from datalake_iceberg_spark.tables import LakeTable
+
+    loc = _stage_cdc_out_table(spark, sf_dir)
+    return (
+        LakeTable(spark, loc)
+        .read_changes(0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "total_cents",
+                "o_orderpriority", "_change_type")
+        .orderBy("_change_type", "o_orderkey")
+    )
+
+
+READ_CHANGES_SQL = f"""
+WITH base AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           {cents_sql('o_totalprice')} AS total_cents, o_orderpriority
+    FROM orders
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       total_cents + 1000 AS total_cents,
+       'CDC-UPD' AS o_orderpriority, 'update_postimage' AS _change_type
+FROM base WHERE o_orderkey % 50 = 0
+UNION ALL
+SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, total_cents,
+       'CDC-NEW', 'insert'
+FROM base WHERE o_orderkey % 97 = 3
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, total_cents,
+       o_orderpriority, 'delete'
+FROM base WHERE o_orderkey % 50 = 7
+ORDER BY _change_type, o_orderkey
+"""
+
+
+_ROLLUP_TABLES: dict[str, str] = {}
+_ROLLUP_LOCK = _threading.Lock()
+
+
+def incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incrementally-maintained GROUP-BY rollup driver-graded (r13;
+    ``ops/rollup.py`` was tests-only): rebuild the per-customer
+    count/sum target at v0, apply the shared CDC batch (MERGE updates +
+    inserts, keyed DELETE) to the SOURCE, then ``refresh()`` — which
+    reads only the ``read_changes`` delta (pre-images included), delta-
+    aggregates, and MERGEs only the affected groups. The graded
+    DataFrame is the refreshed TARGET; the DuckDB oracle is the full
+    GROUP BY over the post-batch state — incremental must equal
+    recompute exactly (sums are integer cents, so no float drift)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from datalake_iceberg_spark.ops.rollup import MaterializedRollup
+    from datalake_iceberg_spark.tables import LakeTable
+
+    with _ROLLUP_LOCK:
+        tloc = _ROLLUP_TABLES.get(sf_dir)
+        if tloc is None:
+            import atexit
+            import shutil
+            import tempfile
+
+            from datalake_iceberg_spark.tables import LakeTable as _LT
+
+            # a PRIVATE source staging: the rollup's refresh() must see
+            # v0 -> post-batch as its own (from, to] range, independent
+            # of the shared CDC table's life cycle
+            sloc = tempfile.mkdtemp(prefix="rollup_src_orders_")
+            tloc = tempfile.mkdtemp(prefix="rollup_tgt_orders_")
+            atexit.register(shutil.rmtree, sloc, ignore_errors=True)
+            atexit.register(shutil.rmtree, tloc, ignore_errors=True)
+            orders = load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey",
+                cents("o_totalprice").alias("total_cents"),
+            )
+            src = _LT(spark, sloc)
+            src.create_or_replace(orders, key=["o_orderkey"], n_buckets=4)
+            tgt = _LT(spark, tloc)
+            roll = MaterializedRollup(
+                src, tgt, group_by=["o_custkey"], sum_cols=["total_cents"]
+            )
+            roll.rebuild()
+            upd = (
+                orders.filter(F.col("o_orderkey") % 50 == 0)
+                .withColumn("total_cents", F.col("total_cents") + F.lit(1000))
+            )
+            ins = (
+                orders.filter(F.col("o_orderkey") % 97 == 3)
+                .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+            )
+            src.merge(upd.unionByName(ins))
+            src.delete_keys(
+                orders.filter(F.col("o_orderkey") % 50 == 7).select("o_orderkey")
+            )
+            out = roll.refresh()
+            assert out["mode"] == "incremental", out
+            _ROLLUP_TABLES[sf_dir] = tloc
+    return (
+        LakeTable(spark, _ROLLUP_TABLES[sf_dir])
+        .read()
+        .select("o_custkey", "n_rows", "sum_total_cents")
+        .orderBy("o_custkey")
+    )
+
+
+INCREMENTAL_ROLLUP_SQL = f"""
+WITH base AS (
+    SELECT o_orderkey, o_custkey,
+           {cents_sql('o_totalprice')} AS total_cents
+    FROM orders
+), post AS (
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 50 = 0 THEN total_cents + 1000
+                ELSE total_cents END AS total_cents
+    FROM base WHERE o_orderkey % 50 <> 7
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, total_cents
+    FROM base WHERE o_orderkey % 97 = 3
+)
+SELECT o_custkey, COUNT(*) AS n_rows,
+       CAST(SUM(total_cents) AS BIGINT) AS sum_total_cents
+FROM post
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
