@@ -147,7 +147,7 @@ def compact_line(total, timings, dml, sf, calibration_s=None) -> str:
     return cline
 
 
-def _bench_manifest_scale(spark, dml: dict) -> None:
+def _bench_manifest_scale(dml: dict) -> None:
     """20k-dir manifest tier: full first write vs touch-1-bucket commit
     (time AND metadata bytes written), cold vs cached ``snapshot()``,
     ``version_as_of`` via the history fast path."""
@@ -163,7 +163,7 @@ def _bench_manifest_scale(spark, dml: dict) -> None:
     )
 
     loc = tempfile.mkdtemp(prefix="bench_manifest_")
-    mt = LakeTable(spark, loc)
+    mt = LakeTable(spark=None, location=loc)  # driver-side metadata only
     n_buckets, dirs_per = 256, 80
     schema = _json.dumps(
         {"type": "struct", "fields": [
@@ -870,7 +870,7 @@ def main() -> None:
     # history fast path. Pure driver-side metadata math, no Spark jobs —
     # exactly the coordinator cost it models.
     try:
-        _bench_manifest_scale(spark, dml)
+        _bench_manifest_scale(dml)
     except Exception as ex:
         print(f"# manifest-scale tier skipped: {ex}", file=sys.stderr)
 

@@ -284,7 +284,7 @@ def advise(table) -> list[dict]:
             continue
         covered = _ndv_sidecar_dirs(table, rel)
         if covered is None:
-            continue  # sidecar unreadable/missing: GC'd — skip, not advise
+            continue  # sidecar directory GONE (swept) — skip, not advise
         frac = 1.0 - len(covered & live_unmasked) / len(live_unmasked)
         if frac >= ADVISE_NDV_STALE_FRACTION:
             stale_cols.append((col, frac))
@@ -311,19 +311,30 @@ def _ndv_live_dirs(table, snap) -> set[str]:
 
 
 def _ndv_sidecar_dirs(table, rel: str) -> set[str] | None:
-    """The ``dir`` column of an NDV sidecar, read driver-side (pyarrow,
-    no Spark job) — None when the sidecar is gone or unreadable."""
+    """The ``dir`` column of an NDV sidecar, read driver-side (pyarrow
+    over the table's fs seam — ``open_input`` works on any adapter, so
+    the advisory is not local-filesystem-only; no Spark job). ``None``
+    ONLY when the sidecar directory itself is gone (swept — nothing to
+    advise about). Unreadable/corrupt part files are SKIPPED, which
+    shrinks the covered set and fails TOWARD recommending a re-analyze
+    — the safe direction — instead of silently disabling the signal."""
     import pyarrow.parquet as pq
 
     path = table.fs.join(table.location, rel)
     if not table.fs.isdir(path):
         return None
-    try:
-        return set(
-            pq.read_table(path, columns=["dir"]).column("dir").to_pylist()
-        )
-    except Exception:
-        return None
+    covered: set[str] = set()
+    for fname in table.fs.listdir(path):
+        if not fname.endswith(".parquet"):
+            continue
+        try:
+            with table.fs.open_input(table.fs.join(path, fname)) as f:
+                covered.update(
+                    pq.read_table(f, columns=["dir"]).column("dir").to_pylist()
+                )
+        except Exception:  # noqa: BLE001 — corrupt part: see docstring
+            continue
+    return covered
 
 
 def _advised_runner(service: "MaintenanceService"):

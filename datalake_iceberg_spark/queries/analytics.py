@@ -2157,12 +2157,6 @@ def incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _ROLLUP_LOCK:
         tloc = _ROLLUP_TABLES.get(sf_dir)
         if tloc is None:
-            import atexit
-            import shutil
-            import tempfile
-
-            from datalake_iceberg_spark.tables import LakeTable as _LT
-
             # a PRIVATE source staging: the rollup's refresh() must see
             # v0 -> post-batch as its own (from, to] range, independent
             # of the shared CDC table's life cycle
@@ -2174,9 +2168,9 @@ def incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_orderkey", "o_custkey",
                 cents("o_totalprice").alias("total_cents"),
             )
-            src = _LT(spark, sloc)
+            src = LakeTable(spark, sloc)
             src.create_or_replace(orders, key=["o_orderkey"], n_buckets=4)
-            tgt = _LT(spark, tloc)
+            tgt = LakeTable(spark, tloc)
             roll = MaterializedRollup(
                 src, tgt, group_by=["o_custkey"], sum_cols=["total_cents"]
             )

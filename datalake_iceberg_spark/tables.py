@@ -3100,6 +3100,22 @@ class LakeTable:
                     f"{operation} on {self.location}: concurrent writer touched "
                     f"the same buckets; re-run the operation"
                 )
+            # Snapshot isolation vs concurrent MoR eras (r13, the CoW
+            # side of _check_new_delete_eras): this rewrite's content
+            # was computed from snap_before's delete mask. An era added
+            # to an affected bucket after the scan would be silently
+            # DROPPED below (_prune_deletes sees its covers replaced) —
+            # resurrecting the concurrently-deleted rows; an era folded
+            # away would double-apply. Any delete-entry drift on the
+            # affected buckets fails the commit instead.
+            if {str(b): parent.deletes.get(str(b), []) for b in affected} != {
+                str(b): snap_before.deletes.get(str(b), []) for b in affected
+            }:
+                raise CommitConflict(
+                    f"{operation} on {self.location}: a concurrent "
+                    "merge-on-read commit changed delete eras on the "
+                    "rewritten buckets; re-run the operation"
+                )
             merged = {b: dirs for b, dirs in parent.buckets.items() if b not in affected_s}
             for b, dirs in per_bucket.items():
                 merged[b] = dirs
@@ -3517,7 +3533,9 @@ class LakeTable:
         if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError(f"unknown delete mode {mode!r}")
         snap = self.snapshot()
-        filters = condition if isinstance(condition, list) else None
+        # dict = the explicit {"or"}/{"and"} markers — same tuple
+        # vocabulary as the list forms, same dir pruning
+        filters = condition if isinstance(condition, (list, dict)) else None
         if filters is not None:
             dnf = _norm_dnf(filters)  # once, not per dir
             cond = _dnf_expr(dnf)
@@ -3694,7 +3712,9 @@ class LakeTable:
         if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError(f"unknown update mode {mode!r}")
         snap = self.snapshot()
-        filters = condition if isinstance(condition, list) else None
+        # dict = the explicit {"or"}/{"and"} markers — same tuple
+        # vocabulary as the list forms, same dir pruning
+        filters = condition if isinstance(condition, (list, dict)) else None
         if filters is not None:
             dnf = _norm_dnf(filters)  # once, not per dir
             cond = _dnf_expr(dnf)
@@ -4390,7 +4410,11 @@ class LakeTable:
                 if gone_r is not None:
                     cache["roots_bytes"] -= gone_r[1]
                 removed += 1
-        swept = self._sweep_segments() if removed else 0
+        # the sweep runs UNCONDITIONALLY: orphaned segments also come
+        # from aborted transactions and lost commit races, which remove
+        # no snapshot — gating on `removed` would let metadata/segments/
+        # grow without bound on tables whose snapshots never expire
+        swept = self._sweep_segments()
         return {"expired_snapshots": removed, "expired_segments": swept}
 
     def _sweep_segments(self) -> int:

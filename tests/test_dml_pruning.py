@@ -759,3 +759,90 @@ def test_dnf_mor_era_fold_walk(catalog, spark, seed):
     check("final")
     rep = t.fsck(deep=True)
     assert rep["ok"], rep
+
+
+def test_cow_rewrite_detects_concurrent_delete_era(catalog, spark):
+    """The CoW side of the snapshot-isolation check (r13 review): a
+    copy-on-write rewrite (merge / update_where) computed from a
+    snapshot WITHOUT a concurrent MoR delete era must fail its commit
+    — otherwise _prune_deletes drops the era (its covers were
+    replaced) and the concurrently-deleted rows come back."""
+    from datalake_iceberg_spark.tables import CommitConflict
+
+    t = _mk_range_table(catalog, spark, name="db.race_cow")
+    other = catalog.table("db.race_cow")
+    real_commit = type(t)._commit
+    fired = {"n": 0}
+
+    def racing_commit(self, build, operation, **kw):
+        if operation == "update" and not fired["n"]:
+            fired["n"] = 1
+            other.delete_keys(
+                spark.createDataFrame([Row(id=255)]), mode="merge-on-read"
+            )
+        return real_commit(self, build, operation, **kw)
+
+    t._commit = racing_commit.__get__(t)
+    with pytest.raises(CommitConflict, match="delete eras"):
+        t.update_where("id >= 250 AND id < 260", {"v": "'cow'"})
+    # the concurrent MoR delete survived intact: 255 stays deleted
+    assert 255 not in {r["id"] for r in other.read().collect()}
+    # a clean re-run sees the era and applies on top of it
+    t2 = catalog.table("db.race_cow")
+    t2.update_where("id >= 250 AND id < 260", {"v": "'cow'"})
+    got = {r["id"]: r["v"] for r in t2.read().collect()}
+    assert 255 not in got and got[251] == "cow"
+
+
+def test_fold_detects_concurrent_delete_era(catalog, spark):
+    """rewrite_position_delete_files folds the eras it SCANNED; an era
+    committed after the scan must conflict, never silently drop."""
+    from datalake_iceberg_spark.tables import CommitConflict
+
+    from datalake_iceberg_spark.tables import bucket_expr
+
+    t = _mk_range_table(catalog, spark, name="db.race_fold")
+    t.delete_keys(spark.createDataFrame([Row(id=5)]), mode="merge-on-read")
+    # the racing era must land on the SAME bucket the fold rewrites
+    buckets = {
+        r["id"]: r["b"]
+        for r in spark.createDataFrame([Row(id=i) for i in range(300)])
+        .select("id", bucket_expr(["id"], 2).alias("b")).collect()
+    }
+    sibling = next(i for i in range(10, 300) if buckets[i] == buckets[5])
+    other = catalog.table("db.race_fold")
+    real_commit = type(t)._commit
+    fired = {"n": 0}
+
+    def racing_commit(self, build, operation, **kw):
+        if operation == "rewrite_position_deletes" and not fired["n"]:
+            fired["n"] = 1
+            other.delete_keys(
+                spark.createDataFrame([Row(id=sibling)]), mode="merge-on-read"
+            )
+        return real_commit(self, build, operation, **kw)
+
+    t._commit = racing_commit.__get__(t)
+    with pytest.raises(CommitConflict, match="delete eras"):
+        t.rewrite_position_delete_files()
+    # both deletes still in force; a clean fold then converges
+    t2 = catalog.table("db.race_fold")
+    assert {5, sibling} & {r["id"] for r in t2.read().collect()} == set()
+    t2.rewrite_position_delete_files()
+    assert not t2.snapshot().deletes
+    assert {5, sibling} & {r["id"] for r in t2.read().collect()} == set()
+
+
+def test_predicate_dml_accepts_or_and_markers(catalog, spark):
+    """r13 review: the explicit {"or"}/{"and"} markers must work in
+    delete_where/update_where (both modes), not just scan — the CLI
+    recommends them for purges."""
+    t = _mk_range_table(catalog, spark, name="db.dmlmark")
+    t.update_where({"or": [("id", "<", 2), ("id", ">=", 298)]},
+                   {"v": "'marked'"}, mode="merge-on-read")
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got[0] == got[1] == got[298] == got[299] == "marked"
+    assert got[150] == "v150"
+    t.delete_where({"and": [("id", ">=", 100), ("id", "<", 110)]})
+    remaining = {r["id"] for r in t.read().collect()}
+    assert remaining == set(range(300)) - set(range(100, 110))
