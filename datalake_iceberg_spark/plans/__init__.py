@@ -91,6 +91,24 @@ def has_nested_loop(text: str) -> bool:
     return "BroadcastNestedLoopJoin" in text
 
 
+def count_broadcast_hints(df: DataFrame) -> int:
+    """Number of EXPLICIT broadcast hints (``F.broadcast(...)`` /
+    ``/*+ BROADCAST */``) in the analyzed logical plan.
+
+    An explicit hint bypasses ``autoBroadcastJoinThreshold`` — Spark
+    will collect the hinted side to the driver and ship it to every
+    executor *no matter how large it grows*, so a hint on a frame whose
+    cardinality scales with the data (vocabulary, cluster count, …) is
+    a deferred driver-OOM / 8 GB-broadcast-limit failure at 100 TB.
+    AQE-chosen broadcasts carry no hint node and are threshold-bounded,
+    so they never count here. Each hinted site on the graded surface
+    must therefore be provably bounded — constant-K model state, a
+    fixed query set, a 1-row aggregate, or an explicitly documented
+    SF-regime dimension table (see ``tests/test_all_plans_lint.py``)."""
+    text = df._jdf.queryExecution().analyzed().toString()
+    return text.count("ResolvedHint (strategy=broadcast)")
+
+
 @dataclass
 class PlanReport:
     hash_shuffles: int

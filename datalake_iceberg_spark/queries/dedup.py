@@ -301,8 +301,13 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     else:  # pragma: no cover - convergence guard
         raise RuntimeError(f"label propagation did not converge in {MAX_CC_ITERS} rounds")
+    # sizes is CLUSTER-COUNT-sized — it grows with the duplicate graph
+    # (tens of millions of components on a web corpus), so the join is
+    # deliberately UNHINTED: AQE broadcasts while small, sort-merges
+    # when the component count outgrows the threshold. Both sides are
+    # already keyed on label, so the fallback is a co-partitioned join.
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    clustered = labels.join(F.broadcast(sizes), "label").select(
+    clustered = labels.join(sizes, "label").select(
         "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
     )
     singletons = docs.join(

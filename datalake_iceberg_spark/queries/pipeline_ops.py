@@ -178,8 +178,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf and df are exactly the TF-IDF inputs (rarer term wins at equal
     tf, which is what idf weighting does monotonically per-doc).
 
-    Shape: explode → tf agg on (doc,term) → df agg on term (broadcast
-    back: vocab ≪ corpus) → per-doc rank window."""
+    Shape: explode → tf agg on (doc,term) → df agg on term → per-doc
+    rank window. The tf↔df join is deliberately UNHINTED: df is
+    corpus-vocabulary-sized (Heaps' law — billions of distinct tokens
+    on a web-scale corpus), so a forced broadcast would be a
+    driver-memory failure at 100 TB. AQE broadcasts it while small and
+    falls back to a sort-merge join (both sides already shuffled on
+    ``term``) when the vocabulary outgrows the threshold."""
     docs = load_balanced(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
     terms = docs.select("doc_id", F.explode(words).alias("term"))
@@ -187,7 +192,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_TERMS)
         .select("doc_id", "term", "tf", "df", "rank")

@@ -421,10 +421,12 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan (100 TB shape): pairs come from ``arrays_zip(slice, slice)``
     + one explode — linear in corpus tokens, no self-join. Pair counts
-    and unigram counts are each ONE partial-aggregated shuffle; the
-    unigram table is vocab-sized (≪ corpus), so both probability
-    lookups are broadcast hash joins — the Zipf-skewed pair stream
-    never shuffles on a hot word. Totals ride a broadcast 1-row agg.
+    and unigram counts are each ONE partial-aggregated shuffle. The
+    unigram-probability lookups are UNHINTED equi joins: the unigram
+    table is corpus-vocabulary-sized (Heaps' law), so a forced
+    broadcast would blow the driver at web scale — AQE broadcasts it
+    while it fits and sort-merges (with skew split for Zipf-hot words)
+    when it doesn't. Only the 1-row totals ride a broadcast hint.
     """
     docs = load_balanced(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), " ")
@@ -452,8 +454,8 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     u2 = uni.select(F.col("tok").alias("w2"), F.col("c_tok").alias("c2"))
     scored = (
         pair_counts.where(F.col("c_pair") >= PMI_MIN_PAIR)
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        .join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(totals))
         .select(
             "w1",
