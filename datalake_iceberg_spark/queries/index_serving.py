@@ -1,0 +1,208 @@
+"""Driver-graded search through the PERSISTED index tables.
+
+The incremental-index subsystems (``ops/incremental_ann.IvfIndex``,
+``ops/text_index.TextIndex``) were bench+tests-only until r14: the
+graded ``ivf_ann_topk`` / ``bm25_topk`` entries recompute from raw
+parquet, never touching the persisted postings tables. These two
+entries close that gap the same way ``read_changes_orders`` and
+``incremental_dedup`` grade their subsystems: stage the REAL index in a
+temp warehouse once per sf_dir (create from a deterministic corpus
+split, ``add()`` the held-out batch through the frozen quantizer,
+replay the add to assert idempotence), then return the index's own
+``search()`` DataFrame — while the DuckDB oracle recomputes the answer
+from the raw parquet with none of the index machinery.
+
+Determinism note (ANN): the staged ``IvfIndex`` trains with
+``lloyd_rounds=0``, freezing the quantizer at the seed vectors (first
+``ANN_N_CELLS`` of the create split by vec_id). Both engines then
+compute every cosine as a left-to-right array-order dot product over
+the SAME exact input doubles, so assignments match bit-for-bit; a
+mean-update round would compare cosines of avg-derived centroids whose
+ULPs depend on each engine's summation order (the Lloyd trainer itself
+is graded separately by ``kmeans_clusters``, which pins that hazard by
+rounding). The index plumbing this entry grades — cell-bucketed
+postings, frozen-centroid batch add, idempotent replay, nprobe-bounded
+bucket-pruned probe — is identical either way.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_iceberg_spark.queries import load
+from datalake_iceberg_spark.queries.similarity import N_QUERIES
+from datalake_iceberg_spark.queries.textops import BM25_QUERIES, BM25_TOPK_SQL
+
+IDX_BATCH_MOD = 10  # id % 10 == 0 is the post-create add() batch
+ANN_N_CELLS = 16
+ANN_NPROBE = 2
+ANN_TOP_K = 3
+
+_STAGED: dict[tuple[str, str], str] = {}
+_STAGE_LOCK = threading.Lock()
+
+
+def _stage_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the persisted IVF index once per sf_dir: create from the
+    id%10!=0 split, add() the held-out batch against the frozen
+    centroids, replay the add and assert nothing lands twice."""
+    from datalake_iceberg_spark.ops.incremental_ann import IvfIndex
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    with _STAGE_LOCK:
+        loc = _STAGED.get(("ann", sf_dir))
+        if loc is not None:
+            return loc
+        loc = tempfile.mkdtemp(prefix="ann_index_wh_")
+        atexit.register(shutil.rmtree, loc, ignore_errors=True)
+        cat = LakeCatalog(spark, loc)
+        emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        is_batch = F.pmod(F.col("vec_id"), F.lit(IDX_BATCH_MOD)) == 0
+        idx = IvfIndex.create(
+            cat, "ann_idx", emb.filter(~is_batch),
+            n_cells=ANN_N_CELLS, lloyd_rounds=0, n_buckets=ANN_N_CELLS,
+        )
+        added = idx.add(emb.filter(is_batch))
+        assert added["added"] > 0, added
+        replay = idx.add(emb.filter(is_batch))
+        assert replay["added"] == 0, replay
+        _STAGED[("ann", sf_dir)] = loc
+        return loc
+
+
+def ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K cosine search through the PERSISTED ``IvfIndex`` tables
+    (``ops/incremental_ann.py``): the coarse probe ranks the frozen
+    broadcast centroids, the candidate read is a bucket-pruned lookup
+    of exactly the ``ANN_NPROBE`` probed cells' buckets (~nprobe/ncells
+    of the postings at scale), exact cosine + per-query top-K inside.
+    Output: (query_id, cand_id, cosine, rank)."""
+    from datalake_iceberg_spark.ops.incremental_ann import IvfIndex
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    loc = _stage_ann_index(spark, sf_dir)
+    idx = IvfIndex.open(LakeCatalog(spark, loc), "ann_idx")
+    q = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return idx.search(q, nprobe=ANN_NPROBE, top_k=ANN_TOP_K)
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+_NRM_SQL = (
+    "sqrt(list_sum(list_transform({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+# Oracle: replay the staged index's lifecycle from raw parquet — seed
+# centroids from the create split, assign EVERY vector (create's final
+# assign + the frozen-quantizer add batch land in identical cells),
+# then the nprobe-bounded probe and exact re-rank. Dense cell
+# renumbering is monotonic in the seed id, so tie-breaking on the
+# original cid is equivalent.
+ANN_INDEX_TOPK_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS c_emb FROM (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE vec_id % {IDX_BATCH_MOD} != 0 ORDER BY vec_id LIMIT {ANN_N_CELLS}
+  ) WHERE {_NRM_SQL.format(a="embedding")} > 0
+),
+assigned AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT s.*, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {_DOT_SQL.format(a="e.embedding", b="c.c_emb")}
+             / ({_NRM_SQL.format(a="e.embedding")}
+                * {_NRM_SQL.format(a="c.c_emb")}) AS cos
+      FROM embeddings e CROSS JOIN cents c
+      WHERE {_NRM_SQL.format(a="e.embedding")} > 0
+    ) s
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {N_QUERIES} AND {_NRM_SQL.format(a="embedding")} > 0
+),
+probed AS (
+  SELECT query_id, q_emb, cell FROM (
+    SELECT s.*, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cell_cos DESC, cell ASC) AS cell_rank
+    FROM (
+      SELECT q.query_id, q.q_emb, c.cid AS cell,
+             {_DOT_SQL.format(a="q.q_emb", b="c.c_emb")}
+             / ({_NRM_SQL.format(a="q.q_emb")}
+                * {_NRM_SQL.format(a="c.c_emb")}) AS cell_cos
+      FROM queries q CROSS JOIN cents c
+    ) s
+  ) WHERE cell_rank <= {ANN_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+         ROUND({_DOT_SQL.format(a="p.q_emb", b="a.embedding")}
+               / ({_NRM_SQL.format(a="p.q_emb")}
+                  * {_NRM_SQL.format(a="a.embedding")}), 6) AS cosine
+  FROM probed p JOIN assigned a ON p.cell = a.cell
+  WHERE p.query_id != a.vec_id
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT s.*, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored s
+) WHERE rank <= {ANN_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def _stage_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the persisted BM25 text index once per sf_dir — same
+    create/add/replay discipline as the ANN staging."""
+    from datalake_iceberg_spark.ops.text_index import TextIndex
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    with _STAGE_LOCK:
+        loc = _STAGED.get(("text", sf_dir))
+        if loc is not None:
+            return loc
+        loc = tempfile.mkdtemp(prefix="text_index_wh_")
+        atexit.register(shutil.rmtree, loc, ignore_errors=True)
+        cat = LakeCatalog(spark, loc)
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        is_batch = F.pmod(F.col("doc_id"), F.lit(IDX_BATCH_MOD)) == 0
+        idx = TextIndex.create(cat, "text_idx", docs.filter(~is_batch),
+                               n_buckets=8)
+        added = idx.add(docs.filter(is_batch))
+        assert added["added"] > 0, added
+        replay = idx.add(docs.filter(is_batch))
+        assert replay["added"] == 0, replay
+        _STAGED[("text", sf_dir)] = loc
+        return loc
+
+
+def text_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 through the PERSISTED ``TextIndex`` tables
+    (``ops/text_index.py``): the hit read is a bucket-pruned lookup of
+    only the token buckets the query terms hash to; scoring and tie
+    rules are identical to the raw-parquet ``bm25_topk`` entry, so the
+    oracle is the SAME SQL — create split + added batch reassemble the
+    full corpus, and the index search must equal the from-scratch
+    recompute exactly. Output: (query_id, doc_id, score, rank)."""
+    from datalake_iceberg_spark.ops.text_index import TextIndex
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    loc = _stage_text_index(spark, sf_dir)
+    idx = TextIndex.open(LakeCatalog(spark, loc), "text_idx")
+    return idx.search(list(BM25_QUERIES), top_k=10)
+
+
+TEXT_INDEX_BM25_SQL = BM25_TOPK_SQL

@@ -57,6 +57,11 @@ SMALL_CROSS = {
     # ≤K-row broadcast better-than self-join ranks the top-K paths
     # (replaces a partitionless window, same as zipf_stats)
     "top_session_paths",
+    # persisted-index probes: 10-row query set × K frozen centroids
+    # (ann) / 1-row corpus-totals broadcast (text) — the same declared
+    # shapes as ivf_ann_topk and bm25_topk, through the index tables
+    "ann_index_topk",
+    "text_index_bm25",
 }
 
 
@@ -155,6 +160,11 @@ BOUNDED_BROADCAST = {
     "event_type_transitions": "enum-key (per-type out-degree)",
     "winsorized_value_stats": "enum-key (per-type percentile bounds)",
     "top_session_paths": "having-tiny (top-K paths)",
+    # --- persisted-index serving (same shapes as their raw-parquet
+    #     twins, through the staged IvfIndex / TextIndex tables) ---
+    "ann_index_topk": "model-K (frozen centroids) + query-set (10 rows)",
+    "text_index_bm25": "1-row agg (corpus totals) + query-set + "
+                       "query-vocab df table",
     # --- byte-gated DML (tables.py MoR delete-key anti-join) ---
     "delete_mor_orders": "byte-gated (DELETE_BROADCAST_MAX_BYTES)",
     "delete_where_orders": "byte-gated",
