@@ -87,6 +87,27 @@ BENCH_QUERIES = [
     "event_type_transitions",
 ]
 
+#: sf1 scale-validation set: the most expensive headline queries by the
+#: r13 capture plus two diversity anchors (a TPC-H multi-join and the
+#: events sessionizer). Deliberately excludes the declared-quadratic
+#: audits (knn_bruteforce / knn_label_purity document their sample/cand
+#: dials); everything here claims an at-most-linear scan/shuffle shape,
+#: which the recorded t_sf1/t_sf0.1 ratio now measures instead of argues.
+SF1_QUERIES = [
+    "q1_pricing_summary",
+    "q9_nation_profit",
+    "sessionize_events",
+    "bm25_topk",
+    "dedup_keep_best",
+    "dup_clusters",
+    "pq_quant_error",
+    "semantic_dedup",
+    "minhash_est_error",
+    "minhash_recall",
+    "ngram_lm_score",
+    "pmi_collocations",
+]
+
 
 CAPTURE_BUDGET = 1990  # driver records only the LAST ~2000 chars of stdout
 #: the driver-capture subset of the ~72 dml metrics (ALL of which land
@@ -100,31 +121,55 @@ KEY_DML_TIERS = (
     "merge_0p1pct_1024b", "delete_mor_0p1pct_1024b",
     "delete_cow_0p1pct_1024b", "mor_fold_1024b",
     "read_changes_pruned_diff", "gc_with_clones",
-    "lookup_16_keys_1024b", "lookup_overcap_1pct",
+    "lookup_16_keys_1024b",
     "delete_where_cold_era_cow", "delete_where_era_mor",
+    # r14: lookup_overcap_1pct rotated out (sibling lookup tier stays;
+    # band-stable r10-r13, still in bench_latest.json) to make room for
+    # the sf1 + normalized fields inside the capture budget
 )
 
 
-def compact_line(total, timings, dml, sf, calibration_s=None) -> str:
+def compact_line(total, timings, dml, sf, calibration_s=None,
+                 sf1_block=None) -> str:
     """The ONE stdout line, guaranteed to fit the driver's capture
     window whole (see tests/test_bench_contract.py): 2dp timings + the
     key DML tiers, shrinking to 1dp and then dropping dml if a huge
     query list would ever outgrow the budget. ``calibration_s`` is the
     fixed pure-CPU job's runtime — the host-speed fingerprint the
-    settled bands are normalized against."""
+    settled bands are normalized against; ``normalized`` carries the
+    drift-corrected total/calibration ratio directly (r13 verdict item
+    8) so the judge reads it without recomputing. ``sf1_block`` adds a
+    3-field summary of the 10× scale tier (full detail in
+    bench_latest.json)."""
     compact = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
-        "dml": {k: dml[k] for k in KEY_DML_TIERS if k in dml},
+        # 2dp in the capture; full 3dp precision in bench_latest.json
+        "dml": {k: round(dml[k], 2) for k in KEY_DML_TIERS if k in dml},
         "sf": sf,
     }
     if calibration_s is not None:
         compact["calibration_s"] = calibration_s
+        if calibration_s > 0:
+            compact["normalized"] = round(total / calibration_s, 1)
+    if sf1_block and sf1_block.get("queries"):
+        # 2 fields only — the full per-query sf1 detail (timings,
+        # every scaling ratio, dml slice, gen time) is in
+        # bench_latest.json; the capture just needs the headline
+        compact["sf1"] = {
+            "total": round(sum(sf1_block["queries"].values()), 2),
+            "worst": sf1_block.get("worst_scaler"),
+        }
     cline = json.dumps(compact)
     if len(cline) > CAPTURE_BUDGET:  # shrink ladder: 1dp first
         compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        cline = json.dumps(compact)
+    if len(cline) > CAPTURE_BUDGET:  # then shed the sf1 summary (its
+        # full detail always lands in bench_latest.json) before
+        # touching the dml band tiers the judge tracks round-to-round
+        compact.pop("sf1", None)
         cline = json.dumps(compact)
     if len(cline) > CAPTURE_BUDGET:  # then drop dml
         compact.pop("dml", None)
@@ -874,6 +919,91 @@ def main() -> None:
     except Exception as ex:
         print(f"# manifest-scale tier skipped: {ex}", file=sys.stderr)
 
+    # sf1 scale-validation tier (r13 verdict item 5): derive a 10×
+    # tier from the sf0.1 fixture (deterministic key-shifted replicas,
+    # ops/scale_tier.py) and run the 12 most expensive / most
+    # diagnostic headline queries ONCE each, recording t_sf1/t_sf0.1
+    # next to the calibration constant. A ratio ≤ 10 is at-most-linear
+    # in the data (fixed per-job overhead makes healthy queries land
+    # well under 10 at this absolute size); anything above 10 is named
+    # super-linear by MEASUREMENT, the empirical check the structural
+    # 100 TB arguments were missing. The declared-quadratic audits
+    # (knn_bruteforce / knn_label_purity, documented sample/cand
+    # dials) are excluded by design. Disable with SPARK_GRAFT_SF1=0.
+    sf1_block = None
+    if abs(sf - 0.1) < 1e-9 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        try:
+            import shutil
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from datalake_iceberg_spark.functions.keys import surrogate_key
+            from datalake_iceberg_spark.ops.scale_tier import ensure_scaled_dir
+            from datalake_iceberg_spark.tables import LakeCatalog
+
+            sf1_dir = os.environ.get(
+                "SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"
+            )
+            t0 = _case("sf1:generate")
+            sf1_dir = ensure_scaled_dir(spark, sf_dir, sf1_dir, 10)
+            gen_s = round(time.perf_counter() - t0, 3)
+            sf1_q: dict[str, float] = {}
+            for name in SF1_QUERIES:
+                t0 = _case(f"sf1:{name}")
+                qs[name](spark, sf1_dir).count()
+                sf1_q[name] = round(time.perf_counter() - t0, 3)
+            scaling = {
+                n: round(sf1_q[n] / timings[n], 2)
+                for n in SF1_QUERIES
+                if timings.get(n)
+            }
+            # one sf1 DML slice on the replicated orders (10× rows):
+            # RTAS + 1%-merge + 1%-delete, the same shapes as the
+            # sf0.1 tiers above
+            sf1_dml: dict[str, float] = {}
+            try:
+                wh1 = tempfile.mkdtemp(prefix="bench_sf1_dml_")
+                cat1 = LakeCatalog(spark, wh1)
+                orders1 = surrogate_key(
+                    spark.read.parquet(f"{sf1_dir}/orders.parquet"),
+                    ["o_orderkey"],
+                )
+                t0 = _case("sf1:rtas_orders")
+                tb1 = cat1.create_or_replace(
+                    "bench.sf1_orders", orders1, key=["id_iceberg"]
+                )
+                sf1_dml["rtas_orders"] = round(time.perf_counter() - t0, 3)
+                upd1 = orders1.filter(
+                    F.col("o_orderkey") % 100 == 0
+                ).withColumn("o_orderpriority", F.lit("BENCH"))
+                t0 = _case("sf1:merge_1pct")
+                tb1.merge(upd1, assert_unique_key=False)
+                sf1_dml["merge_1pct"] = round(time.perf_counter() - t0, 3)
+                dels1 = orders1.filter(
+                    F.col("o_orderkey") % 100 == 1
+                ).select("id_iceberg")
+                t0 = _case("sf1:delete_1pct")
+                tb1.delete_keys(dels1)
+                sf1_dml["delete_1pct"] = round(time.perf_counter() - t0, 3)
+                shutil.rmtree(wh1, ignore_errors=True)
+            except Exception as ex:
+                print(f"# sf1 dml skipped: {ex}", file=sys.stderr)
+            worst = max(scaling.items(), key=lambda kv: kv[1]) if scaling else None
+            sf1_block = {
+                "gen_s": gen_s,
+                "queries": sf1_q,
+                "scaling_vs_sf0.1": scaling,
+                "dml": sf1_dml,
+                "worst_scaler": {worst[0]: worst[1]} if worst else None,
+                "note": "ratio<=10 is at-most-linear for the 10x tier",
+            }
+            for n, r in sorted(scaling.items(), key=lambda kv: -kv[1]):
+                print(f"# sf1 {n}: {sf1_q[n]}s ({r}x of sf0.1)",
+                      file=sys.stderr)
+        except Exception as ex:  # scale tier must never fail the bench
+            print(f"# sf1 tier skipped: {ex}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     spark.stop()
 
@@ -957,6 +1087,7 @@ def main() -> None:
         "dml": dml,
         "sf": sf,
         "calibration_s": calibration_s,
+        "sf1": sf1_block,
         "health": health,
     })
     # Driver-capture contract: the driver records only the LAST ~2000
@@ -966,7 +1097,7 @@ def main() -> None:
     # ONE compact line, guaranteed to fit the window whole (timings at
     # 2 dp, key DML tiers only, no health block); the full record goes
     # to stderr for humans and to bench_latest.json for the judge.
-    cline = compact_line(total, timings, dml, sf, calibration_s)
+    cline = compact_line(total, timings, dml, sf, calibration_s, sf1_block)
     print(f"# full record: {line}", file=sys.stderr)
     print(cline)
     # companion artifact: the driver's BENCH_r{N}.json capture has been

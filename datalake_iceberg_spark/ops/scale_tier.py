@@ -1,0 +1,135 @@
+"""Derive a larger scale-factor tier from an existing testdata dir.
+
+The committed bench history is all sf0.1 (~600k lineitem); the 100 TB
+design claims (dir pruning ∝ hot eras, probe ∝ nprobe/cells, one-scan
+text shapes) were structurally argued but never MEASURED above sf0.1.
+This module manufactures an sfN tier deterministically from the driver
+fixture — ``replication`` key-shifted copies of every table — so the
+bench can record per-query scaling factors (t_sfN / t_sf0.1) next to
+the host-calibration constant, and a query scaling worse than ~linear
+is named by measurement instead of argument.
+
+Why replication (not a fresh generator): the fixture's distributions
+per copy are preserved exactly and the derivation is reproducible from
+the read-only driver data — no second synthetic-data generator to
+drift from TESTDATA.md. The known distortion is that DISTINCT text /
+vocabulary does not grow with the copy count (Heaps' law would add new
+tokens; replicas repeat them), so vocabulary-keyed aggregates see sfN
+token VOLUME over sf0.1 CARDINALITY — fine for scan/shuffle scaling,
+understating only distinct-key growth (which the unbounded-broadcast
+lint now polices structurally).
+
+Key shifting preserves referential integrity (every foreign key shifts
+by the same per-copy offset as its dimension's primary key) and the
+graded modular splits (offsets are rounded to a multiple of 100, so
+``id % 10`` / ``% 50`` / ``% 100`` cohorts keep their meaning inside
+every copy). Fixed query sets stay fixed: ``vec_id < N_QUERIES`` keeps
+selecting the 10 copy-0 vectors, against a corpus N× the size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: round every key offset UP to a multiple of this so the modular
+#: splits the graded entries rely on (% 10, % 50, % 100) survive
+_OFFSET_ROUND = 100
+
+_MARKER = "_SCALE_TIER_SUCCESS.json"
+
+#: table -> list of (column, offset_domain); every column shifts by
+#: copy_index * offset(domain), and a domain's offset comes from the
+#: max of its OWNING table's key, so foreign keys stay consistent
+_SHIFTS: dict[str, list[tuple[str, str]]] = {
+    "region": [],
+    "nation": [],
+    "customer": [("c_custkey", "customer")],
+    "supplier": [("s_suppkey", "supplier")],
+    "part": [("p_partkey", "part")],
+    "orders": [("o_orderkey", "orders"), ("o_custkey", "customer")],
+    "lineitem": [
+        ("l_orderkey", "orders"),
+        ("l_partkey", "part"),
+        ("l_suppkey", "supplier"),
+    ],
+    "events": [("event_id", "events"), ("user_id", "events_user")],
+    "documents": [("doc_id", "documents")],
+    "embeddings": [("vec_id", "embeddings")],
+}
+
+#: domain -> (table, key column) the offset is computed from
+_DOMAIN_KEY = {
+    "customer": ("customer", "c_custkey"),
+    "supplier": ("supplier", "s_suppkey"),
+    "part": ("part", "p_partkey"),
+    "orders": ("orders", "o_orderkey"),
+    "events": ("events", "event_id"),
+    "events_user": ("events", "user_id"),
+    "documents": ("documents", "doc_id"),
+    "embeddings": ("embeddings", "vec_id"),
+}
+
+
+def _offsets(spark: SparkSession, src_dir: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for domain, (table, col) in _DOMAIN_KEY.items():
+        m = (
+            spark.read.parquet(f"{src_dir}/{table}.parquet")
+            .agg(F.max(col))
+            .collect()[0][0]
+        )
+        out[domain] = ((int(m or 0) // _OFFSET_ROUND) + 1) * _OFFSET_ROUND
+    return out
+
+
+def _replicate(
+    df: DataFrame, shifts: list[tuple[str, str]],
+    offsets: dict[str, int], replication: int,
+) -> DataFrame:
+    """One scan → ``replication``× rows: cross join against the tiny
+    copy-index frame, shifting every keyed column per copy."""
+    if not shifts:
+        return df
+    copies = df.sparkSession.range(replication).select(
+        F.col("id").alias("__copy")
+    )
+    out = df.crossJoin(F.broadcast(copies))
+    for col, domain in shifts:
+        out = out.withColumn(
+            col, F.col(col) + F.col("__copy") * F.lit(offsets[domain])
+        )
+    return out.drop("__copy")
+
+
+def ensure_scaled_dir(
+    spark: SparkSession,
+    src_dir: str,
+    target_dir: str,
+    replication: int = 10,
+) -> str:
+    """Build (or reuse) the scaled tier at ``target_dir``. Idempotent:
+    a marker records the source dir + replication; a matching marker
+    short-circuits, anything else rebuilds from scratch."""
+    want = {"src": os.path.abspath(src_dir), "replication": replication,
+            "tables": sorted(_SHIFTS)}
+    marker = os.path.join(target_dir, _MARKER)
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == want:
+                return target_dir
+    except (OSError, ValueError):
+        pass
+    os.makedirs(target_dir, exist_ok=True)
+    offsets = _offsets(spark, src_dir)
+    for table, shifts in _SHIFTS.items():
+        src = spark.read.parquet(f"{src_dir}/{table}.parquet")
+        _replicate(src, shifts, offsets, replication).write.mode(
+            "overwrite"
+        ).parquet(f"{target_dir}/{table}.parquet")
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
+    return target_dir
