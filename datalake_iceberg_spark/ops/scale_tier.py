@@ -127,9 +127,18 @@ def ensure_scaled_dir(
     offsets = _offsets(spark, src_dir)
     for table, shifts in _SHIFTS.items():
         src = spark.read.parquet(f"{src_dir}/{table}.parquet")
-        _replicate(src, shifts, offsets, replication).write.mode(
-            "overwrite"
-        ).parquet(f"{target_dir}/{table}.parquet")
+        out = _replicate(src, shifts, offsets, replication)
+        if shifts:
+            # the replication cross join multiplies rows WITHOUT adding
+            # partitions — written as-is, the tier lands in a few huge
+            # row groups and every downstream scan starts 70x-skewed
+            # (measured: the sf1 RTAS read stage). One shuffle at
+            # generation time buys evenly-sized files for every later
+            # read, exactly what a real ingest job would do.
+            out = out.repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        out.write.mode("overwrite").parquet(f"{target_dir}/{table}.parquet")
     with open(marker, "w") as fh:
         json.dump(want, fh)
     return target_dir

@@ -560,3 +560,182 @@ def test_rollback_across_rebucket_with_mor(catalog, spark):
     t.merge(_df(spark, {2: "again"}))
     model[2] = "again"
     assert _read_state(t) == model
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_branch_conflict_or_converge_walk(catalog, spark, seed):
+    """r13 verdict item 6: the branch walk above keeps promotion always
+    possible by dropping the branch whenever main moves — so the
+    CONFLICT rule (fast_forward while main is past the fork base must
+    raise CommitConflict, never silently overwrite) and the CONVERGE
+    path (re-fork + replay, then promote) were never random-walked.
+    Here main and a live branch both take DML freely; every promotion
+    attempt asserts conflict-or-converge:
+
+    - main at fork base  -> fast_forward succeeds, main == branch model
+    - main moved         -> fast_forward raises CommitConflict; the
+      branch rebase (drop, re-fork from current main, REPLAY the
+      recorded branch intents) must then promote cleanly with the
+      replayed model — the lake-table analogue of a git rebase.
+
+    Branch-local DML is also wider than the happy-path walk: MoR
+    deletes, predicate update_where, compaction and MoR fold all run
+    ON THE BRANCH with main provably untouched after each."""
+    from datalake_iceberg_spark.tables import CommitConflict
+
+    rng = random.Random(seed)
+    model: dict[int, str] = {i: f"v{i}" for i in range(36)}
+    t = catalog.create_or_replace(
+        "db.cbwalk", _df(spark, model), key=["id"], n_buckets=4
+    )
+    next_id = 1000
+    # live branch state: (LakeBranch, branch_model, fork_base_version,
+    # recorded intents for replay-on-rebase)
+    branch = None
+    n_clean, n_conflict = 0, 0
+
+    def fresh(n):
+        nonlocal next_id
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        return ids
+
+    def _apply_intent(m: dict[int, str], intent) -> None:
+        kind, payload = intent
+        if kind == "merge":
+            m.update(payload)
+        elif kind == "delete":
+            for k in payload:
+                m.pop(k, None)
+        elif kind == "update_where":
+            cut, val = payload
+            for k in list(m):
+                if k <= cut:
+                    m[k] = val
+
+    for step in range(22):
+        op = rng.choice(
+            ["main_merge", "main_delete", "fork",
+             "branch_merge", "branch_delete_mor", "branch_update",
+             "branch_compact", "branch_fold", "promote"]
+        )
+        if op == "main_merge":
+            upd = {k: f"M{step}" for k in fresh(2)}
+            upd.update({
+                k: f"M{step}"
+                for k in rng.sample(sorted(model), min(2, len(model)))
+            })
+            t.merge(_df(spark, upd))
+            model.update(upd)
+        elif op == "main_delete":
+            if not model:
+                continue
+            keys = rng.sample(sorted(model), min(2, len(model)))
+            t.delete_keys(spark.createDataFrame([(k,) for k in keys], "id long"))
+            for k in keys:
+                model.pop(k)
+        elif op == "fork":
+            if branch is not None:
+                continue
+            base = t.current_version()
+            t.create_branch("wip")
+            branch = (t.branch("wip"), dict(model), base, [])
+        elif op in ("branch_merge", "branch_delete_mor", "branch_update",
+                    "branch_compact", "branch_fold"):
+            if branch is None:
+                continue
+            br, bm, base, intents = branch
+            if op == "branch_merge":
+                upd = {k: f"B{step}" for k in fresh(2)}
+                upd.update({
+                    k: f"B{step}"
+                    for k in rng.sample(sorted(bm), min(2, len(bm)))
+                })
+                br.merge(_df(spark, upd), mode=rng.choice(
+                    ["copy-on-write", "merge-on-read"]))
+                _apply_intent(bm, ("merge", upd))
+                intents.append(("merge", upd))
+            elif op == "branch_delete_mor":
+                if bm:
+                    keys = rng.sample(sorted(bm), min(2, len(bm)))
+                    br.delete_keys(
+                        spark.createDataFrame([(k,) for k in keys], "id long"),
+                        mode="merge-on-read",
+                    )
+                    _apply_intent(bm, ("delete", keys))
+                    intents.append(("delete", keys))
+            elif op == "branch_update":
+                cut = rng.randint(0, 40)
+                br.update_where([("id", "<=", cut)], {"v": f"'U{step}'"})
+                _apply_intent(bm, ("update_where", (cut, f"U{step}")))
+                intents.append(("update_where", (cut, f"U{step}")))
+            elif op == "branch_compact":
+                br.rewrite_data_files()
+            elif op == "branch_fold":
+                br.rewrite_position_delete_files()
+            branch = (br, bm, base, intents)
+            # branch work must be invisible on main, and vice versa
+            assert _read_state(t) == model, f"seed={seed} step={step} {op} leaked to main"
+            assert {r.id: r.v for r in br.read().collect()} == bm
+        elif op == "promote":
+            if branch is None:
+                continue
+            br, bm, base, intents = branch
+            if t.current_version() == base:
+                t.fast_forward("wip")
+                model = dict(bm)
+                n_clean += 1
+            else:
+                # CONFLICT: main moved past the fork base — promotion
+                # must refuse, main must be byte-identical after
+                before = _read_state(t)
+                with pytest.raises(CommitConflict):
+                    t.fast_forward("wip")
+                assert _read_state(t) == before
+                # CONVERGE: rebase = re-fork from current main and
+                # replay the branch's intents, then promote cleanly
+                t.drop_branch("wip")
+                t.create_branch("wip")
+                br = t.branch("wip")
+                rbm = dict(model)
+                for intent in intents:
+                    kind, payload = intent
+                    if kind == "merge":
+                        br.merge(_df(spark, payload))
+                    elif kind == "delete":
+                        br.delete_keys(spark.createDataFrame(
+                            [(k,) for k in payload], "id long"))
+                    elif kind == "update_where":
+                        cut, val = payload
+                        br.update_where([("id", "<=", cut)], {"v": f"'{val}'"})
+                    _apply_intent(rbm, intent)
+                assert {r.id: r.v for r in br.read().collect()} == rbm
+                t.fast_forward("wip")
+                model = dict(rbm)
+                n_conflict += 1
+            t.drop_branch("wip")
+            branch = None
+        assert _read_state(t) == model, f"seed={seed} step={step} op={op}"
+        _fsck_ok(t, f"seed={seed} step={step} op={op} (main)")
+        if branch is not None:
+            assert {r.id: r.v for r in branch[0].read().collect()} == branch[1]
+
+    # both promotion outcomes must have been exercised by the seed
+    # measured per-seed outcomes (pinned so a future rng-consumption
+    # change that silently stops exercising the CONFLICT path fails
+    # loudly): seed 3 walks the conflict+rebase promotion, seed 17
+    # walks three clean fast-forwards
+    expected = {3: (0, 1), 17: (3, 0)}[seed]
+    assert (n_clean, n_conflict) == expected, (
+        f"seed={seed}: promotion mix changed: clean={n_clean} "
+        f"conflict={n_conflict}, expected {expected} — re-pin after "
+        f"verifying both paths still run across the seed set"
+    )
+    if branch is not None:
+        t.drop_branch("wip")
+    t.rewrite_position_delete_files()
+    t.rewrite_data_files()
+    t.expire_snapshots(keep_last=2)
+    t.remove_orphan_files(older_than_s=0.0)
+    assert _read_state(t) == model
+    _fsck_ok(t, f"seed={seed} post-maintenance")
