@@ -206,3 +206,164 @@ def text_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXT_INDEX_BM25_SQL = BM25_TOPK_SQL
+
+
+PQ_DIM_PER_SUB = 16  # fixture embeddings are 64-dim; PQ_M=4 subspaces
+
+
+def _stage_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the persisted IVF-PQ index once per sf_dir — the same
+    create/add/replay discipline, with BOTH quantizers frozen at their
+    seeds (lloyd_rounds=0, pq_rounds=0) for the cross-engine
+    bit-determinism argument in the module docstring: codebooks are the
+    subvectors of the PQ_K smallest create-split vec_ids verbatim, so
+    the oracle replays them exactly."""
+    from datalake_iceberg_spark.ops.incremental_ann import IvfPqIndex
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    with _STAGE_LOCK:
+        loc = _STAGED.get(("pq", sf_dir))
+        if loc is not None:
+            return loc
+        loc = tempfile.mkdtemp(prefix="pq_index_wh_")
+        atexit.register(shutil.rmtree, loc, ignore_errors=True)
+        cat = LakeCatalog(spark, loc)
+        emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        is_batch = F.pmod(F.col("vec_id"), F.lit(IDX_BATCH_MOD)) == 0
+        idx = IvfPqIndex.create(
+            cat, "pq_idx", emb.filter(~is_batch),
+            n_cells=ANN_N_CELLS, lloyd_rounds=0, pq_rounds=0,
+            n_buckets=ANN_N_CELLS,
+        )
+        added = idx.add(emb.filter(is_batch))
+        assert added["added"] > 0, added
+        replay = idx.add(emb.filter(is_batch))
+        assert replay["added"] == 0, replay
+        _STAGED[("pq", sf_dir)] = loc
+        return loc
+
+
+def pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-K through the PERSISTED ``IvfPqIndex`` tables — the
+    billion-scale serving layout (candidates exist only as PQ codes +
+    norms, ~16× smaller; scoring is M LUT lookups, never a
+    full-dimension dot). Coarse probe over frozen broadcast centroids,
+    bucket-pruned read of the probed cells, per-query M·K LUT
+    broadcast. Output: (query_id, cand_id, adc_cosine, rank)."""
+    from datalake_iceberg_spark.ops.incremental_ann import IvfPqIndex
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    loc = _stage_pq_index(spark, sf_dir)
+    idx = IvfPqIndex.open(LakeCatalog(spark, loc), "pq_idx")
+    q = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return idx.search(q, nprobe=ANN_NPROBE, top_k=ANN_TOP_K)
+
+
+_PQ_K = 16  # ops/incremental_ann.PQ_K (4-bit codes)
+_PQ_M = 4
+
+_L2_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+)
+
+# Oracle: replay the whole IVF-PQ lifecycle from raw parquet — frozen
+# seed centroids AND seed codebooks (rounds=0 on both), full-corpus
+# cell assignment + code assignment (create final-encode and the
+# frozen-quantizer add batch land identically), then the ADC scoring
+# with the reconstruction-norm denominator sqrt(Σ cn2).
+PQ_INDEX_TOPK_SQL = f"""
+WITH mset AS (SELECT UNNEST(generate_series(0, {_PQ_M - 1})) AS m),
+create_split AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {IDX_BATCH_MOD} != 0
+),
+cents AS (
+  SELECT vec_id AS cid, embedding AS c_emb FROM (
+    SELECT vec_id, embedding FROM create_split ORDER BY vec_id LIMIT {ANN_N_CELLS}
+  ) WHERE {_NRM_SQL.format(a="embedding")} > 0
+),
+cb AS (
+  SELECT m.m, s.code,
+         s.embedding[m.m * {PQ_DIM_PER_SUB} + 1 : (m.m + 1) * {PQ_DIM_PER_SUB}] AS c_sv
+  FROM (
+    SELECT vec_id, embedding,
+           CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+    FROM (SELECT vec_id, embedding FROM create_split ORDER BY vec_id LIMIT {_PQ_K})
+  ) s CROSS JOIN mset m
+),
+live AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE {_NRM_SQL.format(a="embedding")} > 0
+),
+assigned AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT s.*, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM (
+      SELECT e.vec_id, c.cid,
+             {_DOT_SQL.format(a="e.embedding", b="c.c_emb")}
+             / ({_NRM_SQL.format(a="e.embedding")}
+                * {_NRM_SQL.format(a="c.c_emb")}) AS cos
+      FROM live e CROSS JOIN cents c
+    ) s
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, b.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY ROUND({_L2_SQL.format(a="s.sv", b="b.c_sv")}, 6) ASC,
+                                       b.code ASC) AS rn
+    FROM (
+      SELECT e.vec_id, m.m,
+             e.embedding[m.m * {PQ_DIM_PER_SUB} + 1 : (m.m + 1) * {PQ_DIM_PER_SUB}] AS sv
+      FROM live e CROSS JOIN mset m
+    ) s JOIN cb b ON s.m = b.m
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb,
+         {_NRM_SQL.format(a="embedding")} AS q_nrm
+  FROM embeddings
+  WHERE vec_id < {N_QUERIES} AND {_NRM_SQL.format(a="embedding")} > 0
+),
+probed AS (
+  SELECT query_id, q_emb, q_nrm, cell FROM (
+    SELECT s.*, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cell_cos DESC, cell ASC) AS cell_rank
+    FROM (
+      SELECT q.query_id, q.q_emb, q.q_nrm, c.cid AS cell,
+             {_DOT_SQL.format(a="q.q_emb", b="c.c_emb")}
+             / (q.q_nrm * {_NRM_SQL.format(a="c.c_emb")}) AS cell_cos
+      FROM queries q CROSS JOIN cents c
+    ) s
+  ) WHERE cell_rank <= {ANN_NPROBE}
+),
+lut AS (
+  SELECT q.query_id, b.m, b.code,
+         {_DOT_SQL.format(a="b.c_sv", b="b.c_sv")} AS cn2,
+         list_sum(list_transform(
+           list_zip(q.q_emb[b.m * {PQ_DIM_PER_SUB} + 1 : (b.m + 1) * {PQ_DIM_PER_SUB}], b.c_sv),
+           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS pdot
+  FROM queries q CROSS JOIN cb b
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+         ROUND(SUM(l.pdot) / (MAX(p.q_nrm) * sqrt(SUM(l.cn2))), 6) AS adc_cosine
+  FROM probed p
+  JOIN assigned a ON p.cell = a.cell AND a.vec_id != p.query_id
+  JOIN codes c ON c.vec_id = a.vec_id
+  JOIN lut l ON l.query_id = p.query_id AND l.m = c.m AND l.code = c.code
+  GROUP BY p.query_id, a.vec_id
+)
+SELECT query_id, cand_id, adc_cosine, rank FROM (
+  SELECT s.*, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_cosine DESC, cand_id ASC) AS rank
+  FROM scored s
+) WHERE rank <= {ANN_TOP_K}
+ORDER BY query_id, rank
+"""

@@ -58,10 +58,12 @@ SMALL_CROSS = {
     # (replaces a partitionless window, same as zipf_stats)
     "top_session_paths",
     # persisted-index probes: 10-row query set × K frozen centroids
-    # (ann) / 1-row corpus-totals broadcast (text) — the same declared
-    # shapes as ivf_ann_topk and bm25_topk, through the index tables
+    # (ann/pq) / 1-row corpus-totals broadcast (text) — the same
+    # declared shapes as ivf_ann_topk / pq_ann_topk / bm25_topk,
+    # through the index tables
     "ann_index_topk",
     "text_index_bm25",
+    "pq_index_topk",
 }
 
 
@@ -163,6 +165,7 @@ BOUNDED_BROADCAST = {
     # --- persisted-index serving (same shapes as their raw-parquet
     #     twins, through the staged IvfIndex / TextIndex tables) ---
     "ann_index_topk": "model-K (frozen centroids) + query-set (10 rows)",
+    "pq_index_topk": "model-K (centroids + M*K codebooks/LUT) + query-set",
     "text_index_bm25": "1-row agg (corpus totals) + query-set + "
                        "query-vocab df table",
     # --- byte-gated DML (tables.py MoR delete-key anti-join) ---
