@@ -948,11 +948,30 @@ def main() -> None:
             t0 = _case("sf1:generate")
             sf1_dir = ensure_scaled_dir(spark, sf_dir, sf1_dir, 10)
             gen_s = round(time.perf_counter() - t0, 3)
+            # phase boundary, same reason as before the DML section:
+            # 60 sf0.1 queries + the DML battery leave checkpoint
+            # blocks and codegen classes behind; at 10x data the sf1
+            # dedup queries then run 8-18% GC that a standalone job
+            # would never see
+            spark.catalog.clearCache()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            # same min-of-N policy as the sf0.1 queries: a single shot
+            # right after generation measured a cold-cache/GC outlier
+            # (27 s vs 7.7 s steady for minhash_recall — a 14x "ratio"
+            # that was pure noise); scaling factors must compare
+            # steady-state to steady-state
             sf1_q: dict[str, float] = {}
             for name in SF1_QUERIES:
-                t0 = _case(f"sf1:{name}")
-                qs[name](spark, sf1_dir).count()
-                sf1_q[name] = round(time.perf_counter() - t0, 3)
+                best = None
+                for _ in range(n_runs):
+                    t0 = _case(f"sf1:{name}")
+                    qs[name](spark, sf1_dir).count()
+                    el = time.perf_counter() - t0
+                    best = el if best is None else min(best, el)
+                sf1_q[name] = round(best, 3)
             scaling = {
                 n: round(sf1_q[n] / timings[n], 2)
                 for n in SF1_QUERIES

@@ -86,6 +86,41 @@ def _offsets(spark: SparkSession, src_dir: str) -> dict[str, int]:
     return out
 
 
+def _shuffle_text(out: DataFrame) -> DataFrame:
+    """Deterministically permute each REPLICA's word order (sort by a
+    copy-keyed hash; copy 0 keeps the source text verbatim).
+
+    Plain replication makes every document 10-way NEAR-DUPLICATED
+    across copies — MinHash/LSH candidate-pair volume then grows
+    ~replication² per duplicate group (measured: minhash_recall "scaled"
+    11-18× at the 10× tier purely from the pair blowup), which is a
+    tier artifact, not a corpus property. A per-copy word shuffle
+    destroys cross-copy shingle overlap while preserving exactly what
+    the token-level queries measure: term frequencies, vocabulary,
+    document lengths, per-copy duplicate density (the source's own
+    near-dups still replicate per copy → honest 10× pair growth)."""
+    w = F.split(F.col("text"), " ")
+    shuffled = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    w,
+                    lambda x: F.struct(
+                        F.xxhash64(x, F.col("__copy")).alias("h"),
+                        x.alias("w"),
+                    ),
+                )
+            ),
+            lambda s: s.w,
+        ),
+        " ",
+    )
+    return out.withColumn(
+        "text",
+        F.when(F.col("__copy") == 0, F.col("text")).otherwise(shuffled),
+    )
+
+
 def _replicate(
     df: DataFrame, shifts: list[tuple[str, str]],
     offsets: dict[str, int], replication: int,
@@ -102,6 +137,8 @@ def _replicate(
         out = out.withColumn(
             col, F.col(col) + F.col("__copy") * F.lit(offsets[domain])
         )
+    if "text" in df.columns:
+        out = _shuffle_text(out)
     return out.drop("__copy")
 
 
@@ -127,17 +164,18 @@ def ensure_scaled_dir(
     offsets = _offsets(spark, src_dir)
     for table, shifts in _SHIFTS.items():
         src = spark.read.parquet(f"{src_dir}/{table}.parquet")
-        out = _replicate(src, shifts, offsets, replication)
         if shifts:
-            # the replication cross join multiplies rows WITHOUT adding
-            # partitions — written as-is, the tier lands in a few huge
-            # row groups and every downstream scan starts 70x-skewed
-            # (measured: the sf1 RTAS read stage). One shuffle at
-            # generation time buys evenly-sized files for every later
-            # read, exactly what a real ingest job would do.
-            out = out.repartition(
-                spark.sparkContext.defaultParallelism
-            )
+            # Spread the source across the cluster BEFORE the
+            # replication cross join: the fixture is one smallish
+            # parquet file (= 1-2 input splits), so replicating in
+            # place would hand ONE task the whole 10x explode (473x
+            # task skew, measured) and land the tier in a few huge row
+            # groups that skew every downstream scan. One shuffle of
+            # the 1x data buys an evenly-parallel generation stage AND
+            # evenly-sized output files, exactly what a real ingest
+            # job would do.
+            src = src.repartition(spark.sparkContext.defaultParallelism)
+        out = _replicate(src, shifts, offsets, replication)
         out.write.mode("overwrite").parquet(f"{target_dir}/{table}.parquet")
     with open(marker, "w") as fh:
         json.dump(want, fh)

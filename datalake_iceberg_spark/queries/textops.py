@@ -652,7 +652,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with the
     Lucene idf form ln(1 + (N−df+0.5)/(df+0.5)).
 
-    Plan (r14 rework, measured 25-35%% faster than the r13 two-pass
+    Plan (r14 rework, measured 25-35% faster than the r13 two-pass
     shape at sf0.1): the query vocabulary is a FIXED constant, so
     per-doc tf for each query token becomes a conditional-sum column in
     ONE ``groupBy(doc_id)`` over the token explode — a single corpus

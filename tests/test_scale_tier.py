@@ -90,3 +90,53 @@ def test_idempotent_marker(spark, sf_dir, scaled):
     before = os.path.getmtime(marker)
     assert ensure_scaled_dir(spark, sf_dir, scaled, replication=REP) == scaled
     assert os.path.getmtime(marker) == before
+
+
+def test_replica_text_shuffled_not_neardup(spark, sf_dir, scaled):
+    """Replicas must NOT be shingle-level near-dups of their source doc
+    (the pair-blowup artifact), while copy 0 stays verbatim and every
+    copy preserves the token MULTISET (tf/vocabulary/length-invariant
+    for the token-level queries)."""
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = spark.read.parquet(f"{scaled}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_src = src.count()
+    # copy 0 verbatim
+    joined = src.alias("s").join(
+        out.alias("o"), F.col("s.doc_id") == F.col("o.doc_id")
+    )
+    assert joined.filter(F.col("s.text") != F.col("o.text")).count() == 0
+    # copy 1 (doc_id + offset, offset = smallest out id not in src):
+    # same sorted token multiset, different word ORDER
+    offs = sorted(
+        r.doc_id for r in out.select("doc_id").distinct().collect()
+    )
+    src_ids = {r.doc_id for r in src.select("doc_id").collect()}
+    copy1_base = min(d for d in offs if d not in src_ids)
+    c1 = out.filter(
+        (F.col("doc_id") >= copy1_base)
+        & (F.col("doc_id") < copy1_base + n_src)
+    ).select((F.col("doc_id") - copy1_base).alias("doc_id"),
+             F.col("text").alias("t1"))
+    both = src.join(c1, "doc_id").select(
+        "doc_id", "text", "t1",
+        F.array_sort(F.split("text", " ")).alias("ms"),
+        F.array_sort(F.split("t1", " ")).alias("m1"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("nd"),
+    )
+    assert both.filter(F.col("ms") != F.col("m1")).count() == 0, (
+        "token multiset changed"
+    )
+    # docs with >3 distinct words must (virtually all) change order —
+    # allow a handful of hash-coincidence survivors
+    big = both.filter(F.col("nd") > 3)
+    n_big = big.count()
+    unchanged = big.filter(F.col("text") == F.col("t1")).count()
+    assert n_big > 0 and unchanged <= max(1, n_big // 100), (
+        f"{unchanged}/{n_big} replicas kept their word order"
+    )
