@@ -87,26 +87,34 @@ def _offsets(spark: SparkSession, src_dir: str) -> dict[str, int]:
 
 
 def _shuffle_text(out: DataFrame) -> DataFrame:
-    """Deterministically permute each REPLICA's word order (sort by a
-    copy-keyed hash; copy 0 keeps the source text verbatim).
+    """Deterministically permute each REPLICA's word order by a
+    copy-keyed POSITION hash (copy 0 keeps the source text verbatim).
 
-    Plain replication makes every document 10-way NEAR-DUPLICATED
+    Why: plain replication makes every document 10-way NEAR-DUPLICATED
     across copies — MinHash/LSH candidate-pair volume then grows
-    ~replication² per duplicate group (measured: minhash_recall "scaled"
-    11-18× at the 10× tier purely from the pair blowup), which is a
-    tier artifact, not a corpus property. A per-copy word shuffle
-    destroys cross-copy shingle overlap while preserving exactly what
-    the token-level queries measure: term frequencies, vocabulary,
-    document lengths, per-copy duplicate density (the source's own
-    near-dups still replicate per copy → honest 10× pair growth)."""
+    ~replication² per duplicate group (measured: minhash_recall
+    "scaled" 11-18× at the 10× tier purely from the pair blowup),
+    which is a tier artifact, not a corpus property.
+
+    Why POSITIONS and not words: sorting words by a copy-keyed
+    word-hash CANONICALIZES order per copy — every pair of docs
+    sharing vocabulary becomes sequence-aligned, and the pair stage
+    explodes the other way (measured: 145× "scaling", 302 GB spill).
+    Hashing the position index instead gives each copy one fixed
+    permutation independent of content: same-length near-dup source
+    docs permute identically, so each copy reproduces the source's own
+    duplicate structure (~honest 10× pair growth), while the same doc
+    in two copies shares almost no consecutive word n-grams (cross-copy
+    shingle overlap destroyed). Term frequencies, vocabulary and
+    document lengths are untouched either way."""
     w = F.split(F.col("text"), " ")
     shuffled = F.array_join(
         F.transform(
             F.array_sort(
                 F.transform(
                     w,
-                    lambda x: F.struct(
-                        F.xxhash64(x, F.col("__copy")).alias("h"),
+                    lambda x, i: F.struct(
+                        F.xxhash64(i, F.col("__copy")).alias("h"),
                         x.alias("w"),
                     ),
                 )
