@@ -981,6 +981,7 @@ def main() -> None:
             # RTAS + 1%-merge + 1%-delete, the same shapes as the
             # sf0.1 tiers above
             sf1_dml: dict[str, float] = {}
+            wh1 = None
             try:
                 wh1 = tempfile.mkdtemp(prefix="bench_sf1_dml_")
                 cat1 = LakeCatalog(spark, wh1)
@@ -1005,9 +1006,13 @@ def main() -> None:
                 t0 = _case("sf1:delete_1pct")
                 tb1.delete_keys(dels1)
                 sf1_dml["delete_1pct"] = round(time.perf_counter() - t0, 3)
-                shutil.rmtree(wh1, ignore_errors=True)
             except Exception as ex:
                 print(f"# sf1 dml skipped: {ex}", file=sys.stderr)
+            finally:
+                # two copies of the 10x orders table — don't leave them
+                # in /tmp when a mid-slice failure takes the except path
+                if wh1 is not None:
+                    shutil.rmtree(wh1, ignore_errors=True)
             worst = max(scaling.items(), key=lambda kv: kv[1]) if scaling else None
             sf1_block = {
                 "gen_s": gen_s,

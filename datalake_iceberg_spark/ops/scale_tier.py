@@ -41,6 +41,16 @@ _OFFSET_ROUND = 100
 
 _MARKER = "_SCALE_TIER_SUCCESS.json"
 
+#: Derivation-algorithm version, part of the reuse fingerprint. BUMP
+#: THIS whenever _SHIFTS, _OFFSET_ROUND, _shuffle_text, or _replicate
+#: change behavior: the marker otherwise matches on {src, replication,
+#: tables} alone and a host that built the tier under the OLD
+#: derivation would silently reuse it forever (this fired in-round:
+#: the pre-shuffle tier survived the shuffle fix until deleted by
+#: hand). v2 = position-keyed replica text shuffle + pre-replication
+#: repartition.
+_ALGO_VERSION = 2
+
 #: table -> list of (column, offset_domain); every column shifts by
 #: copy_index * offset(domain), and a domain's offset comes from the
 #: max of its OWNING table's key, so foreign keys stay consistent
@@ -160,7 +170,7 @@ def ensure_scaled_dir(
     a marker records the source dir + replication; a matching marker
     short-circuits, anything else rebuilds from scratch."""
     want = {"src": os.path.abspath(src_dir), "replication": replication,
-            "tables": sorted(_SHIFTS)}
+            "tables": sorted(_SHIFTS), "algo": _ALGO_VERSION}
     marker = os.path.join(target_dir, _MARKER)
     try:
         with open(marker) as fh:

@@ -48,32 +48,54 @@ _STAGED: dict[tuple[str, str], str] = {}
 _STAGE_LOCK = threading.Lock()
 
 
-def _stage_ann_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build the persisted IVF index once per sf_dir: create from the
-    id%10!=0 split, add() the held-out batch against the frozen
-    centroids, replay the add and assert nothing lands twice."""
-    from datalake_iceberg_spark.ops.incremental_ann import IvfIndex
+def _split(df, id_col: str):
+    """(create_split, add_batch): id % IDX_BATCH_MOD == 0 is the batch."""
+    is_batch = F.pmod(F.col(id_col), F.lit(IDX_BATCH_MOD)) == 0
+    return df.filter(~is_batch), df.filter(is_batch)
+
+
+def _stage(kind: str, spark: SparkSession, sf_dir: str, build) -> str:
+    """Shared staging discipline for every persisted-index entry: one
+    temp warehouse per (kind, sf_dir) for the process lifetime, built
+    under a lock, cleaned at exit. ``build(catalog)`` creates the index
+    from the create split, add()s the held-out batch TWICE, and returns
+    both add-result dicts — the replay must land nothing (idempotence).
+    Explicit raises, not asserts, so ``python -O`` can't strip the
+    contract."""
     from datalake_iceberg_spark.tables import LakeCatalog
 
     with _STAGE_LOCK:
-        loc = _STAGED.get(("ann", sf_dir))
+        loc = _STAGED.get((kind, sf_dir))
         if loc is not None:
             return loc
-        loc = tempfile.mkdtemp(prefix="ann_index_wh_")
+        loc = tempfile.mkdtemp(prefix=f"{kind}_index_wh_")
         atexit.register(shutil.rmtree, loc, ignore_errors=True)
-        cat = LakeCatalog(spark, loc)
-        emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        is_batch = F.pmod(F.col("vec_id"), F.lit(IDX_BATCH_MOD)) == 0
+        added, replay = build(LakeCatalog(spark, loc))
+        if added["added"] <= 0:
+            raise RuntimeError(f"{kind} staging: empty add batch: {added}")
+        if replay["added"] != 0:
+            raise RuntimeError(
+                f"{kind} staging: replayed add landed rows: {replay}"
+            )
+        _STAGED[(kind, sf_dir)] = loc
+        return loc
+
+
+def _stage_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    from datalake_iceberg_spark.ops.incremental_ann import IvfIndex
+
+    def build(cat):
+        create, batch = _split(
+            load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+            "vec_id",
+        )
         idx = IvfIndex.create(
-            cat, "ann_idx", emb.filter(~is_batch),
+            cat, "ann_idx", create,
             n_cells=ANN_N_CELLS, lloyd_rounds=0, n_buckets=ANN_N_CELLS,
         )
-        added = idx.add(emb.filter(is_batch))
-        assert added["added"] > 0, added
-        replay = idx.add(emb.filter(is_batch))
-        assert replay["added"] == 0, replay
-        _STAGED[("ann", sf_dir)] = loc
-        return loc
+        return idx.add(batch), idx.add(batch)
+
+    return _stage("ann", spark, sf_dir, build)
 
 
 def ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,28 +187,17 @@ ORDER BY query_id, rank
 
 
 def _stage_text_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build the persisted BM25 text index once per sf_dir — same
-    create/add/replay discipline as the ANN staging."""
     from datalake_iceberg_spark.ops.text_index import TextIndex
-    from datalake_iceberg_spark.tables import LakeCatalog
 
-    with _STAGE_LOCK:
-        loc = _STAGED.get(("text", sf_dir))
-        if loc is not None:
-            return loc
-        loc = tempfile.mkdtemp(prefix="text_index_wh_")
-        atexit.register(shutil.rmtree, loc, ignore_errors=True)
-        cat = LakeCatalog(spark, loc)
-        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-        is_batch = F.pmod(F.col("doc_id"), F.lit(IDX_BATCH_MOD)) == 0
-        idx = TextIndex.create(cat, "text_idx", docs.filter(~is_batch),
-                               n_buckets=8)
-        added = idx.add(docs.filter(is_batch))
-        assert added["added"] > 0, added
-        replay = idx.add(docs.filter(is_batch))
-        assert replay["added"] == 0, replay
-        _STAGED[("text", sf_dir)] = loc
-        return loc
+    def build(cat):
+        create, batch = _split(
+            load(spark, sf_dir, "documents").select("doc_id", "text"),
+            "doc_id",
+        )
+        idx = TextIndex.create(cat, "text_idx", create, n_buckets=8)
+        return idx.add(batch), idx.add(batch)
+
+    return _stage("text", spark, sf_dir, build)
 
 
 def text_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,39 +219,39 @@ def text_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_INDEX_BM25_SQL = BM25_TOPK_SQL
 
 
-PQ_DIM_PER_SUB = 16  # fixture embeddings are 64-dim; PQ_M=4 subspaces
+# Import the ENGINE's PQ geometry rather than re-declaring it: the
+# oracle below bakes these into SQL literals, and a silent desync
+# (e.g. PQ_K retuned in ops/incremental_ann) would grade the engine as
+# WRONG when only the oracle went stale.
+from datalake_iceberg_spark.ops.incremental_ann import PQ_K as _PQ_K
+from datalake_iceberg_spark.ops.incremental_ann import PQ_M as _PQ_M
+
+EMB_DIM = 64  # the fixture's embedding width (IvfPqIndex.create raises
+              # on a mismatch, so a fixture change fails loudly here)
+PQ_DIM_PER_SUB = EMB_DIM // _PQ_M
 
 
 def _stage_pq_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build the persisted IVF-PQ index once per sf_dir — the same
-    create/add/replay discipline, with BOTH quantizers frozen at their
-    seeds (lloyd_rounds=0, pq_rounds=0) for the cross-engine
+    """Same create/add/replay discipline, with BOTH quantizers frozen
+    at their seeds (lloyd_rounds=0, pq_rounds=0) for the cross-engine
     bit-determinism argument in the module docstring: codebooks are the
     subvectors of the PQ_K smallest create-split vec_ids verbatim, so
     the oracle replays them exactly."""
     from datalake_iceberg_spark.ops.incremental_ann import IvfPqIndex
-    from datalake_iceberg_spark.tables import LakeCatalog
 
-    with _STAGE_LOCK:
-        loc = _STAGED.get(("pq", sf_dir))
-        if loc is not None:
-            return loc
-        loc = tempfile.mkdtemp(prefix="pq_index_wh_")
-        atexit.register(shutil.rmtree, loc, ignore_errors=True)
-        cat = LakeCatalog(spark, loc)
-        emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        is_batch = F.pmod(F.col("vec_id"), F.lit(IDX_BATCH_MOD)) == 0
+    def build(cat):
+        create, batch = _split(
+            load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+            "vec_id",
+        )
         idx = IvfPqIndex.create(
-            cat, "pq_idx", emb.filter(~is_batch),
+            cat, "pq_idx", create,
             n_cells=ANN_N_CELLS, lloyd_rounds=0, pq_rounds=0,
             n_buckets=ANN_N_CELLS,
         )
-        added = idx.add(emb.filter(is_batch))
-        assert added["added"] > 0, added
-        replay = idx.add(emb.filter(is_batch))
-        assert replay["added"] == 0, replay
-        _STAGED[("pq", sf_dir)] = loc
-        return loc
+        return idx.add(batch), idx.add(batch)
+
+    return _stage("pq", spark, sf_dir, build)
 
 
 def pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,9 +271,6 @@ def pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("query_id"), "embedding")
     return idx.search(q, nprobe=ANN_NPROBE, top_k=ANN_TOP_K)
 
-
-_PQ_K = 16  # ops/incremental_ann.PQ_K (4-bit codes)
-_PQ_M = 4
 
 _L2_SQL = (
     "list_sum(list_transform(list_zip({a}, {b}), "

@@ -122,56 +122,56 @@ def test_plan_lint(spark, sf_dir, name):
 #                   hints dropped — documented here rather than
 #                   implicit in the plans.
 BOUNDED_BROADCAST = {
-    # --- tpch-dim (+ having-tiny for q15's top-revenue / q18's big) ---
-    "q2_min_cost_supplier": "tpch-dim",
-    "q3_shipping_priority": "tpch-dim",
-    "q5_regional_revenue": "tpch-dim",
-    "q7_volume_shipping": "tpch-dim",
-    "q8_market_share": "tpch-dim",
-    "q9_nation_profit": "tpch-dim",
-    "q10_returned_items": "tpch-dim",
-    "q11_important_stock": "tpch-dim + 1-row agg (scalar total)",
-    "q14_promo_revenue": "tpch-dim",
-    "q15_top_supplier": "tpch-dim + having-tiny (argmax revenue)",
-    "q16_supplier_part_count": "tpch-dim",
-    "q17_small_qty_revenue": "tpch-dim + having-tiny (per-part avg)",
-    "q18_large_volume": "having-tiny (HAVING sum(qty) > 300 keys)",
-    "q19_disjunctive_revenue": "tpch-dim",
-    "q20_volume_suppliers": "tpch-dim",
-    "q21_waiting_suppliers": "tpch-dim",
-    "q22_dormant_customers": "tpch-dim + 1-row agg (avg balance)",
-    # --- model-K / query-set (ANN & clustering state) ---
-    "kmeans_clusters": "model-K (K=8 centroids)",
-    "centroid_similarity": "model-K (per-label centroids, enum-key)",
-    "ivf_ann_topk": "model-K (centroids) + query-set (10 rows)",
-    "ivf_recall": "model-K + query-set (composes both pipelines)",
-    "pq_ann_topk": "model-K (codebooks/LUT) + query-set",
-    "pq_quant_error": "model-K (codebooks)",
-    "knn_bruteforce": "query-set (10 rows)",
-    "knn_label_purity": "model-K (L label centroids, enum-key)",
-    "cms_heavy_hitters": "model-K (CMS width*depth) + having-tiny",
-    # --- 1-row / enum-key scalar shapes ---
-    "mixture_weights": "1-row agg (corpus totals)",
-    "ngram_lm_score": "1-row agg (vocabulary size)",
-    "dsir_log_ratio": "1-row agg (target/raw totals)",
-    "pmi_collocations": "1-row agg (n_tokens, n_pairs)",
-    "bm25_topk": "1-row agg (corpus totals) + query-set (query tokens)",
-    "decayed_engagement": "1-row agg (max timestamp)",
-    "event_spike_hours": "enum-key (per-event-type moments)",
-    "mad_outlier_days": "enum-key (per-event-type median/MAD)",
-    "event_type_transitions": "enum-key (per-type out-degree)",
-    "winsorized_value_stats": "enum-key (per-type percentile bounds)",
-    "top_session_paths": "having-tiny (top-K paths)",
-    # --- persisted-index serving (same shapes as their raw-parquet
-    #     twins, through the staged IvfIndex / TextIndex tables) ---
-    "ann_index_topk": "model-K (frozen centroids) + query-set (10 rows)",
-    "pq_index_topk": "model-K (centroids + M*K codebooks/LUT) + query-set",
-    "text_index_bm25": "1-row agg (corpus totals) + query-set + "
-                       "query-vocab df table",
-    # --- byte-gated DML (tables.py MoR delete-key anti-join) ---
-    "delete_mor_orders": "byte-gated (DELETE_BROADCAST_MAX_BYTES)",
-    "delete_where_orders": "byte-gated",
-    "update_mor_orders": "byte-gated",
+    # name: (expected hint COUNT, boundedness argument). Counts are
+    # pinned EXACTLY so an allowlisted entry cannot quietly grow a
+    # NEW unbounded hint behind its existing justification (the r13
+    # defect class must stay unrepresentable, not merely allowlisted
+    # away); a (lo, hi) range is allowed only for the byte-gated DML
+    # entries whose hint exists IFF the staged delete-key bytes sit
+    # under DELETE_BROADCAST_MAX_BYTES (data-dependent by design).
+    "q2_min_cost_supplier": (4, "tpch-dim"),
+    "q3_shipping_priority": (1, "tpch-dim"),
+    "q5_regional_revenue": (4, "tpch-dim"),
+    "q7_volume_shipping": (4, "tpch-dim"),
+    "q8_market_share": (5, "tpch-dim"),
+    "q9_nation_profit": (3, "tpch-dim"),
+    "q10_returned_items": (2, "tpch-dim"),
+    "q11_important_stock": (5, "tpch-dim + 1-row agg (scalar total)"),
+    "q14_promo_revenue": (1, "tpch-dim"),
+    "q15_top_supplier": (2, "tpch-dim + having-tiny (argmax revenue)"),
+    "q16_supplier_part_count": (2, "tpch-dim"),
+    "q17_small_qty_revenue": (2, "tpch-dim + having-tiny (per-part avg)"),
+    "q18_large_volume": (1, "having-tiny (HAVING sum(qty) > 300 keys)"),
+    "q19_disjunctive_revenue": (1, "tpch-dim"),
+    "q20_volume_suppliers": (2, "tpch-dim"),
+    "q21_waiting_suppliers": (2, "tpch-dim"),
+    "q22_dormant_customers": (2, "tpch-dim + 1-row agg (avg balance)"),
+    "kmeans_clusters": (2, "model-K (K=8 centroids)"),
+    "centroid_similarity": (1, "model-K (per-label centroids, enum-key)"),
+    "ivf_ann_topk": (3, "model-K (centroids) + query-set (10 rows)"),
+    "ivf_recall": (5, "model-K + query-set (composes both pipelines)"),
+    "pq_ann_topk": (5, "model-K (codebooks/LUT) + query-set"),
+    "pq_quant_error": (2, "model-K (codebooks)"),
+    "knn_bruteforce": (1, "query-set (10 rows)"),
+    "knn_label_purity": (1, "model-K (L label centroids, enum-key)"),
+    "cms_heavy_hitters": (5, "model-K (CMS width*depth) + having-tiny"),
+    "mixture_weights": (2, "1-row agg (corpus totals)"),
+    "ngram_lm_score": (1, "1-row agg (vocabulary size)"),
+    "dsir_log_ratio": (1, "1-row agg (target/raw totals)"),
+    "pmi_collocations": (1, "1-row agg (n_tokens, n_pairs)"),
+    "bm25_topk": (2, "1-row agg (corpus totals) + query-set (query tokens)"),
+    "decayed_engagement": (1, "1-row agg (max timestamp)"),
+    "event_spike_hours": (1, "enum-key (per-event-type moments)"),
+    "mad_outlier_days": (3, "enum-key (per-event-type median/MAD)"),
+    "event_type_transitions": (1, "enum-key (per-type out-degree)"),
+    "winsorized_value_stats": (1, "enum-key (per-type percentile bounds)"),
+    "top_session_paths": (1, "having-tiny (top-K paths)"),
+    "ann_index_topk": (3, "model-K (frozen centroids) + query-set (10 rows)"),
+    "pq_index_topk": (5, "model-K (centroids + M*K codebooks/LUT) + query-set"),
+    "text_index_bm25": (3, "1-row agg (corpus totals) + query-set + "),
+    "delete_mor_orders": ((0, 1), "byte-gated (DELETE_BROADCAST_MAX_BYTES)"),
+    "delete_where_orders": ((0, 1), "byte-gated"),
+    "update_mor_orders": ((0, 1), "byte-gated"),
 }
 
 
@@ -184,9 +184,18 @@ def test_broadcast_hint_bounded(spark, sf_dir, name):
             f"{name}: {n} explicit broadcast hint(s) not in"
             " BOUNDED_BROADCAST — prove the hinted side is bounded"
             " (1-row agg / query-set / model-K / enum-key / having-tiny"
-            " / byte-gated / tpch-dim) and allowlist it, or drop the"
-            " hint and let AQE decide"
+            " / byte-gated / tpch-dim) and allowlist it with its exact"
+            " count, or drop the hint and let AQE decide"
         )
+        return
+    expected, reason = BOUNDED_BROADCAST[name]
+    lo, hi = expected if isinstance(expected, tuple) else (expected, expected)
+    assert lo <= n <= hi, (
+        f"{name}: {n} broadcast hints, pinned {expected} ({reason}) —"
+        " a NEW hint needs its own boundedness argument (update the"
+        " pinned count only after proving the added side is bounded);"
+        " fewer hints than pinned means the allowlist row is stale"
+    )
 
 
 # ------------------------------------------------------ scan-count budget
