@@ -106,3 +106,39 @@ def test_cadence_against_driver_recorded_rounds():
         f"entries last driver-graded before round {floor} and not in the "
         f"current window: {stale} — rotate them in"
     )
+
+
+def test_structured_cohort_fields():
+    """Round-14 verdict finding #1: hand-written grade-round claims go
+    stale (the r14 window comment said pmi_collocations was
+    "r13-graded"; its last grade was r12). Ledger rounds that carry the
+    structured fields (r15+) pin the cohort claim mechanically: the
+    cohort must equal the windowed entries whose recomputed latest
+    grade — using ONLY the CORRECTNESS rounds that existed when the
+    window was generated (``generated_from_rounds``) — is
+    ``cohort_latest_grade``, and slack = window - cohort - flagship."""
+    root = Path(__file__).resolve().parent.parent
+    for rnd in _rounds():
+        if "cohort_latest_grade" not in rnd:
+            continue  # pre-r15 rounds predate the structured fields
+        latest: dict[str, int] = {}
+        for src_round in rnd["generated_from_rounds"]:
+            f = root / f"CORRECTNESS_r{src_round:02d}.json"
+            for k in json.loads(f.read_text()):
+                latest[k] = max(latest.get(k, 0), src_round)
+        window = rnd["window"]
+        expected_cohort = sorted(
+            k for k in window if latest.get(k) == rnd["cohort_latest_grade"]
+        )
+        assert rnd["cohort"] == expected_cohort, (
+            f"round {rnd['round']} ledger cohort does not match the "
+            f"mechanical recompute from rounds {rnd['generated_from_rounds']}"
+        )
+        expected_slack = sorted(
+            k for k in window
+            if k not in set(expected_cohort) and k != "q1_pricing_summary"
+        )
+        assert rnd["slack"] == expected_slack, (
+            f"round {rnd['round']} ledger slack mismatch: {rnd['slack']} != "
+            f"{expected_slack}"
+        )
