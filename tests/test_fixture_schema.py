@@ -125,3 +125,23 @@ def test_fixture_physical_schema(table: str) -> None:
         f"TESTDATA fixture drift in {path}:\n  " + "\n  ".join(problems)
         + "\n  -> update the reader (type-adaptively!) and this manifest together."
     )
+
+
+def test_fixture_embedding_width_pins_emb_dim() -> None:
+    """r14 advice: the physical-schema pin above checks the element
+    TYPE but not the WIDTH, while the PQ serving oracle bakes
+    PQ_DIM_PER_SUB = EMB_DIM // PQ_M into SQL literals. A fixture width
+    change to another multiple of PQ_M would pass create() and surface
+    as a grading mismatch misattributed to the engine — pin the width
+    here (and _stage_pq_index re-checks at staging time)."""
+    from datalake_iceberg_spark.queries.index_serving import EMB_DIM
+
+    path = f"{SF_DIR}/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"TESTDATA missing: {path}")
+    first = next(pq.ParquetFile(path).iter_batches(batch_size=4))
+    widths = {len(v) for v in first.column("embedding").to_pylist()}
+    assert widths == {EMB_DIM}, (
+        f"fixture embedding width(s) {widths} != index_serving.EMB_DIM "
+        f"{EMB_DIM} — update EMB_DIM and re-derive the PQ oracle literals"
+    )
