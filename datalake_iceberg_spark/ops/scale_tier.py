@@ -12,12 +12,26 @@ is named by measurement instead of argument.
 Why replication (not a fresh generator): the fixture's distributions
 per copy are preserved exactly and the derivation is reproducible from
 the read-only driver data — no second synthetic-data generator to
-drift from TESTDATA.md. The known distortion is that DISTINCT text /
-vocabulary does not grow with the copy count (Heaps' law would add new
-tokens; replicas repeat them), so vocabulary-keyed aggregates see sfN
-token VOLUME over sf0.1 CARDINALITY — fine for scan/shuffle scaling,
-understating only distinct-key growth (which the unbounded-broadcast
-lint now polices structurally).
+drift from TESTDATA.md. Replication's raw distortions are corrected
+deterministically per copy (copy 0 always stays verbatim):
+
+- TEXT near-duplication: every doc would be replication-way
+  near-duplicated, blowing up MinHash pair volume ~replication² — fixed
+  by the position-keyed word shuffle (``_shuffle_text``).
+- CONSTANT vocabulary: distinct tokens would not grow with copies
+  (Heaps' law adds new types; replicas repeat them), so the
+  vocabulary-keyed joins (tfidf df side, pmi pair vocab, ngram_lm
+  grams) would be measured at sf0.1 CARDINALITY under sfN volume —
+  fixed by renaming a deterministic per-copy fraction of word TYPES to
+  copy-unique variants (``_PERTURB_PCT``), giving ~Heaps-like
+  V(10N) ≈ √10 · V(N) distinct-type growth at replication 10.
+- VERBATIM embeddings: each vector would recur as ``replication``
+  exact duplicates (cosine 1.0, all in one cluster), an artifact for
+  kmeans/semantic-dedup shapes — fixed by a copy-keyed tiny
+  per-element offset (``_perturb_embeddings``): replicas stay
+  near-duplicates of their source (which is what replication means)
+  without being bit-identical, and cluster-size distributions stay
+  corpus-shaped rather than collapsing onto exact-dup stacks.
 
 Key shifting preserves referential integrity (every foreign key shifts
 by the same per-copy offset as its dimension's primary key) and the
@@ -48,8 +62,23 @@ _MARKER = "_SCALE_TIER_SUCCESS.json"
 #: derivation would silently reuse it forever (this fired in-round:
 #: the pre-shuffle tier survived the shuffle fix until deleted by
 #: hand). v2 = position-keyed replica text shuffle + pre-replication
-#: repartition.
-_ALGO_VERSION = 2
+#: repartition. v3 = Heaps-like per-copy vocabulary perturbation +
+#: copy-keyed embedding offsets.
+_ALGO_VERSION = 3
+
+#: Per-replica percentage of word TYPES renamed to copy-unique
+#: variants (all occurrences of a gated type within one copy rename
+#: together, so each copy's frequency distribution is an isomorphic
+#: relabeling of the source's). Derivation: Heaps' law with β ≈ 0.5
+#: gives V(10N) ≈ √10 · V(N) ≈ 3.16 · V(N); nine perturbed replicas
+#: each contributing p·V new types solves 1 + 9p = 3.16 → p ≈ 0.24.
+_PERTURB_PCT = 24
+
+#: Relative scale of the per-element embedding offset. Small enough
+#: that a replica stays a near-duplicate of its source vector (the
+#: honest meaning of replication), large enough that no two copies are
+#: bit-identical.
+_EMB_EPS = 1e-3
 
 #: table -> list of (column, offset_domain); every column shifts by
 #: copy_index * offset(domain), and a domain's offset comes from the
@@ -115,8 +144,18 @@ def _shuffle_text(out: DataFrame) -> DataFrame:
     docs permute identically, so each copy reproduces the source's own
     duplicate structure (~honest 10× pair growth), while the same doc
     in two copies shares almost no consecutive word n-grams (cross-copy
-    shingle overlap destroyed). Term frequencies, vocabulary and
-    document lengths are untouched either way."""
+    shingle overlap destroyed). Term frequencies and document lengths
+    (in tokens) are untouched.
+
+    v3 additionally renames a ``_PERTURB_PCT``% hash-gated fraction of
+    word TYPES per replica to copy-unique variants (``word_c<copy>``) —
+    the gate hashes (word, copy), so every occurrence of a gated type
+    inside one copy renames together and the per-copy frequency
+    distribution stays an isomorphic relabeling of the source's, while
+    DISTINCT vocabulary grows ~Heaps-like across copies. This is what
+    lets the sf1 tier measure the de-hinted vocabulary-keyed joins
+    (tfidf df side, pmi pair vocab, ngram_lm grams) under distinct-key
+    growth instead of sf0.1 cardinality."""
     w = F.split(F.col("text"), " ")
     shuffled = F.array_join(
         F.transform(
@@ -125,7 +164,15 @@ def _shuffle_text(out: DataFrame) -> DataFrame:
                     w,
                     lambda x, i: F.struct(
                         F.xxhash64(i, F.col("__copy")).alias("h"),
-                        x.alias("w"),
+                        F.when(
+                            F.pmod(
+                                F.xxhash64(x, F.col("__copy")), F.lit(100)
+                            ) < F.lit(_PERTURB_PCT),
+                            F.concat(
+                                x, F.lit("_c"),
+                                F.col("__copy").cast("string"),
+                            ),
+                        ).otherwise(x).alias("w"),
                     ),
                 )
             ),
@@ -133,9 +180,51 @@ def _shuffle_text(out: DataFrame) -> DataFrame:
         ),
         " ",
     )
-    return out.withColumn(
+    out = out.withColumn(
         "text",
         F.when(F.col("__copy") == 0, F.col("text")).otherwise(shuffled),
+    )
+    if "n_chars" in out.columns:
+        # the type renames add characters — keep the metadata column
+        # consistent with the perturbed text (copy 0 stays the fixture's
+        # own value verbatim)
+        out = out.withColumn(
+            "n_chars",
+            F.when(F.col("__copy") == 0, F.col("n_chars")).otherwise(
+                F.length("text").cast("long")
+            ),
+        )
+    return out
+
+
+def _perturb_embeddings(out: DataFrame) -> DataFrame:
+    """Copy-keyed tiny per-element offset (copy 0 verbatim): without
+    it every vector recurs as ``replication`` EXACT duplicates (cosine
+    1.0, one cluster per stack) — a tier artifact for the
+    kmeans/semantic-dedup shapes analogous to the text near-dup blowup
+    ``_shuffle_text`` fixes. The offset is uniform in ±``_EMB_EPS``
+    from xxhash64(vec_id, copy, position), so replicas remain honest
+    near-duplicates of their source without being bit-identical.
+
+    ``vec_id`` is already copy-shifted when this runs, which is fine:
+    the hash only needs to be deterministic and copy-distinct."""
+    delta_scale = F.lit(_EMB_EPS / 1000.0)
+    return out.withColumn(
+        "embedding",
+        F.when(F.col("__copy") == 0, F.col("embedding")).otherwise(
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: (
+                    x.cast("double")
+                    + (
+                        F.pmod(
+                            F.xxhash64(F.col("vec_id"), F.col("__copy"), i),
+                            F.lit(2001),
+                        ) - F.lit(1000)
+                    ).cast("double") * delta_scale
+                ).cast("float"),
+            )
+        ),
     )
 
 
@@ -157,6 +246,8 @@ def _replicate(
         )
     if "text" in df.columns:
         out = _shuffle_text(out)
+    if "embedding" in df.columns:
+        out = _perturb_embeddings(out)
     return out.drop("__copy")
 
 
