@@ -35,6 +35,7 @@ only manifest bookkeeping happens on the driver.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
@@ -63,6 +64,10 @@ MAX_AUTO_BUCKETS = 1024
 #: n_buckets on big writes, while small CDC merges stay 1 task/bucket
 TARGET_WRITE_BYTES = 128 * 1024 * 1024
 MAX_WRITE_SPLITS = 16
+#: rows per task for a CoW merge's union leg (the batch side, read
+#: from cache): sized so CDC batches take 1-2 tasks while RTAS-scale
+#: sources keep full core fan-out
+UNION_LEG_ROWS_PER_TASK = 100_000
 # above this many distinct keys a lookup stays a distributed semi-join
 # (strategy left to AQE) — an IN-list that size stops being a "point"
 # lookup and bloats the plan
@@ -257,6 +262,59 @@ def bucket_expr(keys: list[str], n_buckets: int):
     """
     cols = [F.coalesce(F.col(k).cast("string"), F.lit("\x00null")) for k in keys]
     return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
+
+
+def _murmur3_hash_int(value: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3Hash`` of one IntegerType column (the hash
+    behind ``df.repartition(n, col)``): Murmur3 x86_32 ``hashInt`` with
+    Spark's fixed seed 42. Pure-Python replica, pinned against
+    ``F.hash`` by ``tests/test_write_balance.py`` so a Spark hash
+    change breaks one obvious test."""
+    k1 = value & 0xFFFFFFFF
+    k1 = (k1 * 0xCC9E2D51) & 0xFFFFFFFF
+    k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+    k1 = (k1 * 0x1B873593) & 0xFFFFFFFF
+    h1 = (seed & 0xFFFFFFFF) ^ k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+    h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 4  # fmix: total input length in bytes
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+@functools.lru_cache(maxsize=64)
+def exact_shuffle_tokens(nparts: int) -> tuple[int, ...]:
+    """``tokens[p]`` is the smallest non-negative int whose Spark hash
+    lands shuffle partition ``p`` of ``nparts`` — repartitioning on a
+    token COLUMN therefore places rows on EXACTLY the partition the
+    writer intends, where hashing the (bucket, split) tuple itself is
+    balls-into-bins: with C combos into C partitions ~37% of tasks sit
+    empty while others carry 2-3 combos (measured 3.5-3.9x max/median
+    task skew on the sf1 merge write — the r14 capture finding).
+    Expected search cost is n·H(n) murmur evaluations (~10 µs each),
+    cached per nparts for the process lifetime."""
+    tokens: list[int | None] = [None] * nparts
+    found, t = 0, 0
+    while found < nparts:
+        p = _murmur3_hash_int(t) % nparts
+        if tokens[p] is None:
+            tokens[p] = t
+            found += 1
+        t += 1
+    return tuple(tokens)  # type: ignore[arg-type]
+
+
+def _exact_partition_col(combo, nparts: int):
+    """Int column that routes ``combo`` (any non-negative int
+    expression) to shuffle partition ``combo % nparts`` exactly, via
+    the pre-imaged tokens above."""
+    tokens = exact_shuffle_tokens(nparts)
+    lut = F.array(*[F.lit(t) for t in tokens])
+    return F.element_at(lut, F.pmod(combo, F.lit(nparts)).cast("int") + 1)
 
 
 def plan_size_bytes(df: DataFrame) -> int | None:
@@ -1276,11 +1334,25 @@ class LakeTable:
                 split_col = F.pmod(
                     F.xxhash64(F.lit("_split_seed"), *key_cols), F.lit(splits)
                 ).cast("int")
-                staged = staged.withColumn("_split", split_col).repartition(
-                    nparts, "_bucket", "_split"
-                ).drop("_split")
+                # EXACT task placement: hashing the (bucket, split)
+                # tuple into ~as many partitions is balls-into-bins
+                # (r14 sf1 capture: 3.7x task skew on the merge write,
+                # some tasks empty, others carrying 2-3 combos). Route
+                # combo -> partition combo % nparts via the pre-imaged
+                # hash tokens instead: every task gets the same number
+                # of combos (±1), and residual skew reflects only true
+                # per-bucket row imbalance.
+                combo = (
+                    F.col("_bucket").cast("int") * F.lit(splits) + split_col
+                )
+                staged = staged.withColumn(
+                    "_pt", _exact_partition_col(combo, nparts)
+                ).repartition(nparts, "_pt").drop("_pt")
             else:
-                staged = staged.repartition(nparts, "_bucket")
+                staged = staged.withColumn(
+                    "_pt",
+                    _exact_partition_col(F.col("_bucket").cast("int"), nparts),
+                ).repartition(nparts, "_pt").drop("_pt")
             if sort_by:
                 staged = staged.sortWithinPartitions("_bucket", *sort_by)
             if drop_after_sort:
@@ -3210,7 +3282,35 @@ class LakeTable:
         snap = self.snapshot()
         if not snap.key:
             raise ValueError("merge requires a keyed table")
-        source = self._align(source)
+        from pyspark import StorageLevel
+
+        # The source feeds THREE consumers in one commit: the
+        # duplicate-key/bounds probe (or the affected-buckets probe),
+        # the anti-join build side, and the union leg of the rewrite.
+        # Persist it batch-sized for the commit's duration (the same
+        # policy the partial-update branch above and the CDC pipeline
+        # already apply) so the caller's upstream pipeline runs once,
+        # and the union leg reads cached blocks instead of re-scanning
+        # — the re-scan previously ran as a second, much lighter task
+        # population inside the write's map stage, reading as 3.7x
+        # max/median "skew" in the r14 sf1 capture.
+        source = self._align(source).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self._merge_cow(
+                source, snap, assert_unique_key,
+                txn_app=txn_app, txn_version=txn_version,
+            )
+        finally:
+            source.unpersist()
+
+    def _merge_cow(
+        self,
+        source: DataFrame,
+        snap: Snapshot,
+        assert_unique_key: bool,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> Snapshot:
         self._enforce_constraints(source, "merge")
         bounds = None
         if assert_unique_key:
@@ -3255,7 +3355,23 @@ class LakeTable:
             target = self._read_dirs(
                 [d for ds in touched.values() for d in ds], snap
             )
-        merged = target.join(source, on=snap.key, how="left_anti").unionByName(source)
+        # Right-size the union leg to the batch's actual volume: the
+        # count is one cache-backed job (the probe already materialized
+        # the persisted source), and coalesce merges cached blocks
+        # without a shuffle. A CDC-sized batch otherwise fans its union
+        # leg out to scan-parallelism task counts — dozens of
+        # near-empty task launches that also bimodalize the write's map
+        # stage (half heavy rewrite tasks, half trivial batch tasks —
+        # the residual "skew" reading of the r14 sf1 merge capture).
+        n_src = source.count()
+        try:
+            cores = self.spark.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect: no SparkContext handle
+            cores = 32
+        k = max(1, min(cores, -(-n_src // UNION_LEG_ROWS_PER_TASK)))
+        merged = target.join(source, on=snap.key, how="left_anti").unionByName(
+            source.coalesce(k)
+        )
         new_dirs = self._write_bucketed(merged, snap.key, snap.n_buckets)
         per_bucket = {
             str(b): kept.get(str(b), []) + new_dirs.get(str(b), []) for b in affected
