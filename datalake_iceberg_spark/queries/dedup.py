@@ -260,12 +260,25 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent fixpoint formulation of the same components.
     Output: (doc_id, cluster_id, cluster_size) for every document.
     """
+    from pyspark.storagelevel import StorageLevel
+
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    edges = minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    # The candidate pairs are the memory hog of the whole pipeline
+    # (pair volume ∝ duplicate density × corpus). Checkpoint them ONCE,
+    # SERIALIZED: the r14 sf1 capture flagged 7.8% GC on this family —
+    # deserialized row blocks of the pair list (previously checkpointed
+    # TWICE, once as `edges` and again as its symmetrized union) were
+    # most of the live heap. Serialized blocks (MEMORY_AND_DISK is the serialized level in
+    # PySpark naming) are a handful of byte
+    # arrays instead of millions of row objects, and the symmetrized
+    # view below is a narrow projection re-derived from the same
+    # blocks per round instead of a second materialized copy.
+    edges = minhash_lsh_pairs(spark, sf_dir).localCheckpoint(
+        storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint()
     )
     # propagate labels over EDGE NODES only — every doc outside the
     # candidate-pair graph is its own singleton cluster by definition
@@ -278,7 +291,7 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     for _ in range(MAX_CC_ITERS):
         neigh_min = (
@@ -293,7 +306,7 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(labels.label, F.coalesce(F.col("nmin"), labels.label)).alias("label"),
                 labels.label.alias("prev"),
             )
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         )
         changed = stepped.filter(F.col("label") < F.col("prev")).count()
         labels = stepped.drop("prev")
