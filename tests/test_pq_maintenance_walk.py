@@ -1,0 +1,165 @@
+"""Lifecycle walk for the PQ serving stack — the IvfPqIndex sibling of
+test_index_maintenance_walk.py's IvfIndex arc, with the two PQ-specific
+twists a real deployment hits:
+
+- drift_report works from the index's OWN tables even though the
+  postings are lossy codes: metrics come from codebook RECONSTRUCTIONS,
+  and the PQ-only ``recon_norm_ratio`` signal must degrade as batches
+  drift away from the codebook training distribution.
+- retrain CANNOT read vectors back from the postings; it takes the
+  full-precision corpus and (by default) refuses a corpus that is
+  missing indexed ids — the silent-data-loss rebuild mode.
+
+Vectors are synthetic, clustered, deterministic; parity is checked
+against a from-scratch create on the identical corpus (same seeds, same
+Lloyd/codebook trajectory → identical tables and search results)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from datalake_iceberg_spark.ops.incremental_ann import IvfPqIndex
+from datalake_iceberg_spark.tables import LakeCatalog
+
+DIM = 8  # PQ_M=4 -> 2 dims per subspace
+DRIFT_THRESHOLD = 0.90
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def _cluster(center, base_id, n, stride=1):
+    out = []
+    for i in range(n):
+        off = (0.08 * i + 0.005 * i * i) / math.sqrt(DIM)
+        out.append((base_id + stride * i, [c + off for c in center]))
+    return out
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_pq_maintenance_lifecycle_walk(spark, catalog):
+    # ---- phase 1: create on a 4-cluster corpus (interleaved ids so the
+    # coarse seeds = one per cluster; >= PQ_K=16 vectors for codebooks)
+    centers = [
+        [5.0 if d == c else 0.5 for d in range(DIM)] for c in range(4)
+    ]
+    base = []
+    for c, center in enumerate(centers):
+        base += _cluster(center, c, 30, stride=4)
+    idx = IvfPqIndex.create(
+        catalog, "pqwalk", _df(spark, base),
+        n_cells=4, lloyd_rounds=2, n_buckets=4,
+    )
+    d0 = idx.drift_report()
+    assert d0["postings"] == len(base)
+    # reconstructions are approximate: cells may not be a bit-exact
+    # fixed point, but a fitted quantizer holds them near their own
+    # centroid and reconstruction norms near the exact stored norms
+    assert d0["move_fraction"] <= 0.05, d0
+    assert d0["mean_centroid_cosine"] > DRIFT_THRESHOLD, d0
+    assert 0.85 <= d0["recon_norm_ratio"] <= 1.05, d0
+
+    # ---- phase 2: grow with batches from regions neither quantizer has
+    # seen; the coarse proxy must cross the retrain threshold AND the
+    # PQ-specific norm-ratio signal must degrade from its create value
+    drifted = list(base)
+    history = [d0["mean_centroid_cosine"]]
+    crossed = None
+    rep = d0
+    for b in range(4):
+        far = [-4.0 if d in (b, (b + 3) % DIM) else 0.1 for d in range(DIM)]
+        batch = _cluster(far, 9000 + 100 * b, 25)
+        res = idx.add(_df(spark, batch))
+        assert res["added"] == len(batch)
+        assert idx.add(_df(spark, batch))["added"] == 0  # mid-walk replay
+        drifted += batch
+        rep = idx.drift_report()
+        assert rep["postings"] == len(drifted)
+        history.append(rep["mean_centroid_cosine"])
+        if rep["mean_centroid_cosine"] < DRIFT_THRESHOLD:
+            crossed = b
+            break
+    assert crossed is not None, f"drift never crossed: {history}"
+    assert rep["recon_norm_ratio"] < d0["recon_norm_ratio"], (
+        "codebook-fit signal did not degrade", d0, rep
+    )
+
+    # ---- phase 3: a stale corpus extract (missing indexed ids) must be
+    # rejected by default, and allowed only when explicitly forced
+    stale = _df(spark, drifted[: len(drifted) - 10])
+    with pytest.raises(ValueError, match="missing"):
+        idx.retrain(catalog, "pqwalk_bad", stale)
+
+    # ---- phase 4: blue/green retrain from the full-precision corpus,
+    # sized up for the grown data; the old index keeps serving.
+    # Retrain defaults reseed_dead=True: post-drift data is exactly the
+    # regime where the plain recipe strands dead codewords (probed at
+    # pq_rounds 1-3: recon_norm_ratio plateaus ~0.76-0.83 without
+    # reseeding vs ~1.0 with). mean_centroid_cosine is NOT compared
+    # across the retrain — it tracks the corpus's intrinsic cluster
+    # spread (see drift_report's trigger-discipline note); the
+    # recovery signals are move_fraction and recon_norm_ratio.
+    corpus = _df(spark, drifted)
+    idx2 = idx.retrain(catalog, "pqwalk_v2", corpus, n_cells=8,
+                       lloyd_rounds=2, n_buckets=8)
+    assert idx2.postings.read().count() == len(drifted)
+    d2 = idx2.drift_report()
+    assert d2["move_fraction"] <= 0.05, d2
+    assert d2["recon_norm_ratio"] >= 0.95, d2
+    assert idx.drift_report()["postings"] == len(drifted)
+
+    # ---- phase 5: parity — retrain(corpus) must equal a from-scratch
+    # create on the same corpus and knobs: centroids, codebooks,
+    # posting codes, and ADC search results are all identical
+    # (deterministic recipe, reseeding included)
+    scratch = IvfPqIndex.create(
+        catalog, "pqwalk_scratch", corpus,
+        n_cells=8, lloyd_rounds=2, n_buckets=8, reseed_dead=True,
+    )
+    def _model(ix):
+        return (
+            {r.cid: list(r.c_emb) for r in ix.centroids.read().collect()},
+            {(r.m, r.code): list(r.c_sv)
+             for r in ix.codebooks.read().collect()},
+        )
+
+    for a, b, what in zip(_model(idx2), _model(scratch),
+                          ("centroids", "codebooks")):
+        assert set(a) == set(b), what
+        for k in a:
+            assert a[k] == pytest.approx(b[k], abs=1e-9), (what, k)
+    post2 = {
+        r.vec_id: (r.cell, list(r.codes))
+        for r in idx2.postings.read().collect()
+    }
+    post_s = {
+        r.vec_id: (r.cell, list(r.codes))
+        for r in scratch.postings.read().collect()
+    }
+    assert post2 == post_s
+
+    queries = [(qid, v) for qid, v in drifted[:3]] + [drifted[-1]]
+    qdf = _df(spark, queries).withColumnRenamed("vec_id", "query_id")
+    got2 = [tuple(r) for r in idx2.search(qdf, nprobe=8, top_k=3).collect()]
+    got_s = [tuple(r) for r in scratch.search(qdf, nprobe=8, top_k=3).collect()]
+    assert got2 == got_s
+    assert len(got2) == len(queries) * 3
+
+    # ---- phase 6: the loop keeps running on the new index
+    nxt = _cluster([9.0] + [0.0] * (DIM - 1), 20000, 10)
+    assert idx2.add(_df(spark, nxt))["added"] == len(nxt)
+    assert idx2.add(_df(spark, nxt))["added"] == 0
+    for t in (idx2.postings, idx2.centroids, idx2.codebooks):
+        rep = t.fsck(deep=True)
+        assert rep["ok"], rep
