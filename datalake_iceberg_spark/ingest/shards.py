@@ -12,11 +12,12 @@ last Spark stage happened to have:
   sampling can seed off shard ids. With no key given, the content
   hash of all columns is used (re-exports stay stable under row-order
   changes).
-- **One file per shard**: rows are shuffled once on the shard id
-  (``repartition(n, shard)``) and written via the dynamic-partition
-  writer, so shard files are as balanced as the hash is uniform. At
-  100 TB pick ``n_shards`` so a shard ≈ a few GB (same sizing rule as
-  bucket counts).
+- **One file per shard, one task per shard**: rows are shuffled once,
+  routed so shard K lands on exactly task K (pre-imaged hash tokens —
+  see ``_shard_partitioned``), and written via the dynamic-partition
+  writer; shard files are as balanced as the hash is uniform and every
+  task writes exactly one shard. At 100 TB pick ``n_shards`` so a
+  shard ≈ a few GB (same sizing rule as bucket counts).
 - **Manifest**: per-shard row counts + bytes + the assignment spec,
   written as JSON next to the shards — the contract a data loader
   reads instead of listing the filesystem.
@@ -42,8 +43,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datalake_iceberg_spark.fs import DEFAULT_FS
+from datalake_iceberg_spark.tables import _exact_partition_col
 
 _SHARD_COL = "_shard"
+#: routing column for the export shuffle (dropped before write)
+_PT_COL = "_pt"
+
+
+def _shard_partitioned(staged: DataFrame, n_shards: int) -> DataFrame:
+    """Shuffle so shard K lands on EXACTLY task K. Hashing the shard id
+    itself into ``n_shards`` partitions is balls-into-bins (~37% of
+    tasks empty, others writing 2-3 shard files each — the same skew
+    class the bucketed table writer fixed via pre-imaged hash tokens);
+    routing through ``_exact_partition_col`` gives one task per shard,
+    so export parallelism and file sizing match the n_shards the caller
+    chose."""
+    return staged.withColumn(
+        _PT_COL, _exact_partition_col(F.col(_SHARD_COL), n_shards)
+    ).repartition(n_shards, _PT_COL).drop(_PT_COL)
 
 
 def shard_expr(columns: list[str], n_shards: int):
@@ -71,9 +88,11 @@ def write_training_shards(
     missing = [c for c in key if c not in df.columns]
     if missing:
         raise ValueError(f"shard key columns not in DataFrame: {missing}")
-    staged = df.withColumn(_SHARD_COL, shard_expr(key, n_shards))
+    staged = _shard_partitioned(
+        df.withColumn(_SHARD_COL, shard_expr(key, n_shards)), n_shards
+    )
     (
-        staged.repartition(n_shards, _SHARD_COL)
+        staged
         .write.partitionBy(_SHARD_COL)
         .option("compression", compression)
         .mode("overwrite")
@@ -249,11 +268,9 @@ def write_webdataset_shards(
     pay = dict(payload_cols)
     metas = list(meta_cols or [])
 
-    staged = (
-        df.withColumn(_SHARD_COL, shard_expr([key_col], n_shards))
-        .repartition(n_shards, _SHARD_COL)
-        .sortWithinPartitions(_SHARD_COL, key_col)
-    )
+    staged = _shard_partitioned(
+        df.withColumn(_SHARD_COL, shard_expr([key_col], n_shards)), n_shards
+    ).sortWithinPartitions(_SHARD_COL, key_col)
 
     def _write(batches):
         # executor-side DATA-plane writes (like Spark's own parquet

@@ -56,3 +56,26 @@ def test_exact_placement_balances_write_shuffle(spark):
     )
     assert len(per_part) == n, f"only {len(per_part)}/{n} partitions used"
     assert max(per_part.values()) == min(per_part.values()) == 1000
+
+
+def test_shard_export_one_task_per_shard(spark):
+    """The training-shard exporter routes shard K to exactly task K —
+    export parallelism matches the caller's n_shards instead of the
+    balls-into-bins layout raw tuple-hash repartition gives."""
+    from datalake_iceberg_spark.ingest.shards import (
+        _SHARD_COL,
+        _shard_partitioned,
+        shard_expr,
+    )
+
+    n = 16
+    df = spark.range(4000).select(F.col("id").alias("k"))
+    staged = _shard_partitioned(
+        df.withColumn(_SHARD_COL, shard_expr(["k"], n)), n
+    )
+    placed = staged.select(
+        _SHARD_COL, F.spark_partition_id().alias("p")
+    ).distinct().collect()
+    assert len(placed) == n  # one (shard, partition) pair per shard
+    for r in placed:
+        assert r.p == r[_SHARD_COL] % n, (r[_SHARD_COL], r.p)
