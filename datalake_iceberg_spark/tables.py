@@ -3525,21 +3525,33 @@ class LakeTable:
         snap = self.snapshot()
         if not snap.key:
             raise ValueError("merge requires a keyed table")
+        from pyspark import StorageLevel
+
+        # same policy as the CoW path: when the dup probe will consume
+        # the source before the write does, persist batch-sized for the
+        # commit's duration so the caller's upstream pipeline runs once
         source = self._align(source)
-        self._enforce_constraints(source, "merge")
+        cached = None
         if assert_unique_key:
-            dup = (
-                source.groupBy(*snap.key)
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .count()
-            )
-            if dup:
-                raise ValueError(
-                    "MERGE source has duplicate keys; dedup-latest before merging"
+            cached = source = source.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            self._enforce_constraints(source, "merge")
+            if assert_unique_key:
+                dup = (
+                    source.groupBy(*snap.key)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .count()
                 )
-        new_dirs = self._write_bucketed(source, snap.key, snap.n_buckets)
+                if dup:
+                    raise ValueError(
+                        "MERGE source has duplicate keys; dedup-latest before merging"
+                    )
+            new_dirs = self._write_bucketed(source, snap.key, snap.n_buckets)
+        finally:
+            if cached is not None:
+                cached.unpersist()
 
         def build(parent):
             deletes = {b: list(entries) for b, entries in parent.deletes.items()}
