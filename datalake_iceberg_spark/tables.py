@@ -68,6 +68,12 @@ MAX_WRITE_SPLITS = 16
 #: from cache): sized so CDC batches take 1-2 tasks while RTAS-scale
 #: sources keep full core fan-out
 UNION_LEG_ROWS_PER_TASK = 100_000
+#: merge sources Catalyst sizes ABOVE this skip the commit-scoped
+#: persist: a sized plan is a bare scan/projection (complex pipelines
+#: return the unknown sentinel and always persist), and past ~1 GiB
+#: re-scanning a parquet source beats serializing it into the executor
+#: cache and spilling
+MERGE_PERSIST_MAX_BYTES = 8 * TARGET_WRITE_BYTES
 # above this many distinct keys a lookup stays a distributed semi-join
 # (strategy left to AQE) — an IN-list that size stops being a "point"
 # lookup and bloats the plan
@@ -3256,24 +3262,18 @@ class LakeTable:
         if done is not None:
             return done
         if update_columns is not None:
-            from pyspark import StorageLevel
-
             # the effective source embeds a join against the pruned
-            # target read; downstream it is consumed several times (the
-            # unique-key/bucket probe, the anti-join side AND the union
-            # leg of the rewrite) — persist it batch-sized for the
-            # commit's duration so the join+read computes once, exactly
-            # like the CDC pipeline persists its micro-batches
+            # target read; the recursive merge call below persists its
+            # (aligned) source for the commit's duration, so the
+            # join+read computes once in the cache-build pass — a
+            # second persist here would just double-cache the batch
             eff = self._partial_update_source(
                 self._align(source), update_columns
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            try:
-                return self.merge(
-                    eff, assert_unique_key=assert_unique_key, mode=mode,
-                    txn_app=txn_app, txn_version=txn_version,
-                )
-            finally:
-                eff.unpersist()
+            )
+            return self.merge(
+                eff, assert_unique_key=assert_unique_key, mode=mode,
+                txn_app=txn_app, txn_version=txn_version,
+            )
         if mode == "merge-on-read":
             return self._merge_mor(source, assert_unique_key,
                                    txn_app=txn_app, txn_version=txn_version)
@@ -3293,15 +3293,34 @@ class LakeTable:
         # and the union leg reads cached blocks instead of re-scanning
         # — the re-scan previously ran as a second, much lighter task
         # population inside the write's map stage, reading as 3.7x
-        # max/median "skew" in the r14 sf1 capture.
-        source = self._align(source).persist(StorageLevel.MEMORY_AND_DISK)
+        # max/median "skew" in the r14 sf1 capture. Size-gated: a
+        # source Catalyst CAN size is a simple scan/projection (complex
+        # upstreams return the unknown sentinel), and above the cap a
+        # re-scan is cheaper than serializing a table-sized batch into
+        # the executor cache and spilling it.
+        source, cached = self._persist_batch(self._align(source))
         try:
             return self._merge_cow(
                 source, snap, assert_unique_key,
                 txn_app=txn_app, txn_version=txn_version,
             )
         finally:
-            source.unpersist()
+            if cached is not None:
+                cached.unpersist()
+
+    def _persist_batch(self, df: DataFrame):
+        """(df', handle) — persist ``df`` at MEMORY_AND_DISK for a
+        multi-consumer DML commit, unless Catalyst sizes it above
+        ``MERGE_PERSIST_MAX_BYTES`` (a sized plan is a simple
+        scan/projection — cheap to re-run, expensive to cache at table
+        scale). ``handle`` is None when not persisted."""
+        from pyspark import StorageLevel
+
+        size = plan_size_bytes(df)
+        if size is not None and size > MERGE_PERSIST_MAX_BYTES:
+            return df, None
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        return df, df
 
     def _merge_cow(
         self,
@@ -3355,14 +3374,16 @@ class LakeTable:
             target = self._read_dirs(
                 [d for ds in touched.values() for d in ds], snap
             )
-        # Right-size the union leg to the batch's actual volume: the
-        # count is one cache-backed job (the probe already materialized
-        # the persisted source), and coalesce merges cached blocks
-        # without a shuffle. A CDC-sized batch otherwise fans its union
-        # leg out to scan-parallelism task counts — dozens of
-        # near-empty task launches that also bimodalize the write's map
-        # stage (half heavy rewrite tasks, half trivial batch tasks —
-        # the residual "skew" reading of the r14 sf1 merge capture).
+        # Right-size the union leg to the batch's actual volume: for a
+        # persisted source the count is one cache-backed job (the probe
+        # already materialized it) and coalesce merges cached blocks
+        # without a shuffle; an unpersisted (size-gated) source pays
+        # one cheap extra scan — it was sized, so it IS a bare scan. A
+        # CDC-sized batch otherwise fans its union leg out to
+        # scan-parallelism task counts — dozens of near-empty task
+        # launches that also bimodalize the write's map stage (half
+        # heavy rewrite tasks, half trivial batch tasks — the residual
+        # "skew" reading of the r14 sf1 merge capture).
         n_src = source.count()
         try:
             cores = self.spark.sparkContext.defaultParallelism
@@ -3525,15 +3546,14 @@ class LakeTable:
         snap = self.snapshot()
         if not snap.key:
             raise ValueError("merge requires a keyed table")
-        from pyspark import StorageLevel
-
-        # same policy as the CoW path: when the dup probe will consume
-        # the source before the write does, persist batch-sized for the
-        # commit's duration so the caller's upstream pipeline runs once
+        # same policy (and size gate) as the CoW path: when the dup
+        # probe will consume the source before the write does, persist
+        # batch-sized for the commit's duration so the caller's
+        # upstream pipeline runs once
         source = self._align(source)
         cached = None
         if assert_unique_key:
-            cached = source = source.persist(StorageLevel.MEMORY_AND_DISK)
+            source, cached = self._persist_batch(source)
         try:
             self._enforce_constraints(source, "merge")
             if assert_unique_key:
