@@ -68,11 +68,11 @@ MAX_WRITE_SPLITS = 16
 #: from cache): sized so CDC batches take 1-2 tasks while RTAS-scale
 #: sources keep full core fan-out
 UNION_LEG_ROWS_PER_TASK = 100_000
-#: merge sources Catalyst sizes ABOVE this skip the commit-scoped
-#: persist: a sized plan is a bare scan/projection (complex pipelines
-#: return the unknown sentinel and always persist), and past ~1 GiB
-#: re-scanning a parquet source beats serializing it into the executor
-#: cache and spilling
+#: merge sources whose Catalyst size estimate exceeds this skip the
+#: commit-scoped persist: past ~1 GiB re-running the source (a scan —
+#: or a pipeline whose estimate, usually an overestimate for joins,
+#: says it produces table-scale output) beats serializing it into the
+#: executor cache and spilling
 MERGE_PERSIST_MAX_BYTES = 8 * TARGET_WRITE_BYTES
 # above this many distinct keys a lookup stays a distributed semi-join
 # (strategy left to AQE) — an IN-list that size stops being a "point"
@@ -3293,11 +3293,10 @@ class LakeTable:
         # and the union leg reads cached blocks instead of re-scanning
         # — the re-scan previously ran as a second, much lighter task
         # population inside the write's map stage, reading as 3.7x
-        # max/median "skew" in the r14 sf1 capture. Size-gated: a
-        # source Catalyst CAN size is a simple scan/projection (complex
-        # upstreams return the unknown sentinel), and above the cap a
-        # re-scan is cheaper than serializing a table-sized batch into
-        # the executor cache and spilling it.
+        # max/median "skew" in the r14 sf1 capture. Size-gated (see
+        # _persist_batch): above the cap, re-running the source beats
+        # serializing a table-sized batch into the executor cache and
+        # spilling it.
         source, cached = self._persist_batch(self._align(source))
         try:
             return self._merge_cow(
@@ -3310,10 +3309,16 @@ class LakeTable:
 
     def _persist_batch(self, df: DataFrame):
         """(df', handle) — persist ``df`` at MEMORY_AND_DISK for a
-        multi-consumer DML commit, unless Catalyst sizes it above
-        ``MERGE_PERSIST_MAX_BYTES`` (a sized plan is a simple
-        scan/projection — cheap to re-run, expensive to cache at table
-        scale). ``handle`` is None when not persisted."""
+        multi-consumer DML commit, unless Catalyst's size estimate
+        exceeds ``MERGE_PERSIST_MAX_BYTES``: past that, serializing the
+        batch into the executor cache (and spilling it) costs more than
+        the consumers' re-computation, and cache pressure evicts other
+        resident data. Catalyst estimates flow through most plan shapes
+        (scans exactly, aggregates/joins heuristically — join products
+        overestimate, which errs toward NOT caching table-scale
+        sources, the safe side); only the unknown sentinel maps to None
+        and persists unconditionally. ``handle`` is None when not
+        persisted."""
         from pyspark import StorageLevel
 
         size = plan_size_bytes(df)
@@ -3378,7 +3383,8 @@ class LakeTable:
         # persisted source the count is one cache-backed job (the probe
         # already materialized it) and coalesce merges cached blocks
         # without a shuffle; an unpersisted (size-gated) source pays
-        # one cheap extra scan — it was sized, so it IS a bare scan. A
+        # one extra evaluation — tolerable exactly because the gate
+        # only skips table-scale batches, where caching costs more. A
         # CDC-sized batch otherwise fans its union leg out to
         # scan-parallelism task counts — dozens of near-empty task
         # launches that also bimodalize the write's map stage (half

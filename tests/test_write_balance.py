@@ -58,6 +58,28 @@ def test_exact_placement_balances_write_shuffle(spark):
     assert max(per_part.values()) == min(per_part.values()) == 1000
 
 
+def test_merge_persist_gate(spark, tmp_path, monkeypatch):
+    """_persist_batch persists batch-sized sources (scan or pipeline)
+    and passes table-scale estimates through uncached."""
+    import datalake_iceberg_spark.tables as T
+    from datalake_iceberg_spark.tables import LakeCatalog
+
+    p = str(tmp_path / "src")
+    spark.range(1000).write.parquet(p)
+    scan = spark.read.parquet(p)
+    tbl = LakeCatalog(spark, str(tmp_path / "wh")).create_or_replace(
+        "t", spark.range(10).select(F.col("id")), key=["id"], n_buckets=2
+    )
+    for src in (scan, scan.groupBy((F.col("id") % 7).alias("g")).count()):
+        df, handle = tbl._persist_batch(src)
+        assert handle is not None, src  # small estimate: persisted
+        handle.unpersist()
+    with monkeypatch.context() as m:
+        m.setattr(T, "MERGE_PERSIST_MAX_BYTES", 1)
+        df2, handle2 = tbl._persist_batch(scan)
+        assert handle2 is None and df2 is scan  # over cap: passthrough
+
+
 def test_shard_export_one_task_per_shard(spark):
     """The training-shard exporter routes shard K to exactly task K —
     export parallelism matches the caller's n_shards instead of the
