@@ -139,7 +139,7 @@ KEY_DML_TIERS = (
 
 
 def compact_line(total, timings, dml, sf, calibration_s=None,
-                 sf1_block=None) -> str:
+                 sf1_block=None, membw_gbs=None) -> str:
     """The ONE stdout line, guaranteed to fit the driver's capture
     window whole (see tests/test_bench_contract.py): 2dp timings + the
     key DML tiers, shrinking to 1dp and then dropping dml if a huge
@@ -163,6 +163,10 @@ def compact_line(total, timings, dml, sf, calibration_s=None,
         compact["calibration_s"] = calibration_s
         if calibration_s > 0:
             compact["normalized"] = round(total / calibration_s, 1)
+    if membw_gbs is not None:
+        # second axis of the host fingerprint: ALU (calibration_s) flat
+        # + membw depressed = host slow-mode, not a plan regression
+        compact["membw_gbs"] = membw_gbs
     if sf1_block and sf1_block.get("queries"):
         # 2 fields only — the full per-query sf1 detail (timings,
         # every scaling ratio, dml slice, gen time) is in
@@ -367,6 +371,37 @@ def main() -> None:
         print(f"# calibration_s: {calibration_s}", file=sys.stderr)
     except Exception as ex:
         print(f"# calibration skipped: {ex}", file=sys.stderr)
+
+    # Memory-bandwidth calibration (r15): the CPU fingerprint above is
+    # ALU-bound (xxhash in registers) and stayed FLAT through a
+    # measured host slow-mode episode — three same-HEAD settled
+    # captures read 62.0 / 91.4 / 92.9 s at calibration_s 0.369-0.372
+    # with pinned 2.1 GHz clocks, ~4% steal under full load, zero
+    # spill, and a 17 MB dataset, i.e. every shuffle/hash-heavy phase
+    # ran 1.5-3x slower on a resource the ALU probe cannot see
+    # (hypervisor memory-bandwidth/SMT contention). A large-array
+    # streaming pass measures the subsystem those phases actually
+    # bottleneck on: a slow capture with FLAT calibration_s and
+    # DEPRESSED calibration_membw_gbs is host noise, not a plan
+    # regression; flat membw + slow queries points back at the plans.
+    calibration_membw = None
+    try:
+        import numpy as np
+
+        arr = np.empty(512 * 1024 * 1024, dtype=np.uint8)
+        arr[::4096] = 1  # fault the pages in before timing
+        best_bw = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = arr + 1  # one read + one write stream of 512 MB each
+            dt = time.perf_counter() - t0
+            best_bw = max(best_bw, 2 * arr.nbytes / dt / 1e9)
+            del out
+        del arr
+        calibration_membw = round(best_bw, 2)
+        print(f"# calibration_membw_gbs: {calibration_membw}", file=sys.stderr)
+    except Exception as ex:
+        print(f"# membw calibration skipped: {ex}", file=sys.stderr)
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
@@ -1248,6 +1283,7 @@ def main() -> None:
         "dml": dml,
         "sf": sf,
         "calibration_s": calibration_s,
+        "calibration_membw_gbs": calibration_membw,
         "sf1": sf1_block,
         "health": health,
     })
@@ -1258,7 +1294,8 @@ def main() -> None:
     # ONE compact line, guaranteed to fit the window whole (timings at
     # 2 dp, key DML tiers only, no health block); the full record goes
     # to stderr for humans and to bench_latest.json for the judge.
-    cline = compact_line(total, timings, dml, sf, calibration_s, sf1_block)
+    cline = compact_line(total, timings, dml, sf, calibration_s, sf1_block,
+                         membw_gbs=calibration_membw)
     print(f"# full record: {line}", file=sys.stderr)
     print(cline)
     # companion artifact: the driver's BENCH_r{N}.json capture has been
