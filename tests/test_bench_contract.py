@@ -84,11 +84,12 @@ def test_normalized_and_sf1_fields_fit_at_real_magnitudes():
     }
     line = bench.compact_line(
         latest["value"], latest["queries"], latest["dml"], 0.1,
-        calibration_s=0.511, sf1_block=sf1,
+        calibration_s=0.511, sf1_block=sf1, membw_gbs=12.34,
     )
     assert len(line) <= bench.CAPTURE_BUDGET
     d = json.loads(line)
     assert d["normalized"] == round(latest["value"] / 0.511, 1)
+    assert d["membw_gbs"] == 12.34  # second host-fingerprint axis
     assert d["sf1"]["worst"] == {"minhash_recall": 3.39}
     assert d["sf1"]["total"] == round(34.56 * len(bench.SF1_QUERIES), 2)
     assert set(bench.KEY_DML_TIERS) == set(d["dml"])
