@@ -165,8 +165,9 @@ def compact_line(total, timings, dml, sf, calibration_s=None,
             compact["normalized"] = round(total / calibration_s, 1)
     if membw_gbs is not None:
         # second axis of the host fingerprint: ALU (calibration_s) flat
-        # + membw depressed = host slow-mode, not a plan regression
-        compact["membw_gbs"] = membw_gbs
+        # + membw depressed = host slow-mode, not a plan regression.
+        # 1dp keeps it cheap against the capture budget.
+        compact["membw"] = round(membw_gbs, 1)
     if sf1_block and sf1_block.get("queries"):
         # 2 fields only — the full per-query sf1 detail (timings,
         # every scaling ratio, dml slice, gen time) is in
@@ -178,6 +179,11 @@ def compact_line(total, timings, dml, sf, calibration_s=None,
     cline = json.dumps(compact)
     if len(cline) > CAPTURE_BUDGET:  # shrink ladder: 1dp first
         compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        cline = json.dumps(compact)
+    if len(cline) > CAPTURE_BUDGET:  # then shed membw (full value in
+        # bench_latest.json) — it must never displace the sf1 summary
+        # or the dml band tiers
+        compact.pop("membw", None)
         cline = json.dumps(compact)
     if len(cline) > CAPTURE_BUDGET:  # then shed the sf1 summary (its
         # full detail always lands in bench_latest.json) before
