@@ -168,9 +168,9 @@ def minhash_est_error(
     docs = load_balanced(spark, sf_dir, "documents").where(
         _recall_sample_pred(sample_mod)
     )
-    sh = _shingles(docs).localCheckpoint(eager=True)
+    sh = _shingles(docs).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sig = signatures_for_shingles(sh).localCheckpoint(eager=True)
+    sig = signatures_for_shingles(sh).localCheckpoint(eager=False)
     banded = banded_for(sig)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
@@ -178,7 +178,7 @@ def minhash_est_error(
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
@@ -309,7 +309,7 @@ def dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured: 5 FileScans → 1). Everything shuffles on doc_id or
     band_hash; no all-pairs stage anywhere."""
     docs = load_balanced(spark, sf_dir, "documents")
-    sig = signatures_for_shingles(_shingles(docs)).localCheckpoint(eager=True)
+    sig = signatures_for_shingles(_shingles(docs)).localCheckpoint(eager=False)
     banded = banded_for(sig)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (

@@ -240,71 +240,71 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The end-game of near-dup detection — every doc gets a cluster label
     and a cluster size (1 = unique).
 
-    Implementation: iterative min-label propagation as a driver loop of
-    DataFrame joins, with ``localCheckpoint`` per round to truncate
-    lineage (the standard Spark pattern for iterative graph algorithms;
-    the edge list is checkpointed once and reused every round).
-    Converges in O(component diameter) rounds — LSH duplicate clusters
-    are near-cliques, so 2-3 rounds in practice. The loop iterates over
-    EDGE NODES only (docs outside the candidate graph are singletons by
-    definition and join back at the end), so per-round shuffle volume
-    is ∝ the duplicate graph, not the corpus — at sf0.1 the fixed
-    per-job overhead makes this a wash (~3.3 s vs ~2.8 s for the
-    corpus-wide loop), but at 100 TB it is the difference between
-    shuffling the corpus O(rounds) times and not touching it after one
-    scan. For adversarially long chains switch to large-star/small-star
-    (Kiveris et al., "Connected Components in MapReduce"), which bounds
-    rounds at O(log n) with identical per-round shape.
+    Implementation (r15 optimization): iterative min-label propagation
+    over the band HYPERGRAPH instead of the materialized pair graph. A
+    band bucket with k docs encodes the same connectivity as its k(k-1)/2
+    candidate pairs, so CC over (doc, band) incidences ≡ CC over the
+    pair graph — but the incidence list is Σk rows where the pair list
+    is Σk² (the memory hog the r14 sf1 capture flagged at 7.8% GC, and
+    the exact blowup a boilerplate-heavy web corpus produces). The pair
+    self-join, its DISTINCT and the pair checkpoint are gone from the
+    plan; one band-count shuffle restricts the loop to HOT bands (≥2
+    docs), so per-round shuffle volume stays ∝ the duplicate graph, not
+    the corpus, and each round is: labels ⋈ incidences → per-band min →
+    ⋈ incidences → per-doc min (all partial-aggregated map-side).
+    ``localCheckpoint`` per round truncates lineage (the standard Spark
+    iterative-graph pattern). Converges in O(component diameter) rounds
+    — LSH duplicate clusters are near-cliques, so 2-3 rounds in
+    practice. For adversarially long chains switch to
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce"), which bounds rounds at O(log n).
 
-    Oracle: DuckDB recursive CTE computing min reachable id — an
-    independent fixpoint formulation of the same components.
+    Oracle: DuckDB recursive CTE computing min reachable id over the
+    candidate-PAIR graph — an independent fixpoint formulation of the
+    same components (band-mates ≡ pair-neighbors, see above).
     Output: (doc_id, cluster_id, cluster_size) for every document.
     """
     from pyspark.storagelevel import StorageLevel
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    # The candidate pairs are the memory hog of the whole pipeline
-    # (pair volume ∝ duplicate density × corpus). Checkpoint them ONCE,
-    # SERIALIZED: the r14 sf1 capture flagged 7.8% GC on this family —
-    # deserialized row blocks of the pair list (previously checkpointed
-    # TWICE, once as `edges` and again as its symmetrized union) were
-    # most of the live heap. Serialized blocks (MEMORY_AND_DISK is the serialized level in
-    # PySpark naming) are a handful of byte
-    # arrays instead of millions of row objects, and the symmetrized
-    # view below is a narrow projection re-derived from the same
-    # blocks per round instead of a second materialized copy.
-    edges = minhash_lsh_pairs(spark, sf_dir).localCheckpoint(
+    banded = banded_for(signatures_for(load_balanced(spark, sf_dir, "documents")))
+    # hot bands only: a band containing a single doc contributes no
+    # edge, and every doc outside all hot bands is a singleton by
+    # definition (re-labelling it every round is wasted shuffle). The
+    # count and the semi-join share one exchange on band_hash. Docs in
+    # hot bands = docs with ≥1 candidate partner — the same node set
+    # the pair-graph loop iterated over. Serialized storage
+    # (MEMORY_AND_DISK is the serialized level in PySpark naming):
+    # byte-array blocks, not millions of live row objects.
+    hot = banded.groupBy("band_hash").agg(F.count("*").alias("k")).where(
+        F.col("k") >= 2
+    )
+    inc = banded.join(hot.select("band_hash"), "band_hash").localCheckpoint(
         storageLevel=StorageLevel.MEMORY_AND_DISK
     )
-    sym = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    )
-    # propagate labels over EDGE NODES only — every doc outside the
-    # candidate-pair graph is its own singleton cluster by definition
-    # and re-labelling it every round is wasted shuffle. This makes the
-    # iterative work ∝ duplicate-GRAPH size, not corpus size: at 100 TB
-    # the loop shuffles the near-dup nodes (typically a few % of docs),
-    # and the corpus-sized leg is one final anti-join (AQE picks the
-    # build side; the node set is pairs-bounded).
     labels = (
-        sym.select(F.col("src").alias("doc_id"))
+        inc.select("doc_id")
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
         .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     for _ in range(MAX_CC_ITERS):
-        neigh_min = (
-            sym.join(labels, sym.src == labels.doc_id)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nmin"))
+        band_min = (
+            inc.join(labels, "doc_id")
+            .groupBy("band_hash")
+            .agg(F.min("label").alias("bmin"))
         )
+        # a doc belongs to its own bands, so the per-doc min over band
+        # minima already includes (and can only improve) its own label
         stepped = (
-            labels.join(neigh_min, labels.doc_id == neigh_min.dst, "left")
+            inc.join(band_min, "band_hash")
+            .groupBy("doc_id")
+            .agg(F.min("bmin").alias("nlabel"))
+            .join(labels, "doc_id")
             .select(
-                labels.doc_id,
-                F.least(labels.label, F.coalesce(F.col("nmin"), labels.label)).alias("label"),
-                labels.label.alias("prev"),
+                "doc_id",
+                F.col("nlabel").alias("label"),
+                F.col("label").alias("prev"),
             )
             .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         )
@@ -736,7 +736,7 @@ def minhash_recall(
     docs = load_balanced(spark, sf_dir, "documents").where(
         _recall_sample_pred(sample_mod)
     )
-    sh = _shingles(docs).localCheckpoint(eager=True)
+    sh = _shingles(docs).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -539,8 +539,24 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
         F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
     )
+    # ONE corpus explode (r15 optimization): aggregate occurrences to
+    # the vocab-sized (tok, exact_count) first and materialize it once
+    # (lazy localCheckpoint — it feeds the grid, the corpus total and
+    # the top-K probe, which would otherwise each re-scan and re-explode
+    # the corpus: 3 FileScans → 1). The grid then derives from the
+    # TOKEN counts — a cell's count is the sum of its tokens'
+    # occurrence counts, identical integers — so the 4 md5 cell hashes
+    # run per DISTINCT token, not per occurrence (guide §2.3: aggregate
+    # before you shuffle; the vocab is Heaps-law-smaller than the
+    # corpus).
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_count"))
+        .localCheckpoint(eager=False)
+    )
     # grid: depth d, cell c -> count (<= DEPTH*WIDTH rows after the agg)
-    cells = toks.select(
+    cells = exact.select(
+        "exact_count",
         F.explode(
             F.array(*[
                 F.struct(
@@ -548,11 +564,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 for d in range(CMS_DEPTH)
             ])
-        ).alias("p")
+        ).alias("p"),
     ).groupBy(F.col("p.d").alias("d"), F.col("p.cell").alias("cell")).agg(
-        F.count("*").alias("cnt")
+        F.sum("exact_count").alias("cnt")
     )
-    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
     total = exact.agg(F.sum("exact_count").alias("n_total"))
     top = (
         exact.orderBy(F.desc("exact_count"), F.asc("tok"))

@@ -462,7 +462,15 @@ def _assign_to_centroids(emb: DataFrame, cents: DataFrame) -> DataFrame:
     every vector, cosine rounded to 6 dp (oracle parity — same operand
     order as the DuckDB mirror), argmax per vector with a deterministic
     tie-break on the smaller centroid id. ``cents`` must expose
-    ``(cid, c_emb, c_nrm)``. Output: (vec_id, embedding, cid, cos)."""
+    ``(cid, c_emb, c_nrm)``. Output: (vec_id, embedding, cid, cos).
+
+    The argmax is a ``min_by`` aggregation, not a rank window (r15
+    optimization): the window form shuffles and sorts K rows per vector
+    — each carrying the full embedding array, so K× the table crosses
+    the exchange — while ``min_by`` partial-aggregates map-side and
+    ships ONE row per vector (guide §2.3). The key (-cos, cid) orders
+    exactly like (cos DESC, cid ASC) and is tie-free: cid is unique
+    within a vector's group."""
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
@@ -473,11 +481,20 @@ def _assign_to_centroids(emb: DataFrame, cents: DataFrame) -> DataFrame:
             6,
         ).alias("cos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("embedding", "cid", "cos"),
+                F.struct((-F.col("cos")).alias("nc"), F.col("cid")),
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            F.col("b.embedding").alias("embedding"),
+            F.col("b.cid").alias("cid"),
+            F.col("b.cos").alias("cos"),
+        )
     )
 
 
@@ -619,7 +636,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``localCheckpoint``) — without it each consumer re-runs the whole
     Lloyd pipeline and the corpus is scanned 9× instead of 3.
     Output: (cluster_id, n_members, n_dropped, n_kept)."""
-    a1 = _lloyd_assignments(spark, sf_dir).localCheckpoint(eager=True)
+    a1 = _lloyd_assignments(spark, sf_dir).localCheckpoint(eager=False)
     withn = a1.select(
         "cid", "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
@@ -836,6 +853,34 @@ PQ_SUB = 16     # dims per subspace
 PQ_K = 8        # codes per subspace codebook -> 3 bits, 12 bits/vector
 
 
+def _pq_assign(frame: DataFrame, codebook: DataFrame, carry: tuple) -> DataFrame:
+    """Nearest-codebook-entry per (vector, subspace): K-row broadcast
+    join, then argmin via ``min_by`` aggregation instead of a rank
+    window (r15 optimization) — the window form shuffles and sorts K
+    rows per (vec, m), each carrying both subvector arrays, while
+    ``min_by`` partial-aggregates map-side so ONE row per (vec, m)
+    crosses the exchange (guide §2.3). The key (l2, code) orders
+    exactly like orderBy(l2 ASC, code ASC) and is tie-free: code is
+    unique within a group. ``carry`` lists the extra frame columns to
+    keep (e.g. label, sv); code/c_sv/l2 always survive."""
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with("sv", "c_sv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    keep = (*carry, "code", "c_sv", "l2")
+    return (
+        frame.join(F.broadcast(codebook), "m")
+        .withColumn("l2", l2)
+        .groupBy("vec_id", "m")
+        .agg(F.min_by(F.struct(*keep), F.struct("l2", "code")).alias("b"))
+        .select("vec_id", "m", *[F.col(f"b.{c}").alias(c) for c in keep])
+    )
+
+
 def pq_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT-QUANTIZATION fidelity audit — the storage tier below
     ``sq8_quant_error``: each vector compresses to ``PQ_M`` codebook
@@ -872,25 +917,7 @@ def pq_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", F.col("vec_id").alias("code"), F.col("sv").alias("c_sv")
     )
 
-    def _assign(frame, codebook):
-        l2 = F.round(
-            F.aggregate(
-                F.zip_with("sv", "c_sv", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-        w = Window.partitionBy("vec_id", "m").orderBy(F.asc("l2"), F.asc("code"))
-        return (
-            frame.join(F.broadcast(codebook), "m")
-            .withColumn("l2", l2)
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
-
-    a0 = _assign(subs, seeds)
+    a0 = _pq_assign(subs, seeds, ("label", "sv"))
     cb1 = (
         a0.select("m", "code", F.posexplode("c_sv").alias("pos", "_"), "sv")
         .select("m", "code", "pos", F.element_at("sv", F.col("pos") + 1).alias("v"))
@@ -900,7 +927,7 @@ def pq_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
         .select("m", "code", F.transform("pairs", lambda s: s.cv).alias("c_sv"))
     )
-    a1 = _assign(subs, cb1)
+    a1 = _pq_assign(subs, cb1, ("label", "sv"))
     per_sub = a1.select(
         "vec_id",
         "label",
@@ -1041,25 +1068,7 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", F.col("vec_id").alias("code"), F.col("sv").alias("c_sv")
     )
 
-    def _assign(frame, codebook):
-        l2 = F.round(
-            F.aggregate(
-                F.zip_with("sv", "c_sv", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-        w = Window.partitionBy("vec_id", "m").orderBy(F.asc("l2"), F.asc("code"))
-        return (
-            frame.join(F.broadcast(codebook), "m")
-            .withColumn("l2", l2)
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
-
-    a0 = _assign(subs, seeds)
+    a0 = _pq_assign(subs, seeds, ("sv",))
     cb1 = (
         a0.select("m", "code", F.posexplode("c_sv").alias("pos", "_"), "sv")
         .select("m", "code", "pos", F.element_at("sv", F.col("pos") + 1).alias("v"))
@@ -1069,7 +1078,7 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
         .select("m", "code", F.transform("pairs", lambda s: s.cv).alias("c_sv"))
     )
-    codes = _assign(subs, cb1).select(
+    codes = _pq_assign(subs, cb1, ("sv",)).select(
         F.col("vec_id").alias("cand_id"), "m", "code"
     )
     # query LUT: partial dot of each query subvector with each codebook

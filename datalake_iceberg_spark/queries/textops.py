@@ -247,7 +247,7 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.where(F.col("n") >= 2)
         .select("doc_id", "source", F.explode(bigrams).alias("bg"))
         .select("doc_id", "source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     c2 = doc_big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
