@@ -818,8 +818,14 @@ def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one posexplode → (label, split, pos) mean aggregate (the IVF
     coarse-quantizer shape, 2·L·64 cells), centroids re-assembled per
-    (label, split), one L-row self-join on the label. Nothing larger
-    than L rows past the first aggregate at any corpus size. Output:
+    (label, split), then the train/test sides meet in a conditional
+    aggregation per label instead of a self-join (r15 optimization):
+    Catalyst does not deduplicate a diamond, so the two join legs each
+    re-ran the whole explode pipeline from the scan — 2 corpus explodes
+    → 1, and the L-row shuffle of the pivot replaces a join. A label
+    missing either split aggregates to NULL and is excluded exactly as
+    the inner join excluded it. Nothing larger than L rows past the
+    first aggregate at any corpus size. Output:
     (label, n_train, n_test, centroid_cosine)."""
     from datalake_iceberg_spark.queries.similarity import _dot, _norm
 
@@ -848,14 +854,16 @@ def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("pairs", lambda s: s.cv).alias("centroid"),
         )
     )
-    tr = cents.where(F.col("split") == "train").select(
-        "label", F.col("n_vecs").alias("n_train"), F.col("centroid").alias("c_tr")
-    )
-    te = cents.where(F.col("split") == "test").select(
-        "label", F.col("n_vecs").alias("n_test"), F.col("centroid").alias("c_te")
-    )
+    # train/test pivot: exactly one cents row per (label, split), so a
+    # conditional MAX is a deterministic "the value or NULL"
+    both = cents.groupBy("label").agg(
+        F.max(F.when(F.col("split") == "train", F.col("n_vecs"))).alias("n_train"),
+        F.max(F.when(F.col("split") == "train", F.col("centroid"))).alias("c_tr"),
+        F.max(F.when(F.col("split") == "test", F.col("n_vecs"))).alias("n_test"),
+        F.max(F.when(F.col("split") == "test", F.col("centroid"))).alias("c_te"),
+    ).where(F.col("c_tr").isNotNull() & F.col("c_te").isNotNull())
     return (
-        tr.join(te, "label")
+        both
         .withColumn("nrm_tr", _norm(F.col("c_tr")))
         .withColumn("nrm_te", _norm(F.col("c_te")))
         # a label whose split centroid is the zero vector has no defined

@@ -531,9 +531,17 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_balanced(spark, sf_dir, "documents")
     is_batch = F.pmod(F.col("doc_id"), F.lit(BATCH_MOD)) == 0
     batch = docs.filter(is_batch)
-    corpus = docs.filter(~is_batch)
-    bands_b = banded_for(signatures_for(batch))
-    bands_c = banded_for(signatures_for(corpus))
+    # ONE shingle→signature→band pipeline over the whole corpus, split
+    # into probe/index legs AFTER banding (r15 optimization): signatures
+    # and bands are per-doc independent, so filtering banded rows by the
+    # batch predicate is identical to banding each side separately. The
+    # lazy localCheckpoint is the required barrier — without it Catalyst
+    # pushes each leg's doc_id filter back down to the scan and the two
+    # legs re-become two full scan+shingle+md5 pipelines (2 corpus
+    # scans → 1 materialized band list, tiny rows: doc_id + hash).
+    banded = banded_for(signatures_for(docs)).localCheckpoint(eager=False)
+    bands_b = banded.where(F.pmod(F.col("doc_id"), F.lit(BATCH_MOD)) == 0)
+    bands_c = banded.where(F.pmod(F.col("doc_id"), F.lit(BATCH_MOD)) != 0)
     cand = (
         bands_b.alias("n")
         .join(bands_c.alias("i"), F.col("n.band_hash") == F.col("i.band_hash"))
