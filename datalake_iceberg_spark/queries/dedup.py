@@ -279,34 +279,49 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = banded.groupBy("band_hash").agg(F.count("*").alias("k")).where(
         F.col("k") >= 2
     )
+    # every checkpoint in the loop is LAZY: the per-round convergence
+    # count is the one action that materializes that round's blocks, so
+    # each round costs ONE Spark job instead of checkpoint-job + count-
+    # job (and inc/labels materialize inside round 1 rather than as two
+    # serial warm-up jobs). Blocks are still written exactly once and
+    # reused by the next round / the final assembly.
     inc = banded.join(hot.select("band_hash"), "band_hash").localCheckpoint(
-        storageLevel=StorageLevel.MEMORY_AND_DISK
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
     labels = (
         inc.select("doc_id")
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
-    for _ in range(MAX_CC_ITERS):
+    def _hop(lab: DataFrame) -> DataFrame:
+        # one hypergraph min-hop: per-band min, then per-doc min over
+        # the doc's bands. A doc belongs to its own bands, so the hop
+        # already includes (and can only improve) its own label.
         band_min = (
-            inc.join(labels, "doc_id")
+            inc.join(lab, "doc_id")
             .groupBy("band_hash")
             .agg(F.min("label").alias("bmin"))
         )
-        # a doc belongs to its own bands, so the per-doc min over band
-        # minima already includes (and can only improve) its own label
-        stepped = (
+        return (
             inc.join(band_min, "band_hash")
             .groupBy("doc_id")
-            .agg(F.min("bmin").alias("nlabel"))
-            .join(labels, "doc_id")
-            .select(
-                "doc_id",
-                F.col("nlabel").alias("label"),
-                F.col("label").alias("prev"),
-            )
-            .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+            .agg(F.min("bmin").alias("label"))
+        )
+
+    for _ in range(MAX_CC_ITERS):
+        # TWO hops per iteration, one convergence check: hops only ever
+        # DECREASE labels (monotone from identity), so
+        # hop(hop(L)) == L ⟹ hop(L) == L — the two-hop fixpoint test is
+        # exact while halving the driver actions / checkpoints on deep
+        # components (the sf1 tier's duplicate chains take 8 single
+        # hops; near-clique LSH clusters still converge in one
+        # iteration + confirm). The intermediate hop feeds exactly one
+        # consumer, so it needs no materialization.
+        stepped = (
+            _hop(_hop(labels))
+            .join(labels.select("doc_id", F.col("label").alias("prev")), "doc_id")
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
         )
         changed = stepped.filter(F.col("label") < F.col("prev")).count()
         labels = stepped.drop("prev")
