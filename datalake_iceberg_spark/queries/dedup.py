@@ -868,14 +868,18 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality score changes one ORDER BY.
 
     Plan: reuses the full connected-components pipeline (banded LSH
-    pairs → min-label propagation), joins per-doc token counts (one
-    column-pruned scan), then a rank window PARTITIONED BY cluster —
-    clusters are near-cliques of duplicates, so partitions stay small
-    at any corpus size. Output per non-trivial cluster:
+    hypergraph → min-label propagation), joins per-doc token counts
+    (one column-pruned scan), then ONE aggregation per cluster (r15
+    optimization): the survivor is ``min_by`` over (-n_tokens, doc_id)
+    — identical to the old rank window's (n_tokens DESC, doc_id ASC)
+    row 1, tie-free since doc_id is unique — and the dropped stats
+    derive from the same aggregate (n_dropped = size−1, dropped_tokens
+    = total − survivor). The window version shuffled and sorted every
+    member row AND fed two consumers (survivors + dropped), a Catalyst
+    diamond that re-ran the whole cluster assembly and the token scan
+    twice. Output per non-trivial cluster:
     (cluster_id, cluster_size, survivor_doc_id, survivor_tokens,
     n_dropped, dropped_tokens)."""
-    from pyspark.sql import Window
-
     clusters = dup_clusters(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
@@ -885,25 +889,25 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_tokens"),
     )
     joined = clusters.where(F.col("cluster_size") > 1).join(toks, "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("n_tokens"), F.asc("doc_id")
+    agg = joined.groupBy("cluster_id").agg(
+        F.max("cluster_size").cast("long").alias("cluster_size"),
+        F.min_by(
+            F.struct("doc_id", "n_tokens"),
+            F.struct((-F.col("n_tokens")).alias("nt"), F.col("doc_id")),
+        ).alias("s"),
+        F.count("*").alias("n_members"),
+        F.sum("n_tokens").alias("total_tokens"),
     )
-    ranked = joined.withColumn("rk", F.row_number().over(w))
-    surv = ranked.where(F.col("rk") == 1).select(
+    return agg.select(
         "cluster_id",
-        F.col("cluster_size").cast("long").alias("cluster_size"),
-        F.col("doc_id").alias("survivor_doc_id"),
-        F.col("n_tokens").cast("long").alias("survivor_tokens"),
-    )
-    dropped = (
-        ranked.where(F.col("rk") > 1)
-        .groupBy("cluster_id")
-        .agg(
-            F.count("*").cast("long").alias("n_dropped"),
-            F.sum("n_tokens").cast("long").alias("dropped_tokens"),
-        )
-    )
-    return surv.join(dropped, "cluster_id").orderBy("cluster_id")
+        "cluster_size",
+        F.col("s.doc_id").alias("survivor_doc_id"),
+        F.col("s.n_tokens").cast("long").alias("survivor_tokens"),
+        (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        (F.col("total_tokens") - F.col("s.n_tokens")).cast("long").alias(
+            "dropped_tokens"
+        ),
+    ).orderBy("cluster_id")
 
 
 DEDUP_KEEP_BEST_SQL = f"""
