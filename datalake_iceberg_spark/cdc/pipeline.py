@@ -85,13 +85,26 @@ def cast_to_target_schema(df: DataFrame, table: LakeTable) -> DataFrame:
 def dedup_latest(
     df: DataFrame, key: str | list[str] = SURROGATE_KEY_COL, order_col: str = OFFSET_COL
 ) -> DataFrame:
-    """Keep only the last event per key within the batch (WF1)."""
+    """Keep only the last event per key within the batch (WF1).
+
+    Computed as a ``max_by`` aggregation rather than the reference's
+    rank window (r15 optimization): the window shuffles and sorts every
+    change row, while max_by partial-aggregates map-side so one row per
+    key crosses the exchange — on a CDC batch that is shuffling the
+    distinct keys instead of the whole change stream. Same row wins
+    (max ``order_col``; ties were window-arbitrary before and are
+    max_by-arbitrary now — offsets are unique per key in practice)."""
     keys = [key] if isinstance(key, str) else list(key)
-    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    others = [c for c in df.columns if c not in keys]
+    agg = df.groupBy(*keys).agg(
+        F.max_by(F.struct(*others), F.col(order_col)).alias("__b")
+    )
+    # re-project in the input's exact column order
+    return agg.select(
+        *[
+            F.col(c) if c in keys else F.col(f"__b.{c}").alias(c)
+            for c in df.columns
+        ]
     )
 
 

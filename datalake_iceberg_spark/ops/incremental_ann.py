@@ -70,8 +70,12 @@ def _centroid_frame(assigned: DataFrame) -> DataFrame:
 
 def _assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment by cosine (broadcast K rows, argmax
-    window, deterministic tie-break on the smaller cell id). Input
-    ``vectors``: (vec_id, embedding); output adds (cell, nrm)."""
+    via ``min_by`` aggregation — r15: the rank-window form shuffled and
+    sorted K rows per vector, each carrying the full embedding; min_by
+    partial-aggregates map-side so one row per vector crosses the
+    exchange. Key (-cos, cell) == (cos DESC, cell ASC), tie-free since
+    the cell id is unique per group). Input ``vectors``:
+    (vec_id, embedding); output adds (cell, nrm)."""
     v = vectors.select(
         "vec_id", "embedding", _norm(_as_double("embedding")).alias("nrm")
     ).where(F.col("nrm") > 0)
@@ -81,11 +85,20 @@ def _assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
         (_dot(_as_double("embedding"), F.col("c_emb"))
          / (F.col("nrm") * F.col("c_nrm"))).alias("cos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("cell", "vec_id", "embedding", "nrm")
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("cell", "embedding", "nrm"),
+                F.struct((-F.col("cos")).alias("nc"), F.col("cell")),
+            ).alias("b")
+        )
+        .select(
+            F.col("b.cell").alias("cell"),
+            "vec_id",
+            F.col("b.embedding").alias("embedding"),
+            F.col("b.nrm").alias("nrm"),
+        )
     )
 
 
@@ -301,15 +314,15 @@ def _l2(a, b):
 
 def _pq_encode(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
     """Nearest-codeword per (vec, subspace): broadcast M·K codebook
-    rows, argmin L2 window (6-dp round then code id — deterministic
-    ties). Output: (vec_id, codes array<int>)."""
-    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("l2"), F.asc("code"))
+    rows, argmin L2 via ``min_by`` aggregation (r15 — one row per
+    (vec, m) crosses the exchange instead of the window's K sorted
+    rows; key (l2@6dp, code) keeps the deterministic tie order).
+    Output: (vec_id, codes array<int>)."""
     assigned = (
         subs.join(F.broadcast(codebooks), "m")
         .withColumn("l2", F.round(_l2(F.col("sv"), F.col("c_sv")), 6))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
+        .groupBy("vec_id", "m")
+        .agg(F.min_by(F.col("code"), F.struct("l2", "code")).alias("code"))
     )
     return (
         assigned.groupBy("vec_id")
@@ -353,14 +366,25 @@ def _train_codebooks(
     cb = subs.where(F.col("vec_id").isin(seed_ids)).select(
         "m", mapping[F.col("vec_id")].alias("code"), F.col("sv").alias("c_sv")
     )
-    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("l2"), F.asc("code"))
     for _ in range(rounds):
+        # argmin via min_by (r15): same deterministic (l2@6dp, code)
+        # order as the old rank window, partial-aggregated map-side
         assigned = (
             subs.join(F.broadcast(cb), "m")
             .withColumn("l2", F.round(_l2(F.col("sv"), F.col("c_sv")), 6))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("m", "code", "sv", "l2", "vec_id")
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min_by(
+                    F.struct("code", "sv", "l2"), F.struct("l2", "code")
+                ).alias("b")
+            )
+            .select(
+                "m",
+                F.col("b.code").alias("code"),
+                F.col("b.sv").alias("sv"),
+                F.col("b.l2").alias("l2"),
+                "vec_id",
+            )
         )
         if reseed_dead:
             # the reseed branch consumes `assigned` twice (mean update +

@@ -284,19 +284,28 @@ ORDER BY p_brand, price_rank
 
 def dedup_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WF1, the reference's load-bearing idiom (``cdc_pipeline.py:199-204``):
-    latest event per user, ``row_number`` over desc ordering, keep row 1.
-    One shuffle on the key; no driver round-trip."""
+    latest event per user. The reference writes it as ``row_number``
+    over desc ordering; the engine computes the same row with a
+    ``max_by`` aggregation (r15 optimization): the window shuffles and
+    sorts EVERY event, while max_by partial-aggregates map-side so one
+    row per user crosses the exchange — at 100 TB that is shuffling the
+    distinct keys instead of the event stream. Key (ts, event_id) ==
+    orderBy(ts DESC, event_id DESC) row 1, tie-free (event_id unique
+    per user)."""
     ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        ev.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "user_id", "event_id", "ts", "event_type",
-            (cents("value").cast("double") / 100.0).alias("value"),
-        )
-        .orderBy("user_id")
+    best = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "ts", "event_type", "value"),
+            F.struct("ts", "event_id"),
+        ).alias("b")
     )
+    return best.select(
+        "user_id",
+        F.col("b.event_id").alias("event_id"),
+        F.col("b.ts").alias("ts"),
+        F.col("b.event_type").alias("event_type"),
+        (cents(F.col("b.value")).cast("double") / 100.0).alias("value"),
+    ).orderBy("user_id")
 
 
 DEDUP_LATEST_SQL = f"""
@@ -456,17 +465,23 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the plan ``LakeTable.merge`` executes per bucket."""
     orders = load(spark, sf_dir, "orders")
     ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    # dedup-latest via max_by aggregation (r15, same rewrite as
+    # dedup_latest_events): one partial-aggregated row per user crosses
+    # the exchange instead of the window's full sorted event shuffle
     source = (
         ev.filter(F.col("event_type") == "purchase")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "value"), F.struct("ts", "event_id")
+            ).alias("b")
+        )
         .select(
             (F.col("user_id") * 10).alias("o_orderkey"),
             F.col("user_id").alias("o_custkey"),
             F.lit("M").alias("o_orderstatus"),
-            (cents("value").cast("double") / 100.0).alias("o_totalprice"),
-            F.col("ts").alias("o_orderdate"),
+            (cents(F.col("b.value")).cast("double") / 100.0).alias("o_totalprice"),
+            F.col("b.ts").alias("o_orderdate"),
             F.lit("MERGED").alias("o_orderpriority"),
         )
     )
@@ -520,17 +535,21 @@ def _partial_merge_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source to carry EVERY column even for a partial update, because
     unmatched rows insert in full)."""
     ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    # dedup-latest via max_by aggregation (r15) — see merge_upsert_orders
     return (
         ev.filter(F.col("event_type") == "purchase")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "value"), F.struct("ts", "event_id")
+            ).alias("b")
+        )
         .select(
             (F.col("user_id") * 10).alias("o_orderkey"),
             F.col("user_id").alias("o_custkey"),
             F.lit("M").alias("o_orderstatus"),
-            (cents("value").cast("double") / 100.0).alias("o_totalprice"),
-            F.col("ts").alias("o_orderdate"),
+            (cents(F.col("b.value")).cast("double") / 100.0).alias("o_totalprice"),
+            F.col("b.ts").alias("o_orderdate"),
             F.lit("MERGED").alias("o_orderpriority"),
         )
     )
