@@ -52,14 +52,19 @@ def test_q5_single_fact_shuffle(spark, sf_dir):
 
 def test_dedup_latest_single_shuffle(spark, sf_dir):
     text = _explain(analytics.dedup_latest_events(spark, sf_dir))
-    # exactly one hash shuffle for the window partitioning (formatted mode
-    # puts "Arguments: hashpartitioning(...)" on its own line); the final
+    # exactly one hash shuffle on the key (formatted mode puts
+    # "Arguments: hashpartitioning(...)" on its own line); the final
     # rangepartitioning exchange is the presentation ORDER BY, which is fine
     n_hash = text.count("hashpartitioning(")
     assert n_hash == 1, text
-    # WindowGroupLimit pushes the rank<=1 limit below the shuffle (partial);
-    # formatted output lists each operator twice (tree + detail section)
-    assert text.count("WindowGroupLimit") >= 2, text
+    # r15: dedup-latest is a max_by AGGREGATION, not a rank window — a
+    # partial aggregate must sit below the exchange so one row per key
+    # crosses it (the struct-typed max_by buffer plans as SortAggregate;
+    # partial + final = one operator on each side of the shuffle)
+    assert "Window" not in text, text
+    n_agg = text.count("SortAggregate") + text.count("HashAggregate")
+    assert n_agg >= 2, text
+    assert "max_by" in text, text
 
 
 def test_exact_dedup_partial_aggregation(spark, sf_dir):
