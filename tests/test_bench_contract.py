@@ -120,3 +120,30 @@ def test_sf1_queries_are_registered():
     qs = em.queries()
     for name in bench.SF1_QUERIES:
         assert name in qs, name
+
+
+def test_noise_guard_bands_cover_bench_queries():
+    """r16 noise guard: every band key must be a real bench query (a
+    rename would silently drop its guard), every threshold must sit
+    strictly above its band, and queries without a band are skipped
+    (guard returns None) rather than guessed."""
+    for name in bench.QUERY_BAND_S:
+        assert name in bench.BENCH_QUERIES, name
+        thr = bench._noise_threshold(name)
+        assert thr is not None and thr > bench.QUERY_BAND_S[name]
+    assert bench._noise_threshold("no_such_query") is None
+
+
+def test_compact_line_nguard_field_fits_budget():
+    """The nguard count must survive the shrink ladder at the real
+    surface size (it is the judge's signal that re-runs happened)."""
+    timings = {k: 12.345 for k in bench.BENCH_QUERIES}
+    line = bench.compact_line(512.8, timings, DML, 0.1,
+                              calibration_s=0.511, membw_gbs=7.1,
+                              nguard=15)
+    assert len(line) <= bench.CAPTURE_BUDGET
+    d = json.loads(line)
+    assert d["nguard"] == 15
+    # omitted entirely when the guard never fired
+    line2 = bench.compact_line(512.8, timings, DML, 0.1, nguard=None)
+    assert "nguard" not in json.loads(line2)
