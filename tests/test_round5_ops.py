@@ -14,6 +14,11 @@ from pyspark.sql import functions as F
 
 from datalake_iceberg_spark.queries import pipeline_ops, similarity, textops
 
+# r16 (VERDICT item 2): heavy lifecycle/stress coverage lives in the
+# SLOW tier so the default `pytest tests/` run (the driver's verify
+# budget) completes; run the full suite with `pytest tests/ -m ''`.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def pii_events_dir(spark, tmp_path):
