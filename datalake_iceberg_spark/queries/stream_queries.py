@@ -127,9 +127,30 @@ def _drain(
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_q_")
+    # State-store provider knob (r16, VERDICT item 7): default stays
+    # the in-memory HDFSBackedStateStoreProvider — at fixture scale the
+    # state per store is KBs and the A/B (plans/r16) measured RocksDB
+    # strictly slower here (native column-family setup + checkpoint
+    # uploads per micro-batch dominate tiny state). At production state
+    # sizes (GBs per partition) RocksDB is the right provider — flip
+    # via SPARK_GRAFT_STATE_STORE=rocksdb without code changes; the
+    # checkpoint is per-run so the provider swap never corrupts state.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    want_rocks = os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb"
+    prev_provider = None
     try:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        if want_rocks:
+            try:
+                prev_provider = spark.conf.get(provider_key)
+            except Exception:
+                prev_provider = None
+            spark.conf.set(
+                provider_key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
         q = (
             df.writeStream.foreachBatch(_write_batch)
             .outputMode(output_mode)
@@ -140,6 +161,11 @@ def _drain(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if want_rocks:
+            if prev_provider:
+                spark.conf.set(provider_key, prev_provider)
+            else:
+                spark.conf.unset(provider_key)
         shutil.rmtree(ckpt, ignore_errors=True)
     if not os.path.isdir(out) or not any(
         f.endswith(".parquet") for f in os.listdir(out)
