@@ -1277,6 +1277,7 @@ class LakeTable:
         n_buckets: int,
         sort_by: list[str] | None = None,
         drop_after_sort: list[str] | None = None,
+        bucket_weights: dict[int, int] | None = None,
     ) -> dict[str, list[str]]:
         """Write df into per-bucket dirs under a fresh commit dir.
 
@@ -1299,10 +1300,90 @@ class LakeTable:
         pruning for pushed-down range predicates. ``drop_after_sort``
         removes synthetic sort keys (e.g. a z-value) after ordering, before
         the write — a projection after sort keeps row order.
+
+        ``bucket_weights`` (r16 skew fix, bucket id -> manifest #bytes of
+        that bucket's input) switches to WEIGHT-AWARE sub-splitting: a
+        bucket heavier than the median gets ceil(weight/median) key-hash
+        sub-splits so every write task carries ~one median bucket of
+        bytes. The byte-volume splits above are uniform per bucket and
+        assume even fill; a rewrite whose input is a skewed SUBSET of
+        buckets (the MoR fold rewrites exactly the delete-bearing ones,
+        whose content the workload made uneven) otherwise runs one task
+        per bucket with task weight = bucket content — the measured
+        3.5-3.7x max/median skew band finding. Exact combo->partition
+        placement as below, so residual spread is intra-bucket only.
         """
         rel = self._new_commit_dir()
         abs_dir = self.fs.join(self.location, rel)
         writer_opts = self._writer_options()
+        if keys and n_buckets > 1 and bucket_weights and not sort_by:
+            from itertools import accumulate as _acc
+            from statistics import median as _median
+
+            med = max(1, int(_median(bucket_weights.values())))
+            # combo ids are DENSE over the weighted (= actually present)
+            # buckets so combo % nparts is exact placement, not
+            # balls-into-bins; absent buckets get 0 splits and can never
+            # contribute rows (the caller passes weights for exactly the
+            # buckets it reads). greatest(sb, 1) keeps a stray row from
+            # a null pmod instead of crashing the write.
+            s_list = [
+                (
+                    max(1, min(MAX_WRITE_SPLITS,
+                               -(-bucket_weights[b] // med)))
+                    if b in bucket_weights
+                    else 0
+                )
+                for b in range(n_buckets)
+            ]
+            off_list = [0] + list(_acc(s_list[:-1]))
+            total_combos = sum(s_list) or 1
+            try:
+                cores = self.spark.sparkContext.defaultParallelism
+            except Exception:  # Spark Connect: no SparkContext handle
+                cores = total_combos
+            # task-count sizing matches the uniform path (cores, or the
+            # byte-need at TARGET_WRITE_BYTES per task, capped by the
+            # combo count): the weighted path changes WHICH rows share a
+            # task, not how many tasks the write launches — a 4x-cores
+            # first cut measured 2x slower on the 1024-bucket fold from
+            # pure task-launch overhead (128 near-empty tasks vs 32).
+            total_w = sum(bucket_weights.values())
+            need = max(cores, -(-total_w // TARGET_WRITE_BYTES))
+            nparts = max(1, min(total_combos, need))
+            staged = df.withColumn("_bucket", bucket_expr(keys, n_buckets))
+            key_cols = [
+                F.coalesce(F.col(k).cast("string"), F.lit("\x00null"))
+                for k in keys
+            ]
+            b_idx = F.col("_bucket").cast("int") + 1
+            sb_col = F.greatest(
+                F.element_at(F.array(*[F.lit(s) for s in s_list]), b_idx),
+                F.lit(1),
+            )
+            off_col = F.element_at(
+                F.array(*[F.lit(o) for o in off_list]), b_idx
+            )
+            combo = off_col + F.pmod(
+                F.xxhash64(F.lit("_split_seed"), *key_cols), sb_col
+            ).cast("int")
+            staged = (
+                staged.withColumn("_pt", _exact_partition_col(combo, nparts))
+                .repartition(nparts, "_pt")
+                .drop("_pt")
+            )
+            (
+                staged.write.partitionBy("_bucket")
+                .mode("overwrite")
+                .options(**writer_opts)
+                .parquet(abs_dir)
+            )
+            out: dict[str, list[str]] = {}
+            for entry in sorted(self.fs.listdir(abs_dir)):
+                if entry.startswith("_bucket="):
+                    out[entry.split("=", 1)[1]] = [f"{rel}/{entry}"]
+            self._harvest_stats(list(d for dirs in out.values() for d in dirs))
+            return out
         if keys and n_buckets > 1:
             splits = self._write_parallelism(df, n_buckets)
             # Shuffle-partition count is capped by what the data VOLUME
@@ -4527,7 +4608,27 @@ class LakeTable:
             return {"rewritten_buckets": 0, "removed_delete_files": 0}
         n_delete_files = sum(len(snap.deletes[b]) for b in todo)
         folded = self._read_with_deletes(snap, {b: snap.buckets[b] for b in todo})
-        per_bucket = self._write_bucketed(folded, snap.key, snap.n_buckets)
+        # per-bucket input weights from manifest #bytes (pure snapshot
+        # math): the fold rewrites a delete-bearing SUBSET whose content
+        # the workload made uneven, so the write sub-splits heavy
+        # buckets to ~median-bucket tasks (r16 skew fix; see
+        # _write_bucketed). Any dir without harvested bytes degrades to
+        # the uniform path — never a failed fold.
+        weights: dict[int, int] | None = {}
+        for b in todo:
+            w = 0
+            for d in snap.buckets[b]:
+                st = snap.stats.get(d, {}).get(BYTES_STAT)
+                if st is None:
+                    weights = None
+                    break
+                w += int(st[0])
+            if weights is None:
+                break
+            weights[int(b)] = w
+        per_bucket = self._write_bucketed(
+            folded, snap.key, snap.n_buckets, bucket_weights=weights
+        )
         per_bucket = {b: per_bucket.get(b, []) for b in todo}
         self._replace_buckets(
             snap, per_bucket, [int(b) for b in todo], "rewrite_position_deletes",
